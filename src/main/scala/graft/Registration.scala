@@ -1,0 +1,327 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.types._
+
+import graft.sketch._
+import graft.sketch.Kit.ElemType
+
+/** Bind-time error, the analog of DuckDB's `BinderException`
+  * (reference `src/generated.cpp:56-68`, `src/theta_sketch.cpp:44-45`). */
+class GraftBindException(msg: String) extends IllegalArgumentException(msg)
+
+/** Function registration — the Spark analog of the reference's extension
+  * entry point (`src/datasketches_extension.cpp:30-41`): installs all 88
+  * SQL names into the session's FunctionRegistry.
+  *
+  * Bind-time behavior mirrors the reference:
+  *  - K / lg_k must be a foldable constant; it is validated against the
+  *    family's range and *erased* from the runtime argument list (the
+  *    aggregate holds it as a constructor Int), matching
+  *    `Function::EraseArgument` (`src/generated.cpp:72` etc.).
+  *  - Create-vs-merge overloads on one name resolve by argument type:
+  *    a BINARY value child selects the merge/union path (the reference's
+  *    `AggregateFunctionSet` alias-type overloads).
+  *  - The quantile families' element type resolves from (in order) an
+  *    explicit trailing `'long'|'float'|'double'` literal, the child's
+  *    column metadata (`sketchElementType`, written by
+  *    [[graft.functions.as_sketch]]), a nested sketch-building aggregate,
+  *    or defaults to double.
+  */
+object Registration {
+
+  val ElemTag = "sketchElementType"
+  val FamilyTag = "sketchFamily"
+
+  // ---- bind helpers -------------------------------------------------------
+
+  private def bindErr(msg: String): Nothing = throw new GraftBindException(msg)
+
+  private def foldInt(e: Expression, fname: String): Int = {
+    if (!e.foldable) bindErr(s"$fname: the K/lg_k argument must be a constant")
+    e.eval(null) match {
+      case null      => bindErr(s"$fname: the K/lg_k argument must not be NULL")
+      case n: Number => n.intValue()
+      case other     => bindErr(s"$fname: the K/lg_k argument must be numeric, got $other")
+    }
+  }
+
+  private def checkRange(fname: String, k: Int, lo: Int, hi: Int, what: String): Int = {
+    if (k < lo || k > hi) bindErr(s"$fname: $what must be between $lo and $hi, got $k")
+    k
+  }
+
+  private def stringLit(e: Expression): Option[String] = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => Some(s.toString)
+    case _ => None
+  }
+
+  private val elemTags = Set("long", "float", "double")
+
+  /** Strip a trailing explicit element-type tag literal, if present. */
+  private def splitElemTag(args: Seq[Expression]): (Seq[Expression], Option[ElemType]) =
+    args.lastOption.flatMap(stringLit).filter(elemTags.contains) match {
+      case Some(tag) => (args.init, Some(ElemType.fromTag(tag)))
+      case None      => (args, None)
+    }
+
+  /** Recover a sketch column's element type (alias-type dispatch analog). */
+  private def elemOf(e: Expression, default: ElemType): ElemType = e match {
+    case a: AttributeReference if a.metadata.contains(ElemTag) =>
+      ElemType.fromTag(a.metadata.getString(ElemTag))
+    case al: Alias => elemOf(al.child, default)
+    case ae: AggregateExpression =>
+      ae.aggregateFunction match {
+        case k: KllAgg       => k.elem
+        case q: QuantilesAgg => q.elem
+        case _               => default
+      }
+    case _ => default
+  }
+
+  /** Element type for the create path, from the raw input's Spark type. */
+  private def elemOfInput(fname: String, dt: DataType): ElemType =
+    ElemType.ofInput(dt).getOrElse(
+      bindErr(s"$fname: unsupported input type ${dt.simpleString} (numeric required)"))
+
+  private def arity(fname: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
+    if (args.length < lo || args.length > hi)
+      bindErr(s"$fname: expected between $lo and $hi arguments, got ${args.length}")
+
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+  private def int(e: Expression): Expression = Cast(e, IntegerType)
+  private def bool(e: Expression): Expression = Cast(e, BooleanType)
+  private def dblArr(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+
+  // ---- aggregate builders -------------------------------------------------
+
+  type B = Seq[Expression] => Expression
+
+  private def quantAggBuilder(family: String): (String, B) = {
+    val fname = s"datasketch_$family"
+    val (lo, hi, what) = family match {
+      case "req"     => (4, 1024, "K")
+      case "tdigest" => (1, 32767, "compression")
+      case _         => (1, 32768, "K")
+    }
+    fname -> { rawArgs: Seq[Expression] =>
+      val (args, tag) = splitElemTag(rawArgs)
+      arity(fname, args, 2, 2)
+      val k = checkRange(fname, foldInt(args.head, fname), lo, hi, what)
+      if (family == "req" && k % 2 != 0) bindErr(s"$fname: K must be even, got $k")
+      val child = args(1)
+      val isMerge = child.dataType == BinaryType
+      val elem =
+        if (isMerge) tag.getOrElse(elemOf(child, ElemType.Dbl))
+        else elemOfInput(fname, child.dataType)
+      family match {
+        case "quantiles" =>
+          // float widens to double in the classic quantiles impl (SURVEY §7.3)
+          val e = if (elem == ElemType.Flt) ElemType.Dbl else elem
+          QuantilesAgg(k, child, e)
+        case "kll"     => KllAgg(k, child, elem)
+        case "req"     => ReqAgg(k, child)
+        case "tdigest" => TDigestAgg(k, child)
+      }
+    }
+  }
+
+  private def countAggBuilder(family: String, union: Boolean): (String, B) = {
+    val fname = if (union) s"datasketch_${family}_union" else s"datasketch_$family"
+    val hi = if (family == "hll") 21 else 26
+    fname -> { args: Seq[Expression] =>
+      arity(fname, args, 2, 2)
+      val lgK = checkRange(fname, foldInt(args.head, fname), 4, hi, "lg_k")
+      val child = args(1)
+      (family, union) match {
+        case ("hll", false) =>
+          if (child.dataType == BinaryType)
+            bindErr(s"$fname: sketch input requires datasketch_hll_union")
+          HllBuildAgg(lgK, child)
+        case ("hll", true) =>
+          if (child.dataType != BinaryType) bindErr(s"$fname: input must be a sketch BLOB")
+          HllUnionAgg(lgK, child)
+        case ("cpc", false) =>
+          if (child.dataType == BinaryType)
+            bindErr(s"$fname: sketch input requires datasketch_cpc_union")
+          CpcBuildAgg(lgK, child)
+        case ("cpc", true) =>
+          if (child.dataType != BinaryType) bindErr(s"$fname: input must be a sketch BLOB")
+          CpcUnionAgg(lgK, child)
+      }
+    }
+  }
+
+  private val thetaAggBuilder: (String, B) = "datasketch_theta" -> { args: Seq[Expression] =>
+    arity("datasketch_theta", args, 1, 2)
+    // Optional leading lg_k (reference default 12, src/theta_sketch.cpp:59).
+    val (lgK, child) =
+      if (args.length == 2)
+        (checkRange("datasketch_theta", foldInt(args.head, "datasketch_theta"), 4, 26, "lg_k"), args(1))
+      else (12, args.head)
+    ThetaAgg(lgK, child)
+  }
+
+  private val freqAggBuilder: (String, B) = "datasketch_frequent_items" -> { args: Seq[Expression] =>
+    arity("datasketch_frequent_items", args, 1, 2)
+    // Optional leading lg_k (reference default 10, src/frequent_items_sketch.cpp:25).
+    val (lgK, child) =
+      if (args.length == 2)
+        (checkRange("datasketch_frequent_items", foldInt(args.head, "datasketch_frequent_items"), 2, 26, "lg_max_map_size"), args(1))
+      else (10, args.head)
+    FreqItemsAgg(lgK, child)
+  }
+
+  // ---- scalar builders ----------------------------------------------------
+
+  private def quantScalarBuilders(family: String): Seq[(String, B)] = {
+    val isTd = family == "tdigest"
+    def b(fn: String)(f: (Seq[Expression], ElemType) => Seq[Expression], lo: Int, hi: Int): (String, B) = {
+      val fname = s"datasketch_${family}_$fn"
+      fname -> { rawArgs: Seq[Expression] =>
+        val (args0, tag) = splitElemTag(rawArgs)
+        arity(fname, args0, lo, hi)
+        val elem0 = tag.getOrElse(elemOf(args0.head, ElemType.Dbl))
+        // REQ is float-native, TDigest double-native, classic quantiles
+        // widen float to double — normalize so the wrapper picks the right
+        // Java deserializer.
+        val elem = family match {
+          case "req"                                 => ElemType.Flt
+          case "tdigest"                             => ElemType.Dbl
+          case "quantiles" if elem0 == ElemType.Flt  => ElemType.Dbl
+          case _                                     => elem0
+        }
+        QuantScalar(family, fn, elem, f(args0, elem))
+      }
+    }
+    def inclTail(args: Seq[Expression], from: Int): Seq[Expression] =
+      if (isTd) Seq.empty
+      else if (args.length > from) Seq(bool(args(from)))
+      else Seq(Literal(true))
+
+    val probeArity = if (isTd) 2 else 3
+    val common = Seq(
+      b("quantile")((a, _) => Seq(a(0), dbl(a(1))) ++ inclTail(a, 2), 2, probeArity),
+      b("rank")((a, _) => Seq(a(0), dbl(a(1))) ++ inclTail(a, 2), 2, probeArity),
+      b("cdf")((a, _) => Seq(a(0), dblArr(a(1))) ++ inclTail(a, 2), 2, probeArity),
+      b("pmf")((a, _) => Seq(a(0), dblArr(a(1))) ++ inclTail(a, 2), 2, probeArity),
+      b("k")((a, _) => a, 1, 1),
+      b("is_empty")((a, _) => a, 1, 1),
+      b("describe")((a, _) => a.head +: a.tail.map(bool), 1, if (isTd) 2 else 3))
+    val nonTd =
+      if (isTd) Seq.empty
+      else Seq(
+        b("n")((a, _) => a, 1, 1),
+        b("is_estimation_mode")((a, _) => a, 1, 1),
+        b("num_retained")((a, _) => a, 1, 1),
+        b("min_item")((a, _) => a, 1, 1),
+        b("max_item")((a, _) => a, 1, 1))
+    val nre =
+      if (family == "quantiles" || family == "kll")
+        Seq(b("normalized_rank_error")((a, _) => Seq(a(0), bool(a(1))), 2, 2))
+      else Seq.empty
+    val tw = if (isTd) Seq(b("total_weight")((a, _) => a, 1, 1)) else Seq.empty
+    common ++ nonTd ++ nre ++ tw
+  }
+
+  private def countScalarBuilders(family: String): Seq[(String, B)] = {
+    def b(fn: String)(f: Seq[Expression] => Seq[Expression], lo: Int, hi: Int): (String, B) = {
+      val fname = s"datasketch_${family}_$fn"
+      fname -> { args: Seq[Expression] =>
+        arity(fname, args, lo, hi)
+        CountScalar(family, fn, f(args))
+      }
+    }
+    val common = Seq(
+      b("estimate")(identity, 1, 1),
+      b("lower_bound")(a => Seq(a(0), int(a(1))), 2, 2),
+      b("upper_bound")(a => Seq(a(0), int(a(1))), 2, 2),
+      b("is_empty")(identity, 1, 1))
+    if (family == "hll")
+      common ++ Seq(
+        b("describe")(a => a.head +: a.tail.map(bool), 1, 3),
+        b("lg_config_k")(identity, 1, 1),
+        b("is_compact")(identity, 1, 1))
+    else
+      common :+ b("describe")(identity, 1, 1)
+  }
+
+  private val thetaScalarBuilders: Seq[(String, B)] = {
+    def b(fn: String)(f: Seq[Expression] => Seq[Expression], lo: Int, hi: Int): (String, B) = {
+      val fname = s"datasketch_theta_$fn"
+      fname -> { args: Seq[Expression] =>
+        arity(fname, args, lo, hi)
+        ThetaScalar(fn, f(args))
+      }
+    }
+    Seq(
+      b("union")(identity, 2, 2),
+      b("intersect")(identity, 2, 2),
+      b("a_not_b")(identity, 2, 2),
+      b("estimate")(identity, 1, 1),
+      b("lower_bound")(a => Seq(a(0), int(a(1))), 2, 2),
+      b("upper_bound")(a => Seq(a(0), int(a(1))), 2, 2),
+      b("describe")(identity, 1, 1),
+      b("is_empty")(identity, 1, 1),
+      b("is_estimation_mode")(identity, 1, 1),
+      b("get_theta")(identity, 1, 1),
+      b("num_retained")(identity, 1, 1),
+      b("get_seed")(identity, 1, 1))
+  }
+
+  private val freqScalarBuilders: Seq[(String, B)] = {
+    def b(fn: String)(f: Seq[Expression] => Seq[Expression], lo: Int, hi: Int): (String, B) = {
+      val fname = s"datasketch_frequent_items_$fn"
+      fname -> { args: Seq[Expression] =>
+        arity(fname, args, lo, hi)
+        FreqScalar(fn, f(args))
+      }
+    }
+    Seq(
+      b("estimate")(identity, 2, 2),
+      b("lower_bound")(identity, 2, 2),
+      b("upper_bound")(identity, 2, 2),
+      b("get_frequent")(a => if (a.length == 1) a :+ Literal("NO_FALSE_POSITIVES") else a, 1, 2),
+      b("epsilon")(identity, 1, 1),
+      b("total_weight")(identity, 1, 1),
+      b("is_empty")(identity, 1, 1),
+      b("num_active")(identity, 1, 1))
+  }
+
+  /** All 88 (name, builder) pairs. */
+  lazy val all: Seq[(String, B)] =
+    Seq("quantiles", "kll", "req", "tdigest").map(quantAggBuilder) ++
+      Seq(
+        countAggBuilder("hll", union = false), countAggBuilder("hll", union = true),
+        countAggBuilder("cpc", union = false), countAggBuilder("cpc", union = true),
+        thetaAggBuilder, freqAggBuilder) ++
+      Seq("quantiles", "kll", "req", "tdigest").flatMap(quantScalarBuilders) ++
+      countScalarBuilders("hll") ++ countScalarBuilders("cpc") ++
+      thetaScalarBuilders ++ freqScalarBuilders
+
+  /** Install every function into a session's registry. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}
+
+/** `SparkSessionExtensions` injector:
+  * `spark.sql.extensions=graft.GraftExtensions` loads every function at
+  * session build, the analog of the reference's extension LOAD. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Registration.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.Registration", name),
+        builder))
+    }
+}

@@ -51,6 +51,11 @@ abstract class SketchAggBase[T] extends TypedImperativeAggregate[T] {
     case other => throw new IllegalArgumentException(
       s"$prettyName: unsupported input value type ${other.getClass.getName}")
   }
+
+  /** Numeric-only families reject string/binary raw input (mirror of the
+    * reference, which simply has no such overloads registered). */
+  protected final def unsup(): Unit = throw new IllegalArgumentException(
+    s"$prettyName: non-numeric input not supported")
 }
 
 // ---------------------------------------------------------------------------
@@ -171,37 +176,38 @@ case class CpcBuildAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(child = c.head)
 }
 
-/** `datasketch_cpc_union(lg_k, sketch)` — merge CPC sketch blobs. */
+/** `datasketch_cpc_union(lg_k, sketch)` — merge CPC sketch blobs.
+  * Buffer is a persistent [[CpcUnion]] (one per group, like the reference's
+  * per-state `cpc_union`, `src/generated.cpp:1004-1071`); the union is only
+  * materialized at combine/finalize, never per input row. */
 case class CpcUnionAgg(
     lgK: Int,
     child: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0) extends SketchAggBase[CpcBuf] {
+    inputAggBufferOffset: Int = 0) extends SketchAggBase[CpcUnion] {
 
   override def prettyName: String = "datasketch_cpc_union"
-  override def createAggregationBuffer(): CpcBuf = new CpcBuf(new CpcSketch(lgK))
+  override def createAggregationBuffer(): CpcUnion = new CpcUnion(lgK)
 
-  override def update(buf: CpcBuf, input: InternalRow): CpcBuf = {
+  override def update(buf: CpcUnion, input: InternalRow): CpcUnion = {
     val v = child.eval(input)
-    if (v != null) {
-      val other = deser("CPC")(CpcSketch.heapify(mem(v.asInstanceOf[Array[Byte]])))
-      val u = new CpcUnion(lgK)
-      u.update(buf.sk); u.update(other)
-      buf.sk = u.getResult
-    }
+    if (v != null)
+      buf.update(deser("CPC")(CpcSketch.heapify(mem(v.asInstanceOf[Array[Byte]]))))
     buf
   }
-  override def merge(buf: CpcBuf, other: CpcBuf): CpcBuf = {
+  override def merge(buf: CpcUnion, other: CpcUnion): CpcUnion = {
+    buf.update(other.getResult); buf
+  }
+  override def eval(buf: CpcUnion): Any = {
+    val r = buf.getResult
+    if (r.isEmpty) null else r.toByteArray
+  }
+  override def serialize(buf: CpcUnion): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): CpcUnion = {
     val u = new CpcUnion(lgK)
-    u.update(buf.sk); u.update(other.sk)
-    buf.sk = u.getResult
-    buf
+    u.update(CpcSketch.heapify(mem(bytes)))
+    u
   }
-  override def eval(buf: CpcBuf): Any =
-    if (buf.sk.isEmpty) null else buf.sk.toByteArray
-  override def serialize(buf: CpcBuf): Array[Byte] = buf.sk.toByteArray
-  override def deserialize(bytes: Array[Byte]): CpcBuf =
-    new CpcBuf(CpcSketch.heapify(mem(bytes)))
   override def withNewMutableAggBufferOffset(o: Int): CpcUnionAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): CpcUnionAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(child = c.head)
@@ -312,9 +318,6 @@ case class KllAgg(
     }
     buf
   }
-  private def unsup(): Unit =
-    throw new IllegalArgumentException(s"$prettyName: non-numeric input not supported")
-
   override def merge(buf: KllSketch, other: KllSketch): KllSketch = { mergeInto(buf, other); buf }
   override def eval(buf: KllSketch): Any = if (buf.isEmpty) null else serialize(buf)
   override def serialize(buf: KllSketch): Array[Byte] = buf match {
@@ -363,9 +366,9 @@ case class QuantilesAgg(
         else buf.lu.union(deser("Quantiles")(
           ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(b), longCmp, longsSerDe)))
       } else if (buf.du != null) {
-        dispatch(v)(l => buf.du.update(l.toDouble), buf.du.update, _ => (), _ => ())
+        dispatch(v)(l => buf.du.update(l.toDouble), buf.du.update, _ => unsup(), _ => unsup())
       } else {
-        dispatch(v)(l => buf.lu.update(l), d => buf.lu.update(d.toLong), _ => (), _ => ())
+        dispatch(v)(l => buf.lu.update(l), d => buf.lu.update(d.toLong), _ => unsup(), _ => unsup())
       }
     }
     buf
@@ -420,7 +423,7 @@ case class ReqAgg(
     val v = child.eval(input)
     if (v != null) {
       if (isMerge) buf.merge(deser("REQ")(ReqSketch.heapify(mem(v.asInstanceOf[Array[Byte]]))))
-      else dispatch(v)(l => buf.update(l.toFloat), d => buf.update(d.toFloat), _ => (), _ => ())
+      else dispatch(v)(l => buf.update(l.toFloat), d => buf.update(d.toFloat), _ => unsup(), _ => unsup())
     }
     buf
   }
@@ -444,6 +447,11 @@ case class TDigestAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0) extends SketchAggBase[TDigestDouble] {
 
+  // TDigestDouble takes a short compression; validate before the narrowing
+  // cast so an out-of-range K fails loudly instead of silently wrapping.
+  require(k >= 1 && k <= Short.MaxValue,
+    s"datasketch_tdigest: compression (k) must be in [1, ${Short.MaxValue}], got $k")
+
   private val isMerge = child.dataType == BinaryType
 
   override def prettyName: String = "datasketch_tdigest"
@@ -453,7 +461,7 @@ case class TDigestAgg(
     val v = child.eval(input)
     if (v != null) {
       if (isMerge) buf.merge(deser("TDigest")(TDigestDouble.heapify(mem(v.asInstanceOf[Array[Byte]]))))
-      else dispatch(v)(l => buf.update(l.toDouble), buf.update, _ => (), _ => ())
+      else dispatch(v)(l => buf.update(l.toDouble), buf.update, _ => unsup(), _ => unsup())
     }
     buf
   }

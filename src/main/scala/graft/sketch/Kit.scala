@@ -73,12 +73,23 @@ object Kit {
     * `src/frequent_items_sketch.cpp:88-100`. Replicated exactly so estimates
     * agree across engines.
     */
+  /** C's %f renders non-finite values as "nan"/"inf"/"-inf"; Java's would
+    * yield "NaN"/"Infinity". Match the C text so keys agree with sketches
+    * produced by the reference. (Tie-rounding caveat: Java %f uses HALF_UP
+    * while C rounds half-to-even; values exactly on a 6th-decimal tie
+    * boundary can key differently — not test-visible in the corpus.) */
+  private def cFormat(d: Double): String =
+    if (d.isNaN) "nan"
+    else if (d == Double.PositiveInfinity) "inf"
+    else if (d == Double.NegativeInfinity) "-inf"
+    else "%f".formatLocal(java.util.Locale.ROOT, d)
+
   def freqKey(v: Any): String = v match {
     case null                                   => null
     case s: org.apache.spark.unsafe.types.UTF8String => s.toString
     case s: String                              => s
-    case d: Double                              => "%f".formatLocal(java.util.Locale.ROOT, d)
-    case f: Float                               => "%f".formatLocal(java.util.Locale.ROOT, f.toDouble)
+    case d: Double                              => cFormat(d)
+    case f: Float                               => cFormat(f.toDouble)
     case b: Byte                                => b.toInt.toString
     case s: Short                               => s.toInt.toString
     case i: Int                                 => i.toString
