@@ -1,13 +1,391 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query design note: the DuckDB oracle runs plain ANSI SQL (no sketch
+  * extension), so every oracle-checked query is pinned to a regime where
+  * the sketch answer is *exactly* the ANSI answer:
+  *  - distinct-count sketches (hll/cpc/theta) over small-cardinality keys
+  *    (≤ exact-mode capacity at the chosen lg_k);
+  *  - quantile sketches (kll/quantiles/req) over filtered subsets with
+  *    n ≤ K (pre-compaction exact mode), probed with inclusive-rank
+  *    semantics that map 1:1 to `cume_dist()`;
+  *  - frequent-items in exact mode (distinct items ≪ map capacity);
+  *  - tdigest probed only at its exact points (endpoints, total weight).
+  * Everything is deterministic at a fixed scale factor, so a local DuckDB
+  * pre-check is conclusive for the driver's gate. The same queries still
+  * *run* at any SF (bench uses sf0.1); only the exactness is SF-tuned.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Columns the generator wrote as parquet TIMESTAMP(NANOS), which Spark
+    * reads only as nano-longs (`spark.sql.legacy.parquet.nanosAsLong`);
+    * converted back to TimestampType here (micros truncation, same as the
+    * DuckDB oracle's read of the same files). */
+  private val nanoTsCols = Set("l_shipdate", "o_orderdate", "ts")
+
+  /** Register functions + per-SF temp views (idempotent). */
+  private def prep(spark: SparkSession, dir: String): Unit = {
+    Registration.register(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, expr}
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val raw = spark.read.parquet(s"$dir/$t.parquet")
+      val df = raw.schema.fields.foldLeft(raw) { (d, f) =>
+        if (nanoTsCols.contains(f.name) && f.dataType == org.apache.spark.sql.types.LongType)
+          d.withColumn(f.name, expr(s"timestamp_micros(CAST(${f.name} / 1000 AS BIGINT))"))
+        else d
+      }
+      df.createOrReplaceTempView(t)
+    }
+  }
+
+  private def q(body: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => { prep(spark, dir); spark.sql(body) }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    prep(spark, "/root/testdata/sf0.001")
+    spark.sql(
+      """SELECT l_returnflag,
+        |       CAST(round(datasketch_hll_estimate(datasketch_hll(12, l_suppkey))) AS BIGINT) AS approx_suppliers,
+        |       CAST(round(datasketch_theta_estimate(datasketch_theta(l_orderkey))) AS BIGINT) AS approx_orders,
+        |       datasketch_kll_quantile(datasketch_kll(200, l_extendedprice), 0.5, true) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- relational frame (host-side operators the corpus leans on) --------
+    "q01_pricing_summary" -> q(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // -- HLL ----------------------------------------------------------------
+    "q02_hll_distinct" -> q(
+      """SELECT l_returnflag,
+        |       CAST(round(datasketch_hll_estimate(datasketch_hll(12, l_suppkey))) AS BIGINT) AS approx_suppliers
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    "q03_hll_union_two_level" -> q(
+      """SELECT l_returnflag,
+        |       CAST(round(datasketch_hll_estimate(datasketch_hll_union(12, sk))) AS BIGINT) AS approx_suppliers
+        |FROM (SELECT l_returnflag, l_linestatus, datasketch_hll(12, l_suppkey) AS sk
+        |      FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    "q04_hll_meta" -> q(
+      """SELECT datasketch_hll_lg_config_k(sk) AS lg_k,
+        |       datasketch_hll_is_empty(sk) AS empty,
+        |       CAST(datasketch_hll_lower_bound(sk, 2) <= 100.0
+        |            AND datasketch_hll_upper_bound(sk, 2) >= 100.0 AS BOOLEAN) AS bounds_cover_truth
+        |FROM (SELECT datasketch_hll(12, l_suppkey) AS sk FROM lineitem)""".stripMargin),
+
+    // -- CPC ----------------------------------------------------------------
+    "q05_cpc_distinct" -> q(
+      """SELECT l_linestatus,
+        |       CAST(round(datasketch_cpc_estimate(datasketch_cpc(14, l_suppkey))) AS BIGINT) AS approx_suppliers
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    "q06_cpc_union_two_level" -> q(
+      """SELECT CAST(round(datasketch_cpc_estimate(datasketch_cpc_union(14, sk))) AS BIGINT) AS approx_suppliers,
+        |       CAST(datasketch_cpc_lower_bound(datasketch_cpc_union(14, sk), 2) <= 100.0 AS BOOLEAN) AS lb_ok,
+        |       CAST(datasketch_cpc_is_empty(datasketch_cpc_union(14, sk)) AS BOOLEAN) AS empty
+        |FROM (SELECT l_returnflag, datasketch_cpc(14, l_suppkey) AS sk
+        |      FROM lineitem GROUP BY l_returnflag)""".stripMargin),
+
+    // -- Theta --------------------------------------------------------------
+    "q07_theta_distinct" -> q(
+      """SELECT CAST(round(datasketch_theta_estimate(datasketch_theta(o_custkey))) AS BIGINT) AS approx_customers
+        |FROM orders""".stripMargin),
+
+    "q08_theta_setops" -> q(
+      """WITH a AS (SELECT datasketch_theta(o_custkey) AS s FROM orders
+        |           WHERE o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'),
+        |     b AS (SELECT datasketch_theta(o_custkey) AS s FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00')
+        |SELECT CAST(round(datasketch_theta_estimate(datasketch_theta_union(a.s, b.s))) AS BIGINT) AS u,
+        |       CAST(round(datasketch_theta_estimate(datasketch_theta_intersect(a.s, b.s))) AS BIGINT) AS x,
+        |       CAST(round(datasketch_theta_estimate(datasketch_theta_a_not_b(a.s, b.s))) AS BIGINT) AS d
+        |FROM a, b""".stripMargin),
+
+    "q09_theta_grouped" -> q(
+      """SELECT o_orderpriority,
+        |       CAST(round(datasketch_theta_estimate(datasketch_theta(o_custkey))) AS BIGINT) AS approx_customers,
+        |       datasketch_theta_num_retained(datasketch_theta(o_custkey)) AS retained,
+        |       datasketch_theta_is_estimation_mode(datasketch_theta(o_custkey)) AS est_mode
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    "q10_theta_jaccard" -> q(
+      """WITH a AS (SELECT datasketch_theta(l_suppkey) AS s FROM lineitem
+        |           WHERE l_returnflag = 'A'),
+        |     b AS (SELECT datasketch_theta(l_suppkey) AS s FROM lineitem
+        |           WHERE l_returnflag = 'R'),
+        |     e AS (SELECT datasketch_theta_estimate(datasketch_theta_intersect(a.s, b.s)) AS i,
+        |                  datasketch_theta_estimate(datasketch_theta_union(a.s, b.s)) AS u
+        |           FROM a, b)
+        |SELECT CAST(round(i) AS BIGINT) AS inter_cnt, CAST(round(u) AS BIGINT) AS union_cnt,
+        |       round(i / u, 6) AS jaccard
+        |FROM e""".stripMargin),
+
+    // -- KLL (exact-mode regime: n=3681 ≤ K=8192) ---------------------------
+    "q11_kll_quantiles" -> q(
+      """SELECT datasketch_kll_quantile(sk, 0.25, true) AS q25,
+        |       datasketch_kll_quantile(sk, 0.5, true)  AS q50,
+        |       datasketch_kll_quantile(sk, 0.75, true) AS q75,
+        |       datasketch_kll_min_item(sk) AS mn,
+        |       datasketch_kll_max_item(sk) AS mx,
+        |       datasketch_kll_n(sk) AS n
+        |FROM (SELECT datasketch_kll(8192, l_extendedprice) AS sk
+        |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
+
+    "q12_kll_rank_cdf" -> q(
+      """SELECT datasketch_kll_rank(sk, 30000.0, true) AS rank_30k,
+        |       element_at(datasketch_kll_cdf(sk, array(20000.0D, 40000.0D, 60000.0D), true), 1) AS cdf1,
+        |       element_at(datasketch_kll_cdf(sk, array(20000.0D, 40000.0D, 60000.0D), true), 2) AS cdf2,
+        |       element_at(datasketch_kll_cdf(sk, array(20000.0D, 40000.0D, 60000.0D), true), 4) AS cdf4,
+        |       element_at(datasketch_kll_pmf(sk, array(20000.0D, 40000.0D, 60000.0D), true), 2) AS pmf2
+        |FROM (SELECT datasketch_kll(8192, l_extendedprice) AS sk
+        |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
+
+    "q13_kll_merge" -> q(
+      """SELECT datasketch_kll_n(m) AS n,
+        |       datasketch_kll_min_item(m) AS mn,
+        |       datasketch_kll_max_item(m) AS mx
+        |FROM (SELECT datasketch_kll(8192, sk) AS m
+        |      FROM (SELECT l_returnflag, datasketch_kll(8192, l_extendedprice) AS sk
+        |            FROM lineitem WHERE l_partkey % 16 = 0 GROUP BY l_returnflag))""".stripMargin),
+
+    "q14_kll_long_elem" -> q(
+      """SELECT datasketch_kll_quantile(sk, 0.5, true, 'long') AS q50,
+        |       datasketch_kll_min_item(sk, 'long') AS mn,
+        |       datasketch_kll_max_item(sk, 'long') AS mx
+        |FROM (SELECT datasketch_kll(8192, l_orderkey) AS sk
+        |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
+
+    // -- Classic quantiles (exact-mode: n ≤ 2K) -----------------------------
+    "q15_quantiles_classic" -> q(
+      """SELECT datasketch_quantiles_quantile(sk, 0.5, true) AS q50,
+        |       datasketch_quantiles_min_item(sk) AS mn,
+        |       datasketch_quantiles_max_item(sk) AS mx,
+        |       datasketch_quantiles_n(sk) AS n,
+        |       datasketch_quantiles_is_estimation_mode(sk) AS est_mode
+        |FROM (SELECT datasketch_quantiles(8192, l_extendedprice) AS sk
+        |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
+
+    // -- REQ (float-native; exact-mode: n=922 ≤ K=1024) ---------------------
+    "q16_req_quantile" -> q(
+      """SELECT datasketch_req_quantile(sk, 0.5, true) AS q50,
+        |       datasketch_req_rank(sk, 25.0, true) AS rank_25,
+        |       datasketch_req_n(sk) AS n,
+        |       datasketch_req_min_item(sk) AS mn,
+        |       datasketch_req_max_item(sk) AS mx
+        |FROM (SELECT datasketch_req(1024, CAST(l_quantity AS FLOAT)) AS sk
+        |      FROM lineitem WHERE l_partkey % 64 = 0)""".stripMargin),
+
+    // -- TDigest (exact points only) ----------------------------------------
+    "q17_tdigest" -> q(
+      """SELECT datasketch_tdigest_total_weight(sk) AS total_weight,
+        |       datasketch_tdigest_k(sk) AS k,
+        |       datasketch_tdigest_quantile(sk, 0.0) AS q_min,
+        |       datasketch_tdigest_quantile(sk, 1.0) AS q_max,
+        |       datasketch_tdigest_rank(sk, 0.0) AS rank_below_min,
+        |       datasketch_tdigest_rank(sk, 100.0) AS rank_above_max
+        |FROM (SELECT datasketch_tdigest(200, l_quantity) AS sk FROM lineitem)""".stripMargin),
+
+    // -- Frequent Items (exact mode) ----------------------------------------
+    "q18_freq_items" -> q(
+      """SELECT f.item AS item, f.estimate AS estimate,
+        |       f.lower_bound AS lower_bound, f.upper_bound AS upper_bound
+        |FROM (SELECT explode(datasketch_frequent_items_get_frequent(
+        |               datasketch_frequent_items(event_type), 'NO_FALSE_NEGATIVES')) AS f
+        |      FROM events)
+        |ORDER BY estimate DESC, item""".stripMargin),
+
+    "q19_freq_merge" -> q(
+      """SELECT datasketch_frequent_items_estimate(m, 'click') AS clicks,
+        |       datasketch_frequent_items_estimate(m, 'error') AS errors,
+        |       datasketch_frequent_items_total_weight(m) AS total_weight,
+        |       datasketch_frequent_items_num_active(m) AS num_active
+        |FROM (SELECT datasketch_frequent_items(sk) AS m
+        |      FROM (SELECT user_id % 4 AS p, datasketch_frequent_items(event_type) AS sk
+        |            FROM events GROUP BY user_id % 4))""".stripMargin),
+
+    "q20_freq_numeric_keys" -> q(
+      """SELECT datasketch_frequent_items_estimate(sk, CAST(1.0 AS DOUBLE)) AS qty_1,
+        |       datasketch_frequent_items_estimate(sk, CAST(50.0 AS DOUBLE)) AS qty_50,
+        |       datasketch_frequent_items_lower_bound(sk, CAST(1.0 AS DOUBLE)) AS qty_1_lb
+        |FROM (SELECT datasketch_frequent_items(12, l_quantity) AS sk FROM lineitem)""".stripMargin),
+
+    // -- events: time-windowed distinct users (theta exact per hour) --------
+    "q21_events_hourly_users" -> q(
+      """SELECT date_format(date_trunc('HOUR', ts), 'yyyy-MM-dd HH:mm:ss') AS hour,
+        |       CAST(round(datasketch_theta_estimate(datasketch_theta(user_id))) AS BIGINT) AS approx_users
+        |FROM events GROUP BY date_trunc('HOUR', ts)
+        |ORDER BY hour LIMIT 48""".stripMargin),
+
+    // -- scalar metadata constants across families --------------------------
+    "q22_sketch_meta" -> q(
+      """SELECT datasketch_kll_k(datasketch_kll(200, l_quantity)) AS kll_k,
+        |       datasketch_kll_is_estimation_mode(datasketch_kll(200, l_quantity)) AS kll_est_mode,
+        |       datasketch_req_k(datasketch_req(12, CAST(l_quantity AS FLOAT))) AS req_k,
+        |       datasketch_theta_get_seed(datasketch_theta(l_suppkey)) AS theta_seed_hash,
+        |       datasketch_theta_is_empty(datasketch_theta(l_suppkey)) AS theta_empty,
+        |       datasketch_frequent_items_epsilon(datasketch_frequent_items(l_returnflag)) AS freq_epsilon,
+        |       datasketch_hll_is_compact(datasketch_hll(10, l_suppkey)) AS hll_compact,
+        |       round(datasketch_kll_normalized_rank_error(datasketch_kll(200, l_quantity), false), 9) AS kll_nre,
+        |       round(datasketch_quantiles_normalized_rank_error(datasketch_quantiles(128, l_quantity), false), 9) AS q_nre
+        |FROM lineitem""".stripMargin),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_hll_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS approx_suppliers
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q03_hll_union_two_level" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS approx_suppliers
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q04_hll_meta" ->
+      "SELECT 12 AS lg_k, false AS empty, true AS bounds_cover_truth",
+
+    "q05_cpc_distinct" ->
+      """SELECT l_linestatus, count(DISTINCT l_suppkey) AS approx_suppliers
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q06_cpc_union_two_level" ->
+      """SELECT count(DISTINCT l_suppkey) AS approx_suppliers, true AS lb_ok, false AS empty
+        |FROM lineitem""".stripMargin,
+
+    "q07_theta_distinct" ->
+      "SELECT count(DISTINCT o_custkey) AS approx_customers FROM orders",
+
+    "q08_theta_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey k FROM orders
+        |           WHERE o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'),
+        |     b AS (SELECT DISTINCT o_custkey k FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00')
+        |SELECT (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS u,
+        |       (SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS x,
+        |       (SELECT count(*) FROM (SELECT k FROM a EXCEPT SELECT k FROM b)) AS d""".stripMargin,
+
+    "q09_theta_grouped" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS approx_customers,
+        |       count(DISTINCT o_custkey) AS retained, false AS est_mode
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_theta_jaccard" ->
+      """WITH a AS (SELECT DISTINCT l_suppkey k FROM lineitem WHERE l_returnflag = 'A'),
+        |     b AS (SELECT DISTINCT l_suppkey k FROM lineitem WHERE l_returnflag = 'R'),
+        |     e AS (SELECT (SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS i,
+        |                  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS u)
+        |SELECT i AS inter_cnt, u AS union_cnt,
+        |       round(CAST(i AS DOUBLE) / CAST(u AS DOUBLE), 6) AS jaccard
+        |FROM e""".stripMargin,
+
+    "q11_kll_quantiles" ->
+      """WITH src AS (SELECT l_extendedprice v FROM lineitem WHERE l_partkey % 16 = 0),
+        |ranked AS (SELECT v, cume_dist() OVER (ORDER BY v) cd FROM src)
+        |SELECT (SELECT min(v) FROM ranked WHERE cd >= 0.25) AS q25,
+        |       (SELECT min(v) FROM ranked WHERE cd >= 0.5)  AS q50,
+        |       (SELECT min(v) FROM ranked WHERE cd >= 0.75) AS q75,
+        |       (SELECT min(v) FROM src) AS mn,
+        |       (SELECT max(v) FROM src) AS mx,
+        |       (SELECT count(*) FROM src) AS n""".stripMargin,
+
+    "q12_kll_rank_cdf" ->
+      """WITH src AS (SELECT l_extendedprice v FROM lineitem WHERE l_partkey % 16 = 0),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) n,
+        |             CAST(count(*) FILTER (v <= 20000.0) AS DOUBLE) c1,
+        |             CAST(count(*) FILTER (v <= 30000.0) AS DOUBLE) c30,
+        |             CAST(count(*) FILTER (v <= 40000.0) AS DOUBLE) c2
+        |      FROM src)
+        |SELECT c30 / n AS rank_30k, c1 / n AS cdf1, c2 / n AS cdf2,
+        |       CAST(1.0 AS DOUBLE) AS cdf4, (c2 - c1) / n AS pmf2
+        |FROM c""".stripMargin,
+
+    "q13_kll_merge" ->
+      """SELECT count(*) AS n, min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |FROM lineitem WHERE l_partkey % 16 = 0""".stripMargin,
+
+    "q14_kll_long_elem" ->
+      """WITH src AS (SELECT l_orderkey v FROM lineitem WHERE l_partkey % 16 = 0),
+        |ranked AS (SELECT v, cume_dist() OVER (ORDER BY v) cd FROM src)
+        |SELECT (SELECT min(v) FROM ranked WHERE cd >= 0.5) AS q50,
+        |       (SELECT min(v) FROM src) AS mn,
+        |       (SELECT max(v) FROM src) AS mx""".stripMargin,
+
+    "q15_quantiles_classic" ->
+      """WITH src AS (SELECT l_extendedprice v FROM lineitem WHERE l_partkey % 16 = 0),
+        |ranked AS (SELECT v, cume_dist() OVER (ORDER BY v) cd FROM src)
+        |SELECT (SELECT min(v) FROM ranked WHERE cd >= 0.5) AS q50,
+        |       (SELECT min(v) FROM src) AS mn,
+        |       (SELECT max(v) FROM src) AS mx,
+        |       (SELECT count(*) FROM src) AS n,
+        |       false AS est_mode""".stripMargin,
+
+    "q16_req_quantile" ->
+      """WITH src AS (SELECT CAST(l_quantity AS FLOAT) v FROM lineitem WHERE l_partkey % 64 = 0),
+        |ranked AS (SELECT v, cume_dist() OVER (ORDER BY v) cd FROM src)
+        |SELECT (SELECT min(v) FROM ranked WHERE cd >= 0.5) AS q50,
+        |       (SELECT CAST(count(*) FILTER (v <= 25.0) AS DOUBLE) / count(*) FROM src) AS rank_25,
+        |       (SELECT count(*) FROM src) AS n,
+        |       (SELECT min(v) FROM src) AS mn,
+        |       (SELECT max(v) FROM src) AS mx""".stripMargin,
+
+    "q17_tdigest" ->
+      """SELECT count(*) AS total_weight, 200 AS k,
+        |       min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+        |       CAST(0.0 AS DOUBLE) AS rank_below_min, CAST(1.0 AS DOUBLE) AS rank_above_max
+        |FROM lineitem""".stripMargin,
+
+    "q18_freq_items" ->
+      """SELECT event_type AS item, count(*) AS estimate,
+        |       count(*) AS lower_bound, count(*) AS upper_bound
+        |FROM events GROUP BY event_type
+        |ORDER BY estimate DESC, item""".stripMargin,
+
+    "q19_freq_merge" ->
+      """SELECT count(*) FILTER (event_type = 'click') AS clicks,
+        |       count(*) FILTER (event_type = 'error') AS errors,
+        |       count(*) AS total_weight,
+        |       count(DISTINCT event_type) AS num_active
+        |FROM events""".stripMargin,
+
+    "q20_freq_numeric_keys" ->
+      """SELECT count(*) FILTER (l_quantity = 1.0) AS qty_1,
+        |       count(*) FILTER (l_quantity = 50.0) AS qty_50,
+        |       count(*) FILTER (l_quantity = 1.0) AS qty_1_lb
+        |FROM lineitem""".stripMargin,
+
+    "q21_events_hourly_users" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       count(DISTINCT user_id) AS approx_users
+        |FROM events GROUP BY date_trunc('hour', ts)
+        |ORDER BY hour LIMIT 48""".stripMargin,
+
+    "q22_sketch_meta" ->
+      """SELECT 200 AS kll_k, true AS kll_est_mode, 12 AS req_k,
+        |       CAST(37836 AS BIGINT) AS theta_seed_hash, false AS theta_empty,
+        |       CAST(0.00341796875 AS DOUBLE) AS freq_epsilon, false AS hll_compact,
+        |       CAST(0.013294757 AS DOUBLE) AS kll_nre, CAST(0.014063188 AS DOUBLE) AS q_nre""".stripMargin,
+  )
 }
