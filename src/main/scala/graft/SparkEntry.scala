@@ -46,6 +46,10 @@ object SparkEntry {
   private def q(body: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { prep(spark, dir); spark.sql(body) }
 
+  /** DataFrame-API query (pipeline operators). */
+  private def qd(f: SparkSession => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => { prep(spark, dir); f(spark) }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     prep(spark, "/root/testdata/sf0.001")
@@ -243,6 +247,124 @@ object SparkEntry {
         |       round(datasketch_kll_normalized_rank_error(datasketch_kll(200, l_quantity), false), 9) AS kll_nre,
         |       round(datasketch_quantiles_normalized_rank_error(datasketch_quantiles(128, l_quantity), false), 9) AS q_nre
         |FROM lineitem""".stripMargin),
+
+    // ======================================================================
+    // Training-data pipeline operators (beyond-reference; builder prompt)
+    // ======================================================================
+
+    // -- text analysis ------------------------------------------------------
+    "q30_token_stats" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      spark.table("documents")
+        .groupBy("source")
+        .agg(sum(operators.TextOps.tokenCount(col("text"))).as("total_tokens"),
+          max(operators.TextOps.tokenCount(col("text"))).as("max_tokens"))
+        .orderBy("source")
+    },
+
+    "q31_quality_scores" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      spark.table("documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          round(operators.TextOps.qualityScore(col("text")), 9).as("quality"),
+          operators.TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    "q32_langid_counts" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      spark.table("documents")
+        .groupBy(operators.TextOps.langId(col("text")).as("pred_lang"))
+        .agg(count("*").as("cnt"))
+        .orderBy("pred_lang")
+    },
+
+    "q33_fingerprints" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      spark.table("documents")
+        .agg(countDistinct(operators.TextOps.fingerprint(col("text"))).as("distinct_fps"),
+          count("*").as("total"))
+    },
+
+    // -- dedup --------------------------------------------------------------
+    "q34_dedup_exact" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.DedupOps.exactDedup(spark.table("documents"), "doc_id", "text")
+        .agg(count("*").as("survivors"))
+    },
+
+    "q35_jaccard_pairs" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.DedupOps.jaccardPairs(spark.table("documents"), "doc_id", "text",
+          k = 3, threshold = 0.6)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "q36_minhash_lsh_pairs" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.DedupOps.minhashLshPairs(spark.table("documents"), "doc_id", "text",
+          k = 3, threshold = 0.6)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // no ANSI oracle (custom 64-bit hashing) → driver rows-only check
+    "q37_simhash_pairs" -> qd { spark =>
+      operators.DedupOps.simhashPairs(spark.table("documents"), "doc_id", "text",
+          maxDist = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // -- similarity search --------------------------------------------------
+    "q38_cosine_topk" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      operators.SimilarityOps.cosineTopK(
+          emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // recall < 1 by construction → rows-only check (ground truth is q38)
+    "q39_ann_lsh_topk" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      operators.SimilarityOps.lshTopK(
+          emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3, planes = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
+
+    // -- multimodal columns -------------------------------------------------
+    "q40_media_meta" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.MediaOps.registerViews(spark)
+      spark.table("media")
+        .groupBy(col("meta.format").as("format"))
+        .agg(count("*").as("cnt"), sum(col("meta.width")).as("total_width"),
+          sum(length(col("content"))).as("total_bytes"))
+        .orderBy("format")
+    },
+
+    "q41_frame_sample" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.MediaOps.registerViews(spark)
+      operators.MediaOps.frameSample(spark.table("media"), stepMs = 500)
+        .groupBy("format").agg(count("*").as("frames"))
+        .orderBy("format")
+    },
+
+    "q42_media_decode_stub" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.MediaOps.registerViews(spark)
+      operators.MediaOps.decodeStubFeatures(spark.table("media"))
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("feature_dim"), col("content_len"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -387,5 +509,110 @@ object SparkEntry {
         |       CAST(37836 AS BIGINT) AS theta_seed_hash, false AS theta_empty,
         |       CAST(0.00341796875 AS DOUBLE) AS freq_epsilon, false AS hll_compact,
         |       CAST(0.013294757 AS DOUBLE) AS kll_nre, CAST(0.014063188 AS DOUBLE) AS q_nre""".stripMargin,
+
+    // ---- pipeline operators ----------------------------------------------
+
+    "q30_token_stats" ->
+      """SELECT source,
+        |       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+        |       max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q31_quality_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |               x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop,
+        |         CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS chars
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT doc_id,
+        |       round(0.6 * least(1.0, n / 256.0) + 0.2 * (stop / n)
+        |             + 0.2 * least(1.0, (chars / n) / 8.0), 9) AS quality,
+        |       CAST(n AS INT) AS n_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q32_langid_counts" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS en,
+        |             len(list_filter(toks, x -> x IN ('el','la','de','que','y','los'))) AS es,
+        |             len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS de,
+        |             len(list_filter(toks, x -> x IN ('le','la','les','et','est','une'))) AS fr
+        |      FROM t),
+        |p AS (SELECT CASE
+        |        WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |        WHEN fr > greatest(en, es, de) THEN 'fr'
+        |        WHEN de > greatest(en, es) THEN 'de'
+        |        WHEN es > en THEN 'es'
+        |        ELSE 'en' END AS pred_lang
+        |      FROM s)
+        |SELECT pred_lang, count(*) AS cnt FROM p GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+
+    "q33_fingerprints" ->
+      """SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS distinct_fps,
+        |       count(*) AS total
+        |FROM documents""".stripMargin,
+
+    "q34_dedup_exact" ->
+      """SELECT count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS survivors
+        |FROM documents""".stripMargin,
+
+    "q35_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+2], ' '))) s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+        |FROM pairs WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q36_minhash_lsh_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+2], ' '))) s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+        |FROM pairs WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q38_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |             list_cosine_similarity(qv, embedding::DOUBLE[]) AS c
+        |      FROM embeddings, q WHERE vec_id != query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank,
+        |             round(c, 6) AS cosine
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rank, cosine FROM r
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q40_media_meta" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        |       count(*) AS cnt,
+        |       sum(320 + (doc_id % 8) * 160) AS total_width,
+        |       sum(16 + octet_length(encode(text))) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
+
+    "q41_frame_sample" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        |       sum(CAST(floor((1000 + (doc_id % 60) * 500 - 1) / 500) AS BIGINT) + 1) AS frames
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
+
+    "q42_media_decode_stub" ->
+      """SELECT doc_id, 8 AS feature_dim,
+        |       CAST(16 + octet_length(encode(text)) AS INT) AS content_len
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB regime:
+  *
+  *  - exact dedup groups on a 128-bit fingerprint (small shuffle rows);
+  *  - near-dup detection uses the sparse inverted-index join (doc↔shingle)
+  *    so cost is Σ df(shingle)², never O(n²) over documents — with a
+  *    document-frequency cap to cut the quadratic head of hot shingles;
+  *  - MinHash+LSH reduces candidate generation to an equi-join on
+  *    (band, bucket), the classic shuffle-friendly plan: signatures are
+  *    one `groupBy(doc)` over exploded shingles, buckets are a hash of r
+  *    signature rows, and only bucket-colliding pairs are verified.
+  *
+  * Everything is DataFrame-native: equi-joins and aggregations Catalyst
+  * can reorder, broadcast, and AQE-skew-split.
+  */
+object DedupOps {
+
+  /** Exact dedup on normalized content; keeps the lowest id per group.
+    * Scale: shuffle carries (fingerprint, id) pairs only. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    df.withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("fp", "rn")
+  }
+
+  /** Distinct k-word shingles per document: (id, shingle-hash).
+    * Shingles are hashed to 64-bit immediately — the shuffle never carries
+    * shingle text. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val n = size(toks)
+    val sh = transform(
+      sequence(lit(0), greatest(n - k, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    df.select(col(idCol).as("doc"), explode(array_distinct(
+      when(n >= k, sh).otherwise(array(xxhash64(concat_ws(" ", toks)))))).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard similar pairs via inverted-index join.
+    *
+    * @param maxShingleDF drop shingles appearing in more than this many
+    *        docs (stop-shingles). 0 disables. At 100 TB this cap is what
+    *        keeps the self-join from blowing up on boilerplate.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, threshold: Double, maxShingleDF: Int = 0): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val filtered =
+      if (maxShingleDF > 0) {
+        val hot = sh.groupBy("shingle").count().filter(col("count") > maxShingleDF)
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      } else sh
+    val sizes = sh.groupBy("doc").agg(count("*").as("sz"))
+    val common = filtered.as("a")
+      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count("*").as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * the min over the doc's shingles. One shuffle (groupBy doc). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hashes = (0 until numHashes).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+    }
+    sh.groupBy("doc").agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup candidate pairs, verified by exact Jaccard.
+    *
+    * Bands of r = numHashes/bands rows; candidates collide on any
+    * (band, hash-of-band-rows) key; candidates are then verified with the
+    * exact inverted-index Jaccard (so no false positives; recall is the
+    * standard 1-(1-J^r)^b curve).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, threshold: Double,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sig = minhashSignatures(sh, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bucket"))
+    }
+    val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    // exact verification of candidates only
+    val sizes = sh.groupBy("doc").agg(count("*").as("sz"))
+    val common = sh.as("x")
+      .join(cands.hint("broadcast"), col("x.doc") === col("doc_a"))
+      .join(sh.as("y"), col("y.doc") === col("doc_b") && col("x.shingle") === col("y.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: bit j of the result is the sign of
+    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Computed with array
+    * ops (no UDF), single pass over the tokens: per-token hashes → 64 vote
+    * counters → sign bits. Column-indexed shifts go through
+    * `call_function` because the SQL builtins accept column shift amounts
+    * while the Scala wrappers take only Int. */
+  def simhash(text: Column): Column = {
+    val tokHashes = transform(TextOps.tokens(text), t => xxhash64(t))
+    val votes = aggregate(
+      tokHashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, j) =>
+        a + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
+        when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
+    * Banding: split the 64-bit signature into `maxDist+1` chunks — by
+    * pigeonhole any pair within maxDist collides on at least one chunk, so
+    * recall is exact while candidate generation stays an equi-join. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sigs = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig"))
+    val bandCols = (0 until chunks).map { c =>
+      struct(lit(c).as("band"),
+        shiftright(col("sig"), c * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+    }
+    val buckets = sigs.select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc"), col("sig"), col("bb.band"), col("bb.chunk"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        hamming(col("a.sig"), col("b.sig")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

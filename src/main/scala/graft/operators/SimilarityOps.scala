@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over embedding columns
+  * (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[cosineTopK]] — brute force, the correctness baseline. The query
+  *    side is broadcast (it is small by construction), so the plan is a
+  *    BroadcastNestedLoopJoin over the corpus with no shuffle of corpus
+  *    rows; per-row work is a codegen'd `zip_with`/`aggregate` dot product.
+  *  - [[lshTopK]] — the scale path: random-hyperplane LSH buckets the
+  *    corpus once (cost O(n·planes)), then candidates are an equi-join on
+  *    bucket signature before exact re-ranking. At 100 TB the bucketed
+  *    corpus would be written partitioned by signature so probes prune to
+  *    a handful of partitions (IVF-style).
+  *
+  * All dot products run in double precision over the float vectors,
+  * left-to-right, matching DuckDB's list functions for oracle parity.
+  */
+object SimilarityOps {
+
+  /** Double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank, cosine). */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane `p`,
+    * dimension `j` → a value in [-1, 1] derived from xxhash64. No RNG
+    * state, so every executor and every run derives identical planes. */
+  private def planeComponent(p: Int, j: Column): Column =
+    (xxhash64(lit(p) * 100003 + j).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bit signature of a vector against `planes` hyperplanes. */
+  def lshSignature(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeComponent(p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k with exact re-ranking inside buckets.
+    * Recall < 1 by construction; pair with [[cosineTopK]] as ground truth.
+    * Output: (query_id, neighbor_id, rank, cosine). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 12): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * via LSH buckets (equi-join) + exact verification. The all-pairs
+    * variant of [[lshTopK]], for near-dup *removal* rather than search. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, planes: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("doc"), col(vecCol).as("vec"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    v.as("a").join(v.as("b"),
+        col("a.sig") === col("b.sig") && col("a.doc") < col("b.doc"))
+      .withColumn("cosine", cosine(col("a.vec"), col("b.vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("cosine"))
+  }
+}
