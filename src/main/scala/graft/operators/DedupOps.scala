@@ -125,12 +125,17 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over tokens: bit j of the result is the sign of
-    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Computed with array
-    * ops (no UDF), single pass over the tokens: per-token hashes → 64 vote
-    * counters → sign bits. Column-indexed shifts go through
-    * `call_function` because the SQL builtins accept column shift amounts
-    * while the Scala wrappers take only Int. */
+    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Delegates to the
+    * native [[SimHash64]] expression (single byte-scan per row; see its
+    * scaladoc for why this beats the composed array-ops formulation). */
   def simhash(text: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(SimHash64(GraftShims.expression(text)))
+  }
+
+  /** Reference formulation of [[simhash]] with pure array ops (kept for
+    * the property test that pins the native expression's semantics). */
+  private[graft] def simhashArrayOps(text: Column): Column = {
     val tokHashes = transform(TextOps.tokens(text), t => xxhash64(t))
     val votes = aggregate(
       tokHashes,

@@ -83,10 +83,12 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(encode(lower(regexp_replace(trim(text), "\\s+", " ")), "UTF-8"))
 
-  /** 64-bit rolling (polynomial) content hash over tokens:
-    * h = Σ token_hash(t_i)·31^(n-1-i) mod 2^64, token_hash = xxhash64.
-    * Order-sensitive (unlike the md5 fingerprint, permuted docs differ).
+  /** 64-bit rolling content hash over tokens:
+    * h ← rotl(h, 5) XOR xxhash64(t_i). Order-sensitive (unlike the md5
+    * fingerprint, permuted docs differ) and overflow-free under ANSI mode
+    * (a polynomial mod-2^64 hash would trip ANSI's multiply check).
     * Built from `aggregate` over the token array — still codegen'd. */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import operators._
+
+/** Pipeline-operator unit tests. */
+class OperatorsSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.cache().count()
+    d
+  }
+
+  test("native SimHash64 matches the array-ops reference formulation") {
+    val both = docs.limit(50).select(
+      DedupOps.simhash(col("text")).as("fast"),
+      DedupOps.simhashArrayOps(col("text")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+    // blank and empty inputs → 0
+    val edge = spark.sql("SELECT * FROM VALUES (''), ('   '), ('one') t(s)")
+      .select(DedupOps.simhash(col("s")).as("h")).collect()
+    assert(edge(0).getLong(0) == 0L && edge(1).getLong(0) == 0L && edge(2).getLong(0) != 0L)
+  }
+
+  test("exactDedup removes exact duplicates, keeps lowest id") {
+    val d = spark.sql(
+      "SELECT * FROM VALUES (1L,'a b c'), (2L,'a  b   c'), (3L,'x y') t(doc_id, text)")
+    val out = DedupOps.exactDedup(d, "doc_id", "text").orderBy("doc_id").collect()
+    // whitespace-collapse canonicalization folds rows 1 and 2
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("jaccardPairs finds identical docs with jaccard 1.0") {
+    val d = spark.sql(
+      """SELECT * FROM VALUES
+        | (1L, 'the quick brown fox jumps over the lazy dog'),
+        | (2L, 'the quick brown fox jumps over the lazy dog'),
+        | (3L, 'completely different words here nothing shared at all') t(doc_id, text)""".stripMargin)
+    val out = DedupOps.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("minhashLshPairs agrees with exact jaccardPairs on near-dups") {
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs are a subset of low-distance ground truth") {
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getInt(2) <= 3))
+  }
+
+  test("tokenCount / quality / langId edge cases") {
+    val r = spark.sql("SELECT * FROM VALUES (''), ('  '), ('the fox'), ('el la de') t(s)")
+      .select(TextOps.tokenCount(col("s")).as("n"),
+        TextOps.langId(col("s")).as("lang")).collect()
+    assert(r(0).getInt(0) == 0 && r(1).getInt(0) == 0)
+    assert(r(2).getInt(0) == 2 && r(2).getString(1) == "en")
+    assert(r(3).getString(1) == "es")
+  }
+
+  test("rollingHash is order-sensitive, fingerprint is whitespace-robust") {
+    val r = spark.sql("SELECT * FROM VALUES ('a b c'), ('c b a'), ('a  b  c') t(s)")
+      .select(TextOps.rollingHash(col("s")).as("rh"),
+        TextOps.fingerprint(col("s")).as("fp")).collect()
+    assert(r(0).getLong(0) != r(1).getLong(0))
+    assert(r(0).getString(1) != r(1).getString(1))
+    assert(r(0).getString(1) == r(2).getString(1)) // ws-collapsed
+    assert(r(0).getLong(0) == r(2).getLong(0))
+  }
+
+  test("cosineTopK returns self-similar vector first") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dup = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(100000L))
+    val corpus = emb.union(dup)
+    val top = SimilarityOps.cosineTopK(
+      emb.filter(col("vec_id") === 0), corpus, "vec_id", "embedding", 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getLong(1) == 100000L) // the planted exact duplicate
+    assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("media decode stub emits fixed-dim features partition-parallel") {
+    docs.createOrReplaceTempView("documents")
+    MediaOps.registerViews(spark)
+    val f = MediaOps.decodeStubFeatures(spark.table("media")).limit(5).collect()
+    assert(f.forall(_.features.length == 8))
+    assert(f.forall(_.content_len > 16))
+  }
+}

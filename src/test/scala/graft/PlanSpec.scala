@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that matter at 100 TB.
+  * Each test pins a plan shape, not a timing — partial aggregation before
+  * the shuffle, broadcast of small sides, column pruning into the scan. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def docs = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.createOrReplaceTempView("documents")
+    d
+  }
+
+  test("sketch aggregate runs partial (map-side) before the shuffle") {
+    spark.range(0, 1000).selectExpr("id % 7 AS g", "id AS v").createOrReplaceTempView("t")
+    val plan = planOf(sql(
+      "SELECT g, datasketch_hll_estimate(datasketch_hll(12, v)) FROM t GROUP BY g"))
+    // ObjectHashAggregate appears twice: partial + final, with an exchange between
+    assert(plan.contains("ObjectHashAggregate"))
+    val firstIdx = plan.indexOf("ObjectHashAggregate")
+    assert(plan.indexOf("ObjectHashAggregate", firstIdx + 1) > 0,
+      s"expected partial+final ObjectHashAggregate:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("cosine top-k broadcasts the query side (no corpus shuffle)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = planOf(operators.SimilarityOps.cosineTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side should be broadcast:\n$plan")
+  }
+
+  test("frame sampling prunes the binary content column out of the scan") {
+    val media = operators.MediaOps.mediaTable(docs)
+    val plan = operators.MediaOps.frameSample(media, 500)
+      .queryExecution.optimizedPlan.toString
+    // content is fabricated from `text`; after pruning, the scan must not
+    // need the heavy text-derived content column in the generator output
+    val scanLine = planOf(operators.MediaOps.frameSample(media, 500))
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("doc_id"), scanLine)
+    assert(!scanLine.contains("lang"), s"unused columns must be pruned: $scanLine")
+  }
+
+  test("filter pushdown reaches the parquet scan under sketch aggregates") {
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("li")
+    val plan = planOf(sql(
+      "SELECT datasketch_kll(200, l_extendedprice) FROM li WHERE l_partkey % 16 = 0"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_partkey)]")
+      || plan.contains("PushedFilters"), plan)
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("l_extendedprice") && !scanLine.contains("l_shipdate"),
+      s"scan should read only needed columns: $scanLine")
+  }
+
+  test("minhash LSH verification join broadcasts the candidate set") {
+    val plan = planOf(operators.DedupOps.minhashLshPairs(
+      docs, "doc_id", "text", k = 3, threshold = 0.6))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"candidate pairs should broadcast:\n$plan")
+  }
+}
