@@ -260,6 +260,10 @@ object Registration {
       }
     }
     Seq(
+      "datasketch_theta_jaccard" -> { (args: Seq[Expression]) =>
+        arity("datasketch_theta_jaccard", args, 2, 2)
+        ThetaJaccard(args)
+      },
       b("union")(identity, 2, 2),
       b("intersect")(identity, 2, 2),
       b("a_not_b")(identity, 2, 2),
@@ -293,7 +297,38 @@ object Registration {
       b("num_active")(identity, 1, 1))
   }
 
-  /** All 88 (name, builder) pairs. */
+  /** Pipeline-operator scalars exposed under SQL names (beyond-reference;
+    * Column-API implementations wrapped through the shim). */
+  private val pipelineBuilders: Seq[(String, B)] = {
+    import org.apache.spark.sql.GraftShims.{column, toExpression}
+    def wrap1(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): (String, B) =
+      name -> { (args: Seq[Expression]) =>
+        arity(name, args, 1, 1)
+        toExpression(f(column(args.head)))
+      }
+    Seq(
+      wrap1("graft_token_count", graft.operators.TextOps.tokenCount),
+      wrap1("graft_subword_count", graft.operators.TextOps.subwordCount),
+      wrap1("graft_stopword_ratio", graft.operators.TextOps.stopwordRatio),
+      wrap1("graft_quality_score", graft.operators.TextOps.qualityScore),
+      wrap1("graft_lang_id", graft.operators.TextOps.langId),
+      wrap1("graft_fingerprint", graft.operators.TextOps.fingerprint),
+      wrap1("graft_rolling_hash", graft.operators.TextOps.rollingHash),
+      "graft_simhash64" -> { (args: Seq[Expression]) =>
+        arity("graft_simhash64", args, 1, 1)
+        graft.operators.SimHash64(args.head)
+      },
+      "graft_hamming64" -> { (args: Seq[Expression]) =>
+        arity("graft_hamming64", args, 2, 2)
+        toExpression(graft.operators.DedupOps.hamming(column(args(0)), column(args(1))))
+      },
+      "graft_cosine" -> { (args: Seq[Expression]) =>
+        arity("graft_cosine", args, 2, 2)
+        toExpression(graft.operators.SimilarityOps.cosine(column(args(0)), column(args(1))))
+      })
+  }
+
+  /** All (name, builder) pairs: the reference's 88 + beyond-parity names. */
   lazy val all: Seq[(String, B)] =
     Seq("quantiles", "kll", "req", "tdigest").map(quantAggBuilder) ++
       Seq(
@@ -302,7 +337,7 @@ object Registration {
         thetaAggBuilder, freqAggBuilder) ++
       Seq("quantiles", "kll", "req", "tdigest").flatMap(quantScalarBuilders) ++
       countScalarBuilders("hll") ++ countScalarBuilders("cpc") ++
-      thetaScalarBuilders ++ freqScalarBuilders
+      thetaScalarBuilders ++ freqScalarBuilders ++ pipelineBuilders
 
   /** Install every function into a session's registry. Idempotent. */
   def register(spark: SparkSession): Unit = {

@@ -7,5 +7,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * the graft engine's custom expressions. */
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Lazy wrapper (fine when the result re-enters the DataFrame API). */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → catalyst conversion, required when the result is
+    * embedded directly in a plan (e.g. from a FunctionRegistry builder):
+    * the lazy wrapper never gets converted there and dies at codegen.
+    * Nested functions come out as UnresolvedFunction and are resolved by
+    * the analyzer's next pass. */
+  def toExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

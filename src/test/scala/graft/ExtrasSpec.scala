@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Beyond-parity surface: theta_jaccard, profiler, pipeline SQL names. */
+class ExtrasSpec extends SparkTestBase {
+
+  test("datasketch_theta_jaccard returns [lb, estimate, ub] with exact small sets") {
+    // set_a {1..5}, set_b {4..8}: J = 2/8 = 0.25 (theta.test:649-666)
+    sql("SELECT explode(sequence(1,5)) AS i").createOrReplaceTempView("ja")
+    sql("SELECT explode(sequence(4,8)) AS i").createOrReplaceTempView("jb")
+    val r = sql(
+      """SELECT datasketch_theta_jaccard(a.s, b.s) AS j
+        |FROM (SELECT datasketch_theta(i) AS s FROM ja) a,
+        |     (SELECT datasketch_theta(i) AS s FROM jb) b""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(r.length == 3)
+    assert(r(1) == 0.25, s"estimate should be exact 0.25, got ${r(1)}")
+    assert(r(0) <= r(1) && r(1) <= r(2))
+  }
+
+  test("profiler: one-pass KLL+HLL+FreqItems per column") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val prof = operators.Profiler.profile(li,
+      Seq("l_quantity", "l_returnflag", "l_suppkey")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 3)
+    val qty = prof("l_quantity")
+    assert(qty.getDouble(1) == 50.0)          // approx_distinct exact at tiny card.
+    assert(qty.getDouble(3) == 1.0 && qty.getDouble(4) == 50.0) // min/max
+    val rf = prof("l_returnflag")
+    assert(rf.getDouble(1) == 3.0)
+    assert(rf.isNullAt(2))                    // no quantiles for strings
+    assert(rf.getSeq[String](7).toSet.subsetOf(Set("A", "N", "R")))
+  }
+
+  test("pipeline functions available under SQL names") {
+    val r = sql(
+      """SELECT graft_token_count('the quick brown fox') AS tc,
+        |       graft_lang_id('el la de que') AS lang,
+        |       graft_simhash64('a b c') AS sh,
+        |       graft_hamming64(graft_simhash64('a b c'), graft_simhash64('a b c')) AS hd,
+        |       graft_fingerprint('A  b') = graft_fingerprint('a b') AS fp_eq,
+        |       round(graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)), 9) AS cos_same
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 4)
+    assert(r.getString(1) == "es")
+    assert(r.getLong(2) != 0L && r.getInt(3) == 0)
+    assert(r.getBoolean(4))
+    assert(r.getDouble(5) == 1.0)
+  }
+
+  test("theta_jaccard flags near-identical key sets across table halves") {
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("li_j")
+    val r = sql(
+      """SELECT datasketch_theta_jaccard(a.s, b.s)[1] AS j
+        |FROM (SELECT datasketch_theta(l_suppkey) AS s FROM li_j WHERE l_returnflag = 'A') a,
+        |     (SELECT datasketch_theta(l_suppkey) AS s FROM li_j WHERE l_returnflag = 'R') b""".stripMargin)
+      .head().getDouble(0)
+    assert(r > 0.8, s"supplier sets of A and R halves overlap heavily, got $r")
+  }
+}

@@ -11,8 +11,11 @@ class PlanSpec extends SparkTestBase {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  // sf0.01 on purpose: OperatorsSpec caches the sf0.001 documents relation
+  // in the shared session, and a cache hit would replace the FileScan this
+  // suite asserts on.
   private def docs = {
-    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     d.createOrReplaceTempView("documents")
     d
   }
