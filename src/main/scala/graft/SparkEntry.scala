@@ -365,6 +365,17 @@ object SparkEntry {
         .select(col("doc_id"), col("feature_dim"), col("content_len"))
         .orderBy("doc_id")
     },
+
+    // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
+    "q43_profiler" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.Profiler.profile(
+          spark.table("lineitem").filter(col("l_partkey") % 64 === 0),
+          Seq("l_quantity", "l_suppkey", "l_returnflag"), kllK = 1024)
+        .select(col("column"), col("approx_distinct"), col("n"),
+          col("min"), col("max"), col("p50"), col("p95"))
+        .orderBy("column")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -614,5 +625,33 @@ object SparkEntry {
       """SELECT doc_id, 8 AS feature_dim,
         |       CAST(16 + octet_length(encode(text)) AS INT) AS content_len
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+
+    "q43_profiler" ->
+      """WITH src AS (SELECT * FROM lineitem WHERE l_partkey % 64 = 0),
+        |q AS (SELECT v, cume_dist() OVER (ORDER BY v) cd
+        |      FROM (SELECT l_quantity v FROM src)),
+        |s AS (SELECT v, cume_dist() OVER (ORDER BY v) cd
+        |      FROM (SELECT CAST(l_suppkey AS DOUBLE) v FROM src))
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS "column",
+        |         CAST((SELECT count(DISTINCT l_quantity) FROM src) AS DOUBLE) AS approx_distinct,
+        |         (SELECT count(*) FROM src) AS n,
+        |         (SELECT min(l_quantity) FROM src) AS min,
+        |         (SELECT max(l_quantity) FROM src) AS max,
+        |         (SELECT min(v) FROM q WHERE cd >= 0.5) AS p50,
+        |         (SELECT min(v) FROM q WHERE cd >= 0.95) AS p95
+        |  UNION ALL
+        |  SELECT 'l_suppkey',
+        |         CAST((SELECT count(DISTINCT l_suppkey) FROM src) AS DOUBLE),
+        |         (SELECT count(*) FROM src),
+        |         (SELECT min(CAST(l_suppkey AS DOUBLE)) FROM src),
+        |         (SELECT max(CAST(l_suppkey AS DOUBLE)) FROM src),
+        |         (SELECT min(v) FROM s WHERE cd >= 0.5),
+        |         (SELECT min(v) FROM s WHERE cd >= 0.95)
+        |  UNION ALL
+        |  SELECT 'l_returnflag',
+        |         CAST((SELECT count(DISTINCT l_returnflag) FROM src) AS DOUBLE),
+        |         NULL, NULL, NULL, NULL, NULL)
+        |ORDER BY "column"""".stripMargin,
   )
 }
