@@ -26,10 +26,22 @@ object SparkEntry {
     * DuckDB oracle's read of the same files). */
   private val nanoTsCols = Set("l_shipdate", "o_orderdate", "ts")
 
+  /** Last (session, dir) prepared — view/registration setup is memoized so
+    * a bench/verify loop over many queries pays file listing + schema read
+    * once, not per query. */
+  @volatile private var prepared: (SparkSession, String) = null
+
   /** Register functions + per-SF temp views (idempotent). */
-  private def prep(spark: SparkSession, dir: String): Unit = {
+  private def prep(spark: SparkSession, dir: String): Unit = synchronized {
+    if (prepared == (spark, dir)) return
     Registration.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Sketch buffers are KB-sized objects; the default sort-based fallback
+    // threshold (128 in-memory groups per partition) demotes big grouped
+    // sketch aggregations to sort-based far too early. 2048 groups ×
+    // ~32 KB worst-case theta buffer ≈ 64 MB/partition — comfortable, and
+    // keeps high-cardinality GROUP BYs in the hash path at scale.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2048")
     import org.apache.spark.sql.functions.{col, expr}
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -41,6 +53,7 @@ object SparkEntry {
       }
       df.createOrReplaceTempView(t)
     }
+    prepared = (spark, dir)
   }
 
   private def q(body: String): (SparkSession, String) => DataFrame =

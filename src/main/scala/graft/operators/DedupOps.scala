@@ -34,14 +34,24 @@ object DedupOps {
   /** Distinct k-word shingles per document: (id, shingle-hash).
     * Shingles are hashed to 64-bit immediately — the shuffle never carries
     * shingle text. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shinglesWithSize(df, idCol, textCol, k).drop("sz")
+
+  /** Like [[shingles]] but each row also carries the doc's distinct-shingle
+    * count, computed during generation — callers that need |set| sizes
+    * (Jaccard) avoid a per-doc aggregation AND the doc-sized join that
+    * would otherwise reunite sizes with pair counts (a join that cannot be
+    * broadcast at billion-doc scale). */
+  def shinglesWithSize(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val n = size(toks)
     val sh = transform(
       sequence(lit(0), greatest(n - k, lit(0))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
-    df.select(col(idCol).as("doc"), explode(array_distinct(
-      when(n >= k, sh).otherwise(array(xxhash64(concat_ws(" ", toks)))))).as("shingle"))
+    df.select(col(idCol).as("doc"),
+        array_distinct(when(n >= k, sh).otherwise(array(xxhash64(concat_ws(" ", toks)))))
+          .as("shset"))
+      .select(col("doc"), size(col("shset")).as("sz"), explode(col("shset")).as("shingle"))
   }
 
   /** Exact n-gram Jaccard similar pairs via inverted-index join.
@@ -52,20 +62,28 @@ object DedupOps {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double, maxShingleDF: Int = 0): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
+    // Materialize the inverted index once — a self-join would otherwise
+    // recompute shingle generation (the expensive tokenize+hash transform)
+    // for both sides. At cluster scale this persist (or a checkpoint)
+    // is what bounds the pipeline to one pass over the text.
+    val sh = shinglesWithSize(df, idCol, textCol, k).cache()
     val filtered =
       if (maxShingleDF > 0) {
         val hot = sh.groupBy("shingle").count().filter(col("count") > maxShingleDF)
         sh.join(broadcast(hot), Seq("shingle"), "left_anti")
       } else sh
-    val sizes = sh.groupBy("doc").agg(count("*").as("sz"))
-    val common = filtered.as("a")
-      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+    // Set sizes ride along with every index row, so the whole computation
+    // is ONE equi-join + ONE aggregation — no doc-sized side table to
+    // reunite with pair counts (that join can't broadcast at billion-doc
+    // scale). The size-ratio predicate is the standard similarity-join
+    // prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so mismatched-length
+    // pairs drop before the groupBy shuffle.
+    filtered.as("a")
+      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
+        col("a.sz") * lit(threshold) <= col("b.sz") && col("b.sz") * lit(threshold) <= col("a.sz"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count("*").as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .agg(count("*").as("common"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
@@ -94,7 +112,7 @@ object DedupOps {
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = shingles(df, idCol, textCol, k).cache()
+    val sh = shinglesWithSize(df, idCol, textCol, k).cache()
     val sig = minhashSignatures(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -108,15 +126,13 @@ object DedupOps {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    // exact verification of candidates only
-    val sizes = sh.groupBy("doc").agg(count("*").as("sz"))
-    val common = sh.as("x")
+    // exact verification of candidates only; set sizes ride the index rows
+    sh.as("x")
       .join(cands.hint("broadcast"), col("x.doc") === col("doc_a"))
       .join(sh.as("y"), col("y.doc") === col("doc_b") && col("x.shingle") === col("y.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count("*").as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .groupBy("doc_a", "doc_b")
+      .agg(count("*").as("common"),
+        first(col("x.sz")).as("sz_a"), first(col("y.sz")).as("sz_b"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
