@@ -1,0 +1,113 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+/** Property-style invariants over seeded random data (SURVEY §5 test plan):
+  * merge associativity/commutativity, NULL-skip equivalence, ingestion-
+  * order independence, serialization round-trips. Families with fixed hash
+  * seeds (hll/cpc/theta/frequent_items/tdigest) are bit-deterministic
+  * given the input SET, so equality assertions are exact. */
+class PropertiesSpec extends SparkTestBase {
+
+  private val rnd = new Random(42)
+
+  private def randomTable(name: String, n: Int, distinct: Int): Unit = {
+    val data = Seq.fill(n)(rnd.nextInt(distinct).toLong)
+    spark.createDataFrame(data.zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("i", "v").createOrReplaceTempView(name)
+  }
+
+  test("theta/hll estimates are invariant under arbitrary regrouping (associativity)") {
+    randomTable("pt1", 20000, 5000)
+    for (groups <- Seq(1, 3, 17)) {
+      val est = sql(
+        s"""SELECT CAST(round(datasketch_theta_estimate(datasketch_theta(s))) AS BIGINT),
+           |       CAST(round(datasketch_hll_estimate(datasketch_hll_union(12, h))) AS BIGINT)
+           |FROM (SELECT i % $groups AS g, datasketch_theta(v) AS s, datasketch_hll(12, v) AS h
+           |      FROM pt1 GROUP BY i % $groups)""".stripMargin).head()
+      val direct = sql(
+        """SELECT CAST(round(datasketch_theta_estimate(datasketch_theta(v))) AS BIGINT),
+          |       CAST(round(datasketch_hll_estimate(datasketch_hll(12, v))) AS BIGINT)
+          |FROM pt1""".stripMargin).head()
+      assert(est.getLong(0) == direct.getLong(0), s"theta differs at $groups groups")
+      assert(est.getLong(1) == direct.getLong(1), s"hll differs at $groups groups")
+    }
+  }
+
+  test("NULL-skip equivalence: sketch(values with NULLs) == sketch(filtered values)") {
+    val data = Seq.fill(5000)(if (rnd.nextBoolean()) Some(rnd.nextInt(300).toDouble) else None)
+    spark.createDataFrame(data.zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("i", "v").createOrReplaceTempView("nulls_t")
+    val withNulls = sql(
+      """SELECT datasketch_theta_estimate(datasketch_theta(v)) AS t,
+        |       datasketch_frequent_items_total_weight(datasketch_frequent_items(v)) AS w,
+        |       datasketch_kll_n(datasketch_kll(200, v)) AS n
+        |FROM nulls_t""".stripMargin).head()
+    val filtered = sql(
+      """SELECT datasketch_theta_estimate(datasketch_theta(v)) AS t,
+        |       datasketch_frequent_items_total_weight(datasketch_frequent_items(v)) AS w,
+        |       datasketch_kll_n(datasketch_kll(200, v)) AS n
+        |FROM nulls_t WHERE v IS NOT NULL""".stripMargin).head()
+    assert(withNulls.getDouble(0) == filtered.getDouble(0))
+    assert(withNulls.getLong(1) == filtered.getLong(1))
+    assert(withNulls.getLong(2) == filtered.getLong(2))
+  }
+
+  test("order independence across repartitions for deterministic families") {
+    // theta/cpc: order-independent at any cardinality (fixed hash seed).
+    // frequent-items: only in EXACT mode — once the map purges, which
+    // items survive (and their estimates) depends on arrival order, the
+    // standard Misra-Gries behavior; so it gets a small-cardinality table.
+    randomTable("ord_t", 30000, 8000)
+    randomTable("ord_small", 30000, 300) // < map capacity 768 at lg_k=10
+    def run(view: String, small: String) = (
+      sql(s"""SELECT datasketch_theta_estimate(datasketch_theta(v)),
+             |       datasketch_cpc_estimate(datasketch_cpc(11, v))
+             |FROM $view""".stripMargin).head(),
+      sql(s"""SELECT datasketch_frequent_items_estimate(datasketch_frequent_items(v), CAST(7 AS BIGINT))
+             |FROM $small""".stripMargin).head())
+    spark.table("ord_t").repartition(13, col("v")).createOrReplaceTempView("ord_r13")
+    spark.table("ord_t").orderBy(desc("v")).createOrReplaceTempView("ord_sorted")
+    spark.table("ord_small").orderBy(desc("v")).createOrReplaceTempView("ord_small_sorted")
+    val a = run("ord_t", "ord_small")
+    val b = run("ord_r13", "ord_small_sorted")
+    val c = run("ord_sorted", "ord_small_sorted")
+    assert(a == b && b == c)
+  }
+
+  test("serialization round-trip: blob → table → merge-with-self is idempotent for theta") {
+    randomTable("rt_t", 10000, 2500)
+    sql("SELECT datasketch_theta(v) AS s FROM rt_t").createOrReplaceTempView("rt_sk")
+    // union of a sketch with itself must not change the estimate (idempotent set union)
+    val r = sql(
+      """SELECT datasketch_theta_estimate(s) AS one,
+        |       datasketch_theta_estimate(datasketch_theta_union(s, s)) AS self_union
+        |FROM rt_sk""".stripMargin).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("kll merged quantiles stay within normalized rank error of exact") {
+    val n = 50000
+    val data = Seq.fill(n)(rnd.nextGaussian() * 100)
+    spark.createDataFrame(data.zipWithIndex.map { case (v, i) => (i, v) })
+      .toDF("i", "v").createOrReplaceTempView("kll_err_t")
+    val r = sql(
+      """SELECT datasketch_kll_rank(m, 0.0, true) AS rank_at_zero,
+        |       datasketch_kll_normalized_rank_error(m, false) AS nre
+        |FROM (SELECT datasketch_kll(200, s) AS m
+        |      FROM (SELECT i % 7 AS g, datasketch_kll(200, v) AS s
+        |            FROM kll_err_t GROUP BY i % 7))""".stripMargin).head()
+    val exactRank = data.count(_ <= 0.0).toDouble / n
+    // allow 3× the one-sided error bound for the merged sketch
+    assert(math.abs(r.getDouble(0) - exactRank) < 3 * r.getDouble(1),
+      s"merged rank ${r.getDouble(0)} vs exact $exactRank (nre ${r.getDouble(1)})")
+  }
+
+  test("entry() flagship query returns rows (driver smoke contract)") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 3) // one per returnflag
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+}
