@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sketch-table build → persist → rollup: distinct counts and quantiles
+  * from merged stored sketches must match direct computation on raw data. */
+class SketchTableSpec extends SparkTestBase {
+
+  test("daily sketch table rollup matches direct raw-data answers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS BIGINT))"))
+
+    val table = operators.SketchTable.buildDaily(
+      events, "ts", "event_type", "user_id", "value")
+    operators.SketchTable.save(table, dir)
+
+    val stored = spark.read.parquet(dir)
+    assert(stored.schema("ids_theta").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+
+    val (from, to) = ("1970-01-01", "2100-01-01") // full range
+    val rolled = operators.SketchTable.rollup(spark, dir, from, to)
+      .orderBy("key").collect()
+
+    val direct = events.groupBy(col("event_type").as("key"))
+      .agg(count("*").as("rows"),
+        countDistinct("user_id").as("ids"))
+      .orderBy("key").collect()
+
+    assert(rolled.length == direct.length)
+    rolled.zip(direct).foreach { case (r, d) =>
+      assert(r.getString(0) == d.getString(0))
+      assert(r.getLong(1) == d.getLong(1), s"rows for ${r.getString(0)}")
+      // distinct user counts are small (≤150) → theta exact, hll exact
+      assert(r.getLong(2) == d.getLong(2), s"theta ids for ${r.getString(0)}")
+      assert(r.getLong(3) == d.getLong(2), s"hll ids for ${r.getString(0)}")
+      assert(!r.isNullAt(4) && !r.isNullAt(5))
+    }
+
+    // date-range pruning: empty range → no rows, no error
+    assert(operators.SketchTable.rollup(spark, dir, "1970-01-01", "1970-01-02")
+      .collect().isEmpty)
+  }
+}
