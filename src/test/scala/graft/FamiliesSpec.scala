@@ -243,6 +243,26 @@ class FamiliesSpec extends SparkTestBase {
     assert(rows(2).getDouble(1) > 240 && rows(2).getDouble(1) < 260)
   }
 
+  test("frequent items canonicalizes NaN/±Inf keys like C (%f) formatting") {
+    sql("""SELECT * FROM VALUES (CAST('NaN' AS DOUBLE)), (CAST('Infinity' AS DOUBLE)),
+          |(CAST('-Infinity' AS DOUBLE)), (CAST('NaN' AS DOUBLE)) t(d)""".stripMargin)
+      .createOrReplaceTempView("nonfinite")
+    val rows = sql(
+      """SELECT f.item, f.estimate FROM (
+        |  SELECT explode(datasketch_frequent_items_get_frequent(
+        |    datasketch_frequent_items(d))) AS f FROM nonfinite)
+        |ORDER BY f.estimate DESC, f.item""".stripMargin).collect()
+    val keys = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keys == Map("nan" -> 2L, "inf" -> 1L, "-inf" -> 1L),
+      s"non-finite keys must match C %f text, got $keys")
+    // probe path applies the same canonicalization
+    val probe = sql(
+      """SELECT datasketch_frequent_items_estimate(
+        |  datasketch_frequent_items(d), CAST('NaN' AS DOUBLE)) FROM nonfinite""".stripMargin)
+      .head().getLong(0)
+    assert(probe == 2L)
+  }
+
   test("quantiles golden single-value bytes (quantiles.test:14-17 analog)") {
     // single-value sketches are deterministic; pin the round-trip instead of
     // raw bytes (Java classic-quantiles layout legally differs from C++)
