@@ -31,28 +31,53 @@ object DedupOps {
       .drop("fp", "rn")
   }
 
-  /** Distinct k-word shingles per document: (id, shingle-hash).
-    * Shingles are hashed to 64-bit immediately — the shuffle never carries
-    * shingle text. */
+  private def rot5(a: Column): Column =
+    shiftleft(a, 5).bitwiseOR(shiftrightunsigned(a, 59))
+
+  /** Distinct k-word shingle hash SET per document: (doc, sz, shset).
+    *
+    * Each token is hashed once (`xxhash64`); a shingle's 64-bit id is the
+    * xor-rotate combination of its k token hashes — no per-position string
+    * slicing/concatenation, and nothing downstream ever carries text.
+    * Entirely map-side: no shuffle, no explode. Delegates to the native
+    * [[ShingleSet]] expression (see its scaladoc; the equivalent composed
+    * higher-order-function formulation, kept in [[shingleSetsArrayOps]],
+    * evaluates interpreted and is ~20× slower). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    df.select(col(idCol).as("doc"),
+        GraftShims.column(ShingleSet(GraftShims.expression(col(textCol)), k)).as("shset"))
+      .select(col("doc"), size(col("shset")).as("sz"), col("shset"))
+  }
+
+  /** Reference formulation of [[shingleSets]] with pure array ops (kept
+    * for the property test pinning the native expression's semantics). */
+  private[graft] def shingleSetsArrayOps(df: DataFrame, idCol: String, textCol: String,
+                                         k: Int): DataFrame = {
+    val th = transform(TextOps.tokens(col(textCol)), t => xxhash64(t))
+    val n = size(th)
+    def combine(window: Column): Column =
+      aggregate(window, lit(0L), (acc, h) => rot5(acc).bitwiseXOR(h))
+    val sh = transform(
+      sequence(lit(0), greatest(n - k, lit(0))),
+      i => combine(slice(th, i + 1, lit(k))))
+    df.select(col(idCol).as("doc"),
+        array_distinct(when(n >= k, sh).otherwise(array(combine(th)))).as("shset"))
+      .select(col("doc"), size(col("shset")).as("sz"), col("shset"))
+  }
+
+  /** Distinct k-word shingles per document: (id, shingle-hash). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     shinglesWithSize(df, idCol, textCol, k).drop("sz")
 
-  /** Like [[shingles]] but each row also carries the doc's distinct-shingle
-    * count, computed during generation — callers that need |set| sizes
+  /** Exploded form of [[shingleSets]]: each inverted-index row also carries
+    * the doc's distinct-shingle count — callers that need |set| sizes
     * (Jaccard) avoid a per-doc aggregation AND the doc-sized join that
     * would otherwise reunite sizes with pair counts (a join that cannot be
     * broadcast at billion-doc scale). */
-  def shinglesWithSize(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val n = size(toks)
-    val sh = transform(
-      sequence(lit(0), greatest(n - k, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
-    df.select(col(idCol).as("doc"),
-        array_distinct(when(n >= k, sh).otherwise(array(xxhash64(concat_ws(" ", toks)))))
-          .as("shset"))
-      .select(col("doc"), size(col("shset")).as("sz"), explode(col("shset")).as("shingle"))
-  }
+  def shinglesWithSize(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingleSets(df, idCol, textCol, k)
+      .select(col("doc"), col("sz"), explode(col("shset")).as("shingle"))
 
   /** Exact n-gram Jaccard similar pairs via inverted-index join.
     *
@@ -91,13 +116,16 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the min over the doc's shingles. One shuffle (groupBy doc). */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+  /** MinHash signatures from shingle SETS: for each of `numHashes` seeded
+    * hash functions, the min over the doc's shingle hashes. Computed with
+    * array ops on the un-exploded set — entirely map-side, NO shuffle
+    * (the previous explode+groupBy formulation paid a full shuffle of the
+    * inverted index just to regroup rows it had itself exploded). */
+  def minhashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
     val hashes = (0 until numHashes).map { i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+      array_min(transform(col("shset"), s => xxhash64(s, lit(i)))).as(s"h$i")
     }
-    sh.groupBy("doc").agg(hashes.head, hashes.tail: _*)
+    sets.select(col("doc") +: hashes: _*)
   }
 
   /** MinHash + LSH near-dup candidate pairs, verified by exact Jaccard.
@@ -112,8 +140,9 @@ object DedupOps {
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = shinglesWithSize(df, idCol, textCol, k).cache()
-    val sig = minhashSignatures(sh, numHashes)
+    val sets = shingleSets(df, idCol, textCol, k).cache()
+    val sh = sets.select(col("doc"), col("sz"), explode(col("shset")).as("shingle"))
+    val sig = minhashSignatures(sets, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bucket"))

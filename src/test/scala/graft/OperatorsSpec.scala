@@ -24,6 +24,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(edge(0).getLong(0) == 0L && edge(1).getLong(0) == 0L && edge(2).getLong(0) != 0L)
   }
 
+  test("native ShingleSet matches the array-ops reference formulation") {
+    for (k <- Seq(1, 3, 7)) {
+      val fast = DedupOps.shingleSets(docs.limit(40), "doc_id", "text", k)
+        .selectExpr("doc", "sz", "sort_array(shset) AS s")
+      val ref = DedupOps.shingleSetsArrayOps(docs.limit(40), "doc_id", "text", k)
+        .selectExpr("doc", "sz", "sort_array(shset) AS s")
+      assert(fast.exceptAll(ref).count() == 0 && ref.exceptAll(fast).count() == 0,
+        s"shingle sets differ at k=$k")
+    }
+    // blank text: single zero-fold shingle, matching the composed version
+    val edge = spark.sql("SELECT '' AS text, 1L AS doc_id")
+    val a = DedupOps.shingleSets(edge, "doc_id", "text", 3).selectExpr("sz", "shset").head()
+    assert(a.getInt(0) == 1 && a.getSeq[Long](1) == Seq(0L))
+  }
+
   test("exactDedup removes exact duplicates, keeps lowest id") {
     val d = spark.sql(
       "SELECT * FROM VALUES (1L,'a b c'), (2L,'a  b   c'), (3L,'x y') t(doc_id, text)")
