@@ -16,8 +16,16 @@ object TextOps {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
+  /** One-scan token statistics (native [[TokenStats]] expression); the
+    * shared input for tokenCount/stopwordRatio/qualityScore/langId so a
+    * row is tokenized once, not once per metric. */
+  def tokenStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(TokenStats(GraftShims.expression(text)))
+  }
+
   /** Token count (whitespace tokenizer). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = tokenStats(text).getField("n_tokens")
 
   /** BPE-ish subword count: word-piece regex splits on word boundaries and
     * digit runs; a cheap proxy for tokenizer cost estimation at corpus
@@ -25,15 +33,11 @@ object TextOps {
   def subwordCount(text: Column): Column =
     size(filter(split(lower(text), "[^a-z0-9]+|(?<=[a-z])(?=[0-9])"), t => length(t) > 0))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-
   /** Fraction of tokens that are (English) stopwords. */
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(
-        size(filter(toks, t => t.isin(stopwords.map(s => lit(s)): _*))).cast("double") /
-          size(toks).cast("double"))
+    val st = tokenStats(text)
+    val n = st.getField("n_tokens").cast("double")
+    when(n === 0, lit(0.0)).otherwise(st.getField("stop").cast("double") / n)
   }
 
   /** Deterministic quality score in [0,1]:
@@ -41,39 +45,32 @@ object TextOps {
     * The formula is intentionally SQL-expressible so an exact oracle exists.
     */
   def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks).cast("double")
+    val st = tokenStats(text)
+    val n = st.getField("n_tokens").cast("double")
     val lenScore = least(lit(1.0), n / lit(256.0))
+    val stopRatio = when(n === 0, lit(0.0))
+      .otherwise(st.getField("stop").cast("double") / n)
     val meanTokLen =
-      when(n === 0, lit(0.0))
-        .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / n)
-    lit(0.6) * lenScore + lit(0.2) * stopwordRatio(text) +
+      when(n === 0, lit(0.0)).otherwise(st.getField("n_chars").cast("double") / n)
+    lit(0.6) * lenScore + lit(0.2) * stopRatio +
       lit(0.2) * least(lit(1.0), meanTokLen / lit(8.0))
   }
 
-  /** Marker words per language for the n-gram/stopword language-ID
-    * heuristic. Deterministic and tiny by design; real pipelines would
-    * swap in a trained model — the *operator shape* (scored argmax over
-    * per-language token-set overlaps, fully codegen'd) is the point. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "is"),
-    "es" -> Seq("el", "la", "de", "que", "y", "los"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "une"))
-
-  /** Language-ID: argmax of marker-word hits; 'und' when no marker hits. */
+  /** Language-ID: argmax of per-language marker-word hits (markers in
+    * [[TokenStats.markers]]); 'und' when nothing hits; ties break toward
+    * earlier languages (en > es > de > fr). Deterministic and tiny by
+    * design; real pipelines would swap in a trained model — the operator
+    * shape (scored argmax over token-set overlaps in one scan) is the
+    * point. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(m => lit(m)): _*)))
-    }
-    // argmax with deterministic tie-break on language order
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          greatest(score, bestScore))
-    }
-    when(best._2 === 0, lit("und")).otherwise(best._1)
+    val st = tokenStats(text)
+    val (en, es, de, fr) = (st.getField("en"), st.getField("es"),
+      st.getField("de"), st.getField("fr"))
+    when(greatest(en, es, de, fr) === 0, lit("und"))
+      .when(fr > greatest(en, es, de), lit("fr"))
+      .when(de > greatest(en, es), lit("de"))
+      .when(es > en, lit("es"))
+      .otherwise(lit("en"))
   }
 
   /** Canonical document fingerprint: md5 of lowercased,
