@@ -117,11 +117,19 @@ object DedupOps {
   }
 
   /** MinHash signatures from shingle SETS: for each of `numHashes` seeded
-    * hash functions, the min over the doc's shingle hashes. Computed with
-    * array ops on the un-exploded set — entirely map-side, NO shuffle
-    * (the previous explode+groupBy formulation paid a full shuffle of the
-    * inverted index just to regroup rows it had itself exploded). */
+    * hash functions, the min over the doc's shingle hashes. Entirely
+    * map-side, NO shuffle, one fused loop (native [[MinHashSig]]). */
   def minhashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    val sig = GraftShims.column(
+      MinHashSig(GraftShims.expression(col("shset")), numHashes))
+    sets.select(col("doc"), sig.as("sig"))
+      .select(col("doc") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** Reference formulation of [[minhashSignatures]] (property-test pin). */
+  private[graft] def minhashSignaturesArrayOps(sets: DataFrame, numHashes: Int): DataFrame = {
     val hashes = (0 until numHashes).map { i =>
       array_min(transform(col("shset"), s => xxhash64(s, lit(i)))).as(s"h$i")
     }

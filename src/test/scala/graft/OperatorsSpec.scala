@@ -39,6 +39,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(a.getInt(0) == 1 && a.getSeq[Long](1) == Seq(0L))
   }
 
+  test("native MinHashSig matches the array-ops reference formulation") {
+    val sets = DedupOps.shingleSets(docs.limit(40), "doc_id", "text", 3)
+    val fast = DedupOps.minhashSignatures(sets, 16).orderBy("doc")
+    val ref = DedupOps.minhashSignaturesArrayOps(sets, 16).orderBy("doc")
+    assert(fast.exceptAll(ref).count() == 0 && ref.exceptAll(fast).count() == 0)
+  }
+
   test("exactDedup removes exact duplicates, keeps lowest id") {
     val d = spark.sql(
       "SELECT * FROM VALUES (1L,'a b c'), (2L,'a  b   c'), (3L,'x y') t(doc_id, text)")
