@@ -318,6 +318,18 @@ object Registration {
         arity("graft_simhash64", args, 1, 1)
         graft.operators.SimHash64(args.head)
       },
+      "graft_token_stats" -> { (args: Seq[Expression]) =>
+        arity("graft_token_stats", args, 1, 1)
+        graft.operators.TokenStats(args.head)
+      },
+      "graft_shingle_set" -> { (args: Seq[Expression]) =>
+        arity("graft_shingle_set", args, 2, 2)
+        graft.operators.ShingleSet(args.head, foldInt(args(1), "graft_shingle_set"))
+      },
+      "graft_minhash_sig" -> { (args: Seq[Expression]) =>
+        arity("graft_minhash_sig", args, 2, 2)
+        graft.operators.MinHashSig(args.head, foldInt(args(1), "graft_minhash_sig"))
+      },
       "graft_hamming64" -> { (args: Seq[Expression]) =>
         arity("graft_hamming64", args, 2, 2)
         toExpression(graft.operators.DedupOps.hamming(column(args(0)), column(args(1))))

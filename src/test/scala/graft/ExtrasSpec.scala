@@ -48,6 +48,14 @@ class ExtrasSpec extends SparkTestBase {
     assert(r.getLong(2) != 0L && r.getInt(3) == 0)
     assert(r.getBoolean(4))
     assert(r.getDouble(5) == 1.0)
+    val r2 = sql(
+      """SELECT graft_token_stats('the quick the fox').n_tokens AS nt,
+        |       graft_token_stats('the quick the fox').stop AS st,
+        |       size(graft_shingle_set('a b c d', 3)) AS sh,
+        |       size(graft_minhash_sig(graft_shingle_set('a b c d', 3), 8)) AS mh
+        |""".stripMargin).head()
+    assert(r2.getInt(0) == 4 && r2.getInt(1) == 2)
+    assert(r2.getInt(2) == 2 && r2.getInt(3) == 8)
   }
 
   test("theta_jaccard flags near-identical key sets across table halves") {
