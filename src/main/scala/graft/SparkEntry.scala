@@ -241,6 +241,15 @@ object SparkEntry {
         |       datasketch_frequent_items_lower_bound(sk, CAST(1.0 AS DOUBLE)) AS qty_1_lb
         |FROM (SELECT datasketch_frequent_items(12, l_quantity) AS sk FROM lineitem)""".stripMargin),
 
+    // -- high-cardinality grouped sketching (the 100 TB bread-and-butter:
+    //    ~15k groups/SF-0.01, exercises ObjectHashAggregate + fallback) ----
+    "q23_highcard_groups" -> q(
+      """SELECT l_orderkey,
+        |       CAST(round(datasketch_theta_estimate(datasketch_theta(l_partkey))) AS BIGINT) AS approx_parts,
+        |       datasketch_kll_n(datasketch_kll(64, l_extendedprice)) AS n
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey LIMIT 2000""".stripMargin),
+
     // -- events: time-windowed distinct users (theta exact per hour) --------
     "q21_events_hourly_users" -> q(
       """SELECT date_format(date_trunc('HOUR', ts), 'yyyy-MM-dd HH:mm:ss') AS hour,
@@ -521,6 +530,12 @@ object SparkEntry {
         |       count(*) FILTER (l_quantity = 50.0) AS qty_50,
         |       count(*) FILTER (l_quantity = 1.0) AS qty_1_lb
         |FROM lineitem""".stripMargin,
+
+    "q23_highcard_groups" ->
+      """SELECT l_orderkey, count(DISTINCT l_partkey) AS approx_parts,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey LIMIT 2000""".stripMargin,
 
     "q21_events_hourly_users" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
