@@ -388,6 +388,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- embedding near-dup pairs (brute force = oracle-checkable; the LSH
+    //    variant is the scale path, ground-truthed by this one) ------------
+    "q44_cosine_neardup" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val v = spark.table("embeddings")
+        .select(col("vec_id").as("doc"), col("embedding").as("vec"))
+      v.as("a").join(broadcast(v.as("b")), col("a.doc") < col("b.doc"))
+        .withColumn("cosine", operators.SimilarityOps.cosine(col("a.vec"), col("b.vec")))
+        .filter(col("cosine") >= 0.3)
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "q45_cosine_neardup_lsh" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.SimilarityOps.cosineNearDupPairs(
+          spark.table("embeddings"), "vec_id", "embedding", threshold = 0.3, planes = 4)
+        .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
     "q43_profiler" -> qd { spark =>
       import org.apache.spark.sql.functions._
@@ -653,6 +675,13 @@ object SparkEntry {
       """SELECT doc_id, 8 AS feature_dim,
         |       CAST(16 + octet_length(encode(text)) AS INT) AS content_len
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+
+    "q44_cosine_neardup" ->
+      """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q43_profiler" ->
       """WITH src AS (SELECT * FROM lineitem WHERE l_partkey % 64 = 0),
