@@ -393,9 +393,12 @@ object SparkEntry {
     "q44_cosine_neardup" -> qd { spark =>
       import org.apache.spark.sql.functions._
       val v = spark.table("embeddings")
-        .select(col("vec_id").as("doc"), col("embedding").as("vec"))
+        .select(col("vec_id").as("doc"), col("embedding").as("vec"),
+          operators.SimilarityOps.norm(col("embedding")).as("nrm"))
       v.as("a").join(broadcast(v.as("b")), col("a.doc") < col("b.doc"))
-        .withColumn("cosine", operators.SimilarityOps.cosine(col("a.vec"), col("b.vec")))
+        .withColumn("cosine",
+          operators.SimilarityOps.dot(col("a.vec"), col("b.vec")) /
+            (col("a.nrm") * col("b.nrm")))
         .filter(col("cosine") >= 0.3)
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
           round(col("cosine"), 6).as("cosine"))

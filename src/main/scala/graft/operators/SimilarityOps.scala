@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Double-precision dot product of two float vectors. */
-  def dot(a: Column, b: Column): Column =
+  /** Double-precision dot product of two float vectors (native
+    * [[DotProduct]]; bit-identical to the composed zip_with/aggregate
+    * fold, pinned by a property test). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+  }
+
+  /** Reference formulation of [[dot]] (property-test pin). */
+  private[graft] def dotArrayOps(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -33,14 +41,18 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for each query vector.
-    * Output: (query_id, neighbor_id, rank, cosine). */
+    * Output: (query_id, neighbor_id, rank, cosine).
+    * Norms are precomputed once per side before the pair loop — computing
+    * them inside the loop multiplies the work by the pair count. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -73,12 +85,12 @@ object SimilarityOps {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 12): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshSignature(col(vecCol), planes).as("sig"))
+      norm(col(vecCol)).as("cn"), lshSignature(col(vecCol), planes).as("sig"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshSignature(col(vecCol), planes).as("sig"))
+      norm(col(vecCol)).as("qn"), lshSignature(col(vecCol), planes).as("sig"))
     val scored = c.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -93,10 +105,11 @@ object SimilarityOps {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 8): DataFrame = {
     val v = df.select(col(idCol).as("doc"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), planes).as("sig"))
+      norm(col(vecCol)).as("nrm"), lshSignature(col(vecCol), planes).as("sig"))
     v.as("a").join(v.as("b"),
         col("a.sig") === col("b.sig") && col("a.doc") < col("b.doc"))
-      .withColumn("cosine", cosine(col("a.vec"), col("b.vec")))
+      .withColumn("cosine",
+        dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("cosine"))
   }

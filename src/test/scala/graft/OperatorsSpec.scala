@@ -99,6 +99,14 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(0).getLong(0) == r(2).getLong(0))
   }
 
+  test("native DotProduct matches the array-ops reference formulation bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val pairs = emb.as("a").crossJoin(emb.as("b")).limit(500)
+      .select(SimilarityOps.dot(col("a.embedding"), col("b.embedding")).as("fast"),
+        SimilarityOps.dotArrayOps(col("a.embedding"), col("b.embedding")).as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("cosineTopK returns self-similar vector first") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dup = emb.filter(col("vec_id") === 0)
