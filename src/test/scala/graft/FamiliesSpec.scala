@@ -243,6 +243,29 @@ class FamiliesSpec extends SparkTestBase {
     assert(rows(2).getDouble(1) > 240 && rows(2).getDouble(1) < 260)
   }
 
+  test("sort-based aggregation fallback produces identical sketches") {
+    // At extreme group cardinality ObjectHashAggregate spills to sort-based
+    // aggregation, which round-trips buffers through serialize/deserialize
+    // far more aggressively. Force the fallback and compare against the
+    // hash path — results must be identical (deterministic families).
+    spark.range(0, 20000)
+      .selectExpr("id % 997 AS g", "id AS v", "CAST(id AS DOUBLE) AS d")
+      .createOrReplaceTempView("fb_t")
+    def run(): Array[org.apache.spark.sql.Row] = sql(
+      """SELECT g, CAST(round(datasketch_theta_estimate(datasketch_theta(v))) AS BIGINT) AS t,
+        |       datasketch_kll_n(datasketch_kll(64, d)) AS n,
+        |       datasketch_frequent_items_total_weight(datasketch_frequent_items(v)) AS w
+        |FROM fb_t GROUP BY g ORDER BY g""".stripMargin).collect()
+    val orig = spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    val hash = run()
+    try {
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+      val sorted = run()
+      assert(hash.toSeq == sorted.toSeq,
+        "sort-based fallback must produce identical sketch results")
+    } finally spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", orig)
+  }
+
   test("frequent items canonicalizes NaN/±Inf keys like C (%f) formatting") {
     sql("""SELECT * FROM VALUES (CAST('NaN' AS DOUBLE)), (CAST('Infinity' AS DOUBLE)),
           |(CAST('-Infinity' AS DOUBLE)), (CAST('NaN' AS DOUBLE)) t(d)""".stripMargin)
