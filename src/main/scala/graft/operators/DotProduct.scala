@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -13,9 +12,9 @@ import org.apache.spark.sql.types._
   * (same left-to-right fold order, so oracle-compared cosines don't move),
   * but one fused loop instead of two interpreted higher-order passes —
   * the pair loop of brute-force similarity search runs this millions of
-  * times. Fifth instance of the native-expression pattern. */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+  * times. Generates a static call ([[GraftRuntime.dot]]) so whole-stage
+  * codegen spans stay unbroken. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def prettyName: String = "graft_dot"
   override def dataType: DataType = DoubleType
@@ -28,18 +27,11 @@ case class DotProduct(left: Expression, right: Expression)
           s"graft_dot requires two array<float> columns, got ${l.simpleString}, ${r.simpleString}")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftRuntime.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.operators.GraftRuntime.dot($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native MinHash signature over a shingle-hash set.
@@ -13,9 +12,8 @@ import org.apache.spark.sql.types._
   * (seed 42 → fold the long, then fold the int) — pinned by a property
   * test against the composed `array_min(transform(...))` formulation,
   * which evaluates `numHashes` interpreted passes per row. One fused loop
-  * here; the fourth instance of the native-expression pattern. */
-case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+  * in [[GraftRuntime.minhashSig]]. */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
 
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
 
@@ -30,25 +28,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
           s"minhash_sig requires array<bigint>, got ${other.simpleString}")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var j = 0
-    while (j < n) {
-      val s = arr.getLong(j)
-      // match xxhash64(s, lit(i)): seed 42 → fold long s → fold int i
-      val base = XxHash64Function.hash(s, LongType, 42L)
-      var i = 0
-      while (i < numHashes) {
-        val h = XxHash64Function.hash(i, IntegerType, base)
-        if (h < mins(i)) mins(i) = h
-        i += 1
-      }
-      j += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.operators.GraftRuntime.minhashSig($a, $numHashes)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,12 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Why a custom expression: the composed version materializes a 64-long
   * vote array per token per row through `aggregate`/`zip_with` codegen —
-  * O(tokens·64) array writes. This one keeps the 64 counters in a local
-  * array across one byte-scan of the string, no per-token allocation.
-  * ~6× faster at sf0.1 and the difference grows with document length, so
-  * it is the version a 100 TB dedup pass would run.
-  */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  * O(tokens·64) array writes. [[GraftRuntime.simhash64]] keeps the 64
+  * counters in a local array across one byte-scan of the string; ~6×
+  * faster at sf0.1 and the difference grows with document length, so it
+  * is the version a 100 TB dedup pass would run. */
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
@@ -30,42 +28,11 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"simhash64 requires a string column, got ${child.dataType.simpleString}")
 
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.simhash64(input.asInstanceOf[UTF8String])
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val bytes = s.getBytes
-    val votes = new Array[Int](64)
-    var i = 0
-    val n = bytes.length
-    var any = false
-    while (i < n) {
-      while (i < n && isWs(bytes(i))) i += 1
-      val start = i
-      while (i < n && !isWs(bytes(i))) i += 1
-      if (i > start) {
-        any = true
-        val h = XxHash64Function.hash(
-          UTF8String.fromBytes(bytes, start, i - start), StringType, 42L)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
-      }
-    }
-    if (!any) 0L
-    else {
-      var sig = 0L
-      var j = 0
-      while (j < 64) {
-        if (votes(j) > 0) sig |= (1L << j)
-        j += 1
-      }
-      sig
-    }
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.operators.GraftRuntime.simhash64($a)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

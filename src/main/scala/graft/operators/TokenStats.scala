@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,10 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why a custom expression: `langId`/`qualityScore` as column compositions
   * evaluate `split` + interpreted `filter` lambdas several times per row
   * (no common-subexpression elimination across when/greatest chains).
-  * This is the third instance of the pattern (SimHash64, ShingleSet):
-  * per-token inner loops belong in a native expression.
-  */
-case class TokenStats(child: Expression) extends UnaryExpression with CodegenFallback {
+  * One byte-scan in [[GraftRuntime.tokenStats]]. */
+case class TokenStats(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_token_stats"
   override def dataType: DataType = TokenStats.schema
@@ -29,31 +26,11 @@ case class TokenStats(child: Expression) extends UnaryExpression with CodegenFal
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"graft_token_stats requires a string column, got ${child.dataType.simpleString}")
 
-  private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.tokenStats(input.asInstanceOf[UTF8String])
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val n = bytes.length
-    var nTokens, nChars, stop, en, es, de, fr = 0
-    var i = 0
-    while (i < n) {
-      while (i < n && isWs(bytes(i))) i += 1
-      val start = i
-      while (i < n && !isWs(bytes(i))) i += 1
-      if (i > start) {
-        nTokens += 1
-        nChars += i - start
-        val t = UTF8String.fromBytes(bytes, start, i - start)
-        if (TokenStats.stopSet.contains(t)) stop += 1
-        if (TokenStats.enSet.contains(t)) en += 1
-        if (TokenStats.esSet.contains(t)) es += 1
-        if (TokenStats.deSet.contains(t)) de += 1
-        if (TokenStats.frSet.contains(t)) fr += 1
-      }
-    }
-    InternalRow(nTokens, nChars, stop, en, es, de, fr)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.operators.GraftRuntime.tokenStats($a)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
