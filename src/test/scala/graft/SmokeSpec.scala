@@ -150,6 +150,24 @@ class SmokeSpec extends SparkTestBase {
     assert(chain(e).exists(m => m != null && m.contains("Failed to deserialize")))
   }
 
+  test("bind errors: arity, K range, K foldability, elem tag, type checks") {
+    def bindErr(q: String): String = {
+      val e = intercept[Exception](sql(q).queryExecution.analyzed)
+      def chain(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+      chain(e).mkString(" | ")
+    }
+    assert(bindErr("SELECT datasketch_kll(200)").contains("expected between 2 and 2"))
+    assert(bindErr("SELECT datasketch_req(13, CAST(1.0 AS FLOAT))").contains("K must be even"))
+    assert(bindErr("SELECT datasketch_cpc(30, 1)").contains("lg_k must be between 4 and 26"))
+    assert(bindErr("SELECT datasketch_kll(200, 'text_value')")
+      .contains("unsupported input type"))
+    assert(bindErr("SELECT datasketch_hll(12, CAST('ab' AS BINARY))")
+      .contains("requires datasketch_hll_union"))
+    assert(bindErr("SELECT datasketch_theta_jaccard(CAST('a' AS BINARY))")
+      .contains("expected between 2 and 2"))
+  }
+
   test("hll estimate within ±5% at lg_k=12 on 100k distinct (hll.test:43-46)") {
     spark.range(0, 100000).union(spark.range(0, 100000)).createOrReplaceTempView("items")
     val est = sql(
