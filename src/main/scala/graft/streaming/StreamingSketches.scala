@@ -45,4 +45,26 @@ object StreamingSketches {
         // keep the mergeable state for downstream re-aggregation
         col("users_sketch"))
   }
+
+  /** Continuous sketch-table maintenance: append each micro-batch's
+    * windowed sketches to a partitioned parquet sketch table
+    * (`foreachBatch`). Readers roll up with the merge aggregates
+    * (`datasketch_theta(users_sketch)` etc.) — duplicate window rows from
+    * successive batch updates merge away because sketch union is
+    * idempotent, so the sink needs no upsert machinery. This closes the
+    * streaming → lakehouse loop on [[graft.operators.SketchTable]]'s
+    * storage pattern. */
+  def sinkToSketchTable(events: DataFrame, path: String,
+                        window: String = "1 hour",
+                        watermark: String = "2 hours"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    windowedProfile(events, window, window, watermark)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(path)
+      }
+      .start()
+  }
 }

@@ -214,6 +214,25 @@ class FamiliesSpec extends SparkTestBase {
     assert(r.getInt(0) == 1000 && r.getLong(1) == 1000L && r.getDouble(2) == 1.0)
   }
 
+  test("as_sketch metadata drives element-type dispatch through parquet") {
+    // The reference's named alias types carry the element type; our analog
+    // is column metadata written by as_sketch — verify it survives a
+    // parquet round-trip and binds the LONG probe path without an explicit
+    // trailing tag (wrong dispatch would reinterpret long bits as doubles).
+    val dir = java.nio.file.Files.createTempDirectory("graft_md").toString
+    spark.range(1, 1001).selectExpr("id AS v").createOrReplaceTempView("md_in")
+    val sk = sql("SELECT datasketch_kll(256, v) AS raw FROM md_in")
+      .select(graft.functions.as_sketch(
+        org.apache.spark.sql.functions.col("raw"), "sk", "kll", "long"))
+    sk.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("md_persisted")
+    val r = sql(
+      """SELECT datasketch_kll_quantile(sk, 0.5, true) AS q50,
+        |       datasketch_kll_max_item(sk) AS mx
+        |FROM md_persisted""".stripMargin).head()
+    assert(r.getLong(0) == 500L && r.getLong(1) == 1000L)
+  }
+
   test("sketch aggregates work as window functions (free via Spark)") {
     spark.range(0, 100).selectExpr("id % 4 AS g", "CAST(id AS DOUBLE) AS v")
       .createOrReplaceTempView("wt")
