@@ -221,7 +221,9 @@ class FamiliesSpec extends SparkTestBase {
     // trailing tag (wrong dispatch would reinterpret long bits as doubles).
     val dir = java.nio.file.Files.createTempDirectory("graft_md").toString
     spark.range(1, 1001).selectExpr("id AS v").createOrReplaceTempView("md_in")
-    val sk = sql("SELECT datasketch_kll(256, v) AS raw FROM md_in")
+    // k=2048 > n keeps the sketch in exact mode: KLL compaction offsets are
+    // randomized, so a compacted sketch's median is only *near* 500.
+    val sk = sql("SELECT datasketch_kll(2048, v) AS raw FROM md_in")
       .select(graft.functions.as_sketch(
         org.apache.spark.sql.functions.col("raw"), "sk", "kll", "long"))
     sk.write.mode("overwrite").parquet(dir)
@@ -240,6 +242,61 @@ class FamiliesSpec extends SparkTestBase {
       """SELECT DISTINCT g, datasketch_kll_n(datasketch_kll(64, v) OVER (PARTITION BY g)) AS n
         |FROM wt ORDER BY g""".stripMargin).collect()
     assert(r.length == 4 && r.forall(_.getLong(1) == 25L))
+  }
+
+  test("req merge matrix: partitioned sketches converge (req.test:116-276 pattern)") {
+    spark.range(1, 901)
+      .selectExpr("CAST(id AS FLOAT) AS value", "CAST(id % 3 AS INT) AS p")
+      .createOrReplaceTempView("req_md")
+    val r = sql(
+      """SELECT datasketch_req_n(m), datasketch_req_min_item(m), datasketch_req_max_item(m),
+        |       datasketch_req_rank(m, 450.0, true) BETWEEN 0.45 AND 0.55
+        |FROM (SELECT datasketch_req(64, s) AS m
+        |      FROM (SELECT p, datasketch_req(64, value) AS s FROM req_md GROUP BY p))""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 900L && r.getFloat(1) == 1.0f && r.getFloat(2) == 900.0f)
+    assert(r.getBoolean(3))
+  }
+
+  test("tdigest merge matrix: partitioned digests preserve weight and endpoints") {
+    spark.range(1, 901)
+      .selectExpr("CAST(id AS DOUBLE) AS value", "CAST(id % 4 AS INT) AS p")
+      .createOrReplaceTempView("td_md")
+    val r = sql(
+      """SELECT datasketch_tdigest_total_weight(m),
+        |       datasketch_tdigest_quantile(m, 0.0), datasketch_tdigest_quantile(m, 1.0),
+        |       datasketch_tdigest_rank(m, 450.0) BETWEEN 0.45 AND 0.55
+        |FROM (SELECT datasketch_tdigest(100, s) AS m
+        |      FROM (SELECT p, datasketch_tdigest(100, value) AS s FROM td_md GROUP BY p))""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 900L && r.getDouble(1) == 1.0 && r.getDouble(2) == 900.0)
+    assert(r.getBoolean(3))
+  }
+
+  test("quantiles merge matrix: classic doubles union (quantiles.test pattern)") {
+    spark.range(1, 1002)
+      .selectExpr("CAST(id AS DOUBLE) AS value", "CAST(id % 5 AS INT) AS p")
+      .createOrReplaceTempView("q_md")
+    val r = sql(
+      """SELECT datasketch_quantiles_n(m), datasketch_quantiles_min_item(m),
+        |       datasketch_quantiles_max_item(m),
+        |       datasketch_quantiles_quantile(m, 0.5, true) BETWEEN 450.0 AND 550.0
+        |FROM (SELECT datasketch_quantiles(128, s) AS m
+        |      FROM (SELECT p, datasketch_quantiles(128, value) AS s FROM q_md GROUP BY p))""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 1001L && r.getDouble(1) == 1.0 && r.getDouble(2) == 1001.0)
+    assert(r.getBoolean(3))
+  }
+
+  test("kll cdf/pmf arrays sum and bound correctly in exact mode") {
+    spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS v").createOrReplaceTempView("cdf_t")
+    val r = sql(
+      """SELECT datasketch_kll_cdf(sk, array(250.0D, 500.0D, 750.0D), true) AS cdf,
+        |       datasketch_kll_pmf(sk, array(250.0D, 500.0D, 750.0D), true) AS pmf
+        |FROM (SELECT datasketch_kll(2048, v) AS sk FROM cdf_t)""".stripMargin).head()
+    val cdf = r.getSeq[Double](0); val pmf = r.getSeq[Double](1)
+    assert(cdf == Seq(0.25, 0.5, 0.75, 1.0), s"exact-mode cdf: $cdf")
+    assert(pmf == Seq(0.25, 0.25, 0.25, 0.25), s"exact-mode pmf: $pmf")
   }
 
   test("req rank accuracy band at K=12 (req.test pattern)") {
