@@ -58,6 +58,25 @@ class ExtrasSpec extends SparkTestBase {
     assert(r2.getInt(2) == 2 && r2.getInt(3) == 8)
   }
 
+  test("salted skew aggregation equals unsalted exactly (theta determinism)") {
+    // heavily skewed: one key owns 90% of rows
+    spark.range(0, 30000)
+      .selectExpr("CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('cold_', id % 7) END AS k",
+        "id % 5000 AS v")
+      .createOrReplaceTempView("skewed")
+    val salted = operators.Skew.saltedDistinct(spark.table("skewed"), "k", "v", salts = 16)
+      .select("k", "approx_distinct").orderBy("k").collect()
+    val unsalted = sql(
+      """SELECT k, CAST(round(datasketch_theta_estimate(datasketch_theta(12, v))) AS BIGINT) AS d
+        |FROM skewed GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      unsalted.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // salted plan has two exchanges (salt stage + merge stage)
+    val plan = operators.Skew.saltedDistinct(spark.table("skewed"), "k", "v", salts = 16)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length >= 2, plan)
+  }
+
   test("theta_jaccard flags near-identical key sets across table halves") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("li_j")
