@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style materialized ANN index.
+  *
+  * [[SimilarityOps.lshTopK]] buckets the corpus per query *run*; at
+  * 100 TB the corpus should be bucketed ONCE and written
+  * `partitionBy(signature)` so every probe prunes to a handful of files
+  * before any vector is read — the inverted-file (IVF) layout, expressed
+  * with plain lakehouse partitioning. Queries push `sig IN (...)` into
+  * the scan as a partition filter; Spark never lists, let alone reads,
+  * the other buckets.
+  */
+object AnnIndex {
+
+  /** One-pass index build: signature + norm per vector, partitioned by
+    * signature. Deterministic hyperplanes → rebuildable/appendable. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+            path: String, planes: Int = 8): Unit = {
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        SimilarityOps.norm(col(vecCol)).as("nrm"),
+        SimilarityOps.lshSignature(col(vecCol), planes).as("sig"))
+      .write.mode("overwrite").partitionBy("sig").parquet(path)
+  }
+
+  /** Top-k query against the materialized index with multi-probe
+    * (own bucket + all Hamming-1 buckets). The probe signature set
+    * becomes a partition filter. Output: (query_id, neighbor_id, rank,
+    * cosine). */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+            idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      SimilarityOps.norm(col(vecCol)).as("qn"),
+      SimilarityOps.lshSignature(col(vecCol), planes).as("sig0"))
+    val probeSigs = array(col("sig0") +: (0 until planes).map(p =>
+      col("sig0").bitwiseXOR(lit(1L << p))): _*)
+    val q = q0.select(col("query_id"), col("qv"), col("qn"),
+      explode(probeSigs).as("sig"))
+    val index = spark.read.parquet(path)
+    val scored = index.join(broadcast(q), Seq("sig"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine",
+        SimilarityOps.dot(col("qv"), col("vec")) / (col("qn") * col("nrm")))
+      .dropDuplicates("query_id", "id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

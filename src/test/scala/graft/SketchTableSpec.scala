@@ -43,4 +43,26 @@ class SketchTableSpec extends SparkTestBase {
     assert(operators.SketchTable.rollup(spark, dir, "1970-01-01", "1970-01-02")
       .collect().isEmpty)
   }
+
+  test("materialized ANN index: partition-pruned probes match runtime LSH") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    operators.AnnIndex.build(emb, "vec_id", "embedding", dir, planes = 6)
+
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val fromIndex = operators.AnnIndex.query(spark, dir, q, "vec_id", "embedding",
+        k = 3, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val runtime = operators.SimilarityOps.lshTopK(q, emb, "vec_id", "embedding",
+        k = 3, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIndex == runtime,
+      "index probes must return exactly the runtime LSH results")
+
+    // the probe plan must prune on the sig partition column
+    val plan = operators.AnnIndex.query(spark, dir, q, "vec_id", "embedding", 3, 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"probe should prune partitions:\n$plan")
+  }
 }
