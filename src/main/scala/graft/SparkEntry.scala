@@ -413,6 +413,14 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
 
+    // -- end-to-end curation (exact + near dedup + quality + lang) ----------
+    "q46_curation" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.Pipeline.curate(spark.table("documents"), "doc_id", "text")
+        .groupBy("decision").agg(count("*").as("cnt"))
+        .orderBy("decision")
+    },
+
     // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
     "q43_profiler" -> qd { spark =>
       import org.apache.spark.sql.functions._
@@ -678,6 +686,31 @@ object SparkEntry {
       """SELECT doc_id, 8 AS feature_dim,
         |       CAST(16 + octet_length(encode(text)) AS INT) AS content_len
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+
+    "q46_curation" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+2], ' '))) s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |near_drops AS (SELECT DISTINCT doc_b FROM pairs WHERE j >= 0.9),
+        |q AS (SELECT doc_id,
+        |             CAST(len(t) AS DOUBLE) AS n,
+        |             CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS stop,
+        |             CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS chars
+        |      FROM documents JOIN toks USING (doc_id)),
+        |d AS (SELECT doc_id,
+        |             CASE WHEN doc_id IN (SELECT doc_b FROM near_drops) THEN 'near_dup'
+        |                  WHEN 0.6 * least(1.0, n / 256.0) + 0.2 * (stop / n)
+        |                       + 0.2 * least(1.0, (chars / n) / 8.0) < 0.2 THEN 'low_quality'
+        |                  ELSE 'kept' END AS decision
+        |      FROM q)
+        |SELECT decision, count(*) AS cnt FROM d GROUP BY decision ORDER BY decision""".stripMargin,
 
     "q44_cosine_neardup" ->
       """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the canonical training-data flow composed
+  * from the engine's operators, one annotated DataFrame out:
+  *
+  *   1. exact dedup (md5 fingerprint; keep the lowest id per group),
+  *   2. near dedup (MinHash+LSH candidates, exact-Jaccard verified; drop
+  *      the higher id of every qualifying pair),
+  *   3. quality floor ([[TextOps.qualityScore]]),
+  *   4. language annotation ([[TextOps.langId]]).
+  *
+  * Every row is kept with a `decision` ∈ {kept, exact_dup, near_dup,
+  * low_quality} rather than filtered away, so the curation run is
+  * auditable and each reason's volume is one `GROUP BY` away. Shapes are
+  * the scale-safe ones throughout: fingerprint window, banded LSH
+  * equi-join, no text in any shuffle after tokenization.
+  */
+object Pipeline {
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             nearDupThreshold: Double = 0.9, minQuality: Double = 0.2,
+             shingleK: Int = 3): DataFrame = {
+    val id = col(idCol)
+
+    // 1. exact-dup marking: rn > 1 within a fingerprint group
+    val w = Window.partitionBy("__fp").orderBy(id)
+    val withFp = docs
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+
+    // 2. near-dup drop set: higher id of every verified pair
+    val dropNear = DedupOps.minhashLshPairs(docs, idCol, textCol, shingleK, nearDupThreshold)
+      .select(col("doc_b").as("__near_drop")).distinct()
+
+    withFp
+      .join(broadcast(dropNear), id === col("__near_drop"), "left")
+      .withColumn("quality", TextOps.qualityScore(col(textCol)))
+      .withColumn("lang", TextOps.langId(col(textCol)))
+      .withColumn("decision",
+        when(col("__rn") > 1, "exact_dup")
+          .when(col("__near_drop").isNotNull, "near_dup")
+          .when(col("quality") < minQuality, "low_quality")
+          .otherwise("kept"))
+      .drop("__fp", "__rn", "__near_drop")
+  }
+}

@@ -119,6 +119,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("curation pipeline: decision precedence and auditability") {
+    val d = spark.sql(
+      """SELECT * FROM VALUES
+        | (1L, 'the quick brown fox jumps over the lazy dog again and again today'),
+        | (2L, 'the quick brown fox jumps over the lazy dog again and again today'),
+        | (3L, 'the quick brown fox jumps over the lazy dog again and again tonight'),
+        | (4L, 'tiny'),
+        | (5L, 'a completely different long document with many various interesting words in it for quality scoring purposes and more words to pass the floor')
+        | t(doc_id, text)""".stripMargin)
+    val out = operators.Pipeline.curate(d, "doc_id", "text",
+        nearDupThreshold = 0.5, minQuality = 0.15)
+      .select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "kept")
+    assert(out(2L) == "exact_dup")   // identical text, higher id
+    assert(out(3L) == "near_dup")    // one-word difference
+    assert(out(4L) == "low_quality") // single token
+    assert(out(5L) == "kept")
+  }
+
   test("media decode stub emits fixed-dim features partition-parallel") {
     docs.createOrReplaceTempView("documents")
     MediaOps.registerViews(spark)
