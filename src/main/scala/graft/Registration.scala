@@ -153,6 +153,7 @@ object Registration {
         case ("cpc", true) =>
           if (child.dataType != BinaryType) bindErr(s"$fname: input must be a sketch BLOB")
           CpcUnionAgg(lgK, child)
+        case other => throw new IllegalStateException(s"unexpected counting family $other")
       }
     }
   }

@@ -69,7 +69,4 @@ object functions {
       .build()
     c.as(name, md)
   }
-
-  /** Validate an element tag eagerly (fails fast at call site). */
-  private[graft] def checkElem(tag: String): String = { Kit.ElemType.fromTag(tag); tag }
 }

@@ -310,10 +310,11 @@ case class KllAgg(
     val v = child.eval(input)
     if (v != null) {
       if (isMerge) mergeInto(buf, heapify(v.asInstanceOf[Array[Byte]]))
-      else (buf, elem) match {
-        case (s: KllDoublesSketch, _) => dispatch(v)(l => s.update(l.toDouble), s.update, _ => unsup(), _ => unsup())
-        case (s: KllFloatsSketch, _)  => dispatch(v)(l => s.update(l.toFloat), d => s.update(d.toFloat), _ => unsup(), _ => unsup())
-        case (s: KllLongsSketch, _)   => dispatch(v)(s.update, d => s.update(d.toLong), _ => unsup(), _ => unsup())
+      else buf match {
+        case s: KllDoublesSketch => dispatch(v)(l => s.update(l.toDouble), s.update, _ => unsup(), _ => unsup())
+        case s: KllFloatsSketch  => dispatch(v)(l => s.update(l.toFloat), d => s.update(d.toFloat), _ => unsup(), _ => unsup())
+        case s: KllLongsSketch   => dispatch(v)(s.update, d => s.update(d.toLong), _ => unsup(), _ => unsup())
+        case other => throw new IllegalStateException(s"unexpected KLL buffer ${other.getClass}")
       }
     }
     buf
