@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Pass forked-run stdout through unprefixed: the bench/verify harness
+// emits one machine-parsed JSON line, and sbt's default LoggedOutput
+// decorates it with "[info] ", breaking downstream json parsing.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
