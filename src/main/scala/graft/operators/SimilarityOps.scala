@@ -118,14 +118,24 @@ object SimilarityOps {
     * via LSH buckets (equi-join) + exact verification. The all-pairs
     * variant of [[lshTopK]], for near-dup *removal* rather than search. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, planes: Int = 8): DataFrame = {
+                         threshold: Double, planes: Int = 8,
+                         multiProbe: Boolean = true): DataFrame = {
     val v = df.select(col(idCol).as("doc"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"), lshSignature(col(vecCol), planes).as("sig"))
-    v.as("a").join(v.as("b"),
+    // multi-probe one side with all Hamming-1 signatures; a pair whose
+    // signatures differ in exactly one plane still collides. distinct()
+    // dedups pairs that collide in several probes.
+    val probed =
+      if (multiProbe)
+        v.select(col("doc"), col("vec"), col("nrm"),
+          explode(array(col("sig") +: (0 until planes).map(p =>
+            col("sig").bitwiseXOR(lit(1L << p))): _*)).as("sig"))
+      else v
+    probed.as("a").join(v.as("b"),
         col("a.sig") === col("b.sig") && col("a.doc") < col("b.doc"))
-      .withColumn("cosine",
-        dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("cosine"))
+      .distinct()
   }
 }
