@@ -362,6 +362,49 @@ class FamiliesSpec extends SparkTestBase {
     assert(probe == 2L)
   }
 
+  test("named stored sketches + scalar subqueries + cross join (theta.test:64-80)") {
+    viewRange("ss_a", 1, 5, asDouble = false)
+    viewRange("ss_b", 4, 8, asDouble = false)
+    sql("""CREATE OR REPLACE TEMP VIEW named_sketches AS
+          |SELECT 'A' AS name, (SELECT datasketch_theta(v) FROM ss_a) AS data
+          |UNION ALL
+          |SELECT 'B', (SELECT datasketch_theta(v) FROM ss_b)""".stripMargin)
+    // scalar subquery lookup by name
+    val est = sql(
+      """SELECT CAST(datasketch_theta_estimate(
+        |  (SELECT data FROM named_sketches WHERE name = 'A')) AS INT)""".stripMargin)
+      .head().getInt(0)
+    assert(est == 5)
+    // cross join of stored sketches for pairwise set ops
+    val cross = sql(
+      """SELECT x.name, y.name,
+        |       CAST(datasketch_theta_estimate(datasketch_theta_intersect(x.data, y.data)) AS INT) AS i
+        |FROM named_sketches x CROSS JOIN named_sketches y
+        |WHERE x.name < y.name""".stripMargin).head()
+    assert(cross.getInt(2) == 2) // {4,5}
+  }
+
+  test("dedup use case: distinct sessions/users per page (theta.test:700-838)") {
+    sql("""SELECT * FROM VALUES
+          |('s1', 100, '/home'), ('s1', 100, '/home'), ('s2', 100, '/search'),
+          |('s3', 200, '/home'), ('s2', 100, '/home'), ('s4', 300, '/search'),
+          |('s1', 100, '/search') t(session_id, user_id, page)""".stripMargin)
+      .createOrReplaceTempView("raw_events")
+    val rows = sql(
+      """SELECT page,
+        |       CAST(round(datasketch_theta_estimate(datasketch_theta(session_id))) AS BIGINT) AS sessions,
+        |       CAST(round(datasketch_theta_estimate(datasketch_theta(user_id))) AS BIGINT) AS users
+        |FROM raw_events GROUP BY page ORDER BY page""".stripMargin).collect()
+    assert(rows(0).getString(0) == "/home" && rows(0).getLong(1) == 3L && rows(0).getLong(2) == 2L)
+    assert(rows(1).getString(0) == "/search" && rows(1).getLong(1) == 3L && rows(1).getLong(2) == 2L)
+    // overall dedup across pages via re-aggregation of the grouped sketches
+    val total = sql(
+      """SELECT CAST(round(datasketch_theta_estimate(datasketch_theta(s))) AS BIGINT)
+        |FROM (SELECT page, datasketch_theta(session_id) AS s FROM raw_events GROUP BY page)""".stripMargin)
+      .head().getLong(0)
+    assert(total == 4L)
+  }
+
   test("quantiles golden single-value bytes (quantiles.test:14-17 analog)") {
     // single-value sketches are deterministic; pin the round-trip instead of
     // raw bytes (Java classic-quantiles layout legally differs from C++)
