@@ -77,6 +77,19 @@ class ExtrasSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("GraftExtensions injector registers functions without explicit register()") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    // a session built with the injector resolves the names on its own
+    val est = s2.sql(
+      "SELECT CAST(datasketch_theta_estimate(datasketch_theta(id)) AS INT) FROM range(7)")
+      .head().getInt(0)
+    assert(est == 7)
+  }
+
   test("theta_jaccard flags near-identical key sets across table halves") {
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .createOrReplaceTempView("li_j")
