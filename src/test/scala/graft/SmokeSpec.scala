@@ -150,6 +150,17 @@ class SmokeSpec extends SparkTestBase {
     assert(chain(e).exists(m => m != null && m.contains("Failed to deserialize")))
   }
 
+  test("every inventory name is registered and resolvable (88 reference + extras)") {
+    val reg = spark.sessionState.functionRegistry
+    Registration.all.foreach { case (name, _) =>
+      assert(reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isDefined,
+        s"function $name not registered")
+    }
+    val refNames = Registration.all.map(_._1).filter(_.startsWith("datasketch_")).toSet
+    assert(refNames.size >= 89, s"expected the full reference inventory, got ${refNames.size}")
+  }
+
   test("bind errors: arity, K range, K foldability, elem tag, type checks") {
     def bindErr(q: String): String = {
       val e = intercept[Exception](sql(q).queryExecution.analyzed)
