@@ -586,7 +586,7 @@ object SparkEntry {
 
     "q30_token_stats" ->
       """SELECT source,
-        |       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
         |       max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
@@ -673,13 +673,13 @@ object SparkEntry {
     "q40_media_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
         |       count(*) AS cnt,
-        |       sum(320 + (doc_id % 8) * 160) AS total_width,
-        |       sum(16 + octet_length(encode(text))) AS total_bytes
+        |       CAST(sum(320 + (doc_id % 8) * 160) AS BIGINT) AS total_width,
+        |       CAST(sum(16 + octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
 
     "q41_frame_sample" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-        |       sum(CAST(floor((1000 + (doc_id % 60) * 500 - 1) / 500) AS BIGINT) + 1) AS frames
+        |       CAST(sum(CAST(floor((1000 + (doc_id % 60) * 500 - 1) / 500) AS BIGINT) + 1) AS BIGINT) AS frames
         |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
 
     "q42_media_decode_stub" ->

@@ -47,6 +47,13 @@ def main(outdir, sfdir):
             spark_rows = spark_rel.fetchall()
             duck_rel = con.sql(sql)
             duck_cols = [c.lower() for c in duck_rel.columns]
+            # The driver's harness may canonicalize non-int64 integer types
+            # (HUGEINT from sum(), DECIMAL) via float/Decimal -> "187.0" !=
+            # "187". Flag them so the oracle SQL gets an explicit CAST.
+            for c, t in zip(duck_rel.columns, duck_rel.types):
+                if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL"):
+                    print(f"WARN {name}: column {c} has oracle type {t}; "
+                          f"CAST it to BIGINT/DOUBLE in the oracle SQL")
             duck_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
