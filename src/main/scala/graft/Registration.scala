@@ -56,6 +56,17 @@ object Registration {
     k
   }
 
+  private def foldNum(e: Expression, fname: String, what: String): Number = {
+    if (!e.foldable) bindErr(s"$fname: the $what argument must be a constant")
+    e.eval(null) match {
+      case null      => bindErr(s"$fname: the $what argument must not be NULL")
+      case n: Number => n
+      // SQL fractional literals fold to Spark Decimal (not java.lang.Number)
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case other     => bindErr(s"$fname: the $what argument must be numeric, got $other")
+    }
+  }
+
   private def stringLit(e: Expression): Option[String] = e match {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => Some(s.toString)
     case _ => None
@@ -298,6 +309,41 @@ object Registration {
       b("num_active")(identity, 1, 1))
   }
 
+  /** Bloom-filter family (beyond-reference; join pruning — see
+    * [[graft.sketch.Bloom]]). Parameters fold + erase at bind time like
+    * every reference family's K. */
+  private val bloomBuilders: Seq[(String, B)] = {
+    val build: (String, B) = "datasketch_bloom" -> { args: Seq[Expression] =>
+      arity("datasketch_bloom", args, 3, 3)
+      val maxDistinct = foldNum(args(0), "datasketch_bloom", "max_distinct").longValue()
+      if (maxDistinct < 1 || maxDistinct > (1L << 40))
+        bindErr(s"datasketch_bloom: max_distinct must be between 1 and 2^40, got $maxDistinct")
+      val fpp = foldNum(args(1), "datasketch_bloom", "fpp").doubleValue()
+      if (!(fpp > 0.0 && fpp < 1.0))
+        bindErr(s"datasketch_bloom: fpp must be in (0, 1), got $fpp")
+      BloomBuildAgg(maxDistinct, fpp, args(2))
+    }
+    val union: (String, B) = "datasketch_bloom_union" -> { args: Seq[Expression] =>
+      arity("datasketch_bloom_union", args, 1, 1)
+      if (args.head.dataType != BinaryType)
+        bindErr("datasketch_bloom_union: input must be a bloom filter BLOB")
+      BloomUnionAgg(args.head)
+    }
+    val mightContain: (String, B) = "datasketch_bloom_might_contain" -> { args: Seq[Expression] =>
+      arity("datasketch_bloom_might_contain", args, 2, 2)
+      BloomMightContain(args(0), args(1))
+    }
+    val meta = Seq("is_empty", "bits_used", "capacity", "num_hashes",
+      "fill_percentage", "describe").map { fn =>
+      val fname = s"datasketch_bloom_$fn"
+      fname -> { (args: Seq[Expression]) =>
+        arity(fname, args, 1, 1)
+        BloomScalar(fn, args): Expression
+      }
+    }
+    Seq(build, union, mightContain) ++ meta
+  }
+
   /** Pipeline-operator scalars exposed under SQL names (beyond-reference;
     * Column-API implementations wrapped through the shim). */
   private val pipelineBuilders: Seq[(String, B)] = {
@@ -350,7 +396,7 @@ object Registration {
         thetaAggBuilder, freqAggBuilder) ++
       Seq("quantiles", "kll", "req", "tdigest").flatMap(quantScalarBuilders) ++
       countScalarBuilders("hll") ++ countScalarBuilders("cpc") ++
-      thetaScalarBuilders ++ freqScalarBuilders ++ pipelineBuilders
+      thetaScalarBuilders ++ freqScalarBuilders ++ bloomBuilders ++ pipelineBuilders
 
   /** Install every function into a session's registry. Idempotent. */
   def register(spark: SparkSession): Unit = {

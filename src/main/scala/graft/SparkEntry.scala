@@ -436,6 +436,44 @@ object SparkEntry {
         .orderBy("decision")
     },
 
+    // -- as-of join (union+window: ONE shuffle, no range-join explosion) ----
+    "q47_asof_join" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val ev = spark.table("events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      operators.AsOfJoin.asofJoin(clicks, views, "user_id", "ts", Seq("value"))
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("value").as("view_value"))
+        .orderBy("event_id")
+    },
+
+    // -- bloom join pruning (pre-shuffle fact filter; bloom has no false
+    //    negatives, so pruned-join ≡ plain join exactly) --------------------
+    "q48_bloom_prune" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val dim = spark.table("supplier").filter(col("s_nationkey") === 3)
+      operators.BloomPrune.bloomPrunedJoin(
+          spark.table("lineitem"), "l_suppkey", dim, "s_suppkey",
+          maxDistinct = 1 << 16, fpp = 0.01)
+        .agg(count("*").as("matched_rows"),
+          sum("l_quantity").cast("long").as("total_qty"),
+          countDistinct("l_suppkey").as("suppliers"))
+    },
+
+    // -- KLL-driven range partitioning (exact regime: n ≤ K → cut points
+    //    are exact order statistics → bucket histogram is oracle-exact) ----
+    "q49_range_bounds" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val src = spark.table("lineitem").filter(col("l_partkey") % 16 === 0)
+      val bounds = operators.RangeBounds.fromColumn(src, "l_extendedprice", 4, kllK = 8192)
+      src.select(operators.RangeBounds.bucket(col("l_extendedprice"), bounds.toSeq).as("bucket"))
+        .groupBy("bucket").agg(count("*").as("cnt"))
+        .orderBy("bucket")
+    },
+
     // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
     "q43_profiler" -> qd { spark =>
       import org.apache.spark.sql.functions._
@@ -733,6 +771,33 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q47_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT l.event_id, r.value AS view_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |WHERE l.event_id % 20 = 0 ORDER BY event_id""".stripMargin,
+
+    "q48_bloom_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS matched_rows,
+        |       CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+        |       count(DISTINCT l_suppkey) AS suppliers
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3""".stripMargin,
+
+    "q49_range_bounds" ->
+      """WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) v FROM lineitem
+        |             WHERE l_partkey % 16 = 0),
+        |ranked AS (SELECT v, cume_dist() OVER (ORDER BY v) cd FROM src),
+        |b AS (SELECT (SELECT min(v) FROM ranked WHERE cd >= 0.25) b1,
+        |             (SELECT min(v) FROM ranked WHERE cd >= 0.5)  b2,
+        |             (SELECT min(v) FROM ranked WHERE cd >= 0.75) b3)
+        |SELECT bucket, count(*) AS cnt FROM (
+        |  SELECT CASE WHEN v > b3 THEN 3 WHEN v > b2 THEN 2
+        |              WHEN v > b1 THEN 1 ELSE 0 END AS bucket
+        |  FROM src, b)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q43_profiler" ->
       """WITH src AS (SELECT * FROM lineitem WHERE l_partkey % 64 = 0),

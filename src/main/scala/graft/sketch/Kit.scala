@@ -82,7 +82,18 @@ object Kit {
     if (d.isNaN) "nan"
     else if (d == Double.PositiveInfinity) "inf"
     else if (d == Double.NegativeInfinity) "-inf"
-    else "%f".formatLocal(java.util.Locale.ROOT, d)
+    else {
+      // Whole-number fast path: "%f" of an integral double is just
+      // "<long>.000000", and String.format costs ~1 µs/call — the dominant
+      // per-row cost when building frequent-items over numeric columns
+      // (keys like quantities and ids are almost always integral).
+      val l = d.toLong
+      if (l.toDouble == d && math.abs(d) < 1e15) {
+        if (l == 0L && (java.lang.Double.doubleToRawLongBits(d) != 0L))
+          "-0.000000" // preserve %f's signed zero
+        else l.toString + ".000000"
+      } else "%f".formatLocal(java.util.Locale.ROOT, d)
+    }
 
   def freqKey(v: Any): String = v match {
     case null                                   => null

@@ -18,4 +18,14 @@ object GraftShims {
     * the analyzer's next pass. */
   def toExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** InternalRow RDD → DataFrame (private[sql] in Spark 4). Used by
+    * operators that need explicit partition placement (e.g. identity
+    * range partitioning), where the public `repartition` API only offers
+    * hash or sampling-based range placement. */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

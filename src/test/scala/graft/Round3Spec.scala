@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import operators._
+
+/** Round-3 operators: bloom-filter join pruning, as-of join, KLL-driven
+  * range partitioning. */
+class Round3Spec extends SparkTestBase {
+
+  // NOT cached: suites share the session, and a cached lineitem would make
+  // PlanSpec's pushdown assertions resolve to an InMemoryRelation.
+  private lazy val lineitem =
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+  private lazy val supplier =
+    spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+
+  private lazy val events = {
+    // ts is TIMESTAMP(NANOS) parquet → read as nano-long, convert to micros
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS BIGINT))"))
+  }
+
+  // ---- bloom --------------------------------------------------------------
+
+  test("bloom filter: no false negatives, bounded false positives") {
+    val sk = lineitem.agg(
+      call_function("datasketch_bloom", lit(10000), lit(0.01), col("l_suppkey")).as("f"))
+    val keys = lineitem.select(col("l_suppkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val blob = sk.head().getAs[Array[Byte]](0)
+    val f = graft.sketch.Bloom.wrap(blob)
+    // every inserted key must be found (bloom guarantee)
+    assert(keys.forall(k => f.query(k)))
+    // false-positive rate over a disjoint probe range stays near fpp
+    val probes = (1000000L until 1010000L)
+    val fp = probes.count(k => f.query(k))
+    assert(fp < probes.size * 0.05, s"false-positive count $fp out of ${probes.size}")
+  }
+
+  test("bloom build distributes: grouped partials union to the full filter") {
+    Registration.register(spark)
+    val whole = sql(
+      """SELECT datasketch_bloom(10000, 0.01, l_suppkey) AS f
+        |FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    val unioned = sql(
+      """SELECT datasketch_bloom_union(f) AS f FROM (
+        |  SELECT datasketch_bloom(10000, 0.01, l_suppkey) AS f
+        |  FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`
+        |  GROUP BY l_returnflag)""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, unioned),
+      "two-level bloom union must equal the single-pass filter (deterministic OR of bits)")
+  }
+
+  test("bloom scalar metadata and SQL probe path") {
+    Registration.register(spark)
+    val r = sql(
+      """SELECT datasketch_bloom_might_contain(f, 1) AS has1,
+        |       datasketch_bloom_might_contain(f, 'nope') IS NOT NULL AS str_ok,
+        |       datasketch_bloom_is_empty(f) AS empty,
+        |       datasketch_bloom_num_hashes(f) > 0 AS hashes_ok,
+        |       datasketch_bloom_bits_used(f) > 0 AS bits_ok,
+        |       datasketch_bloom_fill_percentage(f) > 0.0 AS fill_ok
+        |FROM (SELECT datasketch_bloom(100, 0.01, v) AS f
+        |      FROM VALUES (1), (2), (3) t(v))""".stripMargin).head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2)
+      && r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5))
+    // empty input → empty filter that contains nothing
+    val e = sql(
+      """SELECT datasketch_bloom_is_empty(f) AS empty,
+        |       datasketch_bloom_might_contain(f, 42) AS has42
+        |FROM (SELECT datasketch_bloom(100, 0.01, v) AS f
+        |      FROM (SELECT CAST(NULL AS INT) v WHERE false))""".stripMargin).head()
+    assert(e.getBoolean(0) && !e.getBoolean(1))
+  }
+
+  test("bloom bind errors: non-constant / out-of-range parameters") {
+    Registration.register(spark)
+    val bad1 = intercept[Exception](sql(
+      "SELECT datasketch_bloom(0, 0.01, 5)").collect())
+    assert(bad1.getMessage.contains("max_distinct"))
+    val bad2 = intercept[Exception](sql(
+      "SELECT datasketch_bloom(100, 1.5, 5)").collect())
+    assert(bad2.getMessage.contains("fpp"))
+    val bad3 = intercept[Exception](sql(
+      "SELECT datasketch_bloom(l_suppkey, 0.01, 5) FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`").collect())
+    assert(bad3.getMessage.contains("constant"))
+  }
+
+  test("bloomPrunedJoin returns exactly the plain join result") {
+    val dim = supplier.filter(col("s_nationkey") === 3)
+    val plain = lineitem.join(dim, col("l_suppkey") === dim("s_suppkey"))
+      .select("l_orderkey", "l_linenumber", "s_suppkey")
+    val pruned = BloomPrune.bloomPrunedJoin(lineitem, "l_suppkey", dim, "s_suppkey",
+        maxDistinct = 10000, fpp = 0.01)
+      .select("l_orderkey", "l_linenumber", "s_suppkey")
+    assert(pruned.exceptAll(plain).count() == 0 && plain.exceptAll(pruned).count() == 0)
+  }
+
+  test("bloom prune plan: one-row build side broadcast, codegen'd probe") {
+    val dim = supplier.filter(col("s_nationkey") === 3)
+    val plan = BloomPrune.bloomFilterFact(lineitem, "l_suppkey", dim, "s_suppkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast of the one-row filter side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "prune must not shuffle the fact side")
+  }
+
+  // ---- as-of join ---------------------------------------------------------
+
+  /** Brute-force reference: range join + keep the latest right per left. */
+  private def asofBrute(left: org.apache.spark.sql.DataFrame,
+                        right: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_id").orderBy(col("r_ts").desc)
+    left.join(right.select(col("user_id").as("r_uid"), col("ts").as("r_ts"),
+        col("value").as("r_value")),
+        col("user_id") === col("r_uid") && col("r_ts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 || col("r_ts").isNull)
+      .select(col("event_id"), col("r_ts"), col("r_value"))
+  }
+
+  test("asofJoin matches the brute-force range-join formulation") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = events.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    val fast = AsOfJoin.asofJoin(clicks, views, "user_id", "ts", Seq("value"))
+      .select(col("event_id"), col("ts_right").as("r_ts"), col("value").as("r_value"))
+    val ref = asofBrute(clicks, views)
+    assert(fast.exceptAll(ref).count() == 0 && ref.exceptAll(fast).count() == 0)
+    // sanity: some matched, some unmatched rows exist in the fixture
+    val matched = fast.filter(col("r_value").isNotNull).count()
+    assert(matched > 0 && matched < fast.count())
+  }
+
+  test("asofJoin tie is inclusive and tolerance nulls out stale matches") {
+    val l = sql("""SELECT * FROM VALUES (1L, 10L, 100L), (2L, 20L, 200L), (3L, 99L, 300L)
+                  | t(k, t, lv)""".stripMargin)
+    val r = sql("""SELECT * FROM VALUES (1L, 10L, 'exact'), (2L, 5L, 'older'), (3L, 1L, 'stale')
+                  | t(k, t, rv)""".stripMargin)
+    val out = AsOfJoin.asofJoin(l, r, "k", "t", Seq("rv"), toleranceMs = Some(50L))
+      .orderBy("k").collect()
+    assert(out(0).getAs[String]("rv") == "exact")  // equal timestamps match
+    assert(out(1).getAs[String]("rv") == "older")  // within tolerance
+    assert(out(2).isNullAt(out(2).fieldIndex("rv"))) // 98 units back > 50 → null
+  }
+
+  test("asofJoin plan: one shuffle, no join operator") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = events.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    val plan = AsOfJoin.asofJoin(clicks, views, "user_id", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of join must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected window operator:\n$plan")
+  }
+
+  // ---- range bounds -------------------------------------------------------
+
+  test("range bounds: exact-mode cut points equal exact quantiles") {
+    // n=606 values ≤ K=8192 → KLL is in exact mode → bounds are exact
+    // inclusive order statistics
+    val src = lineitem.filter(col("l_partkey") % 16 === 0)
+    val bounds = RangeBounds.fromColumn(src, "l_extendedprice", 4, kllK = 8192)
+    val exact = src.select(col("l_extendedprice").cast("double").as("v"))
+      .withColumn("cd", cume_dist().over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")))
+    val expected = Seq(0.25, 0.5, 0.75).map(r =>
+      exact.filter(col("cd") >= r).agg(min("v")).head().getDouble(0))
+    assert(bounds.toSeq == expected)
+  }
+
+  test("repartitionByBounds yields contiguous sorted ranges of expected size") {
+    val bounds = RangeBounds.fromColumn(lineitem, "l_extendedprice", 8, kllK = 400)
+    assert(bounds.toSeq == bounds.sorted.toSeq)
+    val parts = RangeBounds
+      .repartitionByBounds(lineitem.select(col("l_extendedprice").cast("double").as("v")), "v", bounds)
+      .rdd.mapPartitions { it =>
+        val vs = it.map(_.getDouble(0)).toArray
+        if (vs.isEmpty) Iterator.empty
+        else Iterator((vs.head, vs.last, vs.length, vs.sameElements(vs.sorted)))
+      }.collect()
+    // each non-empty partition is internally sorted
+    assert(parts.forall(_._4))
+    // partitions do not overlap in value range
+    val sorted = parts.sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Array((_, amax, _, _), (bmin, _, _, _)) => amax <= bmin
+      case _ => true
+    })
+    // balance: with K=400 the largest bucket stays well under 2× the ideal
+    val n = lineitem.count().toDouble
+    assert(parts.map(_._3).max < n / (bounds.length + 1) * 2)
+  }
+}
