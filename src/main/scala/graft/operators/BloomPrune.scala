@@ -22,19 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
+  /** Build the dimension-key filter and return its BLOB (one tiny job —
+    * the analog of the sampling pass `repartitionByRange` runs, except the
+    * result is a storable, mergeable value you can persist and reuse). */
+  def buildFilter(dim: DataFrame, dimKey: String,
+                  maxDistinct: Long, fpp: Double): Array[Byte] =
+    dim.agg(call_function("datasketch_bloom",
+        lit(maxDistinct), lit(fpp), col(dimKey)).as("f"))
+      .head().getAs[Array[Byte]](0)
+
   /** Fact rows that *might* join `dim` on `factKey == dimKey` — the
-    * pre-shuffle prune. Superset of the true semi-join by at most fpp. */
+    * pre-shuffle prune. Superset of the true semi-join by at most fpp.
+    *
+    * The filter BLOB is materialized eagerly (one job over the dim side)
+    * and embedded as a literal, NOT carried through a one-row broadcast
+    * join: a join would re-read the blob column per fact row, and
+    * `UnsafeRow.getBinary` copies — ~80 KB × every fact row of pure
+    * memcpy. As a literal the probe sees the same array instance each
+    * row (the wrap memo hits by reference) and the predicate is an
+    * ordinary scan filter inside whole-stage codegen. */
   def bloomFilterFact(fact: DataFrame, factKey: String,
                       dim: DataFrame, dimKey: String,
                       maxDistinct: Long = 1 << 20,
                       fpp: Double = 0.01): DataFrame = {
-    val blob = dim.agg(
-      call_function("datasketch_bloom", lit(maxDistinct), lit(fpp), col(dimKey)).as("f"))
-    // One-row build side broadcast to every fact partition; the probe is a
-    // codegen'd static call, so the scan filter stays whole-stage.
-    fact.join(broadcast(blob),
-        call_function("datasketch_bloom_might_contain", col("f"), col(factKey)))
-      .drop("f")
+    val blob = buildFilter(dim, dimKey, maxDistinct, fpp)
+    fact.filter(call_function("datasketch_bloom_might_contain", lit(blob), col(factKey)))
   }
 
   /** Exact inner join with the bloom prune planted in front of the fact

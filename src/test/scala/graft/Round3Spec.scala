@@ -100,13 +100,13 @@ class Round3Spec extends SparkTestBase {
     assert(pruned.exceptAll(plain).count() == 0 && plain.exceptAll(pruned).count() == 0)
   }
 
-  test("bloom prune plan: one-row build side broadcast, codegen'd probe") {
+  test("bloom prune plan: probe is a plain scan filter, no join, no shuffle") {
     val dim = supplier.filter(col("s_nationkey") === 3)
     val plan = BloomPrune.bloomFilterFact(lineitem, "l_suppkey", dim, "s_suppkey")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"expected a broadcast of the one-row filter side:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), "prune must not shuffle the fact side")
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"prune must be a scan-stage filter:\n$plan")
+    assert(plan.contains("datasketch_bloom_might_contain"), s"probe missing:\n$plan")
   }
 
   // ---- as-of join ---------------------------------------------------------
