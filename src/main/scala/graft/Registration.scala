@@ -344,6 +344,56 @@ object Registration {
     Seq(build, union, mightContain) ++ meta
   }
 
+  /** Sampling family (beyond-reference; uniform + weighted one-pass
+    * samples — see [[graft.sketch.Sampling]]). Element lane resolves from
+    * a trailing tag literal ('long'|'double'|'string') or the raw input's
+    * type; merge path selected by BLOB input like the quantile families. */
+  private val samplingBuilders: Seq[(String, B)] = {
+    import graft.sketch.Sampling.SElem
+    val sElemTags = Set("long", "double", "string")
+    def splitTag(args: Seq[Expression]): (Seq[Expression], Option[SElem]) =
+      args.lastOption.flatMap(stringLit).filter(sElemTags.contains) match {
+        case Some(t) => (args.init, Some(SElem.fromTag(t)))
+        case None    => (args, None)
+      }
+    def lane(fname: String, child: Expression, tag: Option[SElem]): SElem =
+      if (child.dataType == BinaryType) tag.getOrElse(SElem.Dbl)
+      else SElem.ofInput(child.dataType).getOrElse(
+        bindErr(s"$fname: unsupported input type ${child.dataType.simpleString}" +
+          " (numeric or string required)"))
+
+    val reservoir: (String, B) = "datasketch_reservoir" -> { rawArgs: Seq[Expression] =>
+      val (args, tag) = splitTag(rawArgs)
+      arity("datasketch_reservoir", args, 2, 2)
+      val k = checkRange("datasketch_reservoir",
+        foldInt(args.head, "datasketch_reservoir"), 1, 1 << 28, "K")
+      ReservoirAgg(k, args(1), lane("datasketch_reservoir", args(1), tag))
+    }
+    val varopt: (String, B) = "datasketch_varopt" -> { rawArgs: Seq[Expression] =>
+      val (args, tag) = splitTag(rawArgs)
+      arity("datasketch_varopt", args, 2, 3)
+      val k = checkRange("datasketch_varopt",
+        foldInt(args.head, "datasketch_varopt"), 1, 1 << 28, "K")
+      val isMerge = args(1).dataType == BinaryType
+      if (!isMerge && args.length < 3)
+        bindErr("datasketch_varopt: raw input requires a weight argument")
+      val kids = if (isMerge) Seq(args(1)) else Seq(args(1), Cast(args(2), DoubleType))
+      VarOptAgg(k, kids, lane("datasketch_varopt", args(1), tag))
+    }
+    val scalars = for {
+      family <- Seq("reservoir", "varopt")
+      fn <- Seq("samples", "n", "k", "num_samples")
+    } yield {
+      val fname = s"datasketch_${family}_$fn"
+      fname -> { (rawArgs: Seq[Expression]) =>
+        val (args, tag) = splitTag(rawArgs)
+        arity(fname, args, 1, 1)
+        SamplingScalar(family, fn, tag.getOrElse(SElem.Dbl), args): Expression
+      }
+    }
+    Seq(reservoir, varopt) ++ scalars
+  }
+
   /** Pipeline-operator scalars exposed under SQL names (beyond-reference;
     * Column-API implementations wrapped through the shim). */
   private val pipelineBuilders: Seq[(String, B)] = {
@@ -396,7 +446,8 @@ object Registration {
         thetaAggBuilder, freqAggBuilder) ++
       Seq("quantiles", "kll", "req", "tdigest").flatMap(quantScalarBuilders) ++
       countScalarBuilders("hll") ++ countScalarBuilders("cpc") ++
-      thetaScalarBuilders ++ freqScalarBuilders ++ bloomBuilders ++ pipelineBuilders
+      thetaScalarBuilders ++ freqScalarBuilders ++ bloomBuilders ++
+      samplingBuilders ++ pipelineBuilders
 
   /** Install every function into a session's registry. Idempotent. */
   def register(spark: SparkSession): Unit = {

@@ -474,6 +474,23 @@ object SparkEntry {
         .orderBy("bucket")
     },
 
+    // -- sampling (exact regime: K ≥ n → the sample IS the input; the
+    //    two-level form proves the BLOB merge path keeps everything) --------
+    "q50_reservoir_sample" -> q(
+      """SELECT price FROM (
+        |  SELECT explode(datasketch_reservoir_samples(
+        |           datasketch_reservoir(1048576, sk, 'double'), 'double')) AS price
+        |  FROM (SELECT l_returnflag, datasketch_reservoir(1048576, l_extendedprice) AS sk
+        |        FROM lineitem WHERE l_partkey % 64 = 0 GROUP BY l_returnflag))
+        |ORDER BY price""".stripMargin),
+
+    "q51_varopt_sample" -> q(
+      """SELECT CAST(round(aggregate(s, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.weight)) AS BIGINT) AS total_w,
+        |       size(s) AS kept
+        |FROM (SELECT datasketch_varopt_samples(
+        |        datasketch_varopt(1048576, l_orderkey, l_quantity), 'long') AS s
+        |      FROM lineitem WHERE l_partkey % 64 = 0)""".stripMargin),
+
     // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
     "q43_profiler" -> qd { spark =>
       import org.apache.spark.sql.functions._
@@ -798,6 +815,15 @@ object SparkEntry {
         |              WHEN v > b1 THEN 1 ELSE 0 END AS bucket
         |  FROM src, b)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q50_reservoir_sample" ->
+      """SELECT l_extendedprice AS price FROM lineitem
+        |WHERE l_partkey % 64 = 0 ORDER BY price""".stripMargin,
+
+    "q51_varopt_sample" ->
+      """SELECT CAST(sum(l_quantity) AS BIGINT) AS total_w,
+        |       CAST(count(*) AS INT) AS kept
+        |FROM lineitem WHERE l_partkey % 64 = 0""".stripMargin,
 
     "q43_profiler" ->
       """WITH src AS (SELECT * FROM lineitem WHERE l_partkey % 64 = 0),

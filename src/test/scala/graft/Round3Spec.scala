@@ -161,6 +161,75 @@ class Round3Spec extends SparkTestBase {
     assert(plan.contains("Window"), s"expected window operator:\n$plan")
   }
 
+  // ---- sampling -----------------------------------------------------------
+
+  test("reservoir: k >= n keeps the whole input (exact mode), merge included") {
+    Registration.register(spark)
+    val expected = lineitem.filter(col("l_partkey") % 64 === 0)
+      .select("l_extendedprice").collect().map(_.getDouble(0)).sorted.toSeq
+    // single-pass build
+    val direct = sql(
+      """SELECT sort_array(datasketch_reservoir_samples(
+        |         datasketch_reservoir(131072, l_extendedprice), 'double')) AS s
+        |FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`
+        |WHERE l_partkey % 64 = 0""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(direct == expected)
+    // two-level: per-group reservoirs merged through the BLOB path
+    val merged = sql(
+      """SELECT sort_array(datasketch_reservoir_samples(
+        |         datasketch_reservoir(131072, sk, 'double'), 'double')) AS s
+        |FROM (SELECT l_returnflag, datasketch_reservoir(131072, l_extendedprice) AS sk
+        |      FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`
+        |      WHERE l_partkey % 64 = 0 GROUP BY l_returnflag)""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(merged == expected)
+  }
+
+  test("reservoir: k < n yields exactly k items, all drawn from the input") {
+    Registration.register(spark)
+    val r = sql(
+      """SELECT datasketch_reservoir_num_samples(sk, 'long') AS ns,
+        |       datasketch_reservoir_n(sk, 'long') AS n,
+        |       datasketch_reservoir_samples(sk, 'long') AS s
+        |FROM (SELECT datasketch_reservoir(50, l_suppkey) AS sk
+        |      FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`)""".stripMargin)
+      .head()
+    val universe = lineitem.select("l_suppkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(r.getInt(0) == 50 && r.getLong(1) == lineitem.count())
+    assert(r.getSeq[Long](2).forall(universe.contains))
+    // empty input → NULL, NULLs skipped
+    val e = sql(
+      """SELECT datasketch_reservoir(10, v) IS NULL AS isnull,
+        |       datasketch_reservoir_n(datasketch_reservoir(10, w), 'long') AS n
+        |FROM VALUES (CAST(NULL AS BIGINT), 1L), (NULL, NULL), (NULL, 2L) t(v, w)""".stripMargin).head()
+    assert(e.getBoolean(0) && e.getLong(1) == 2L)
+  }
+
+  test("varopt: exact mode keeps all items with true weights; total weight preserved under sampling") {
+    Registration.register(spark)
+    val exact = sql(
+      """SELECT sort_array(datasketch_varopt_samples(
+        |         datasketch_varopt(1000, v, w), 'string')) AS s
+        |FROM VALUES ('a', 1.0), ('b', 2.5), ('c', 10.0) t(v, w)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(exact.map(r => (r.getString(0), r.getDouble(1))) ==
+      Seq(("a", 1.0), ("b", 2.5), ("c", 10.0)))
+    // k < n: VarOpt preserves the stream's total weight in the adjusted
+    // weights (the unbiasedness invariant), and keeps exactly k items
+    val sampled = sql(
+      """SELECT datasketch_varopt_num_samples(sk, 'long') AS ns,
+        |       aggregate(datasketch_varopt_samples(sk, 'long'),
+        |                 CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.weight) AS total_w
+        |FROM (SELECT datasketch_varopt(64, l_suppkey, l_quantity) AS sk
+        |      FROM parquet.`/root/testdata/sf0.001/lineitem.parquet`)""".stripMargin)
+      .head()
+    val trueTotal = lineitem.agg(sum("l_quantity")).head().getDouble(0)
+    assert(sampled.getInt(0) == 64)
+    assert(math.abs(sampled.getDouble(1) - trueTotal) / trueTotal < 1e-9)
+  }
+
   // ---- range bounds -------------------------------------------------------
 
   test("range bounds: exact-mode cut points equal exact quantiles") {
