@@ -33,6 +33,16 @@ object functions {
   def datasketch_frequent_items(lgK: Int, v: Column): Column =
     call("datasketch_frequent_items", lit(lgK), v)
 
+  def datasketch_bloom(maxDistinct: Long, fpp: Double, v: Column): Column =
+    call("datasketch_bloom", lit(maxDistinct), lit(fpp), v)
+  def datasketch_bloom_union(sk: Column): Column = call("datasketch_bloom_union", sk)
+  def datasketch_reservoir(k: Int, v: Column): Column =
+    call("datasketch_reservoir", lit(k), v)
+  def datasketch_reservoir(k: Int, v: Column, elem: String): Column =
+    call("datasketch_reservoir", lit(k), v, lit(elem))
+  def datasketch_varopt(k: Int, v: Column, weight: Column): Column =
+    call("datasketch_varopt", lit(k), v, weight)
+
   // ---- scalar probes (generic helpers) ------------------------------------
 
   /** `datasketch_<family>_<fn>(args...)` for any of the 78 scalar names. */
@@ -55,6 +65,12 @@ object functions {
     call("datasketch_frequent_items_estimate", sk, item)
   def datasketch_frequent_items_get_frequent(sk: Column): Column =
     call("datasketch_frequent_items_get_frequent", sk)
+  def datasketch_bloom_might_contain(sk: Column, v: Column): Column =
+    call("datasketch_bloom_might_contain", sk, v)
+  def datasketch_reservoir_samples(sk: Column, elem: String = "double"): Column =
+    call("datasketch_reservoir_samples", sk, lit(elem))
+  def datasketch_varopt_samples(sk: Column, elem: String = "double"): Column =
+    call("datasketch_varopt_samples", sk, lit(elem))
 
   // ---- sketch-typed column helper ----------------------------------------
 
