@@ -22,13 +22,27 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Exact dedup on normalized content; keeps the lowest id per group.
-    * Scale: shuffle carries (fingerprint, id) pairs only. */
+    *
+    * Scale shape: the ranking window sees ONLY (fingerprint, id) pairs —
+    * never the document text — so the exchange carries ~48 B/row
+    * regardless of document size. The loser ids (typically a small
+    * fraction) then anti-join back against the full rows; AQE broadcasts
+    * that side when it is small, and when it is not, the fallback
+    * shuffle join costs no more than shuffling the text through the
+    * window would have. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy("fp").orderBy(col(idCol))
-    df.withColumn("fp", TextOps.fingerprint(col(textCol)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("fp", "rn")
+    val drops = dupIds(df, idCol, textCol)
+    df.join(drops, col(idCol) === col("__dup_id"), "left_anti")
+  }
+
+  /** Ids that lose exact dedup (every row but the lowest id of each
+    * normalized-content group). */
+  private[operators] def dupIds(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("__fp").orderBy(col("__dup_id"))
+    df.select(col(idCol).as("__dup_id"), TextOps.fingerprint(col(textCol)).as("__fp"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select("__dup_id")
   }
 
   private def rot5(a: Column): Column =
@@ -149,7 +163,6 @@ object DedupOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, k).cache()
-    val sh = sets.select(col("doc"), col("sz"), explode(col("shset")).as("shingle"))
     val sig = minhashSignatures(sets, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -163,18 +176,23 @@ object DedupOps {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    // exact verification of candidates only; set sizes ride the index rows
-    sh.as("x")
-      .join(cands.hint("broadcast"), col("x.doc") === col("doc_a"))
-      .join(sh.as("y"), col("y.doc") === col("doc_b") && col("x.shingle") === col("y.shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count("*").as("common"),
-        first(col("x.sz")).as("sz_a"), first(col("y.sz")).as("sz_b"))
+    // Exact verification on candidates only, straight from the shingle
+    // SETS: two broadcast-candidate joins reunite each pair with its two
+    // arrays and `array_intersect` counts the overlap — no exploded
+    // inverted index (doc×shingles rows) scanned twice, no pair groupBy.
+    // Candidate volume is O(near-dups), tiny next to the corpus, so the
+    // broadcasts hold at scale; the big `sets` side never shuffles.
+    val withA = cands.hint("broadcast")
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc"))
+      .select(col("doc_a"), col("doc_b"), col("sa.sz").as("sz_a"), col("sa.shset").as("set_a"))
+    withA.hint("broadcast")
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc"))
+      .withColumn("common", size(array_intersect(col("set_a"), col("sb.shset"))))
       .withColumn("jaccard",
         col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+          (col("sz_a") + col("sb.sz") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash over tokens: bit j of the result is the sign of

@@ -26,25 +26,26 @@ object Pipeline {
              shingleK: Int = 3): DataFrame = {
     val id = col(idCol)
 
-    // 1. exact-dup marking: rn > 1 within a fingerprint group
-    val w = Window.partitionBy("__fp").orderBy(id)
-    val withFp = docs
-      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
+    // 1. exact-dup drop set: the ranking window sees only (fp, id) pairs,
+    //    so full document rows never enter an exchange (the drop sets
+    //    join back against the scan; AQE broadcasts them when small)
+    val dropExact = DedupOps.dupIds(docs, idCol, textCol)
+      .select(col("__dup_id").as("__exact_drop"))
 
     // 2. near-dup drop set: higher id of every verified pair
     val dropNear = DedupOps.minhashLshPairs(docs, idCol, textCol, shingleK, nearDupThreshold)
       .select(col("doc_b").as("__near_drop")).distinct()
 
-    withFp
+    docs
+      .join(broadcast(dropExact), id === col("__exact_drop"), "left")
       .join(broadcast(dropNear), id === col("__near_drop"), "left")
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .withColumn("lang", TextOps.langId(col(textCol)))
       .withColumn("decision",
-        when(col("__rn") > 1, "exact_dup")
+        when(col("__exact_drop").isNotNull, "exact_dup")
           .when(col("__near_drop").isNotNull, "near_dup")
           .when(col("quality") < minQuality, "low_quality")
           .otherwise("kept"))
-      .drop("__fp", "__rn", "__near_drop")
+      .drop("__exact_drop", "__near_drop")
   }
 }

@@ -70,4 +70,22 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
       s"candidate pairs should broadcast:\n$plan")
   }
+
+  test("exact dedup: no shuffle carries the document text") {
+    // The dedup window must rank (fingerprint, id) pairs only; full rows
+    // (with text) stay scan-side until the final anti-join. At 100 TB the
+    // difference is shuffling ~48 B/row vs whole documents.
+    val plan = operators.DedupOps.exactDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan match {
+        // AQE wrapper is opaque to collect; assert on its current plan
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"expected a shuffle for the ranking window:\n$plan")
+    assert(exchanges.forall(!_.output.exists(_.name == "text")),
+      s"text must not enter an exchange:\n$plan")
+  }
 }
