@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, UpdateSketchBuilder}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.TextOps
+
+/** Streaming ingest operators for training-data pipelines.
+  *
+  * [[dropDuplicateDocs]]: exact content dedup on a continuous document
+  * stream. State is ONE 16-byte fingerprint per distinct document inside
+  * the watermark horizon — never the text — and Spark evicts it as the
+  * watermark advances, so state is bounded by (ingest rate × horizon),
+  * not corpus size. This is the streaming face of
+  * [[graft.operators.DedupOps.exactDedup]]: same fingerprint, same
+  * keep-first semantics.
+  *
+  * [[sessionize]]: event-gap sessionization with sketch-carrying custom
+  * state (`flatMapGroupsWithState` + event-time timeout). Each user's
+  * state holds counters plus a serialized theta sketch of distinct event
+  * types — the sketch-as-state pattern: mergeable, bounded (~KB), and the
+  * emitted session rows carry re-aggregatable sketch BLOBs downstream.
+  */
+object StreamingDedup {
+
+  /** Drop documents whose normalized-content fingerprint already appeared
+    * within the watermark horizon (keep-first). */
+  def dropDuplicateDocs(docs: DataFrame, tsCol: String, textCol: String,
+                        watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  case class SessionState(start: Timestamp, last: Timestamp, events: Long,
+                          thetaBytes: Array[Byte])
+  case class SessionSummary(user_id: Long, session_start: Timestamp,
+                            session_end: Timestamp, events: Long,
+                            approx_distinct_types: Long,
+                            types_sketch: Array[Byte])
+
+  private def updateTheta(old: Array[Byte], types: Iterator[String]): Array[Byte] = {
+    val sk = new UpdateSketchBuilder().build()
+    types.foreach(sk.update)
+    if (old == null || old.isEmpty) sk.compact().toByteArray
+    else {
+      val u = SetOperation.builder().buildUnion()
+      u.union(Sketches.wrapCompactSketch(org.apache.datasketches.memory.Memory.wrap(old)))
+      u.union(sk.compact())
+      u.getResult.toByteArray
+    }
+  }
+
+  private def summary(userId: Long, s: SessionState): SessionSummary = {
+    val est = CompactSketch.wrap(
+      org.apache.datasketches.memory.Memory.wrap(s.thetaBytes)).getEstimate
+    SessionSummary(userId, s.start, s.last, s.events, math.round(est), s.thetaBytes)
+  }
+
+  /** Event-gap sessionization: a user's session closes after `gapMinutes`
+    * of silence (enforced via event-time timeout against the watermark).
+    * Emits one row per closed session; state per live user is O(1) + a
+    * compact theta sketch.
+    *
+    * @param events streaming DataFrame with (ts TIMESTAMP, user_id LONG,
+    *               event_type STRING) columns
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 watermark: String = "2 hours"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events.selectExpr("CAST(user_id AS LONG) AS user_id", "ts",
+        "CAST(event_type AS STRING) AS event_type")
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, Timestamp, String)],
+         state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // silence exceeded the gap: close and emit the session
+            val out = state.getOption.map(s => summary(userId, s))
+            state.remove()
+            out.iterator
+          } else {
+            val batch = rows.toSeq.sortBy(_._2.getTime)
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionSummary]
+            batch.foreach { case (_, ts, tpe) =>
+              cur =
+                if (cur == null)
+                  SessionState(ts, ts, 1L, updateTheta(null, Iterator(tpe)))
+                else if (ts.getTime - cur.last.getTime > gapMs) {
+                  // in-batch gap: close the previous session immediately
+                  closed += summary(userId, cur)
+                  SessionState(ts, ts, 1L, updateTheta(null, Iterator(tpe)))
+                } else
+                  SessionState(cur.start, ts, cur.events + 1,
+                    updateTheta(cur.thetaBytes, Iterator(tpe)))
+            }
+            if (cur != null) {
+              state.update(cur)
+              // close when the watermark passes last-event + gap
+              state.setTimeoutTimestamp(cur.last.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
+}

@@ -77,4 +77,73 @@ class StreamingSpec extends SparkTestBase {
         s"rollup over batch updates must merge to 3 distinct users, got ${users.head}")
     } finally query.stop()
   }
+
+  case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
+  test("streaming dedup drops repeated content within the watermark, keeps first") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[Doc]
+    val out = streaming.StreamingDedup.dropDuplicateDocs(
+      mem.toDF(), "ts", "text", watermark = "10 hours")
+    val query = out.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Doc(t(10, 0), 1, "the quick brown fox"),
+        Doc(t(10, 1), 2, "the  quick   brown fox"), // same after normalization
+        Doc(t(10, 2), 3, "something else"))
+      query.processAllAvailable()
+      mem.addData(Doc(t(10, 5), 4, "the quick brown fox")) // cross-batch dup
+      query.processAllAvailable()
+
+      val kept = spark.sql("SELECT doc_id FROM stream_dedup ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(1L, 3L), s"expected first-wins dedup, got $kept")
+    } finally query.stop()
+  }
+
+  test("sessionization closes sessions on event-time gaps, sketch state mergeable") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[Ev]
+    val out = streaming.StreamingDedup.sessionize(
+      mem.toDF(), gapMinutes = 30, watermark = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two sessions separated by >30 min inside one batch;
+      // user 2: one session
+      mem.addData(
+        Ev(t(9, 0), 1, "click", 1.0), Ev(t(9, 10), 1, "view", 2.0),
+        Ev(t(10, 0), 1, "click", 3.0),
+        Ev(t(9, 5), 2, "view", 4.0))
+      query.processAllAvailable()
+      // advance watermark far past every open session's timeout
+      mem.addData(Ev(t(14, 0), 9, "click", 5.0))
+      query.processAllAvailable()
+      mem.addData(Ev(t(20, 0), 9, "click", 6.0))
+      query.processAllAvailable()
+
+      val rows = spark.sql(
+        """SELECT user_id, session_start, events, approx_distinct_types
+          |FROM stream_sessions ORDER BY user_id, session_start""".stripMargin).collect()
+      val u1 = rows.filter(_.getLong(0) == 1L)
+      assert(u1.length == 2, s"user 1 should have 2 sessions, got ${rows.mkString(",")}")
+      assert(u1(0).getTimestamp(1) == t(9, 0) && u1(0).getLong(2) == 2L
+        && u1(0).getLong(3) == 2L) // click+view distinct types
+      assert(u1(1).getTimestamp(1) == t(10, 0) && u1(1).getLong(2) == 1L)
+      val u2 = rows.filter(_.getLong(0) == 2L)
+      assert(u2.length == 1 && u2.head.getLong(2) == 1L)
+      // emitted sketch BLOBs re-aggregate with the batch merge functions
+      val merged = spark.sql(
+        """SELECT CAST(round(datasketch_theta_estimate(datasketch_theta(types_sketch))) AS BIGINT)
+          |FROM stream_sessions WHERE user_id = 1""".stripMargin).head().getLong(0)
+      assert(merged == 2L, s"merged session sketches should see 2 types, got $merged")
+    } finally query.stop()
+  }
 }
