@@ -491,6 +491,22 @@ object SparkEntry {
         |        datasketch_varopt(1048576, l_orderkey, l_quantity), 'long') AS s
         |      FROM lineitem WHERE l_partkey % 64 = 0)""".stripMargin),
 
+    // -- join-key overlap profiling (theta set algebra; exact regime at
+    //    sf0.01: both key sets fit lg_k=14 exact mode) ----------------------
+    "q52_join_stats" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.JoinStats.keyOverlap(
+          spark.table("orders").filter(col("o_orderkey") % 3 === 0), "o_custkey",
+          spark.table("customer").filter(col("c_nationkey") < 13), "c_custkey",
+          lgK = 14)
+        .select(
+          round(col("distinct_a")).cast("long").as("distinct_a"),
+          round(col("distinct_b")).cast("long").as("distinct_b"),
+          round(col("overlap")).cast("long").as("overlap"),
+          round(col("union_keys")).cast("long").as("union_keys"),
+          round(col("containment_a"), 6).as("containment_a"))
+    },
+
     // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
     "q43_profiler" -> qd { spark =>
       import org.apache.spark.sql.functions._
@@ -815,6 +831,17 @@ object SparkEntry {
         |              WHEN v > b1 THEN 1 ELSE 0 END AS bucket
         |  FROM src, b)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q52_join_stats" ->
+      """WITH a AS (SELECT DISTINCT o_custkey k FROM orders WHERE o_orderkey % 3 = 0),
+        |     b AS (SELECT DISTINCT c_custkey k FROM customer WHERE c_nationkey < 13),
+        |     s AS (SELECT (SELECT count(*) FROM a) AS da,
+        |                  (SELECT count(*) FROM b) AS db,
+        |                  (SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS ov,
+        |                  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS un)
+        |SELECT da AS distinct_a, db AS distinct_b, ov AS overlap, un AS union_keys,
+        |       round(CAST(ov AS DOUBLE) / CAST(da AS DOUBLE), 6) AS containment_a
+        |FROM s""".stripMargin,
 
     "q50_reservoir_sample" ->
       """SELECT l_extendedprice AS price FROM lineitem

@@ -230,6 +230,26 @@ class Round3Spec extends SparkTestBase {
     assert(math.abs(sampled.getDouble(1) - trueTotal) / trueTotal < 1e-9)
   }
 
+  // ---- join stats ---------------------------------------------------------
+
+  test("join-key overlap: exact-mode theta matches set arithmetic") {
+    val li = lineitem // sf0.001 has suppliers 1..10
+    val a = li.filter(col("l_suppkey") <= 7).select("l_suppkey")
+    val b = li.filter(col("l_suppkey") > 4).select("l_suppkey")
+    val r = JoinStats.keyOverlap(a, "l_suppkey", b, "l_suppkey", lgK = 14).head()
+    val da = a.distinct().count().toDouble
+    val db = b.distinct().count().toDouble
+    val ov = a.intersect(b).count().toDouble
+    assert(da > 0 && db > 0 && ov > 0, s"fixture assumption broken: $da/$db/$ov")
+    assert(math.round(r.getDouble(0)) == da && math.round(r.getDouble(1)) == db)
+    assert(math.round(r.getDouble(2)) == ov)
+    assert(math.abs(r.getAs[Double]("containment_a") - ov / da) < 1e-9)
+    // an empty side yields NULL ratios, not an ANSI divide error
+    val empty = JoinStats.keyOverlap(
+      a.filter(col("l_suppkey") < 0), "l_suppkey", b, "l_suppkey", lgK = 14).head()
+    assert(empty.isNullAt(empty.fieldIndex("containment_a")))
+  }
+
   // ---- range bounds -------------------------------------------------------
 
   test("range bounds: exact-mode cut points equal exact quantiles") {
