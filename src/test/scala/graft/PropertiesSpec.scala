@@ -110,4 +110,56 @@ class PropertiesSpec extends SparkTestBase {
     assert(rows.length == 3) // one per returnflag
     assert(rows.forall(_.getLong(1) > 0))
   }
+
+  test("bloom: regrouped partial-filter unions are bit-identical to single pass") {
+    randomTable("bloom_t", 30000, 8000)
+    val whole = sql(
+      "SELECT datasketch_bloom(20000, 0.01, v) AS f FROM bloom_t")
+      .head().getAs[Array[Byte]](0)
+    for (groups <- Seq(2, 13)) {
+      val parts = sql(
+        s"""SELECT datasketch_bloom_union(f) AS f FROM (
+           |  SELECT datasketch_bloom(20000, 0.01, v) AS f
+           |  FROM bloom_t GROUP BY i % $groups)""".stripMargin)
+        .head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(whole, parts),
+        s"bloom bits differ when built via $groups partials")
+    }
+  }
+
+  test("asof join equals brute force on randomized key/time data with ties") {
+    import org.apache.spark.sql.expressions.Window
+    // small domains on purpose: force key collisions and exact-tie times
+    val left = Seq.tabulate(400)(i =>
+      (i.toLong, (rnd.nextInt(12)).toLong, rnd.nextInt(40).toLong))
+    val right = Seq.tabulate(300)(i =>
+      ((rnd.nextInt(12)).toLong, rnd.nextInt(40).toLong, i.toLong))
+      // unique (key, time): arbitrary-among-ties would be nondeterministic
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val l = spark.createDataFrame(left).toDF("lid", "k", "t")
+    val r = spark.createDataFrame(right).toDF("k", "t", "rv")
+    val fast = operators.AsOfJoin.asofJoin(l, r, "k", "t", Seq("rv"))
+      .select("lid", "rv")
+    val brute = l.join(r.select(col("k").as("rk"), col("t").as("rt"), col("rv")),
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lid").orderBy(col("rt").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("lid", "rv")
+    assert(fast.exceptAll(brute).count() == 0 && brute.exceptAll(fast).count() == 0)
+  }
+
+  test("reservoir/varopt samples are always drawn from the input domain") {
+    randomTable("samp_t", 10000, 250)
+    val r = sql(
+      """SELECT datasketch_reservoir_samples(datasketch_reservoir(97, v), 'long') AS rs,
+        |       datasketch_varopt_samples(datasketch_varopt(61, v, CAST(v + 1 AS DOUBLE)), 'long') AS vs
+        |FROM samp_t""".stripMargin).head()
+    assert(r.getSeq[Long](0).size == 97)
+    assert(r.getSeq[Long](0).forall(v => v >= 0 && v < 250))
+    val vs = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(vs.size == 61)
+    // adjusted weights never fall below the true item weight's floor (1.0)
+    assert(vs.forall(x => x.getLong(0) >= 0 && x.getLong(0) < 250 && x.getDouble(1) >= 1.0))
+  }
 }
