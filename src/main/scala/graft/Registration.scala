@@ -344,6 +344,45 @@ object Registration {
     Seq(build, union, mightContain) ++ meta
   }
 
+  /** Tuple (ArrayOfDoubles) family (beyond-reference; distinct keys with
+    * summed value vectors — see [[graft.sketch.TupleAod]]). */
+  private val tupleBuilders: Seq[(String, B)] = {
+    val build: (String, B) = "datasketch_aod" -> { args: Seq[Expression] =>
+      if (args.length < 4)
+        bindErr("datasketch_aod: expected (lg_k, num_values, key, v1, ...)")
+      val lgK = checkRange("datasketch_aod", foldInt(args(0), "datasketch_aod"), 4, 26, "lg_k")
+      val n = foldInt(args(1), "datasketch_aod")
+      if (n < 1 || n > 1024)
+        bindErr(s"datasketch_aod: num_values must be between 1 and 1024, got $n")
+      if (args.length != n + 3)
+        bindErr(s"datasketch_aod: expected $n value columns, got ${args.length - 3}")
+      AodBuildAgg(lgK, n, args(2) +: args.drop(3).map(dbl))
+    }
+    val union: (String, B) = "datasketch_aod_union" -> { args: Seq[Expression] =>
+      arity("datasketch_aod_union", args, 2, 2)
+      val lgK = checkRange("datasketch_aod_union", foldInt(args(0), "datasketch_aod_union"), 4, 26, "lg_k")
+      if (args(1).dataType != BinaryType)
+        bindErr("datasketch_aod_union: input must be a tuple sketch BLOB")
+      AodUnionAgg(lgK, args(1))
+    }
+    val scalars = Seq(
+      ("estimate", 1, 1), ("theta", 1, 1), ("is_empty", 1, 1),
+      ("is_estimation_mode", 1, 1), ("num_retained", 1, 1), ("num_values", 1, 1),
+      ("sum_estimate", 1, 1), ("describe", 1, 1),
+      ("lower_bound", 2, 2), ("upper_bound", 2, 2),
+      ("intersect", 2, 2), ("a_not_b", 2, 2)).map { case (fn, lo, hi) =>
+      val fname = s"datasketch_aod_$fn"
+      fname -> { (args: Seq[Expression]) =>
+        arity(fname, args, lo, hi)
+        val fixed =
+          if (fn == "lower_bound" || fn == "upper_bound") Seq(args(0), int(args(1)))
+          else args
+        TupleScalar(fn, fixed): Expression
+      }
+    }
+    Seq(build, union) ++ scalars
+  }
+
   /** Sampling family (beyond-reference; uniform + weighted one-pass
     * samples — see [[graft.sketch.Sampling]]). Element lane resolves from
     * a trailing tag literal ('long'|'double'|'string') or the raw input's
@@ -447,7 +486,7 @@ object Registration {
       Seq("quantiles", "kll", "req", "tdigest").flatMap(quantScalarBuilders) ++
       countScalarBuilders("hll") ++ countScalarBuilders("cpc") ++
       thetaScalarBuilders ++ freqScalarBuilders ++ bloomBuilders ++
-      samplingBuilders ++ pipelineBuilders
+      tupleBuilders ++ samplingBuilders ++ pipelineBuilders
 
   /** Install every function into a session's registry. Idempotent. */
   def register(spark: SparkSession): Unit = {
