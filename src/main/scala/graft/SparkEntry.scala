@@ -26,14 +26,16 @@ object SparkEntry {
     * DuckDB oracle's read of the same files). */
   private val nanoTsCols = Set("l_shipdate", "o_orderdate", "ts")
 
-  /** Last (session, dir) prepared — view/registration setup is memoized so
-    * a bench/verify loop over many queries pays file listing + schema read
-    * once, not per query. */
-  @volatile private var prepared: (SparkSession, String) = null
+  /** (session, dir) pairs already prepared — view/registration setup is
+    * memoized so a bench/verify loop over many queries pays file listing +
+    * schema read (and the one-time widening rewrite, see below) once, not
+    * per query. A set, not a single slot, so suites alternating between
+    * SFs don't thrash the rewrite. */
+  private val prepared = scala.collection.mutable.Set.empty[(SparkSession, String)]
 
   /** Register functions + per-SF temp views (idempotent). */
   private def prep(spark: SparkSession, dir: String): Unit = synchronized {
-    if (prepared == (spark, dir)) return
+    if (prepared((spark, dir))) return
     Registration.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Sketch buffers are KB-sized objects; the default sort-based fallback
@@ -54,21 +56,30 @@ object SparkEntry {
       // The test files are single-row-group parquet, so a scan yields ONE
       // task. For the compute-heavy tables (text tokenize+hash, embedding
       // arithmetic — µs-per-row map work) that serializes the whole
-      // pipeline on one core; widen those to the session's parallelism
-      // with a cheap row shuffle. The condition is false on production
-      // multi-split inputs, where this is a no-op. Sketch-update tables
-      // (~100 ns/row) are NOT widened: there the shuffle costs more than
-      // the single-split scan. Results are unaffected — every aggregate
-      // here is merge-commutative (sketches are mergeable monoids;
-      // oracle-checked queries are pinned to exact-mode regimes).
+      // pipeline on one core. Round 3 fixed this with a `repartition` baked
+      // into the view plan — which made EVERY query over these views re-pay
+      // a full-text shuffle (the round-3 bench regression). Instead,
+      // rewrite the table ONCE as par-way parquet in scratch space and
+      // register the view over the rewrite: every query then gets a
+      // parallel multi-split scan with NO per-query shuffle, and the
+      // rewrite survives `spark.catalog.clearCache()`. The condition is
+      // false on production multi-split inputs, where this is a no-op.
+      // Sketch-update tables (~100 ns/row) are NOT widened: their
+      // single-split scan is cheaper than any rewrite.
       val computeHeavy = Set("documents", "embeddings")
       val par = spark.sparkContext.defaultParallelism
       val widened =
-        if (computeHeavy(t) && df.rdd.getNumPartitions < par) df.repartition(par)
-        else df
+        if (computeHeavy(t) && df.rdd.getNumPartitions < par) {
+          val dest = new java.io.File(
+            sys.props.getOrElse("graft.widen.dir",
+              s"${sys.props("java.io.tmpdir")}/graft-widened"),
+            s"${new java.io.File(dir).getName}/$t").getAbsolutePath
+          df.repartition(par).write.mode("overwrite").parquet(dest)
+          spark.read.parquet(dest)
+        } else df
       widened.createOrReplaceTempView(t)
     }
-    prepared = (spark, dir)
+    prepared += ((spark, dir))
   }
 
   private def q(body: String): (SparkSession, String) => DataFrame =
