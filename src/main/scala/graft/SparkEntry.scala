@@ -26,16 +26,25 @@ object SparkEntry {
     * DuckDB oracle's read of the same files). */
   private val nanoTsCols = Set("l_shipdate", "o_orderdate", "ts")
 
-  /** (session, dir) pairs already prepared — view/registration setup is
-    * memoized so a bench/verify loop over many queries pays file listing +
-    * schema read (and the one-time widening rewrite, see below) once, not
-    * per query. A set, not a single slot, so suites alternating between
-    * SFs don't thrash the rewrite. */
-  private val prepared = scala.collection.mutable.Set.empty[(SparkSession, String)]
+  /** Last data dir whose temp views are registered, per live session.
+    * Temp views are named by bare table name (session-global), so a
+    * session that alternates dirs MUST re-register views on every switch —
+    * a (session, dir) membership check would return stale views pointing
+    * at the previous dir. Entries for stopped sessions are pruned so the
+    * map doesn't pin dead SparkContexts for the JVM lifetime. */
+  private val viewDir = scala.collection.mutable.Map.empty[SparkSession, String]
 
-  /** Register functions + per-SF temp views (idempotent). */
+  /** Completed widening rewrites, (absolute dir, table) → scratch parquet
+    * path. Keyed JVM-wide (the rewrite is plain parquet on disk, valid for
+    * any session in this process), so switching back to a previously-seen
+    * dir re-registers views cheaply without re-paying the rewrite. */
+  private val widenedDest = scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** Register functions + per-SF temp views (idempotent per (session, dir);
+    * re-registers views when the session switches dirs). */
   private def prep(spark: SparkSession, dir: String): Unit = synchronized {
-    if (prepared((spark, dir))) return
+    viewDir.filterInPlace((s, _) => !s.sparkContext.isStopped)
+    if (viewDir.get(spark).contains(dir)) return
     Registration.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Sketch buffers are KB-sized objects; the default sort-based fallback
@@ -68,18 +77,28 @@ object SparkEntry {
       // single-split scan is cheaper than any rewrite.
       val computeHeavy = Set("documents", "embeddings")
       val par = spark.sparkContext.defaultParallelism
+      val absDir = new java.io.File(dir).getAbsolutePath
       val widened =
         if (computeHeavy(t) && df.rdd.getNumPartitions < par) {
-          val dest = new java.io.File(
-            sys.props.getOrElse("graft.widen.dir",
-              s"${sys.props("java.io.tmpdir")}/graft-widened"),
-            s"${new java.io.File(dir).getName}/$t").getAbsolutePath
-          df.repartition(par).write.mode("overwrite").parquet(dest)
+          val dest = widenedDest.getOrElseUpdate((absDir, t), {
+            // Scratch path is unique per (process, absolute dir): the pid
+            // keeps concurrent JVMs sharing /tmp from overwriting files the
+            // other has live views over, and the path hash keeps two dirs
+            // with the same basename (e.g. .../a/sf0.1 vs .../b/sf0.1)
+            // from colliding on one dest.
+            val tag = f"${new java.io.File(dir).getName}-${absDir.hashCode & 0x7fffffff}%08x"
+            val d = new java.io.File(
+              sys.props.getOrElse("graft.widen.dir",
+                s"${sys.props("java.io.tmpdir")}/graft-widened-${ProcessHandle.current().pid()}"),
+              s"$tag/$t").getAbsolutePath
+            df.repartition(par).write.mode("overwrite").parquet(d)
+            d
+          })
           spark.read.parquet(dest)
         } else df
       widened.createOrReplaceTempView(t)
     }
-    prepared += ((spark, dir))
+    viewDir(spark) = dir
   }
 
   private def q(body: String): (SparkSession, String) => DataFrame =
