@@ -537,6 +537,25 @@ object SparkEntry {
           round(col("containment_a"), 6).as("containment_a"))
     },
 
+    // -- AOD tuple sketches (exact regime at lg_k=14: ≤ 1.5k distinct
+    //    custkeys per half ≪ 16384 → estimates and value sums are exact;
+    //    intersect sums both halves' spend for repeat customers) -----------
+    "q53_aod_overlap" -> q(
+      """WITH a AS (SELECT datasketch_aod(14, 1, o_custkey, o_totalprice) AS s FROM orders
+        |           WHERE o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'),
+        |     b AS (SELECT datasketch_aod(14, 1, o_custkey, o_totalprice) AS s FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'),
+        |     x AS (SELECT datasketch_aod_intersect(a.s, b.s) AS i,
+        |                  datasketch_aod_a_not_b(a.s, b.s) AS d, a.s AS sa
+        |           FROM a, b)
+        |SELECT CAST(round(datasketch_aod_estimate(sa)) AS BIGINT) AS distinct_a,
+        |       CAST(round(element_at(datasketch_aod_sum_estimate(sa), 1)) AS BIGINT) AS spend_a,
+        |       CAST(round(datasketch_aod_estimate(i)) AS BIGINT) AS repeat_customers,
+        |       CAST(round(element_at(datasketch_aod_sum_estimate(i), 1)) AS BIGINT) AS repeat_spend,
+        |       CAST(round(datasketch_aod_estimate(d)) AS BIGINT) AS churned_customers,
+        |       CAST(round(element_at(datasketch_aod_sum_estimate(d), 1)) AS BIGINT) AS churned_spend
+        |FROM x""".stripMargin),
+
     // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
     "q43_profiler" -> qd { spark =>
       import org.apache.spark.sql.functions._
@@ -881,6 +900,18 @@ object SparkEntry {
       """SELECT CAST(sum(l_quantity) AS BIGINT) AS total_w,
         |       CAST(count(*) AS INT) AS kept
         |FROM lineitem WHERE l_partkey % 64 = 0""".stripMargin,
+
+    "q53_aod_overlap" ->
+      """WITH a AS (SELECT o_custkey k, sum(o_totalprice) v FROM orders
+        |           WHERE o_orderdate <  TIMESTAMP '1998-07-01 00:00:00' GROUP BY o_custkey),
+        |     b AS (SELECT o_custkey k, sum(o_totalprice) v FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00' GROUP BY o_custkey)
+        |SELECT (SELECT count(*) FROM a) AS distinct_a,
+        |       (SELECT CAST(round(sum(v)) AS BIGINT) FROM a) AS spend_a,
+        |       (SELECT count(*) FROM a JOIN b USING (k)) AS repeat_customers,
+        |       (SELECT CAST(round(sum(a.v + b.v)) AS BIGINT) FROM a JOIN b USING (k)) AS repeat_spend,
+        |       (SELECT count(*) FROM a ANTI JOIN b USING (k)) AS churned_customers,
+        |       (SELECT CAST(round(sum(v)) AS BIGINT) FROM a ANTI JOIN b USING (k)) AS churned_spend""".stripMargin,
 
     "q43_profiler" ->
       """WITH src AS (SELECT * FROM lineitem WHERE l_partkey % 64 = 0),

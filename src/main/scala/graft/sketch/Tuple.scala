@@ -42,22 +42,40 @@ object TupleAod {
   * lg_k and num_values are bind-time constants (erased). NULL key or any
   * NULL value skips the row. Empty input → NULL (like the counting
   * families' build aggregates).
+  *
+  * Buffer note: a compact AOD blob heapifies to a read-only sketch, so a
+  * buffer that has crossed a serialize/deserialize boundary (the
+  * ObjectHashAggregate sort-based fallback path) can no longer take raw
+  * key/value updates. The buffer therefore carries BOTH a live updatable
+  * sketch (raw updates land here) and an absorbed read-only part
+  * (deserialize/merge land here); finalize unions the two.
   */
 case class AodBuildAgg(
     lgK: Int,
     numValues: Int,
     override val children: Seq[Expression],
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0) extends SketchAggBase[ArrayOfDoublesSketch] {
+    inputAggBufferOffset: Int = 0) extends SketchAggBase[AodBuildAgg.Buf] {
+
+  import AodBuildAgg.Buf
 
   override def child: Expression = children.head
 
   override def prettyName: String = "datasketch_aod"
-  override def createAggregationBuffer(): ArrayOfDoublesSketch =
-    new ArrayOfDoublesUpdatableSketchBuilder()
-      .setNominalEntries(1 << lgK).setNumberOfValues(numValues).build()
+  override def createAggregationBuffer(): Buf = new Buf(null, null)
 
-  override def update(buf: ArrayOfDoublesSketch, input: InternalRow): ArrayOfDoublesSketch = {
+  /** Collapse the two buffer halves into one sketch (null = no input). */
+  private def result(buf: Buf): ArrayOfDoublesSketch =
+    if (buf.merged == null) buf.upd
+    else if (buf.upd == null || buf.upd.isEmpty) buf.merged
+    else {
+      val u = new ArrayOfDoublesSetOperationBuilder()
+        .setNominalEntries(1 << lgK).setNumberOfValues(numValues).buildUnion()
+      u.union(buf.upd); u.union(buf.merged)
+      u.getResult
+    }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
     val key = children.head.eval(input)
     if (key == null) return buf
     val vals = new Array[Double](numValues)
@@ -68,31 +86,50 @@ case class AodBuildAgg(
       vals(i) = v.asInstanceOf[Number].doubleValue()
       i += 1
     }
-    val sk = buf.asInstanceOf[ArrayOfDoublesUpdatableSketch]
+    if (buf.upd == null)
+      buf.upd = new ArrayOfDoublesUpdatableSketchBuilder()
+        .setNominalEntries(1 << lgK).setNumberOfValues(numValues).build()
+    val sk = buf.upd
     dispatch(key)(
       l => sk.update(l, vals), d => sk.update(d, vals),
       s => sk.update(s, vals), b => sk.update(b, vals))
     buf
   }
 
-  override def merge(buf: ArrayOfDoublesSketch, other: ArrayOfDoublesSketch): ArrayOfDoublesSketch =
-    if (other.isEmpty) buf
-    else if (buf.isEmpty) other
-    else {
-      val u = new ArrayOfDoublesSetOperationBuilder()
-        .setNominalEntries(1 << lgK).setNumberOfValues(numValues).buildUnion()
-      u.union(buf); u.union(other)
-      u.getResult
-    }
-  override def eval(buf: ArrayOfDoublesSketch): Any =
-    if (buf.isEmpty) null else buf.compact().toByteArray
-  override def serialize(buf: ArrayOfDoublesSketch): Array[Byte] =
-    buf.compact().toByteArray
-  override def deserialize(bytes: Array[Byte]): ArrayOfDoublesSketch =
-    TupleAod.heapify(bytes)
+  override def merge(buf: Buf, other: Buf): Buf = {
+    val o = result(other)
+    if (o == null || o.isEmpty) return buf
+    val mine = result(buf)
+    buf.upd = null
+    buf.merged =
+      if (mine == null || mine.isEmpty) o
+      else {
+        val u = new ArrayOfDoublesSetOperationBuilder()
+          .setNominalEntries(1 << lgK).setNumberOfValues(numValues).buildUnion()
+        u.union(mine); u.union(o)
+        u.getResult
+      }
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    val r = result(buf)
+    if (r == null || r.isEmpty) null else r.compact().toByteArray
+  }
+  override def serialize(buf: Buf): Array[Byte] = {
+    val r = result(buf)
+    if (r == null) Array.emptyByteArray else r.compact().toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): Buf =
+    if (bytes.isEmpty) new Buf(null, null)
+    else new Buf(null, TupleAod.heapify(bytes))
   override def withNewMutableAggBufferOffset(o: Int): AodBuildAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): AodBuildAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression = copy(children = c)
+}
+
+object AodBuildAgg {
+  final class Buf(var upd: ArrayOfDoublesUpdatableSketch, var merged: ArrayOfDoublesSketch)
 }
 
 /** `datasketch_aod_union(lg_k, sk)` — merge tuple sketch BLOBs (two-level
