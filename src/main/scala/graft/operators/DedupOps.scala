@@ -93,24 +93,50 @@ object DedupOps {
     shingleSets(df, idCol, textCol, k)
       .select(col("doc"), col("sz"), explode(col("shset")).as("shingle"))
 
+  /** Remove stop-shingles (document frequency > `maxShingleDF`) from
+    * shingle SETS and recompute sizes, so every downstream Jaccard is over
+    * the capped universe — consistently in numerator AND denominator.
+    *
+    * The hot list is tiny by construction (≤ total-shingle-mass / cap
+    * entries), so it broadcasts as a one-row collected array and the
+    * removal is a map-side `array_except`. At 100 TB this cap is what
+    * bounds inverted-index self-joins and LSH bucket sizes on boilerplate
+    * (headers, license blocks, templated text), whose document frequency
+    * otherwise makes candidate generation quadratic in the hottest key. */
+  private[operators] def capSets(sets: DataFrame, maxShingleDF: Int): DataFrame =
+    if (maxShingleDF <= 0) sets
+    else {
+      val hot = sets.select(explode(col("shset")).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDF)
+        .agg(collect_list(col("shingle")).as("__hot"))
+      sets.crossJoin(broadcast(hot))
+        .withColumn("shset", array_except(col("shset"), col("__hot")))
+        .withColumn("sz", size(col("shset")))
+        .drop("__hot")
+    }
+
   /** Exact n-gram Jaccard similar pairs via inverted-index join.
     *
     * @param maxShingleDF drop shingles appearing in more than this many
-    *        docs (stop-shingles). 0 disables. At 100 TB this cap is what
-    *        keeps the self-join from blowing up on boilerplate.
+    *        docs (stop-shingles) before indexing; sizes are recomputed so
+    *        Jaccard is over the capped universe. 0 disables — but the
+    *        default is ON, because this cap is the only thing standing
+    *        between the self-join and a quadratic blowup on boilerplate
+    *        at 100 TB.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int, threshold: Double, maxShingleDF: Int = 0): DataFrame = {
-    // Materialize the inverted index once — a self-join would otherwise
-    // recompute shingle generation (the expensive tokenize+hash transform)
-    // for both sides. At cluster scale this persist (or a checkpoint)
-    // is what bounds the pipeline to one pass over the text.
-    val sh = shinglesWithSize(df, idCol, textCol, k).cache()
-    val filtered =
-      if (maxShingleDF > 0) {
-        val hot = sh.groupBy("shingle").count().filter(col("count") > maxShingleDF)
-        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-      } else sh
+                   k: Int, threshold: Double, maxShingleDF: Int = 1000): DataFrame = {
+    // Materialize the shingle sets once — the hot-shingle aggregation and
+    // the capped index would otherwise each recompute shingle generation
+    // (the expensive tokenize+hash transform). At cluster scale this
+    // persist (or a checkpoint) is what bounds the pipeline to one pass
+    // over the text.
+    val raw = shingleSets(df, idCol, textCol, k)
+    val base = if (maxShingleDF > 0) raw.cache() else raw
+    val filtered = capSets(base, maxShingleDF)
+      .select(col("doc"), col("sz"), explode(col("shset")).as("shingle"))
+      .cache()
     // Set sizes ride along with every index row, so the whole computation
     // is ONE equi-join + ONE aggregation — no doc-sized side table to
     // reunite with pair counts (that join can't broadcast at billion-doc
@@ -159,10 +185,17 @@ object DedupOps {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, threshold: Double,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                      numHashes: Int = 64, bands: Int = 16,
+                      maxShingleDF: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sets = shingleSets(df, idCol, textCol, k).cache()
+    val raw = shingleSets(df, idCol, textCol, k)
+    val base = if (maxShingleDF > 0) raw.cache() else raw
+    // Docs whose every shingle is a stop-shingle carry no signal in the
+    // capped universe; drop them before banding (their minhash signatures
+    // would otherwise all collide into one degenerate LSH bucket).
+    val sets = capSets(base, maxShingleDF)
+      .filter(size(col("shset")) > 0).cache()
     val sig = minhashSignatures(sets, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

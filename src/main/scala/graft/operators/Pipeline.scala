@@ -23,7 +23,7 @@ object Pipeline {
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
              nearDupThreshold: Double = 0.9, minQuality: Double = 0.2,
-             shingleK: Int = 3): DataFrame = {
+             shingleK: Int = 3, maxShingleDF: Int = 1000): DataFrame = {
     val id = col(idCol)
 
     // 1. exact-dup drop set: the ranking window sees only (fp, id) pairs,
@@ -32,8 +32,10 @@ object Pipeline {
     val dropExact = DedupOps.dupIds(docs, idCol, textCol)
       .select(col("__dup_id").as("__exact_drop"))
 
-    // 2. near-dup drop set: higher id of every verified pair
-    val dropNear = DedupOps.minhashLshPairs(docs, idCol, textCol, shingleK, nearDupThreshold)
+    // 2. near-dup drop set: higher id of every verified pair (hot-shingle
+    //    cap threaded through — boilerplate must not go quadratic here)
+    val dropNear = DedupOps.minhashLshPairs(docs, idCol, textCol, shingleK, nearDupThreshold,
+        maxShingleDF = maxShingleDF)
       .select(col("doc_b").as("__near_drop")).distinct()
 
     docs

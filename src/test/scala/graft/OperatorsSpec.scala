@@ -66,6 +66,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("default shingle-DF cap changes no jaccard result at sf0.01") {
+    // max shingle df at sf0.01 is 7 ≪ the default cap of 1000, so the
+    // default-on cap must be a semantic no-op on the oracle-gated corpus
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val capped = DedupOps.jaccardPairs(d, "doc_id", "text", 3, 0.6)
+    val uncapped = DedupOps.jaccardPairs(d, "doc_id", "text", 3, 0.6, maxShingleDF = 0)
+    assert(capped.exceptAll(uncapped).count() == 0 && uncapped.exceptAll(capped).count() == 0)
+  }
+
+  test("shingle-DF cap drops boilerplate-only pairs, consistently in both paths") {
+    // 4 docs share a 6-token boilerplate prefix (its 4 pure shingles have
+    // df=4); unique tails otherwise, d3 identical to d1. Cap 3 removes the
+    // boilerplate shingles, so pairs overlapping ONLY via boilerplate
+    // disappear and Jaccard is over the capped universe in both paths.
+    val d = spark.sql(
+      """SELECT * FROM VALUES
+        | (1L, 'lorem ipsum dolor sit amet consectetur alpha beta gamma delta'),
+        | (2L, 'lorem ipsum dolor sit amet consectetur epsilon zeta eta theta'),
+        | (3L, 'lorem ipsum dolor sit amet consectetur alpha beta gamma delta'),
+        | (4L, 'lorem ipsum dolor sit amet consectetur iota kappa lambda mu') t(doc_id, text)""".stripMargin)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: every pair shares the 4 boilerplate shingles → J = 4/12 ≥ 0.3
+    val uncapped = pairs(DedupOps.jaccardPairs(d, "doc_id", "text", 3, 0.3, maxShingleDF = 0))
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // capped at 3: only the identical pair survives, at J = 1.0
+    val capped = DedupOps.jaccardPairs(d, "doc_id", "text", 3, 0.3, maxShingleDF = 3)
+    val cappedRows = capped.collect()
+    assert(pairs(capped) == Set((1L, 3L)))
+    assert(cappedRows.head.getDouble(2) == 1.0)
+    // LSH path applies the same cap → identical verified pair set
+    val lsh = pairs(DedupOps.minhashLshPairs(d, "doc_id", "text", 3, 0.3, maxShingleDF = 3))
+    assert(lsh == Set((1L, 3L)))
+  }
+
   test("minhashLshPairs agrees with exact jaccardPairs on near-dups") {
     val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
