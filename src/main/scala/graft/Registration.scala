@@ -95,6 +95,38 @@ object Registration {
     case _ => default
   }
 
+  /** Bind-time family validation for sketch-BLOB arguments: when the
+    * column carries `sketchFamily` metadata (written by
+    * [[SketchMetadataRule]] or [[graft.functions.as_sketch]] and
+    * round-tripped through parquet footers), a cross-family probe fails AT
+    * BIND, like the reference's alias-type overload resolution — not at
+    * runtime on the first row. Untagged BLOBs fall through to the runtime
+    * preamble sniff in [[graft.sketch.Kit.deser]]. */
+  private def familyTagOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference if a.metadata.contains(FamilyTag) =>
+      Some(a.metadata.getString(FamilyTag))
+    case al: Alias =>
+      if (al.metadata.contains(FamilyTag)) Some(al.metadata.getString(FamilyTag))
+      else familyTagOf(al.child)
+    case _ => None
+  }
+
+  private def elemTagOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference if a.metadata.contains(ElemTag) =>
+      Some(a.metadata.getString(ElemTag))
+    case al: Alias =>
+      if (al.metadata.contains(ElemTag)) Some(al.metadata.getString(ElemTag))
+      else elemTagOf(al.child)
+    case _ => None
+  }
+
+  private def checkFamilyTag(fname: String, expected: String, e: Expression): Unit =
+    if (e.dataType == BinaryType)
+      familyTagOf(e).filter(_ != expected).foreach { actual =>
+        bindErr(s"$fname: the input column is tagged as a $actual sketch, not " +
+          s"a $expected sketch — probe it with the datasketch_${actual}_* functions")
+      }
+
   /** Element type for the create path, from the raw input's Spark type. */
   private def elemOfInput(fname: String, dt: DataType): ElemType =
     ElemType.ofInput(dt).getOrElse(
@@ -127,6 +159,7 @@ object Registration {
       if (family == "req" && k % 2 != 0) bindErr(s"$fname: K must be even, got $k")
       val child = args(1)
       val isMerge = child.dataType == BinaryType
+      if (isMerge) checkFamilyTag(fname, family, child)
       val elem =
         if (isMerge) tag.getOrElse(elemOf(child, ElemType.Dbl))
         else elemOfInput(fname, child.dataType)
@@ -149,6 +182,7 @@ object Registration {
       arity(fname, args, 2, 2)
       val lgK = checkRange(fname, foldInt(args.head, fname), 4, hi, "lg_k")
       val child = args(1)
+      if (union) checkFamilyTag(fname, family, child)
       (family, union) match {
         case ("hll", false) =>
           if (child.dataType == BinaryType)
@@ -176,6 +210,7 @@ object Registration {
       if (args.length == 2)
         (checkRange("datasketch_theta", foldInt(args.head, "datasketch_theta"), 4, 26, "lg_k"), args(1))
       else (12, args.head)
+    if (child.dataType == BinaryType) checkFamilyTag("datasketch_theta", "theta", child)
     ThetaAgg(lgK, child)
   }
 
@@ -186,6 +221,8 @@ object Registration {
       if (args.length == 2)
         (checkRange("datasketch_frequent_items", foldInt(args.head, "datasketch_frequent_items"), 2, 26, "lg_max_map_size"), args(1))
       else (10, args.head)
+    if (child.dataType == BinaryType)
+      checkFamilyTag("datasketch_frequent_items", "frequent_items", child)
     FreqItemsAgg(lgK, child)
   }
 
@@ -198,6 +235,7 @@ object Registration {
       fname -> { rawArgs: Seq[Expression] =>
         val (args0, tag) = splitElemTag(rawArgs)
         arity(fname, args0, lo, hi)
+        checkFamilyTag(fname, family, args0.head)
         val elem0 = tag.getOrElse(elemOf(args0.head, ElemType.Dbl))
         // REQ is float-native, TDigest double-native, classic quantiles
         // widen float to double — normalize so the wrapper picks the right
@@ -246,6 +284,7 @@ object Registration {
       val fname = s"datasketch_${family}_$fn"
       fname -> { args: Seq[Expression] =>
         arity(fname, args, lo, hi)
+        checkFamilyTag(fname, family, args.head)
         CountScalar(family, fn, f(args))
       }
     }
@@ -266,14 +305,17 @@ object Registration {
   private val thetaScalarBuilders: Seq[(String, B)] = {
     def b(fn: String)(f: Seq[Expression] => Seq[Expression], lo: Int, hi: Int): (String, B) = {
       val fname = s"datasketch_theta_$fn"
+      val blobOut = fn == "union" || fn == "intersect" || fn == "a_not_b"
       fname -> { args: Seq[Expression] =>
         arity(fname, args, lo, hi)
+        args.foreach(checkFamilyTag(fname, "theta", _))
         ThetaScalar(fn, f(args))
       }
     }
     Seq(
       "datasketch_theta_jaccard" -> { (args: Seq[Expression]) =>
         arity("datasketch_theta_jaccard", args, 2, 2)
+        args.foreach(checkFamilyTag("datasketch_theta_jaccard", "theta", _))
         ThetaJaccard(args)
       },
       b("union")(identity, 2, 2),
@@ -295,6 +337,7 @@ object Registration {
       val fname = s"datasketch_frequent_items_$fn"
       fname -> { args: Seq[Expression] =>
         arity(fname, args, lo, hi)
+        checkFamilyTag(fname, "frequent_items", args.head)
         FreqScalar(fn, f(args))
       }
     }
@@ -327,10 +370,12 @@ object Registration {
       arity("datasketch_bloom_union", args, 1, 1)
       if (args.head.dataType != BinaryType)
         bindErr("datasketch_bloom_union: input must be a bloom filter BLOB")
+      checkFamilyTag("datasketch_bloom_union", "bloom", args.head)
       BloomUnionAgg(args.head)
     }
     val mightContain: (String, B) = "datasketch_bloom_might_contain" -> { args: Seq[Expression] =>
       arity("datasketch_bloom_might_contain", args, 2, 2)
+      checkFamilyTag("datasketch_bloom_might_contain", "bloom", args.head)
       BloomMightContain(args(0), args(1))
     }
     val meta = Seq("is_empty", "bits_used", "capacity", "num_hashes",
@@ -338,6 +383,7 @@ object Registration {
       val fname = s"datasketch_bloom_$fn"
       fname -> { (args: Seq[Expression]) =>
         arity(fname, args, 1, 1)
+        checkFamilyTag(fname, "bloom", args.head)
         BloomScalar(fn, args): Expression
       }
     }
@@ -363,6 +409,7 @@ object Registration {
       val lgK = checkRange("datasketch_aod_union", foldInt(args(0), "datasketch_aod_union"), 4, 26, "lg_k")
       if (args(1).dataType != BinaryType)
         bindErr("datasketch_aod_union: input must be a tuple sketch BLOB")
+      checkFamilyTag("datasketch_aod_union", "aod", args(1))
       AodUnionAgg(lgK, args(1))
     }
     val scalars = Seq(
@@ -372,8 +419,11 @@ object Registration {
       ("lower_bound", 2, 2), ("upper_bound", 2, 2),
       ("intersect", 2, 2), ("a_not_b", 2, 2)).map { case (fn, lo, hi) =>
       val fname = s"datasketch_aod_$fn"
+      val blobOut = fn == "intersect" || fn == "a_not_b"
       fname -> { (args: Seq[Expression]) =>
         arity(fname, args, lo, hi)
+        checkFamilyTag(fname, "aod", args.head)
+        if (blobOut) checkFamilyTag(fname, "aod", args(1))
         val fixed =
           if (fn == "lower_bound" || fn == "upper_bound") Seq(args(0), int(args(1)))
           else args
@@ -395,8 +445,12 @@ object Registration {
         case Some(t) => (args.init, Some(SElem.fromTag(t)))
         case None    => (args, None)
       }
+    // Lane resolution for BLOB inputs: explicit trailing tag literal, then
+    // the stored column's sketchElementType metadata, then double.
     def lane(fname: String, child: Expression, tag: Option[SElem]): SElem =
-      if (child.dataType == BinaryType) tag.getOrElse(SElem.Dbl)
+      if (child.dataType == BinaryType)
+        tag.orElse(elemTagOf(child).filter(sElemTags.contains).map(SElem.fromTag))
+          .getOrElse(SElem.Dbl)
       else SElem.ofInput(child.dataType).getOrElse(
         bindErr(s"$fname: unsupported input type ${child.dataType.simpleString}" +
           " (numeric or string required)"))
@@ -406,6 +460,8 @@ object Registration {
       arity("datasketch_reservoir", args, 2, 2)
       val k = checkRange("datasketch_reservoir",
         foldInt(args.head, "datasketch_reservoir"), 1, 1 << 28, "K")
+      if (args(1).dataType == BinaryType)
+        checkFamilyTag("datasketch_reservoir", "reservoir", args(1))
       ReservoirAgg(k, args(1), lane("datasketch_reservoir", args(1), tag))
     }
     val varopt: (String, B) = "datasketch_varopt" -> { rawArgs: Seq[Expression] =>
@@ -414,6 +470,7 @@ object Registration {
       val k = checkRange("datasketch_varopt",
         foldInt(args.head, "datasketch_varopt"), 1, 1 << 28, "K")
       val isMerge = args(1).dataType == BinaryType
+      if (isMerge) checkFamilyTag("datasketch_varopt", "varopt", args(1))
       if (!isMerge && args.length < 3)
         bindErr("datasketch_varopt: raw input requires a weight argument")
       val kids = if (isMerge) Seq(args(1)) else Seq(args(1), Cast(args(2), DoubleType))
@@ -427,7 +484,10 @@ object Registration {
       fname -> { (rawArgs: Seq[Expression]) =>
         val (args, tag) = splitTag(rawArgs)
         arity(fname, args, 1, 1)
-        SamplingScalar(family, fn, tag.getOrElse(SElem.Dbl), args): Expression
+        checkFamilyTag(fname, family, args.head)
+        val el = tag.orElse(elemTagOf(args.head).filter(sElemTags.contains).map(SElem.fromTag))
+          .getOrElse(SElem.Dbl)
+        SamplingScalar(family, fn, el, args): Expression
       }
     }
     Seq(reservoir, varopt) ++ scalars
@@ -497,15 +557,76 @@ object Registration {
   }
 }
 
+/** Resolution rule: stamp `sketchFamily` / `sketchElementType` metadata
+  * onto every Alias whose child is a sketch-producing aggregate (or a
+  * blob-returning theta/aod set-op scalar), including the windowed form.
+  * Spark persists StructField metadata in parquet footers, so
+  * `CREATE TABLE ... AS SELECT datasketch_kll(...) AS sk` keeps the tag
+  * and a later probe of the stored column binds the right family AND
+  * element lane with no explicit `'long'`-style literal — the Spark
+  * analog of the reference's 36 named alias types carrying this
+  * statically (`codegen/generated.cpp.j2:205-224`). Injected by
+  * [[GraftExtensions]]; sessions that only call `Registration.register`
+  * fall back to explicit tags / [[graft.functions.as_sketch]]. */
+object SketchMetadataRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  private def metadataFor(e: Expression): Option[Metadata] = e match {
+    case ae: AggregateExpression =>
+      ae.aggregateFunction match {
+        case k: KllAgg        => Some(Kit.sketchMetadata("kll", Some(k.elem)))
+        case q: QuantilesAgg  => Some(Kit.sketchMetadata("quantiles", Some(q.elem)))
+        case _: ReqAgg        => Some(Kit.sketchMetadataTags("req", None))
+        case _: TDigestAgg    => Some(Kit.sketchMetadataTags("tdigest", None))
+        case _: HllBuildAgg | _: HllUnionAgg => Some(Kit.sketchMetadataTags("hll", None))
+        case _: CpcBuildAgg | _: CpcUnionAgg => Some(Kit.sketchMetadataTags("cpc", None))
+        case _: ThetaAgg      => Some(Kit.sketchMetadataTags("theta", None))
+        case _: FreqItemsAgg  => Some(Kit.sketchMetadataTags("frequent_items", None))
+        case _: AodBuildAgg | _: AodUnionAgg => Some(Kit.sketchMetadataTags("aod", None))
+        case _: BloomBuildAgg | _: BloomUnionAgg => Some(Kit.sketchMetadataTags("bloom", None))
+        case r: ReservoirAgg  => Some(Kit.sketchMetadataTags("reservoir", Some(r.elem.tag)))
+        case v: VarOptAgg     => Some(Kit.sketchMetadataTags("varopt", Some(v.elem.tag)))
+        case _                => None
+      }
+    case w: WindowExpression => metadataFor(w.windowFunction)
+    case t: ThetaScalar if t.fn == "union" || t.fn == "intersect" || t.fn == "a_not_b" =>
+      Some(Kit.sketchMetadataTags("theta", None))
+    case t: TupleScalar if t.fn == "intersect" || t.fn == "a_not_b" =>
+      Some(Kit.sketchMetadataTags("aod", None))
+    case _ => None
+  }
+
+  private def retag(ne: NamedExpression): NamedExpression = ne match {
+    case a: Alias if a.explicitMetadata.isEmpty && a.resolved =>
+      metadataFor(a.child) match {
+        case Some(md) =>
+          Alias(a.child, a.name)(a.exprId, a.qualifier, Some(md), a.nonInheritableMetadataKeys)
+        case None => a
+      }
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case p: Project   => p.copy(projectList = p.projectList.map(retag))
+    case a: Aggregate => a.copy(aggregateExpressions = a.aggregateExpressions.map(retag))
+    case w: Window    => w.copy(windowExpressions = w.windowExpressions.map(retag))
+  }
+}
+
 /** `SparkSessionExtensions` injector:
-  * `spark.sql.extensions=graft.GraftExtensions` loads every function at
-  * session build, the analog of the reference's extension LOAD. */
+  * `spark.sql.extensions=graft.GraftExtensions` loads every function (and
+  * the sketch-metadata stamping rule) at session build, the analog of the
+  * reference's extension LOAD. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Registration.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.Registration", name),
         builder))
     }
+    ext.injectResolutionRule(_ => SketchMetadataRule)
+  }
 }

@@ -115,7 +115,10 @@ case class HllUnionAgg(
 
   override def update(buf: hll.Union, input: InternalRow): hll.Union = {
     val v = child.eval(input)
-    if (v != null) buf.update(deser("HLL")(hll.HllSketch.heapify(mem(v.asInstanceOf[Array[Byte]]))))
+    if (v != null) {
+      val b = v.asInstanceOf[Array[Byte]]
+      buf.update(deser("HLL", b)(hll.HllSketch.heapify(mem(b))))
+    }
     buf
   }
   override def merge(buf: hll.Union, other: hll.Union): hll.Union = {
@@ -191,8 +194,10 @@ case class CpcUnionAgg(
 
   override def update(buf: CpcUnion, input: InternalRow): CpcUnion = {
     val v = child.eval(input)
-    if (v != null)
-      buf.update(deser("CPC")(CpcSketch.heapify(mem(v.asInstanceOf[Array[Byte]]))))
+    if (v != null) {
+      val b = v.asInstanceOf[Array[Byte]]
+      buf.update(deser("CPC", b)(CpcSketch.heapify(mem(b))))
+    }
     buf
   }
   override def merge(buf: CpcUnion, other: CpcUnion): CpcUnion = {
@@ -245,9 +250,10 @@ case class ThetaAgg(
   override def update(buf: theta.Union, input: InternalRow): theta.Union = {
     val v = child.eval(input)
     if (v != null) {
-      if (isMerge)
-        buf.union(deser("Theta")(theta.Sketches.wrapSketch(mem(v.asInstanceOf[Array[Byte]]))))
-      else
+      if (isMerge) {
+        val b = v.asInstanceOf[Array[Byte]]
+        buf.union(deser("Theta", b)(theta.Sketches.wrapSketch(mem(b))))
+      } else
         dispatch(v)(l => buf.update(l), d => buf.update(d), s => buf.update(s),
           b => buf.update(b))
     }
@@ -293,7 +299,7 @@ case class KllAgg(
     case ElemType.Lng => KllLongsSketch.newHeapInstance(k)
   }
 
-  private def heapify(b: Array[Byte]): KllSketch = deser("KLL")(elem match {
+  private def heapify(b: Array[Byte]): KllSketch = deser("KLL", b)(elem match {
     case ElemType.Dbl => KllDoublesSketch.heapify(mem(b))
     case ElemType.Flt => KllFloatsSketch.heapify(mem(b))
     case ElemType.Lng => KllLongsSketch.heapify(mem(b))
@@ -363,8 +369,8 @@ case class QuantilesAgg(
     if (v != null) {
       if (isMerge) {
         val b = v.asInstanceOf[Array[Byte]]
-        if (buf.du != null) deser("Quantiles")(buf.du.union(mem(b)))
-        else buf.lu.union(deser("Quantiles")(
+        if (buf.du != null) deser("Quantiles", b)(buf.du.union(mem(b)))
+        else buf.lu.union(deser("Quantiles", b)(
           ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(b), longCmp, longsSerDe)))
       } else if (buf.du != null) {
         dispatch(v)(l => buf.du.update(l.toDouble), buf.du.update, _ => unsup(), _ => unsup())
@@ -423,8 +429,10 @@ case class ReqAgg(
   override def update(buf: ReqSketch, input: InternalRow): ReqSketch = {
     val v = child.eval(input)
     if (v != null) {
-      if (isMerge) buf.merge(deser("REQ")(ReqSketch.heapify(mem(v.asInstanceOf[Array[Byte]]))))
-      else dispatch(v)(l => buf.update(l.toFloat), d => buf.update(d.toFloat), _ => unsup(), _ => unsup())
+      if (isMerge) {
+        val b = v.asInstanceOf[Array[Byte]]
+        buf.merge(deser("REQ", b)(ReqSketch.heapify(mem(b))))
+      } else dispatch(v)(l => buf.update(l.toFloat), d => buf.update(d.toFloat), _ => unsup(), _ => unsup())
     }
     buf
   }
@@ -461,8 +469,10 @@ case class TDigestAgg(
   override def update(buf: TDigestDouble, input: InternalRow): TDigestDouble = {
     val v = child.eval(input)
     if (v != null) {
-      if (isMerge) buf.merge(deser("TDigest")(TDigestDouble.heapify(mem(v.asInstanceOf[Array[Byte]]))))
-      else dispatch(v)(l => buf.update(l.toDouble), buf.update, _ => unsup(), _ => unsup())
+      if (isMerge) {
+        val b = v.asInstanceOf[Array[Byte]]
+        buf.merge(deser("TDigest", b)(TDigestDouble.heapify(mem(b))))
+      } else dispatch(v)(l => buf.update(l.toDouble), buf.update, _ => unsup(), _ => unsup())
     }
     buf
   }
@@ -500,10 +510,11 @@ case class FreqItemsAgg(
   override def update(buf: frequencies.ItemsSketch[String], input: InternalRow): frequencies.ItemsSketch[String] = {
     val v = child.eval(input)
     if (v != null) {
-      if (isMerge)
-        buf.merge(deser("Frequent Items")(
-          frequencies.ItemsSketch.getInstance(mem(v.asInstanceOf[Array[Byte]]), stringsSerDe)))
-      else buf.update(freqKey(v))
+      if (isMerge) {
+        val b = v.asInstanceOf[Array[Byte]]
+        buf.merge(deser("Frequent Items", b)(
+          frequencies.ItemsSketch.getInstance(mem(b), stringsSerDe)))
+      } else buf.update(freqKey(v))
     }
     buf
   }

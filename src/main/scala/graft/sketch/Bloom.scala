@@ -41,7 +41,7 @@ object Bloom {
   /** Zero-copy read view of a serialized filter (no heapify allocation) —
     * per-row probes wrap the same bytes in O(1). */
   def wrap(bytes: Array[Byte]): BloomFilter =
-    deser("Bloom")(BloomFilter.wrap(mem(bytes)))
+    deser("Bloom", bytes)(BloomFilter.wrap(mem(bytes)))
 
   /** Per-thread last-blob memo. The join-pruning shape probes ONE filter
     * (a scalar-subquery/broadcast literal, i.e. the same `Array[Byte]`

@@ -52,11 +52,48 @@ object Kit {
   def criteria(inclusive: Boolean): QuantileSearchCriteria =
     if (inclusive) QuantileSearchCriteria.INCLUSIVE else QuantileSearchCriteria.EXCLUSIVE
 
+  /** DataSketches serialized preambles carry a family ID at byte 2
+    * (datasketches-java `Family`; the C++ formats use the same IDs, so
+    * reference-produced blobs sniff identically). Accepted IDs per SQL
+    * family name as used at the `deser` call sites. */
+  private val familyIds: Map[String, Set[Int]] = Map(
+    "Theta" -> Set(1, 2, 3), // ALPHA / QUICKSELECT / COMPACT
+    "HLL" -> Set(7), "Quantiles" -> Set(8), "Tuple" -> Set(9),
+    "Frequent Items" -> Set(10), "Reservoir" -> Set(11), "VarOpt" -> Set(13),
+    "KLL" -> Set(15), "CPC" -> Set(16), "REQ" -> Set(17), "TDigest" -> Set(20),
+    "Bloom" -> Set(21))
+
+  private val familyNames: Map[Int, String] = Map(
+    1 -> "Theta", 2 -> "Theta", 3 -> "Theta", 4 -> "Theta union",
+    5 -> "Theta intersection", 6 -> "Theta a-not-b", 7 -> "HLL",
+    8 -> "Quantiles", 9 -> "Tuple", 10 -> "Frequent Items",
+    11 -> "Reservoir", 13 -> "VarOpt", 15 -> "KLL", 16 -> "CPC",
+    17 -> "REQ", 20 -> "TDigest", 21 -> "Bloom")
+
   /** Mirrors the reference's deserialize error wrapping
     * (`codegen/generator.py:71-87` → `InvalidInputException("Failed to
-    * deserialize ...")`, tested at `test/sql/datasketch_kll.test:100-114`).
+    * deserialize ...")`, tested at `test/sql/datasketch_kll.test:100-114`),
+    * plus a preamble family-ID sniff BEFORE the deserializer touches the
+    * memory. The wrong family deserializer either throws an opaque internal
+    * bounds/format error or — worse — silently reinterprets the bytes (a
+    * Theta blob "heapifies" as garbage under some layouts). The reference
+    * cannot reach this state: its 36 named alias types make a cross-family
+    * probe a bind-time overload error (`codegen/generated.cpp.j2:205-224`);
+    * this sniff is the closest runtime analog Spark's untyped BINARY allows.
     */
-  def deser[T](family: String)(body: => T): T =
+  def deser[T](family: String, bytes: Array[Byte])(body: => T): T = {
+    if (bytes.length < 8)
+      throw new IllegalArgumentException(
+        s"Failed to deserialize $family sketch: BLOB too short (${bytes.length} bytes)")
+    val fid = bytes(2) & 0xFF
+    familyIds.get(family).filterNot(_.contains(fid)).foreach { _ =>
+      val actual = familyNames.get(fid)
+        .map(n => s"a $n sketch (family ID $fid) — probe it with the matching $n functions" +
+          " or fix the stored column's sketch tag")
+        .getOrElse(s"not a recognizable sketch (family ID $fid)")
+      throw new IllegalArgumentException(
+        s"Failed to deserialize $family sketch: the BLOB is $actual")
+    }
     try body
     catch {
       case e: SketchesException =>
@@ -64,6 +101,7 @@ object Kit {
       case e: IndexOutOfBoundsException =>
         throw new IllegalArgumentException(s"Failed to deserialize $family sketch: ${e.getMessage}", e)
     }
+  }
 
   def mem(bytes: Array[Byte]): Memory = Memory.wrap(bytes)
 
@@ -118,9 +156,12 @@ object Kit {
 
   /** Metadata tag our aggregates attach so downstream scalar binds can
     * recover family + element type from a stored sketch column. */
-  def sketchMetadata(family: String, elem: Option[ElemType]): Metadata = {
+  def sketchMetadata(family: String, elem: Option[ElemType]): Metadata =
+    sketchMetadataTags(family, elem.map(_.tag))
+
+  def sketchMetadataTags(family: String, elemTag: Option[String]): Metadata = {
     val b = new MetadataBuilder().putString("sketchFamily", family)
-    elem.foreach(e => b.putString("sketchElementType", e.tag))
+    elemTag.foreach(t => b.putString("sketchElementType", t))
     b.build()
   }
 }

@@ -121,9 +121,10 @@ case class ReservoirAgg(
   override def update(buf: ReservoirItemsUnion[AnyRef], input: InternalRow): ReservoirItemsUnion[AnyRef] = {
     val v = child.eval(input)
     if (v != null) {
-      if (isMerge)
-        deser("Reservoir")(buf.update(mem(v.asInstanceOf[Array[Byte]]), elem.serde))
-      else buf.update(elem.toItem(v))
+      if (isMerge) {
+        val b = v.asInstanceOf[Array[Byte]]
+        deser("Reservoir", b)(buf.update(mem(b), elem.serde))
+      } else buf.update(elem.toItem(v))
     }
     buf
   }
@@ -178,8 +179,9 @@ case class VarOptAgg(
     val v = children.head.eval(input)
     if (v == null) return buf
     if (isMerge) {
-      val other = deser("VarOpt")(
-        VarOptItemsSketch.heapify(mem(v.asInstanceOf[Array[Byte]]), elem.serde))
+      val b = v.asInstanceOf[Array[Byte]]
+      val other = deser("VarOpt", b)(
+        VarOptItemsSketch.heapify(mem(b), elem.serde))
       unionInto(buf, other)
     } else {
       val w = children(1).eval(input)
@@ -225,7 +227,7 @@ case class SamplingScalar(family: String, fn: String, elem: Sampling.SElem,
     val bytes = args(0).asInstanceOf[Array[Byte]]
     family match {
       case "reservoir" =>
-        val sk = deser("Reservoir")(ReservoirItemsSketch.heapify(mem(bytes), elem.serde))
+        val sk = deser("Reservoir", bytes)(ReservoirItemsSketch.heapify(mem(bytes), elem.serde))
         fn match {
           case "n" => sk.getN
           case "k" => sk.getK
@@ -234,7 +236,7 @@ case class SamplingScalar(family: String, fn: String, elem: Sampling.SElem,
             new GenericArrayData(sk.getSamples.map(elem.toSpark))
         }
       case "varopt" =>
-        val sk = deser("VarOpt")(VarOptItemsSketch.heapify(mem(bytes), elem.serde))
+        val sk = deser("VarOpt", bytes)(VarOptItemsSketch.heapify(mem(bytes), elem.serde))
         fn match {
           case "n" => sk.getN
           case "k" => sk.getK

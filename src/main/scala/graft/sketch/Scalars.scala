@@ -163,17 +163,17 @@ object QuantWrap {
 
   /** Deserialize a quantile-family sketch blob into the uniform view. */
   def of(family: String, elem: ElemType, bytes: Array[Byte]): QuantWrap = family match {
-    case "quantiles" => deser("Quantiles")(elem match {
+    case "quantiles" => deser("Quantiles", bytes)(elem match {
       case ElemType.Lng => new QLng(ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(bytes), longCmp, longsSerDe))
       case _            => new QDbl(DoublesSketch.heapify(mem(bytes)))
     })
-    case "kll" => deser("KLL")(elem match {
+    case "kll" => deser("KLL", bytes)(elem match {
       case ElemType.Dbl => new KDbl(KllDoublesSketch.heapify(mem(bytes)))
       case ElemType.Flt => new KFlt(KllFloatsSketch.heapify(mem(bytes)))
       case ElemType.Lng => new KLng(KllLongsSketch.heapify(mem(bytes)))
     })
-    case "req"     => deser("REQ")(new QReq(ReqSketch.heapify(mem(bytes))))
-    case "tdigest" => deser("TDigest")(new QTd(TDigestDouble.heapify(mem(bytes))))
+    case "req"     => deser("REQ", bytes)(new QReq(ReqSketch.heapify(mem(bytes))))
+    case "tdigest" => deser("TDigest", bytes)(new QTd(TDigestDouble.heapify(mem(bytes))))
     case other     => throw new IllegalArgumentException(s"unknown quantile family '$other'")
   }
 }
@@ -277,7 +277,7 @@ case class CountScalar(family: String, fn: String, children: Seq[Expression])
     if (args == null) return null
     val bytes = args(0).asInstanceOf[Array[Byte]]
     if (family == "hll") {
-      val sk = deser("HLL")(HllSketch.heapify(mem(bytes)))
+      val sk = deser("HLL", bytes)(HllSketch.heapify(mem(bytes)))
       fn match {
         case "estimate"    => sk.getEstimate
         case "lower_bound" => sk.getLowerBound(args(1).asInstanceOf[Int])
@@ -291,7 +291,7 @@ case class CountScalar(family: String, fn: String, children: Seq[Expression])
           UTF8String.fromString(sk.toString(summary, detail, false, false))
       }
     } else {
-      val sk = deser("CPC")(CpcSketch.heapify(mem(bytes)))
+      val sk = deser("CPC", bytes)(CpcSketch.heapify(mem(bytes)))
       fn match {
         case "estimate"    => sk.getEstimate
         case "lower_bound" => sk.getLowerBound(args(1).asInstanceOf[Int])
@@ -325,8 +325,10 @@ case class ThetaScalar(fn: String, children: Seq[Expression]) extends SketchScal
     case other => throw new IllegalArgumentException(s"unknown theta scalar '$other'")
   }
 
-  private def wrap(a: Any): theta.Sketch =
-    deser("Theta")(theta.Sketches.wrapSketch(mem(a.asInstanceOf[Array[Byte]])))
+  private def wrap(a: Any): theta.Sketch = {
+    val b = a.asInstanceOf[Array[Byte]]
+    deser("Theta", b)(theta.Sketches.wrapSketch(mem(b)))
+  }
 
   override def eval(input: InternalRow): Any = {
     val args = evalArgs(input)
@@ -391,8 +393,9 @@ case class FreqScalar(fn: String, children: Seq[Expression]) extends SketchScala
   override def eval(input: InternalRow): Any = {
     val args = evalArgs(input)
     if (args == null) return null
-    val sk = deser("Frequent Items")(
-      frequencies.ItemsSketch.getInstance(mem(args(0).asInstanceOf[Array[Byte]]), stringsSerDe))
+    val bytes = args(0).asInstanceOf[Array[Byte]]
+    val sk = deser("Frequent Items", bytes)(
+      frequencies.ItemsSketch.getInstance(mem(bytes), stringsSerDe))
     fn match {
       case "estimate"     => sk.getEstimate(freqKey(args(1)))
       case "lower_bound"  => sk.getLowerBound(freqKey(args(1)))

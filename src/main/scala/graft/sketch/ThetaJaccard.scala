@@ -23,7 +23,8 @@ case class ThetaJaccard(children: Seq[Expression]) extends SketchScalar {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   private def wrap(a: Any): theta.Sketch =
-    deser("Theta")(theta.Sketches.wrapSketch(mem(a.asInstanceOf[Array[Byte]])))
+    deser("Theta", a.asInstanceOf[Array[Byte]])(
+      theta.Sketches.wrapSketch(mem(a.asInstanceOf[Array[Byte]])))
 
   override def eval(input: InternalRow): Any = {
     val args = evalArgs(input)

@@ -35,7 +35,7 @@ object TupleAod {
   }
 
   def heapify(bytes: Array[Byte]): ArrayOfDoublesSketch =
-    deser("Tuple")(ArrayOfDoublesSketch.heapify(mem(bytes)))
+    deser("Tuple", bytes)(ArrayOfDoublesSketch.heapify(mem(bytes)))
 }
 
 /** `datasketch_aod(lg_k, num_values, key, v1, ..., vnum_values)` — build.

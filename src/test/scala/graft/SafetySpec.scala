@@ -1,0 +1,128 @@
+package graft
+
+/** Stored-sketch safety: the alias-type behavior of the reference's 36
+  * named BLOB types (`codegen/generated.cpp.j2:205-224`), replicated in
+  * Spark's untyped-BINARY world by three cooperating layers:
+  *
+  *  1. aggregates emit `sketchFamily`/`sketchElementType` column metadata
+  *     (persisted in parquet footers by Spark) — so stored tables stay
+  *     typed without user-side `as_sketch` calls;
+  *  2. bind-time validation: probing a tagged column with the wrong
+  *     family's function is a GraftBindException at analysis;
+  *  3. runtime preamble sniff (`Kit.deser`): untagged cross-family blobs
+  *     fail with an error naming BOTH families, never an opaque internal
+  *     error or silent garbage.
+  */
+class SafetySpec extends SparkTestBase {
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    new java.io.File(d, "t").getAbsolutePath
+  }
+
+  test("aggregate output carries family/elem metadata through explicit AS") {
+    val df = sql(
+      """SELECT datasketch_kll(200, CAST(id AS BIGINT)) AS sk
+        |FROM range(100)""".stripMargin)
+    val md = df.schema("sk").metadata
+    assert(md.contains(Registration.FamilyTag) && md.getString(Registration.FamilyTag) == "kll")
+    assert(md.contains(Registration.ElemTag) && md.getString(Registration.ElemTag) == "long")
+  }
+
+  test("long-lane KLL works on a stored table WITHOUT the 'long' tag literal") {
+    val path = tmpDir("graft-safety-kll")
+    spark.range(1, 1002).selectExpr("id AS v")
+      .selectExpr("datasketch_kll(2048, v) AS sk")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("stored_kll")
+    // no 'long' literal anywhere: the lane comes from the stored metadata
+    val r = sql(
+      """SELECT datasketch_kll_quantile(sk, 0.5, true) AS q50,
+        |       datasketch_kll_min_item(sk) AS mn,
+        |       datasketch_kll_max_item(sk) AS mx
+        |FROM stored_kll""".stripMargin).head()
+    assert(r.getLong(0) == 501L && r.getLong(1) == 1L && r.getLong(2) == 1001L)
+    // and the schema really is the long lane, not widened double
+    assert(sql("SELECT datasketch_kll_min_item(sk) FROM stored_kll")
+      .schema.head.dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("string reservoir works on a stored table without the tag literal") {
+    val path = tmpDir("graft-safety-res")
+    sql("SELECT concat('v', id) AS s FROM range(10)")
+      .selectExpr("datasketch_reservoir(64, s) AS sk")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("stored_res")
+    val samples = sql("SELECT sort_array(datasketch_reservoir_samples(sk)) FROM stored_res")
+      .head().getSeq[String](0)
+    assert(samples.size == 10 && samples.contains("v0") && samples.contains("v9"))
+  }
+
+  test("probing a tagged column with the wrong family fails AT BIND") {
+    sql("SELECT datasketch_req(12, CAST(id AS FLOAT)) AS sk FROM range(100)")
+      .createOrReplaceTempView("safety_req")
+    val e = intercept[Exception](sql("SELECT datasketch_kll_quantile(sk, 0.5, true) FROM safety_req"))
+    assert(e.getMessage.contains("tagged as a req sketch"), e.getMessage)
+    val e2 = intercept[Exception](sql("SELECT datasketch_hll_estimate(sk) FROM safety_req"))
+    assert(e2.getMessage.contains("tagged as a req sketch"), e2.getMessage)
+    // theta set op over an hll blob — also bind-time
+    sql("SELECT datasketch_hll(10, id) AS h, datasketch_theta(id) AS t FROM range(50)")
+      .createOrReplaceTempView("safety_mixed")
+    val e3 = intercept[Exception](
+      sql("SELECT datasketch_theta_union(t, h) FROM safety_mixed"))
+    assert(e3.getMessage.contains("tagged as a hll sketch"), e3.getMessage)
+  }
+
+  test("untagged cross-family blob fails at runtime naming both families") {
+    // CAST strips the metadata chain, simulating an untagged stored BLOB
+    sql("SELECT CAST(datasketch_req(12, CAST(id AS FLOAT)) AS BINARY) AS sk FROM range(100)")
+      .createOrReplaceTempView("untagged_req")
+    val e = intercept[Exception](
+      sql("SELECT datasketch_kll_quantile(sk, 0.5, true) FROM untagged_req").collect())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("Failed to deserialize KLL sketch") && msg.contains("REQ"), msg)
+
+    sql("SELECT CAST(datasketch_theta(id) AS BINARY) AS sk FROM range(100)")
+      .createOrReplaceTempView("untagged_theta")
+    val e2 = intercept[Exception](
+      sql("SELECT datasketch_hll_estimate(sk) FROM untagged_theta").collect())
+    val msg2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("Failed to deserialize HLL sketch") && msg2.contains("Theta"), msg2)
+
+    // merge aggregate path sniffs too: theta blob into an hll union
+    val e3 = intercept[Exception](
+      sql("SELECT datasketch_hll_union(12, sk) FROM untagged_theta").collect())
+    val msg3 = e3.getMessage + Option(e3.getCause).map(_.getMessage).getOrElse("")
+    assert(msg3.contains("Failed to deserialize HLL sketch") && msg3.contains("Theta"), msg3)
+  }
+
+  test("every family accepts its own serialized form (sniff is not over-strict)") {
+    // one probe per family whose blob reaches Kit.deser
+    val r = sql(
+      """SELECT datasketch_kll_n(datasketch_kll(200, CAST(id AS DOUBLE))),
+        |       datasketch_quantiles_n(datasketch_quantiles(128, CAST(id AS DOUBLE))),
+        |       datasketch_req_n(datasketch_req(12, CAST(id AS FLOAT))),
+        |       datasketch_tdigest_total_weight(datasketch_tdigest(100, CAST(id AS DOUBLE))),
+        |       datasketch_hll_estimate(datasketch_hll(10, id)),
+        |       datasketch_cpc_estimate(datasketch_cpc(10, id)),
+        |       datasketch_theta_estimate(datasketch_theta(id)),
+        |       datasketch_frequent_items_total_weight(datasketch_frequent_items(CAST(id AS STRING))),
+        |       datasketch_aod_estimate(datasketch_aod(12, 1, id, CAST(1.0 AS DOUBLE))),
+        |       datasketch_bloom_bits_used(datasketch_bloom(1000, 0.01, id)),
+        |       datasketch_reservoir_n(datasketch_reservoir(32, CAST(id AS DOUBLE))),
+        |       datasketch_varopt_n(datasketch_varopt(32, CAST(id AS DOUBLE), CAST(1.0 AS DOUBLE)))
+        |FROM range(100)""".stripMargin).head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 100L && r.getLong(2) == 100L)
+    assert(r.getLong(3) == 100L)
+    assert(r.getDouble(6) == 100.0)
+    assert(r.getLong(10) == 100L && r.getLong(11) == 100L)
+  }
+
+  test("too-short blob errors cleanly") {
+    val e = intercept[Exception](
+      sql("SELECT datasketch_theta_estimate(CAST('ab' AS BINARY))").collect())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("BLOB too short"), msg)
+  }
+}
