@@ -34,11 +34,49 @@ object SparkEntry {
     * map doesn't pin dead SparkContexts for the JVM lifetime. */
   private val viewDir = scala.collection.mutable.Map.empty[SparkSession, String]
 
-  /** Completed widening rewrites, (absolute dir, table) → scratch parquet
-    * path. Keyed JVM-wide (the rewrite is plain parquet on disk, valid for
-    * any session in this process), so switching back to a previously-seen
-    * dir re-registers views cheaply without re-paying the rewrite. */
-  private val widenedDest = scala.collection.mutable.Map.empty[(String, String), String]
+  /** Completed widening rewrites, (absolute dir, table, parallelism,
+    * source mtime) → scratch parquet path. Keyed JVM-wide (the rewrite is
+    * plain parquet on disk, valid for any session in this process), so
+    * switching back to a previously-seen dir re-registers views cheaply
+    * without re-paying the rewrite. Parallelism in the key re-widens when
+    * a later session runs wider; mtime in the key re-widens when the
+    * source parquet is regenerated during the JVM lifetime. */
+  private val widenedDest =
+    scala.collection.mutable.Map.empty[(String, String, Int, Long), String]
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete()
+  }
+
+  /** Newest mtime under a parquet path (file or directory of part files). */
+  private def srcMtime(f: java.io.File): Long =
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foldLeft(f.lastModified)((m, c) => math.max(m, c.lastModified))
+
+  /** Per-process widen scratch root. Initialized once per JVM:
+    *  - sweeps orphaned `graft-widened-<pid>` dirs whose owning process is
+    *    dead (earlier rounds leaked one full widened copy per JVM run);
+    *  - registers a shutdown hook deleting THIS process's root;
+    *  - keeps a pid leaf even under an explicit `graft.widen.dir`, so
+    *    concurrent JVMs sharing the property can never overwrite a dest
+    *    another process has live views over. */
+  private lazy val widenRoot: java.io.File = {
+    val pid = ProcessHandle.current().pid()
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      val n = f.getName
+      if (n.startsWith("graft-widened-"))
+        n.stripPrefix("graft-widened-").toLongOption.foreach { p =>
+          if (p != pid && !ProcessHandle.of(p).isPresent) deleteRec(f)
+        }
+    }
+    val base = sys.props.get("graft.widen.dir")
+      .map(d => new java.io.File(d, s"p$pid"))
+      .getOrElse(new java.io.File(tmp, s"graft-widened-$pid"))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(base)))
+    base
+  }
 
   /** Register functions + per-SF temp views (idempotent per (session, dir);
     * re-registers views when the session switches dirs). */
@@ -80,17 +118,15 @@ object SparkEntry {
       val absDir = new java.io.File(dir).getAbsolutePath
       val widened =
         if (computeHeavy(t) && df.rdd.getNumPartitions < par) {
-          val dest = widenedDest.getOrElseUpdate((absDir, t), {
-            // Scratch path is unique per (process, absolute dir): the pid
-            // keeps concurrent JVMs sharing /tmp from overwriting files the
-            // other has live views over, and the path hash keeps two dirs
-            // with the same basename (e.g. .../a/sf0.1 vs .../b/sf0.1)
-            // from colliding on one dest.
+          val mtime = srcMtime(new java.io.File(s"$dir/$t.parquet"))
+          val dest = widenedDest.getOrElseUpdate((absDir, t, par, mtime), {
+            // Scratch path under the per-process root ([[widenRoot]]); the
+            // path hash keeps two dirs with the same basename (e.g.
+            // .../a/sf0.1 vs .../b/sf0.1) from colliding on one dest, and
+            // the par level keeps a re-widen at different parallelism from
+            // clobbering a dest older views still read.
             val tag = f"${new java.io.File(dir).getName}-${absDir.hashCode & 0x7fffffff}%08x"
-            val d = new java.io.File(
-              sys.props.getOrElse("graft.widen.dir",
-                s"${sys.props("java.io.tmpdir")}/graft-widened-${ProcessHandle.current().pid()}"),
-              s"$tag/$t").getAbsolutePath
+            val d = new java.io.File(widenRoot, s"$tag-p$par/$t").getAbsolutePath
             df.repartition(par).write.mode("overwrite").parquet(d)
             d
           })
@@ -556,6 +592,19 @@ object SparkEntry {
         |       CAST(round(element_at(datasketch_aod_sum_estimate(d), 1)) AS BIGINT) AS churned_spend
         |FROM x""".stripMargin),
 
+    // -- empty-input fine print, locked through the oracle gate: theta and
+    //    frequent-items finalize to non-NULL EMPTY sketches (estimate 0,
+    //    num_active 0 — reference src/theta_sketch.cpp:156-165), while the
+    //    quantile + counting builders finalize to NULL --------------------
+    "q54_empty_semantics" -> q(
+      """SELECT round(datasketch_theta_estimate(datasketch_theta(o_custkey)), 1) AS theta_empty_estimate,
+        |       datasketch_theta_is_empty(datasketch_theta(o_custkey)) AS theta_empty,
+        |       datasketch_kll(200, o_totalprice) IS NULL AS kll_null,
+        |       datasketch_hll(12, o_custkey) IS NULL AS hll_null,
+        |       datasketch_cpc(12, o_custkey) IS NULL AS cpc_null,
+        |       datasketch_frequent_items_num_active(datasketch_frequent_items(o_orderpriority)) AS freq_active
+        |FROM orders WHERE o_orderkey < 0""".stripMargin),
+
     // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
     "q43_profiler" -> qd { spark =>
       import org.apache.spark.sql.functions._
@@ -912,6 +961,11 @@ object SparkEntry {
         |       (SELECT CAST(round(sum(a.v + b.v)) AS BIGINT) FROM a JOIN b USING (k)) AS repeat_spend,
         |       (SELECT count(*) FROM a ANTI JOIN b USING (k)) AS churned_customers,
         |       (SELECT CAST(round(sum(v)) AS BIGINT) FROM a ANTI JOIN b USING (k)) AS churned_spend""".stripMargin,
+
+    "q54_empty_semantics" ->
+      """SELECT CAST(0.0 AS DOUBLE) AS theta_empty_estimate, true AS theta_empty,
+        |       true AS kll_null, true AS hll_null, true AS cpc_null,
+        |       CAST(0 AS BIGINT) AS freq_active""".stripMargin,
 
     "q43_profiler" ->
       """WITH src AS (SELECT * FROM lineitem WHERE l_partkey % 64 = 0),
