@@ -164,10 +164,7 @@ object Registration {
         if (isMerge) tag.getOrElse(elemOf(child, ElemType.Dbl))
         else elemOfInput(fname, child.dataType)
       family match {
-        case "quantiles" =>
-          // float widens to double in the classic quantiles impl (SURVEY §7.3)
-          val e = if (elem == ElemType.Flt) ElemType.Dbl else elem
-          QuantilesAgg(k, child, e)
+        case "quantiles" => QuantilesAgg(k, child, elem)
         case "kll"     => KllAgg(k, child, elem)
         case "req"     => ReqAgg(k, child)
         case "tdigest" => TDigestAgg(k, child)
@@ -237,14 +234,12 @@ object Registration {
         arity(fname, args0, lo, hi)
         checkFamilyTag(fname, family, args0.head)
         val elem0 = tag.getOrElse(elemOf(args0.head, ElemType.Dbl))
-        // REQ is float-native, TDigest double-native, classic quantiles
-        // widen float to double — normalize so the wrapper picks the right
-        // Java deserializer.
+        // REQ is float-native, TDigest double-native — normalize so the
+        // wrapper picks the right Java deserializer.
         val elem = family match {
-          case "req"                                 => ElemType.Flt
-          case "tdigest"                             => ElemType.Dbl
-          case "quantiles" if elem0 == ElemType.Flt  => ElemType.Dbl
-          case _                                     => elem0
+          case "req"     => ElemType.Flt
+          case "tdigest" => ElemType.Dbl
+          case _         => elem0
         }
         QuantScalar(family, fn, elem, f(args0, elem))
       }

@@ -278,6 +278,16 @@ object SparkEntry {
         |FROM (SELECT datasketch_quantiles(8192, l_extendedprice) AS sk
         |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
 
+    // -- classic quantiles float lane (reference dynamic_return_type:
+    //    FLOAT in → FLOAT out; exact-mode: n=922 ≤ 2K) ---------------------
+    "q56_quantiles_float" -> q(
+      """SELECT datasketch_quantiles_quantile(sk, 0.5, true) AS q50,
+        |       datasketch_quantiles_min_item(sk) AS mn,
+        |       datasketch_quantiles_max_item(sk) AS mx,
+        |       datasketch_quantiles_n(sk) AS n
+        |FROM (SELECT datasketch_quantiles(8192, CAST(l_quantity AS FLOAT)) AS sk
+        |      FROM lineitem WHERE l_partkey % 64 = 0)""".stripMargin),
+
     // -- REQ (float-native; exact-mode: n=922 ≤ K=1024) ---------------------
     "q16_req_quantile" -> q(
       """SELECT datasketch_req_quantile(sk, 0.5, true) AS q50,
@@ -337,6 +347,14 @@ object SparkEntry {
         |       CAST(round(datasketch_theta_estimate(datasketch_theta(user_id))) AS BIGINT) AS approx_users
         |FROM events GROUP BY date_trunc('HOUR', ts)
         |ORDER BY hour LIMIT 48""".stripMargin),
+
+    // -- sketch aggregate as a WINDOW function (mergeable monoid → free via
+    //    Spark's window frames; exact regime: ≤ 100 suppliers/flag) --------
+    "q55_windowed_theta" -> q(
+      """SELECT DISTINCT l_returnflag,
+        |       CAST(round(datasketch_theta_estimate(
+        |         datasketch_theta(l_suppkey) OVER (PARTITION BY l_returnflag))) AS BIGINT) AS approx_suppliers
+        |FROM lineitem ORDER BY l_returnflag""".stripMargin),
 
     // -- scalar metadata constants across families --------------------------
     "q22_sketch_meta" -> q(
@@ -714,6 +732,14 @@ object SparkEntry {
         |       (SELECT count(*) FROM src) AS n,
         |       false AS est_mode""".stripMargin,
 
+    "q56_quantiles_float" ->
+      """WITH src AS (SELECT CAST(l_quantity AS FLOAT) v FROM lineitem WHERE l_partkey % 64 = 0),
+        |ranked AS (SELECT v, cume_dist() OVER (ORDER BY v) cd FROM src)
+        |SELECT (SELECT min(v) FROM ranked WHERE cd >= 0.5) AS q50,
+        |       (SELECT min(v) FROM src) AS mn,
+        |       (SELECT max(v) FROM src) AS mx,
+        |       (SELECT count(*) FROM src) AS n""".stripMargin,
+
     "q16_req_quantile" ->
       """WITH src AS (SELECT CAST(l_quantity AS FLOAT) v FROM lineitem WHERE l_partkey % 64 = 0),
         |ranked AS (SELECT v, cume_dist() OVER (ORDER BY v) cd FROM src)
@@ -759,6 +785,10 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS approx_users
         |FROM events GROUP BY date_trunc('hour', ts)
         |ORDER BY hour LIMIT 48""".stripMargin,
+
+    "q55_windowed_theta" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS approx_suppliers
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_sketch_meta" ->
       """SELECT 200 AS kll_k, true AS kll_est_mode, 12 AS req_k,

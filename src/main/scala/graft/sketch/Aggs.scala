@@ -342,9 +342,12 @@ case class KllAgg(
 // Classic Quantiles (reference src/generated.cpp:734-1146 quantiles blocks)
 // ---------------------------------------------------------------------------
 
-/** Buffer for classic quantiles: a [[DoublesUnion]] for double/float elements
-  * (float widens to double, SURVEY §7.3) or a classic ItemsUnion over longs. */
-final class QuantilesBuf(val du: DoublesUnion, val lu: ClassicItemsUnion[java.lang.Long])
+/** Buffer for classic quantiles: a [[DoublesUnion]] for double elements,
+  * or a classic ItemsUnion over longs / floats (one non-null lane,
+  * selected by the aggregate's bind-time element type). */
+final class QuantilesBuf(val du: DoublesUnion,
+                         val lu: ClassicItemsUnion[java.lang.Long],
+                         val fu: ClassicItemsUnion[java.lang.Float])
 
 /** `datasketch_quantiles(k, v_or_sketch)`. Empty input → NULL. */
 case class QuantilesAgg(
@@ -359,9 +362,11 @@ case class QuantilesAgg(
   override def prettyName: String = "datasketch_quantiles"
   override def createAggregationBuffer(): QuantilesBuf = elem match {
     case ElemType.Lng =>
-      new QuantilesBuf(null, ClassicItemsUnion.getInstance(classOf[java.lang.Long], k, longCmp))
+      new QuantilesBuf(null, ClassicItemsUnion.getInstance(classOf[java.lang.Long], k, longCmp), null)
+    case ElemType.Flt =>
+      new QuantilesBuf(null, null, ClassicItemsUnion.getInstance(classOf[java.lang.Float], k, floatCmp))
     case _ =>
-      new QuantilesBuf(DoublesUnion.builder().setMaxK(k).build(), null)
+      new QuantilesBuf(DoublesUnion.builder().setMaxK(k).build(), null, null)
   }
 
   override def update(buf: QuantilesBuf, input: InternalRow): QuantilesBuf = {
@@ -370,37 +375,49 @@ case class QuantilesAgg(
       if (isMerge) {
         val b = v.asInstanceOf[Array[Byte]]
         if (buf.du != null) deser("Quantiles", b)(buf.du.union(mem(b)))
-        else buf.lu.union(deser("Quantiles", b)(
+        else if (buf.lu != null) buf.lu.union(deser("Quantiles", b)(
           ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(b), longCmp, longsSerDe)))
+        else buf.fu.union(deser("Quantiles", b)(
+          ClassicItemsSketch.getInstance(classOf[java.lang.Float], mem(b), floatCmp, floatsSerDe)))
       } else if (buf.du != null) {
         dispatch(v)(l => buf.du.update(l.toDouble), buf.du.update, _ => unsup(), _ => unsup())
-      } else {
+      } else if (buf.lu != null) {
         dispatch(v)(l => buf.lu.update(l), d => buf.lu.update(d.toLong), _ => unsup(), _ => unsup())
+      } else {
+        dispatch(v)(l => buf.fu.update(l.toFloat), d => buf.fu.update(d.toFloat), _ => unsup(), _ => unsup())
       }
     }
     buf
   }
   override def merge(buf: QuantilesBuf, other: QuantilesBuf): QuantilesBuf = {
     if (buf.du != null) buf.du.union(other.du.getResult)
-    else buf.lu.union(other.lu.getResult)
+    else if (buf.lu != null) buf.lu.union(other.lu.getResult)
+    else buf.fu.union(other.fu.getResult)
     buf
   }
   override def eval(buf: QuantilesBuf): Any = {
     if (buf.du != null) {
       val r = buf.du.getResult
       if (r.isEmpty) null else r.toByteArray(false)
-    } else {
+    } else if (buf.lu != null) {
       val r = buf.lu.getResult
       if (r.isEmpty) null else r.toByteArray(longsSerDe)
+    } else {
+      val r = buf.fu.getResult
+      if (r.isEmpty) null else r.toByteArray(floatsSerDe)
     }
   }
   override def serialize(buf: QuantilesBuf): Array[Byte] =
     if (buf.du != null) buf.du.getResult.toByteArray(false)
-    else buf.lu.getResult.toByteArray(longsSerDe)
+    else if (buf.lu != null) buf.lu.getResult.toByteArray(longsSerDe)
+    else buf.fu.getResult.toByteArray(floatsSerDe)
   override def deserialize(bytes: Array[Byte]): QuantilesBuf = {
     val buf = createAggregationBuffer()
     if (buf.du != null) buf.du.union(mem(bytes))
-    else buf.lu.union(ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(bytes), longCmp, longsSerDe))
+    else if (buf.lu != null)
+      buf.lu.union(ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(bytes), longCmp, longsSerDe))
+    else
+      buf.fu.union(ClassicItemsSketch.getInstance(classOf[java.lang.Float], mem(bytes), floatCmp, floatsSerDe))
     buf
   }
   override def withNewMutableAggBufferOffset(o: Int): QuantilesAgg = copy(mutableAggBufferOffset = o)

@@ -48,6 +48,36 @@ object Kit {
   val longsSerDe = new ArrayOfLongsSerDe
   val stringsSerDe = new ArrayOfStringsSerDe
   val longCmp: Comparator[java.lang.Long] = Comparator.naturalOrder[java.lang.Long]()
+  val floatCmp: Comparator[java.lang.Float] = Comparator.naturalOrder[java.lang.Float]()
+
+  /** Float items serde — datasketches-java ships no ArrayOfFloatsSerDe.
+    * 4-byte items in the Memory's (little-endian) byte order, the same
+    * item-stream layout as the C++ `quantiles_sketch<float>`
+    * (reference `codegen/generator.py:49-60` FLOAT lane). */
+  object floatsSerDe extends org.apache.datasketches.common.ArrayOfItemsSerDe[java.lang.Float] {
+    type JF = java.lang.Float with Object
+    override def serializeToByteArray(item: java.lang.Float): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putFloat(item)
+      b.array()
+    }
+    override def serializeToByteArray(items: Array[JF]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * items.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      items.foreach(f => b.putFloat(f))
+      b.array()
+    }
+    override def deserializeFromMemory(m: Memory, offsetBytes: Long, numItems: Int): Array[JF] = {
+      val out = new Array[java.lang.Float](numItems)
+      var i = 0
+      while (i < numItems) { out(i) = m.getFloat(offsetBytes + 4L * i); i += 1 }
+      out.asInstanceOf[Array[JF]]
+    }
+    override def sizeOf(item: java.lang.Float): Int = 4
+    override def sizeOf(m: Memory, offsetBytes: Long, numItems: Int): Int = 4 * numItems
+    override def toString(item: java.lang.Float): String = item.toString
+    override def getClassOfT: Class[java.lang.Float] = classOf[java.lang.Float]
+  }
 
   def criteria(inclusive: Boolean): QuantileSearchCriteria =
     if (inclusive) QuantileSearchCriteria.INCLUSIVE else QuantileSearchCriteria.EXCLUSIVE

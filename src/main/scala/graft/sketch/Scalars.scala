@@ -97,6 +97,18 @@ object QuantWrap {
     def nre(isPmf: Boolean): Double = s.getNormalizedRankError(isPmf)
     def describe(a: Boolean, b: Boolean): String = s.toString(a, b)
   }
+  final class QFlt(s: ClassicItemsSketch[java.lang.Float]) extends QuantWrap {
+    private def jf(d: Double): java.lang.Float = java.lang.Float.valueOf(d.toFloat)
+    def quantile(r: Double, incl: Boolean): Any = s.getQuantile(r, criteria(incl)).floatValue()
+    def rank(item: Double, incl: Boolean): Double = s.getRank(jf(item), criteria(incl))
+    def cdf(sp: Array[Double], incl: Boolean): Array[Double] = s.getCDF(sp.map(jf), criteria(incl))
+    def pmf(sp: Array[Double], incl: Boolean): Array[Double] = s.getPMF(sp.map(jf), criteria(incl))
+    def k: Int = s.getK; def isEmpty: Boolean = s.isEmpty; def n: Long = s.getN
+    def isEstimationMode: Boolean = s.isEstimationMode; def numRetained: Long = s.getNumRetained
+    def minItem: Any = s.getMinItem.floatValue(); def maxItem: Any = s.getMaxItem.floatValue()
+    def nre(isPmf: Boolean): Double = s.getNormalizedRankError(isPmf)
+    def describe(a: Boolean, b: Boolean): String = s.toString(a, b)
+  }
   final class KDbl(s: KllDoublesSketch) extends QuantWrap {
     def quantile(r: Double, incl: Boolean): Any = s.getQuantile(r, criteria(incl))
     def rank(item: Double, incl: Boolean): Double = s.getRank(item, criteria(incl))
@@ -165,6 +177,7 @@ object QuantWrap {
   def of(family: String, elem: ElemType, bytes: Array[Byte]): QuantWrap = family match {
     case "quantiles" => deser("Quantiles", bytes)(elem match {
       case ElemType.Lng => new QLng(ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(bytes), longCmp, longsSerDe))
+      case ElemType.Flt => new QFlt(ClassicItemsSketch.getInstance(classOf[java.lang.Float], mem(bytes), floatCmp, floatsSerDe))
       case _            => new QDbl(DoublesSketch.heapify(mem(bytes)))
     })
     case "kll" => deser("KLL", bytes)(elem match {

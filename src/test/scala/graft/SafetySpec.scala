@@ -119,6 +119,34 @@ class SafetySpec extends SparkTestBase {
     assert(r.getLong(10) == 100L && r.getLong(11) == 100L)
   }
 
+  test("classic quantiles float lane: FLOAT in → FLOAT out, two-level merge") {
+    // reference dynamic_return_type (codegen/generator.py:558-563): the
+    // quantile over a FLOAT column returns FLOAT, not widened double
+    spark.range(1, 901)
+      .selectExpr("CAST(id AS FLOAT) AS v", "id % 3 AS p")
+      .createOrReplaceTempView("qf_t")
+    val df = sql(
+      """SELECT datasketch_quantiles_quantile(m, 0.5, true) AS q50,
+        |       datasketch_quantiles_min_item(m) AS mn,
+        |       datasketch_quantiles_max_item(m) AS mx,
+        |       datasketch_quantiles_n(m) AS n
+        |FROM (SELECT datasketch_quantiles(1024, s) AS m
+        |      FROM (SELECT p, datasketch_quantiles(1024, v) AS s FROM qf_t GROUP BY p))""".stripMargin)
+    assert(df.schema("q50").dataType == org.apache.spark.sql.types.FloatType)
+    val r = df.head()
+    assert(r.getFloat(0) == 450.0f && r.getFloat(1) == 1.0f && r.getFloat(2) == 900.0f)
+    assert(r.getLong(3) == 900L)
+    // the merge path resolves the float lane from metadata (no tag literal
+    // above) and a stored blob keeps it through parquet
+    val path = tmpDir("graft-safety-qf")
+    sql("SELECT datasketch_quantiles(1024, v) AS sk FROM qf_t")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("stored_qf")
+    val stored = sql("SELECT datasketch_quantiles_max_item(sk) FROM stored_qf")
+    assert(stored.schema.head.dataType == org.apache.spark.sql.types.FloatType)
+    assert(stored.head().getFloat(0) == 900.0f)
+  }
+
   test("too-short blob errors cleanly") {
     val e = intercept[Exception](
       sql("SELECT datasketch_theta_estimate(CAST('ab' AS BINARY))").collect())
