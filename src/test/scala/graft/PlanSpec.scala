@@ -71,6 +71,27 @@ class PlanSpec extends SparkTestBase {
       s"candidate pairs should broadcast:\n$plan")
   }
 
+  test("hot-shingle cap: hot list broadcasts, text never enters an exchange") {
+    // capSets adds one aggregation (hot-shingle detection) and a
+    // broadcast crossJoin of the collected one-row hot list; the pair
+    // join itself must stay a single shingle equi-join, and document text
+    // must never shuffle (everything downstream of shingling rides 64-bit
+    // hashes). This is the plan that bounds boilerplate at 100 TB.
+    val df = operators.DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"hot list should broadcast:\n$plan")
+    val executed = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = executed.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.forall(!_.output.exists(_.name == "text")),
+      s"text must not enter an exchange:\n$plan")
+  }
+
   test("exact dedup: no shuffle carries the document text") {
     // The dedup window must rank (fingerprint, id) pairs only; full rows
     // (with text) stay scan-side until the final anti-join. At 100 TB the
