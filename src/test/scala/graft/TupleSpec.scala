@@ -141,6 +141,27 @@ class TupleSpec extends SparkTestBase {
     assert(hash.map(_.getLong(2)).sum == 20000L)
   }
 
+  test("sampling + bloom grouped sort-based fallback ≡ hash path") {
+    // same serialize → deserialize → update cycle pin as the aod test,
+    // for the other beyond-reference families with object buffers
+    spark.range(0, 20000)
+      .selectExpr("id % 499 AS g", "CAST(id + 1 AS DOUBLE) AS v", "id AS k")
+      .createOrReplaceTempView("sb_fb")
+    def run(): Seq[org.apache.spark.sql.Row] = sql(
+      """SELECT g, datasketch_reservoir_n(datasketch_reservoir(16, v)) AS rn,
+        |       CAST(round(aggregate(datasketch_varopt_samples(
+        |         datasketch_varopt(1024, k, v), 'long'), CAST(0.0 AS DOUBLE),
+        |         (acc, x) -> acc + x.weight)) AS BIGINT) AS vw,
+        |       datasketch_bloom_might_contain(datasketch_bloom(1024, 0.01, k), g) AS bm
+        |FROM sb_fb GROUP BY g ORDER BY g""".stripMargin).collect().toSeq
+    val orig = spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    val hash = run()
+    try {
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2")
+      assert(hash == run(), "sampling/bloom sort-based fallback must equal the hash path")
+    } finally spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", orig)
+  }
+
   test("aod bind errors: arity, lg_k range, num_values mismatch, non-BLOB union") {
     val e1 = intercept[Exception](sql("SELECT datasketch_aod(12, 1)"))
     assert(e1.getMessage.contains("expected (lg_k, num_values, key, v1, ...)"))
