@@ -31,6 +31,7 @@ object Bench {
     // 32-thread box swing up to 4x on GC/scheduling noise (the r4->r5
     // bench "regression" was pure sampling noise); the median is the
     // BASELINE.md-specified statistic and is robust to one bad sample.
+    // SPARK_GRAFT_BENCH_ITERS counts the TIMED runs (warm-up excluded).
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -48,9 +49,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      run() // warm-up, untimed
-      val times = (1 to iterations).map(_ => run()).filter(_ >= 0)
-      name -> (if (times.nonEmpty) median(times) else -1.0)
+      // warm-up, untimed; a query that fails here fails deterministically
+      // (bad plan, bad data) — skip the timed runs instead of re-failing
+      // iterations more times
+      if (run() < 0) name -> -1.0
+      else {
+        val times = (1 to iterations).map(_ => run()).filter(_ >= 0)
+        name -> (if (times.nonEmpty) median(times) else -1.0)
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -81,19 +81,25 @@ object Registration {
       case None      => (args, None)
     }
 
-  /** Recover a sketch column's element type (alias-type dispatch analog). */
-  private def elemOf(e: Expression, default: ElemType): ElemType = e match {
-    case a: AttributeReference if a.metadata.contains(ElemTag) =>
-      ElemType.fromTag(a.metadata.getString(ElemTag))
-    case al: Alias => elemOf(al.child, default)
-    case ae: AggregateExpression =>
-      ae.aggregateFunction match {
-        case k: KllAgg       => k.elem
-        case q: QuantilesAgg => q.elem
-        case _               => default
+  /** Recover a sketch column's element type (alias-type dispatch analog):
+    * column/alias metadata first (the same walk the family check uses, so
+    * the two can never disagree), then a nested sketch-building aggregate,
+    * then the default. The metadata tag is filtered to the quantile lanes
+    * — sampling reuses the key with its own tag vocabulary ('string'). */
+  private def elemOf(e: Expression, default: ElemType): ElemType =
+    elemTagOf(e).filter(elemTags.contains).map(ElemType.fromTag).getOrElse {
+      def nested(x: Expression): Option[ElemType] = x match {
+        case al: Alias => nested(al.child)
+        case ae: AggregateExpression =>
+          ae.aggregateFunction match {
+            case k: KllAgg       => Some(k.elem)
+            case q: QuantilesAgg => Some(q.elem)
+            case _               => None
+          }
+        case _ => None
       }
-    case _ => default
-  }
+      nested(e).getOrElse(default)
+    }
 
   /** Bind-time family validation for sketch-BLOB arguments: when the
     * column carries `sketchFamily` metadata (written by
@@ -300,7 +306,6 @@ object Registration {
   private val thetaScalarBuilders: Seq[(String, B)] = {
     def b(fn: String)(f: Seq[Expression] => Seq[Expression], lo: Int, hi: Int): (String, B) = {
       val fname = s"datasketch_theta_$fn"
-      val blobOut = fn == "union" || fn == "intersect" || fn == "a_not_b"
       fname -> { args: Seq[Expression] =>
         arity(fname, args, lo, hi)
         args.foreach(checkFamilyTag(fname, "theta", _))

@@ -63,17 +63,24 @@ object SparkEntry {
     *    another process has live views over. */
   private lazy val widenRoot: java.io.File = {
     val pid = ProcessHandle.current().pid()
+    def sweep(dir: java.io.File, prefix: String): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+        val n = f.getName
+        if (n.startsWith(prefix))
+          n.stripPrefix(prefix).toLongOption.foreach { p =>
+            if (p != pid && !ProcessHandle.of(p).isPresent) deleteRec(f)
+          }
+      }
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
-      val n = f.getName
-      if (n.startsWith("graft-widened-"))
-        n.stripPrefix("graft-widened-").toLongOption.foreach { p =>
-          if (p != pid && !ProcessHandle.of(p).isPresent) deleteRec(f)
-        }
+    sweep(tmp, "graft-widened-")
+    val base = sys.props.get("graft.widen.dir") match {
+      case Some(d) =>
+        // crashed JVMs leave no shutdown hook — sweep their p<pid> leaves
+        // under the shared explicit dir too
+        sweep(new java.io.File(d), "p")
+        new java.io.File(d, s"p$pid")
+      case None => new java.io.File(tmp, s"graft-widened-$pid")
     }
-    val base = sys.props.get("graft.widen.dir")
-      .map(d => new java.io.File(d, s"p$pid"))
-      .getOrElse(new java.io.File(tmp, s"graft-widened-$pid"))
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(base)))
     base
   }
@@ -123,10 +130,11 @@ object SparkEntry {
             // Scratch path under the per-process root ([[widenRoot]]); the
             // path hash keeps two dirs with the same basename (e.g.
             // .../a/sf0.1 vs .../b/sf0.1) from colliding on one dest, and
-            // the par level keeps a re-widen at different parallelism from
-            // clobbering a dest older views still read.
+            // every cache-key dimension (par, source mtime) is also a path
+            // dimension, so a re-widen always writes a FRESH dest instead
+            // of overwriting files older live views still read.
             val tag = f"${new java.io.File(dir).getName}-${absDir.hashCode & 0x7fffffff}%08x"
-            val d = new java.io.File(widenRoot, s"$tag-p$par/$t").getAbsolutePath
+            val d = new java.io.File(widenRoot, s"$tag-p$par-m$mtime/$t").getAbsolutePath
             df.repartition(par).write.mode("overwrite").parquet(d)
             d
           })

@@ -109,11 +109,31 @@ object DedupOps {
       val hot = sets.select(explode(col("shset")).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShingleDF)
-        .agg(collect_list(col("shingle")).as("__hot"))
-      sets.crossJoin(broadcast(hot))
-        .withColumn("shset", array_except(col("shset"), col("__hot")))
-        .withColumn("sz", size(col("shset")))
-        .drop("__hot")
+        .select("shingle")
+      // Hot-set cardinality picks the removal strategy. The count is a
+      // deliberate driver-side scalar pull (same precedent as the bloom
+      // blob and range-bounds materializations): it is bounded by
+      // total-shingle-mass / cap and the aggregate that produces it also
+      // warms the caller's shingle-set cache.
+      val nHot = hot.count()
+      if (nHot == 0) sets // common case: no boilerplate → zero-cost no-op
+      else if (nHot <= 4L * 1000 * 1000) {
+        // small hot list → broadcast one collected array, map-side except
+        val hotArr = hot.agg(collect_list(col("shingle")).as("__hot"))
+        sets.crossJoin(broadcast(hotArr))
+          .withColumn("shset", array_except(col("shset"), col("__hot")))
+          .withColumn("sz", size(col("shset")))
+          .drop("__hot")
+      } else {
+        // boilerplate so pervasive the hot list itself outgrows a
+        // broadcast: shuffle-based removal — explode, anti-join the hot
+        // relation, re-assemble sets. Docs whose every shingle is hot
+        // drop out entirely (both consumers discard empty sets anyway).
+        sets.select(col("doc"), explode(col("shset")).as("shingle"))
+          .join(hot, Seq("shingle"), "left_anti")
+          .groupBy("doc").agg(collect_list(col("shingle")).as("shset"))
+          .select(col("doc"), size(col("shset")).as("sz"), col("shset"))
+      }
     }
 
   /** Exact n-gram Jaccard similar pairs via inverted-index join.
@@ -127,16 +147,16 @@ object DedupOps {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double, maxShingleDF: Int = 1000): DataFrame = {
-    // Materialize the shingle sets once — the hot-shingle aggregation and
-    // the capped index would otherwise each recompute shingle generation
-    // (the expensive tokenize+hash transform). At cluster scale this
-    // persist (or a checkpoint) is what bounds the pipeline to one pass
-    // over the text.
-    val raw = shingleSets(df, idCol, textCol, k)
-    val base = if (maxShingleDF > 0) raw.cache() else raw
+    // Materialize the shingle sets once — the hot-shingle aggregation,
+    // the capped index, and the self-join sides would otherwise each
+    // recompute shingle generation (the expensive tokenize+hash
+    // transform). One cache at the most-derived-from point; everything
+    // downstream (except, explode) re-derives cheaply from it. At
+    // cluster scale this persist (or a checkpoint) is what bounds the
+    // pipeline to one pass over the text.
+    val base = shingleSets(df, idCol, textCol, k).cache()
     val filtered = capSets(base, maxShingleDF)
       .select(col("doc"), col("sz"), explode(col("shset")).as("shingle"))
-      .cache()
     // Set sizes ride along with every index row, so the whole computation
     // is ONE equi-join + ONE aggregation — no doc-sized side table to
     // reunite with pair counts (that join can't broadcast at billion-doc
@@ -189,13 +209,14 @@ object DedupOps {
                       maxShingleDF: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val raw = shingleSets(df, idCol, textCol, k)
-    val base = if (maxShingleDF > 0) raw.cache() else raw
+    val base = shingleSets(df, idCol, textCol, k).cache()
     // Docs whose every shingle is a stop-shingle carry no signal in the
     // capped universe; drop them before banding (their minhash signatures
-    // would otherwise all collide into one degenerate LSH bucket).
-    val sets = capSets(base, maxShingleDF)
-      .filter(size(col("shset")) > 0).cache()
+    // would otherwise all collide into one degenerate LSH bucket). Not
+    // cached again: the signature and the two verify joins re-derive from
+    // the base cache with only a cheap filter (+ array_except when hot
+    // shingles exist).
+    val sets = capSets(base, maxShingleDF).filter(size(col("shset")) > 0)
     val sig = minhashSignatures(sets, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -72,12 +72,13 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("hot-shingle cap: hot list broadcasts, text never enters an exchange") {
-    // capSets adds one aggregation (hot-shingle detection) and a
-    // broadcast crossJoin of the collected one-row hot list; the pair
-    // join itself must stay a single shingle equi-join, and document text
-    // must never shuffle (everything downstream of shingling rides 64-bit
-    // hashes). This is the plan that bounds boilerplate at 100 TB.
-    val df = operators.DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    // With hot shingles present (cap 2 < max df 7 at sf0.01), capSets
+    // takes the broadcast array_except path; the pair join itself must
+    // stay a single shingle equi-join, and document text must never
+    // shuffle (everything downstream of shingling rides 64-bit hashes).
+    // This is the plan that bounds boilerplate at 100 TB.
+    val df = operators.DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6,
+      maxShingleDF = 2)
     val plan = planOf(df)
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
       s"hot list should broadcast:\n$plan")
@@ -90,6 +91,10 @@ class PlanSpec extends SparkTestBase {
     }
     assert(exchanges.forall(!_.output.exists(_.name == "text")),
       s"text must not enter an exchange:\n$plan")
+    // default cap with no hot shingles: strategy short-circuits to the
+    // raw sets — no crossJoin appears in the plan at all
+    val noHot = planOf(operators.DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6))
+    assert(!noHot.contains("array_except"), s"no-hot path must skip the except:\n$noHot")
   }
 
   test("exact dedup: no shuffle carries the document text") {
