@@ -147,6 +147,31 @@ class SafetySpec extends SparkTestBase {
     assert(stored.head().getFloat(0) == 900.0f)
   }
 
+  test("float quantiles cross-reads reference bytes (quantiles.test:14-22)") {
+    // exact serialized output of the C++ reference for
+    // `datasketch_quantiles(16, 5.0::float)` — preamble (2 longs) + three
+    // 4-byte LE floats (min, max, item). Our custom float serde must read
+    // it verbatim; our own serialization differs ONLY in the ORDERED flag
+    // bit (0x10), which Java omits for a single-item sketch (legal — the
+    // spec guarantees readability, not byte identity).
+    val ref = "0203081810000000" + "0100000000000000" + "0000a040" * 3
+    val r = sql(
+      s"""SELECT datasketch_quantiles_is_empty(X'$ref', 'float'),
+         |       datasketch_quantiles_quantile(X'$ref', 0.5, true, 'float'),
+         |       datasketch_quantiles_n(X'$ref', 'float'),
+         |       datasketch_quantiles_min_item(X'$ref', 'float'),
+         |       datasketch_quantiles_max_item(X'$ref', 'float')""".stripMargin).head()
+    assert(!r.getBoolean(0))
+    assert(r.getFloat(1) == 5.0f && r.getLong(2) == 1L)
+    assert(r.getFloat(3) == 5.0f && r.getFloat(4) == 5.0f)
+    val mine = sql("SELECT datasketch_quantiles(16, CAST(5.0 AS FLOAT))").head()
+      .getAs[Array[Byte]](0)
+    val mineFlagged = mine.clone()
+    mineFlagged(3) = (mineFlagged(3) | 0x10).toByte // set ORDERED
+    assert(mineFlagged.map(b => f"${b & 0xff}%02x").mkString == ref,
+      "serialized form must match the reference modulo the ORDERED flag")
+  }
+
   test("too-short blob errors cleanly") {
     val e = intercept[Exception](
       sql("SELECT datasketch_theta_estimate(CAST('ab' AS BINARY))").collect())
