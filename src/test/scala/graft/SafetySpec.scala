@@ -172,6 +172,17 @@ class SafetySpec extends SparkTestBase {
       "serialized form must match the reference modulo the ORDERED flag")
   }
 
+  test("req golden bytes are byte-identical to the reference (req.test:14-17)") {
+    val mine = sql("SELECT datasketch_req(16, CAST(5.0 AS FLOAT))").head()
+      .getAs[Array[Byte]](0).map(b => f"${b & 0xff}%02x").mkString
+    assert(mine == "0201113810000101" + "0000a040")
+    // and the reference blob probes correctly through our scalars
+    val r = sql(
+      """SELECT datasketch_req_quantile(X'02011138100001010000a040', 0.5, true),
+        |       datasketch_req_n(X'02011138100001010000a040')""".stripMargin).head()
+    assert(r.getFloat(0) == 5.0f && r.getLong(1) == 1L)
+  }
+
   test("too-short blob errors cleanly") {
     val e = intercept[Exception](
       sql("SELECT datasketch_theta_estimate(CAST('ab' AS BINARY))").collect())
