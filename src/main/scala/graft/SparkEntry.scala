@@ -226,7 +226,8 @@ object SparkEntry {
       """SELECT o_orderpriority,
         |       CAST(round(datasketch_theta_estimate(datasketch_theta(o_custkey))) AS BIGINT) AS approx_customers,
         |       datasketch_theta_num_retained(datasketch_theta(o_custkey)) AS retained,
-        |       datasketch_theta_is_estimation_mode(datasketch_theta(o_custkey)) AS est_mode
+        |       datasketch_theta_is_estimation_mode(datasketch_theta(o_custkey)) AS est_mode,
+        |       datasketch_theta_get_theta(datasketch_theta(o_custkey)) AS theta
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     "q10_theta_jaccard" -> q(
@@ -248,7 +249,8 @@ object SparkEntry {
         |       datasketch_kll_quantile(sk, 0.75, true) AS q75,
         |       datasketch_kll_min_item(sk) AS mn,
         |       datasketch_kll_max_item(sk) AS mx,
-        |       datasketch_kll_n(sk) AS n
+        |       datasketch_kll_n(sk) AS n,
+        |       datasketch_kll_num_retained(sk) AS retained
         |FROM (SELECT datasketch_kll(8192, l_extendedprice) AS sk
         |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
 
@@ -282,7 +284,8 @@ object SparkEntry {
         |       datasketch_quantiles_min_item(sk) AS mn,
         |       datasketch_quantiles_max_item(sk) AS mx,
         |       datasketch_quantiles_n(sk) AS n,
-        |       datasketch_quantiles_is_estimation_mode(sk) AS est_mode
+        |       datasketch_quantiles_is_estimation_mode(sk) AS est_mode,
+        |       datasketch_quantiles_num_retained(sk) AS retained
         |FROM (SELECT datasketch_quantiles(8192, l_extendedprice) AS sk
         |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
 
@@ -302,7 +305,8 @@ object SparkEntry {
         |       datasketch_req_rank(sk, 25.0, true) AS rank_25,
         |       datasketch_req_n(sk) AS n,
         |       datasketch_req_min_item(sk) AS mn,
-        |       datasketch_req_max_item(sk) AS mx
+        |       datasketch_req_max_item(sk) AS mx,
+        |       datasketch_req_num_retained(sk) AS retained
         |FROM (SELECT datasketch_req(1024, CAST(l_quantity AS FLOAT)) AS sk
         |      FROM lineitem WHERE l_partkey % 64 = 0)""".stripMargin),
 
@@ -687,7 +691,8 @@ object SparkEntry {
 
     "q09_theta_grouped" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS approx_customers,
-        |       count(DISTINCT o_custkey) AS retained, false AS est_mode
+        |       count(DISTINCT o_custkey) AS retained, false AS est_mode,
+        |       CAST(1.0 AS DOUBLE) AS theta
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q10_theta_jaccard" ->
@@ -707,7 +712,8 @@ object SparkEntry {
         |       (SELECT min(v) FROM ranked WHERE cd >= 0.75) AS q75,
         |       (SELECT min(v) FROM src) AS mn,
         |       (SELECT max(v) FROM src) AS mx,
-        |       (SELECT count(*) FROM src) AS n""".stripMargin,
+        |       (SELECT count(*) FROM src) AS n,
+        |       (SELECT count(*) FROM src) AS retained""".stripMargin,
 
     "q12_kll_rank_cdf" ->
       """WITH src AS (SELECT l_extendedprice v FROM lineitem WHERE l_partkey % 16 = 0),
@@ -738,7 +744,8 @@ object SparkEntry {
         |       (SELECT min(v) FROM src) AS mn,
         |       (SELECT max(v) FROM src) AS mx,
         |       (SELECT count(*) FROM src) AS n,
-        |       false AS est_mode""".stripMargin,
+        |       false AS est_mode,
+        |       (SELECT count(*) FROM src) AS retained""".stripMargin,
 
     "q56_quantiles_float" ->
       """WITH src AS (SELECT CAST(l_quantity AS FLOAT) v FROM lineitem WHERE l_partkey % 64 = 0),
@@ -755,7 +762,8 @@ object SparkEntry {
         |       (SELECT CAST(count(*) FILTER (v <= 25.0) AS DOUBLE) / count(*) FROM src) AS rank_25,
         |       (SELECT count(*) FROM src) AS n,
         |       (SELECT min(v) FROM src) AS mn,
-        |       (SELECT max(v) FROM src) AS mx""".stripMargin,
+        |       (SELECT max(v) FROM src) AS mx,
+        |       (SELECT count(*) FROM src) AS retained""".stripMargin,
 
     "q17_tdigest" ->
       """SELECT count(*) AS total_weight, 200 AS k,
