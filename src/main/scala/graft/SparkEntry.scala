@@ -227,7 +227,9 @@ object SparkEntry {
         |       CAST(round(datasketch_theta_estimate(datasketch_theta(o_custkey))) AS BIGINT) AS approx_customers,
         |       datasketch_theta_num_retained(datasketch_theta(o_custkey)) AS retained,
         |       datasketch_theta_is_estimation_mode(datasketch_theta(o_custkey)) AS est_mode,
-        |       datasketch_theta_get_theta(datasketch_theta(o_custkey)) AS theta
+        |       datasketch_theta_get_theta(datasketch_theta(o_custkey)) AS theta,
+        |       CAST(round(datasketch_theta_lower_bound(datasketch_theta(o_custkey), 2)) AS BIGINT) AS lb,
+        |       CAST(round(datasketch_theta_upper_bound(datasketch_theta(o_custkey), 2)) AS BIGINT) AS ub
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     "q10_theta_jaccard" -> q(
@@ -333,7 +335,8 @@ object SparkEntry {
       """SELECT datasketch_frequent_items_estimate(m, 'click') AS clicks,
         |       datasketch_frequent_items_estimate(m, 'error') AS errors,
         |       datasketch_frequent_items_total_weight(m) AS total_weight,
-        |       datasketch_frequent_items_num_active(m) AS num_active
+        |       datasketch_frequent_items_num_active(m) AS num_active,
+        |       datasketch_frequent_items_is_empty(m) AS empty
         |FROM (SELECT datasketch_frequent_items(sk) AS m
         |      FROM (SELECT user_id % 4 AS p, datasketch_frequent_items(event_type) AS sk
         |            FROM events GROUP BY user_id % 4))""".stripMargin),
@@ -692,7 +695,9 @@ object SparkEntry {
     "q09_theta_grouped" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS approx_customers,
         |       count(DISTINCT o_custkey) AS retained, false AS est_mode,
-        |       CAST(1.0 AS DOUBLE) AS theta
+        |       CAST(1.0 AS DOUBLE) AS theta,
+        |       count(DISTINCT o_custkey) AS lb,
+        |       count(DISTINCT o_custkey) AS ub
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q10_theta_jaccard" ->
@@ -781,7 +786,8 @@ object SparkEntry {
       """SELECT count(*) FILTER (event_type = 'click') AS clicks,
         |       count(*) FILTER (event_type = 'error') AS errors,
         |       count(*) AS total_weight,
-        |       count(DISTINCT event_type) AS num_active
+        |       count(DISTINCT event_type) AS num_active,
+        |       false AS empty
         |FROM events""".stripMargin,
 
     "q20_freq_numeric_keys" ->
