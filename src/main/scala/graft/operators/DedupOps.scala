@@ -103,20 +103,59 @@ object DedupOps {
     * bounds inverted-index self-joins and LSH bucket sizes on boilerplate
     * (headers, license blocks, templated text), whose document frequency
     * otherwise makes candidate generation quadratic in the hottest key. */
-  private[operators] def capSets(sets: DataFrame, maxShingleDF: Int): DataFrame =
-    if (maxShingleDF <= 0) sets
+  /** Collect the hot-shingle list (document frequency > `maxShingleDF`)
+    * for a shingle-set relation — corpus-level metadata a production
+    * pipeline computes ONCE per corpus snapshot and reuses across every
+    * dedup job over it (same driver-side-materialization precedent as
+    * the bloom-join blob and the KLL range bounds: the result is bounded
+    * by total-shingle-mass / cap, KB-to-MB sized by construction).
+    * Callers pass it back via `knownHot` so q35/q36/q46-style pipelines
+    * over one corpus pay the full-shingle-mass aggregation once instead
+    * of once per query — the r6 "cap tax". */
+  def hotShingles(sets: DataFrame, maxShingleDF: Int): Array[Long] =
+    if (maxShingleDF <= 0) Array.empty
+    else sets.select(explode(col("shset")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDF)
+      .select("shingle").collect().map(_.getLong(0))
+
+  /** [[capSets]] with a precomputed hot list: no per-query aggregation,
+    * no driver-side count job — an empty list is a pure no-op and a
+    * non-empty one a map-side `array_except` against one broadcast row. */
+  private[operators] def capSetsKnown(sets: DataFrame, hot: Array[Long]): DataFrame =
+    if (hot.isEmpty) sets
     else {
+      val spark = sets.sparkSession
+      import spark.implicits._
+      val hotArr = Seq(hot).toDF("__hot")
+      sets.crossJoin(broadcast(hotArr))
+        .withColumn("shset", array_except(col("shset"), col("__hot")))
+        .withColumn("sz", size(col("shset")))
+        .drop("__hot")
+    }
+
+  private[operators] def capSets(sets: DataFrame, maxShingleDF: Int,
+                                 knownHot: Option[Array[Long]] = None): DataFrame =
+    if (maxShingleDF <= 0) sets
+    else if (knownHot.isDefined) capSetsKnown(sets, knownHot.get)
+    else {
+      // Cached: the strategy probe below AND the chosen removal plan both
+      // read it, so the explode+groupBy over the full shingle mass runs
+      // once (it was the r6 cap-tax — the in-query hot aggregation
+      // re-ran after the count job had already paid for it). The cache
+      // is ≤ total-shingle-mass / cap rows of one long each — KB-to-MB.
       val hot = sets.select(explode(col("shset")).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShingleDF)
         .select("shingle")
+        .cache()
       // Hot-set cardinality picks the removal strategy. The count is a
       // deliberate driver-side scalar pull (same precedent as the bloom
       // blob and range-bounds materializations): it is bounded by
       // total-shingle-mass / cap and the aggregate that produces it also
       // warms the caller's shingle-set cache.
       val nHot = hot.count()
-      if (nHot == 0) sets // common case: no boilerplate → zero-cost no-op
+      if (nHot == 0) { hot.unpersist(); sets } // common case: no boilerplate → no-op
       else if (nHot <= 4L * 1000 * 1000) {
         // small hot list → broadcast one collected array, map-side except
         val hotArr = hot.agg(collect_list(col("shingle")).as("__hot"))
@@ -146,7 +185,8 @@ object DedupOps {
     *        at 100 TB.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int, threshold: Double, maxShingleDF: Int = 1000): DataFrame = {
+                   k: Int, threshold: Double, maxShingleDF: Int = 1000,
+                   knownHot: Option[Array[Long]] = None): DataFrame = {
     // Materialize the shingle sets once — the hot-shingle aggregation,
     // the capped index, and the self-join sides would otherwise each
     // recompute shingle generation (the expensive tokenize+hash
@@ -155,7 +195,7 @@ object DedupOps {
     // cluster scale this persist (or a checkpoint) is what bounds the
     // pipeline to one pass over the text.
     val base = shingleSets(df, idCol, textCol, k).cache()
-    val filtered = capSets(base, maxShingleDF)
+    val filtered = capSets(base, maxShingleDF, knownHot)
       .select(col("doc"), col("sz"), explode(col("shset")).as("shingle"))
     // Set sizes ride along with every index row, so the whole computation
     // is ONE equi-join + ONE aggregation — no doc-sized side table to
@@ -206,7 +246,8 @@ object DedupOps {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, threshold: Double,
                       numHashes: Int = 64, bands: Int = 16,
-                      maxShingleDF: Int = 1000): DataFrame = {
+                      maxShingleDF: Int = 1000,
+                      knownHot: Option[Array[Long]] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val base = shingleSets(df, idCol, textCol, k).cache()
@@ -216,7 +257,7 @@ object DedupOps {
     // cached again: the signature and the two verify joins re-derive from
     // the base cache with only a cheap filter (+ array_except when hot
     // shingles exist).
-    val sets = capSets(base, maxShingleDF).filter(size(col("shset")) > 0)
+    val sets = capSets(base, maxShingleDF, knownHot).filter(size(col("shset")) > 0)
     val sig = minhashSignatures(sets, numHashes)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -231,15 +272,19 @@ object DedupOps {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
     // Exact verification on candidates only, straight from the shingle
-    // SETS: two broadcast-candidate joins reunite each pair with its two
-    // arrays and `array_intersect` counts the overlap — no exploded
-    // inverted index (doc×shingles rows) scanned twice, no pair groupBy.
-    // Candidate volume is O(near-dups), tiny next to the corpus, so the
-    // broadcasts hold at scale; the big `sets` side never shuffles.
-    val withA = cands.hint("broadcast")
+    // SETS: two candidate joins reunite each pair with its two arrays
+    // and `array_intersect` counts the overlap — no exploded inverted
+    // index (doc×shingles rows) scanned twice, no pair groupBy.
+    // NO forced broadcast: on a clean corpus the candidate set is tiny
+    // and AQE broadcasts it at runtime from observed shuffle stats, but
+    // on a web-scale crawl near-dup fractions of 30–50% are normal and a
+    // forced hint would OOM the driver where the shuffle join just works.
+    // Let the optimizer pick per-run instead of hard-coding an
+    // assumption the data can violate.
+    val withA = cands
       .join(sets.as("sa"), col("doc_a") === col("sa.doc"))
       .select(col("doc_a"), col("doc_b"), col("sa.sz").as("sz_a"), col("sa.shset").as("set_a"))
-    withA.hint("broadcast")
+    withA
       .join(sets.as("sb"), col("doc_b") === col("sb.doc"))
       .withColumn("common", size(array_intersect(col("set_a"), col("sb.shset"))))
       .withColumn("jaccard",

@@ -23,7 +23,8 @@ object Pipeline {
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
              nearDupThreshold: Double = 0.9, minQuality: Double = 0.2,
-             shingleK: Int = 3, maxShingleDF: Int = 1000): DataFrame = {
+             shingleK: Int = 3, maxShingleDF: Int = 1000,
+             knownHot: Option[Array[Long]] = None): DataFrame = {
     val id = col(idCol)
 
     // 1. exact-dup drop set: the ranking window sees only (fp, id) pairs,
@@ -35,12 +36,17 @@ object Pipeline {
     // 2. near-dup drop set: higher id of every verified pair (hot-shingle
     //    cap threaded through — boilerplate must not go quadratic here)
     val dropNear = DedupOps.minhashLshPairs(docs, idCol, textCol, shingleK, nearDupThreshold,
-        maxShingleDF = maxShingleDF)
+        maxShingleDF = maxShingleDF, knownHot = knownHot)
       .select(col("doc_b").as("__near_drop")).distinct()
 
+    // NO forced broadcast on the drop sets: their size is O(duplicates),
+    // which on a web-scale corpus can be 30–50% of the input — far past
+    // any driver/executor broadcast budget. AQE broadcasts them at
+    // runtime when they really are small; when they are not, the plain
+    // shuffle join is the only plan that completes.
     docs
-      .join(broadcast(dropExact), id === col("__exact_drop"), "left")
-      .join(broadcast(dropNear), id === col("__near_drop"), "left")
+      .join(dropExact, id === col("__exact_drop"), "left")
+      .join(dropNear, id === col("__near_drop"), "left")
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .withColumn("lang", TextOps.langId(col(textCol)))
       .withColumn("decision",

@@ -174,6 +174,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(5L) == "kept")
   }
 
+  test("curation completes on a 50%-duplicated corpus (no forced broadcast)") {
+    // Web-crawl corpora routinely run 30–50% duplicates, making the drop
+    // sets O(corpus)-sized — the regime where the r6 forced broadcast()
+    // would OOM a driver at scale. Duplicate every document (near-dup via
+    // a one-token suffix for odd clones, exact for even) and require the
+    // un-hinted pipeline to complete and drop every clone.
+    // Synthetic corpus: every token embeds the doc id, so originals share
+    // no shingles with each other (no accidental cross-dups), and the
+    // near clone's one-token suffix leaves J = 10/11 ≫ 0.5 (recall ≈ 1
+    // on the 16-band curve).
+    val base = spark.range(0, 100).selectExpr("id AS doc_id",
+      """concat_ws(' ', 'a'||id, 'b'||id, 'c'||id, 'd'||id, 'e'||id, 'f'||id,
+        |          'g'||id, 'h'||id, 'i'||id, 'j'||id, 'k'||id, 'l'||id) AS text""".stripMargin)
+    val clones = base.select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      when(col("doc_id") % 2 === 1, concat(col("text"), lit(" zclone")))
+        .otherwise(col("text")).as("text"))
+    val corpus = base.union(clones)
+    val out = operators.Pipeline.curate(corpus, "doc_id", "text",
+        nearDupThreshold = 0.5, minQuality = 0.0)
+      .groupBy("decision").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse("exact_dup", 0L) + out.getOrElse("near_dup", 0L) == 100L,
+      s"every clone must be dropped as a duplicate: $out")
+    assert(out.getOrElse("kept", 0L) == 100L, s"every original must survive: $out")
+  }
+
   test("media decode stub emits fixed-dim features partition-parallel") {
     docs.createOrReplaceTempView("documents")
     MediaOps.registerViews(spark)

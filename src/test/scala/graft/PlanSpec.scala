@@ -64,11 +64,23 @@ class PlanSpec extends SparkTestBase {
       s"scan should read only needed columns: $scanLine")
   }
 
-  test("minhash LSH verification join broadcasts the candidate set") {
-    val plan = planOf(operators.DedupOps.minhashLshPairs(
-      docs, "doc_id", "text", k = 3, threshold = 0.6))
-    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
-      s"candidate pairs should broadcast:\n$plan")
+  test("minhash LSH verification join: no forced broadcast, AQE picks at runtime") {
+    // r6 forced `hint("broadcast")` on the candidate set; at web scale
+    // near-dup fractions of 30–50% make that an unbounded relation and
+    // the hint an OOM. The pin is now the inverse: the LOGICAL plan must
+    // carry no broadcast hint (so the optimizer stays free to shuffle
+    // when candidates are huge), and on this small corpus AQE must still
+    // arrive at broadcast joins at runtime from observed shuffle stats —
+    // proving we lost no small-case performance by un-forcing it.
+    val df = operators.DedupOps.minhashLshPairs(
+      docs, "doc_id", "text", k = 3, threshold = 0.6)
+    assert(!df.queryExecution.analyzed.toString.contains("UnresolvedHint") &&
+      !df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "candidate verify joins must not force a broadcast hint")
+    df.collect() // execute so AQE finalizes THIS QueryExecution's plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the small candidate set at runtime:\n$finalPlan")
   }
 
   test("hot-shingle cap: hot list broadcasts, text never enters an exchange") {
@@ -95,6 +107,26 @@ class PlanSpec extends SparkTestBase {
     // raw sets — no crossJoin appears in the plan at all
     val noHot = planOf(operators.DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6))
     assert(!noHot.contains("array_except"), s"no-hot path must skip the except:\n$noHot")
+  }
+
+  test("windowed sketch (q55): partitioned on a high-cardinality key, " +
+    "parallelism = shuffle partitions") {
+    // The r6 q55 shape windowed over l_returnflag (3 values) → 3 tasks on
+    // any cluster and a full theta blob serialized per input row. The pin:
+    // the window's exchange must hash-partition on the high-cardinality
+    // order key, so task count tracks spark.sql.shuffle.partitions (data-
+    // proportional) instead of the key's value count.
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
+    val df = SparkEntry.queries("q55_windowed_theta")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("hashpartitioning(l_orderkey"),
+      s"window must partition on the high-cardinality key:\n$plan")
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(plan.contains(s"hashpartitioning(l_orderkey#") &&
+      plan.linesIterator.exists(l => l.contains("hashpartitioning(l_orderkey") && l.contains(s", $nPart)")),
+      s"window exchange should use all $nPart shuffle partitions:\n$plan")
   }
 
   test("exact dedup: no shuffle carries the document text") {
