@@ -479,10 +479,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
 
-    // no ANSI oracle (custom 64-bit hashing) → driver rows-only check
+    // SimHash over the engine-portable md5 token hash, so the whole
+    // pipeline (tokenize → signature → banded pairs, exact recall by
+    // pigeonhole) hash-matches a brute-force ANSI oracle. The xxhash64
+    // fast path ([[DedupOps.simhash]]) shares the banding core and is
+    // pinned by property tests (native ≡ array-ops formulation).
     "q37_simhash_pairs" -> qd { spark =>
-      operators.DedupOps.simhashPairs(spark.table("documents"), "doc_id", "text",
-          maxDist = 3)
+      import org.apache.spark.sql.functions._
+      val sigs = operators.DedupOps.simhashSigsPortable(
+        spark.table("documents"), "doc_id", "text")
+      operators.DedupOps.simhashPairsFromSigs(sigs, maxDist = 3)
+        .select(col("doc_a"), col("doc_b"), col("dist").cast("int").as("dist"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -936,6 +943,28 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
         |FROM pairs WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // brute-force Hamming pairs over the same md5-derived simhash — the
+    // banded Spark plan has exact recall (pigeonhole), so the sets match
+    "q37_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN generate_series(0, 63) AS s(j)
+        |  GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q38_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -326,10 +326,17 @@ object DedupOps {
     * pigeonhole any pair within maxDist collides on at least one chunk, so
     * recall is exact while candidate generation stays an equi-join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3): DataFrame =
+    simhashPairsFromSigs(
+      df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig")), maxDist)
+
+  /** Banded Hamming-≤ maxDist pairs over a precomputed (doc, sig)
+    * signature relation — the join core of [[simhashPairs]], reusable
+    * with any 64-bit signature scheme. Exact recall (pigeonhole),
+    * candidate generation stays a shuffle-friendly equi-join. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val sigs = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig"))
     val bandCols = (0 until chunks).map { c =>
       struct(lit(c).as("band"),
         shiftright(col("sig"), c * width)
@@ -345,5 +352,35 @@ object DedupOps {
         hamming(col("a.sig"), col("b.sig")).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
+  }
+
+  /** Engine-portable 64-bit token hash: the first 16 hex digits of
+    * md5(token). Any ANSI engine with md5() reproduces it bit-for-bit —
+    * this is what lets the SimHash pipeline be verified end-to-end by an
+    * external SQL oracle (DuckDB: `('0x'||substr(md5(t),1,16))::UBIGINT`),
+    * where xxhash64 signatures would be engine-local. Built from
+    * codegen'd built-ins only (md5/substring/conv/shiftleft). */
+  def md5TokenHash64(t: Column): Column =
+    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+
+  /** SimHash signatures over [[md5TokenHash64]], one (doc, sig) row per
+    * non-blank document. Shape: explode tokens → 64 codegen'd conditional
+    * sums in ONE hash aggregation (no higher-order interpreted loop) →
+    * fold the per-bit votes into the signature long. The aggregation is
+    * map-side partial like any sum, so token rows never shuffle — only
+    * 64 longs per doc do. */
+  def simhashSigsPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"), explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("doc"), md5TokenHash64(col("t")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    toks.groupBy("doc").agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
   }
 }

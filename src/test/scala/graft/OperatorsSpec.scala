@@ -115,6 +115,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.forall(_.getInt(2) <= 3))
   }
 
+  test("md5TokenHash64 matches a JVM-side md5 reference (oracle portability)") {
+    // The q37 oracle recomputes this hash in DuckDB as
+    // ('0x'||substr(md5(t),1,16))::UBIGINT; the contract is "first 8 md5
+    // bytes, big-endian". Pin it against java.security.MessageDigest.
+    val got = spark.sql("SELECT * FROM VALUES ('hello'),('world'),('a'),('123'),('Zx9') t(s)")
+      .select(col("s"), DedupOps.md5TokenHash64(col("s")).as("h")).collect()
+    got.foreach { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(0).getBytes("UTF-8"))
+      val expect = java.nio.ByteBuffer.wrap(md, 0, 8).getLong
+      assert(r.getLong(1) == expect, s"hash mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("portable simhash pairs ⊇ native-path structure: banding core shared") {
+    // Same banding join, different signature scheme: every emitted pair
+    // must satisfy the Hamming bound (the banding core is shared code,
+    // so this guards the refactor seam).
+    val sigs = DedupOps.simhashSigsPortable(docs, "doc_id", "text")
+    val pairs = DedupOps.simhashPairsFromSigs(sigs, maxDist = 3).collect()
+    assert(pairs.forall(_.getInt(2) <= 3))
+  }
+
   test("tokenCount / quality / langId edge cases") {
     val r = spark.sql("SELECT * FROM VALUES (''), ('  '), ('the fox'), ('el la de') t(s)")
       .select(TextOps.tokenCount(col("s")).as("n"),
