@@ -324,6 +324,53 @@ object SparkEntry {
         |FROM (SELECT datasketch_quantiles(8192, CAST(l_quantity AS FLOAT)) AS sk
         |      FROM lineitem WHERE l_partkey % 64 = 0)""".stripMargin),
 
+    // -- corrupt-blob error taxonomy, oracle-locked. The reference raises
+    //    `Invalid Input Error: Failed to deserialize ...` on corrupt
+    //    sketch blobs (test/sql/datasketch_kll.test:100-114); this query
+    //    probes each corruption class through the real SQL surface and
+    //    emits (probe, error_class, ref_prefix) rows the DuckDB oracle
+    //    matches as literals — promoting the error contract from unit
+    //    tests into the driver-visible correctness gate. The per-probe
+    //    collect()s are 1-row constant evaluations, not data scans. ------
+    "q57_error_taxonomy" -> qd { spark =>
+      def errOf(sqlText: String): String = {
+        try { spark.sql(sqlText).collect(); "no_error" }
+        catch { case e: Throwable =>
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+            .map(t => Option(t.getMessage).getOrElse(""))
+            .find(_.contains("Failed to deserialize"))
+            .getOrElse(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+        }
+      }
+      val hllHex = spark.sql("SELECT hex(datasketch_hll(8, CAST(5 AS BIGINT)))")
+        .head().getString(0)
+      val kllHex = spark.sql("SELECT hex(datasketch_kll(8, CAST(5 AS BIGINT)))")
+        .head().getString(0)
+      val cpcHex = spark.sql("SELECT hex(datasketch_cpc(11, CAST(5 AS BIGINT)))")
+        .head().getString(0)
+      val probes = Seq(
+        "kll_too_short" -> errOf("SELECT datasketch_kll_quantile(CAST('ab' AS BINARY), 0.5, true)"),
+        "kll_on_hll_blob" -> errOf(s"SELECT datasketch_kll_quantile(X'$hllHex', 0.5, true)"),
+        "hll_on_kll_blob" -> errOf(s"SELECT datasketch_hll_estimate(X'$kllHex')"),
+        "theta_unrecognized" -> errOf("SELECT datasketch_theta_estimate(X'0011FF33445566778899')"),
+        "tdigest_too_short" -> errOf("SELECT datasketch_tdigest_quantile(X'01', 0.5)"),
+        // valid CPC preamble (family sniff passes), truncated payload →
+        // the Java deserializer's own failure, wrapped with the
+        // reference's message prefix
+        "cpc_truncated" -> errOf(s"SELECT datasketch_cpc_estimate(X'${cpcHex.take(20)}')"))
+      val rows = probes.map { case (p, m) =>
+        val cls =
+          if (m.contains("BLOB too short")) "too_short"
+          else if (m.contains("probe it with the matching")) "wrong_family"
+          else if (m.contains("not a recognizable sketch")) "unrecognized"
+          else if (m.startsWith("Failed to deserialize")) "deserialize_error"
+          else "other:" + m.take(40)
+        (p, cls, m.startsWith("Failed to deserialize"))
+      }
+      import spark.implicits._
+      rows.toDF("probe", "error_class", "ref_prefix").orderBy("probe")
+    },
+
     // -- REQ (float-native; exact-mode: n=922 ≤ K=1024) ---------------------
     "q16_req_quantile" -> q(
       """SELECT datasketch_req_quantile(sk, 0.5, true) AS q50,
@@ -801,6 +848,18 @@ object SparkEntry {
         |       (SELECT min(v) FROM src) AS mn,
         |       (SELECT max(v) FROM src) AS mx,
         |       (SELECT count(*) FROM src) AS n""".stripMargin,
+
+    // the expected taxonomy as literals: the reference's corrupt-blob
+    // contract (Failed to deserialize ..., kll.test:100-114) per class
+    "q57_error_taxonomy" ->
+      """SELECT * FROM (VALUES
+        |  ('cpc_truncated', 'deserialize_error', true),
+        |  ('hll_on_kll_blob', 'wrong_family', true),
+        |  ('kll_on_hll_blob', 'wrong_family', true),
+        |  ('kll_too_short', 'too_short', true),
+        |  ('tdigest_too_short', 'too_short', true),
+        |  ('theta_unrecognized', 'unrecognized', true)) t(probe, error_class, ref_prefix)
+        |ORDER BY probe""".stripMargin,
 
     "q16_req_quantile" ->
       """WITH src AS (SELECT CAST(l_quantity AS FLOAT) v FROM lineitem WHERE l_partkey % 64 = 0),
