@@ -336,9 +336,13 @@ object SparkEntry {
       def errOf(sqlText: String): String = {
         try { spark.sql(sqlText).collect(); "no_error" }
         catch { case e: Throwable =>
+          // a task failure arrives wrapped in Spark's "Job aborted due to
+          // stage failure: ..." envelope — strip to the reference-prefixed
+          // substring so classification sees the raw contract message
           Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
             .map(t => Option(t.getMessage).getOrElse(""))
             .find(_.contains("Failed to deserialize"))
+            .map(m => m.substring(m.indexOf("Failed to deserialize")))
             .getOrElse(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
         }
       }
@@ -347,6 +351,15 @@ object SparkEntry {
       val kllHex = spark.sql("SELECT hex(datasketch_kll(8, CAST(5 AS BIGINT)))")
         .head().getString(0)
       val cpcHex = spark.sql("SELECT hex(datasketch_cpc(11, CAST(5 AS BIGINT)))")
+        .head().getString(0)
+      val thetaHex = spark.sql("SELECT hex(datasketch_theta(CAST(5 AS BIGINT)))")
+        .head().getString(0)
+      val aodHex = spark.sql(
+          "SELECT hex(datasketch_aod(12, 1, CAST(5 AS BIGINT), CAST(1.0 AS DOUBLE)))")
+        .head().getString(0)
+      val resHex = spark.sql("SELECT hex(datasketch_reservoir(8, CAST(5 AS DOUBLE)))")
+        .head().getString(0)
+      val bloomHex = spark.sql("SELECT hex(datasketch_bloom(1000, 0.01, CAST(5 AS BIGINT)))")
         .head().getString(0)
       val probes = Seq(
         "kll_too_short" -> errOf("SELECT datasketch_kll_quantile(CAST('ab' AS BINARY), 0.5, true)"),
@@ -357,7 +370,14 @@ object SparkEntry {
         // valid CPC preamble (family sniff passes), truncated payload →
         // the Java deserializer's own failure, wrapped with the
         // reference's message prefix
-        "cpc_truncated" -> errOf(s"SELECT datasketch_cpc_estimate(X'${cpcHex.take(20)}')"))
+        "cpc_truncated" -> errOf(s"SELECT datasketch_cpc_estimate(X'${cpcHex.take(20)}')"),
+        // tuple/AOD, sampling and bloom families: same contract
+        // (one wrong-family + one truncation probe per family group)
+        "aod_on_theta_blob" -> errOf(s"SELECT datasketch_aod_estimate(X'$thetaHex')"),
+        "aod_truncated" -> errOf(s"SELECT datasketch_aod_estimate(X'${aodHex.take(24)}')"),
+        "reservoir_truncated" -> errOf(s"SELECT datasketch_reservoir_n(X'${resHex.take(20)}')"),
+        "varopt_on_reservoir_blob" -> errOf(s"SELECT datasketch_varopt_n(X'$resHex')"),
+        "bloom_truncated" -> errOf(s"SELECT datasketch_bloom_bits_used(X'${bloomHex.take(24)}')"))
       val rows = probes.map { case (p, m) =>
         val cls =
           if (m.contains("BLOB too short")) "too_short"
@@ -597,7 +617,10 @@ object SparkEntry {
       val v = spark.table("embeddings")
         .select(col("vec_id").as("doc"), col("embedding").as("vec"),
           operators.SimilarityOps.norm(col("embedding")).as("nrm"))
-      v.as("a").join(broadcast(v.as("b")), col("a.doc") < col("b.doc"))
+      // no broadcast hint: this is the declared brute-force ground-truth
+      // query (q45 is the scale path) and forcing a broadcast of the whole
+      // corpus would OOM at scale — let AQE pick the join strategy
+      v.as("a").join(v.as("b"), col("a.doc") < col("b.doc"))
         .withColumn("cosine",
           operators.SimilarityOps.dot(col("a.vec"), col("b.vec")) /
             (col("a.nrm") * col("b.nrm")))
@@ -853,12 +876,17 @@ object SparkEntry {
     // contract (Failed to deserialize ..., kll.test:100-114) per class
     "q57_error_taxonomy" ->
       """SELECT * FROM (VALUES
+        |  ('aod_on_theta_blob', 'wrong_family', true),
+        |  ('aod_truncated', 'deserialize_error', true),
+        |  ('bloom_truncated', 'deserialize_error', true),
         |  ('cpc_truncated', 'deserialize_error', true),
         |  ('hll_on_kll_blob', 'wrong_family', true),
         |  ('kll_on_hll_blob', 'wrong_family', true),
         |  ('kll_too_short', 'too_short', true),
+        |  ('reservoir_truncated', 'deserialize_error', true),
         |  ('tdigest_too_short', 'too_short', true),
-        |  ('theta_unrecognized', 'unrecognized', true)) t(probe, error_class, ref_prefix)
+        |  ('theta_unrecognized', 'unrecognized', true),
+        |  ('varopt_on_reservoir_blob', 'wrong_family', true)) t(probe, error_class, ref_prefix)
         |ORDER BY probe""".stripMargin,
 
     "q16_req_quantile" ->

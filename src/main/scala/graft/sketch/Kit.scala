@@ -124,12 +124,18 @@ object Kit {
       throw new IllegalArgumentException(
         s"Failed to deserialize $family sketch: the BLOB is $actual")
     }
+    // Wrap EVERY deserializer failure, as the reference does (its
+    // `catch (...)` in codegen/generator.py:71-87 is unconditional): the
+    // Java deserializers throw SketchesException for format violations, but
+    // a truncated-yet-valid-preamble blob escapes through the
+    // datasketches-memory bounds checks (MemoryBoundsException) or plain
+    // IndexOutOfBounds depending on family. The body here is only the
+    // heapify/wrap call, so a broad catch cannot mask unrelated logic bugs.
     try body
     catch {
-      case e: SketchesException =>
-        throw new IllegalArgumentException(s"Failed to deserialize $family sketch: ${e.getMessage}", e)
-      case e: IndexOutOfBoundsException =>
-        throw new IllegalArgumentException(s"Failed to deserialize $family sketch: ${e.getMessage}", e)
+      case scala.util.control.NonFatal(e) =>
+        val detail = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+        throw new IllegalArgumentException(s"Failed to deserialize $family sketch: $detail", e)
     }
   }
 

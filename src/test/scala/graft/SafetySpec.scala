@@ -119,6 +119,27 @@ class SafetySpec extends SparkTestBase {
     assert(r.getLong(10) == 100L && r.getLong(11) == 100L)
   }
 
+  test("q57 error taxonomy pins the (probe, class, prefix) oracle rows") {
+    // same literals as SparkEntry.oracleSql("q57_error_taxonomy") — the
+    // reference's corrupt-blob contract (kll.test:100-114) per class,
+    // one wrong-family + one truncation probe per family group
+    val rows = SparkEntry.queries("q57_error_taxonomy")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    val expected = Seq(
+      ("aod_on_theta_blob", "wrong_family", true),
+      ("aod_truncated", "deserialize_error", true),
+      ("bloom_truncated", "deserialize_error", true),
+      ("cpc_truncated", "deserialize_error", true),
+      ("hll_on_kll_blob", "wrong_family", true),
+      ("kll_on_hll_blob", "wrong_family", true),
+      ("kll_too_short", "too_short", true),
+      ("reservoir_truncated", "deserialize_error", true),
+      ("tdigest_too_short", "too_short", true),
+      ("theta_unrecognized", "unrecognized", true),
+      ("varopt_on_reservoir_blob", "wrong_family", true))
+    assert(rows.toSeq == expected, rows.mkString("\n"))
+  }
+
   test("classic quantiles float lane: FLOAT in → FLOAT out, two-level merge") {
     // reference dynamic_return_type (codegen/generator.py:558-563): the
     // quantile over a FLOAT column returns FLOAT, not widened double
