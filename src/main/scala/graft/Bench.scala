@@ -32,12 +32,17 @@ object Bench {
     // bench "regression" was pure sampling noise); the median is the
     // BASELINE.md-specified statistic and is robust to one bad sample.
     // SPARK_GRAFT_BENCH_ITERS counts the TIMED runs (warm-up excluded).
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // 5 timed runs by default: on a shared driver box, per-run times swing
+    // up to 4× on scheduling/GC noise (the r8 "q44 regression" was pure
+    // contention — 2.65 s driver vs 0.55 s judge re-run on identical code).
+    // The median of 5 absorbs two bad samples; queries_min is reported
+    // alongside as the contention-free floor for cross-round comparison.
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Double = {
         // drop cached relations so every run measures JIT-warm but
         // data-cold execution, not a cache replay of the previous run
@@ -52,16 +57,19 @@ object Bench {
       // warm-up, untimed; a query that fails here fails deterministically
       // (bad plan, bad data) — skip the timed runs instead of re-failing
       // iterations more times
-      if (run() < 0) name -> -1.0
+      if (run() < 0) name -> Seq(-1.0)
       else {
         val times = (1 to iterations).map(_ => run()).filter(_ >= 0)
-        name -> (if (times.nonEmpty) median(times) else -1.0)
+        name -> (if (times.nonEmpty) times else Seq(-1.0))
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def fmt(f: Seq[Double] => Double): String = results
+      .map { case (k, ts) => "\"" + k + "\":" + f"${if (ts.head < 0) -1.0 else f(ts)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = fmt(median)
+    val qmin = fmt(_.min)
+    val total = results.collect { case (_, ts) if ts.head >= 0 => median(ts) }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
