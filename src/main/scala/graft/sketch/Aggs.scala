@@ -487,7 +487,8 @@ case class TDigestAgg(
     val v = child.eval(input)
     if (v != null) {
       if (isMerge) {
-        val b = v.asInstanceOf[Array[Byte]]
+        // reference float-lane blobs widen to the double wire format first
+        val b = Kit.tdigestWiden(v.asInstanceOf[Array[Byte]])
         buf.merge(deser("TDigest", b)(TDigestDouble.heapify(mem(b))))
       } else dispatch(v)(l => buf.update(l.toDouble), buf.update, _ => unsup(), _ => unsup())
     }

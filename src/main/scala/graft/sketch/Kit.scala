@@ -141,6 +141,54 @@ object Kit {
 
   def mem(bytes: Array[Byte]): Memory = Memory.wrap(bytes)
 
+  /** Widen a C++ `tdigest<float>` blob (reference float lane,
+    * `codegen/generator.py:46-47` — 4-byte min/max/centroid-means) to the
+    * double-lane wire format datasketches-java reads. The two lanes share
+    * the 8-byte preamble (preamble-longs, serVer, type=20, K, flags) and
+    * differ only in the width of T fields, so the lane is sniffed
+    * unambiguously from the total length:
+    *   empty:  8 bytes, lane-agnostic;
+    *   single: 8 + 4 (float) vs 8 + 8 (double);
+    *   multi:  8 + 8 (numCentroids+unused) + 2·4 (min,max) + n·(4+8)
+    *           vs 8 + 8 + 2·8 + n·(8+8) — 24+12n ≠ 32+16n for all n ≥ 0.
+    * Double-lane (or unrecognized) input is returned untouched; the
+    * deserializer's own error contract then applies. */
+  def tdigestWiden(b: Array[Byte]): Array[Byte] = {
+    if (b.length < 8 || (b(2) & 0xFF) != 20) return b
+    val flags = b(5) & 0xFF
+    val isEmpty = (flags & 1) != 0
+    val isSingle = (flags & 2) != 0
+    val in = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // widened size: each 4-byte T field gains 4 bytes
+    def out(tFields: Int): java.nio.ByteBuffer = {
+      val o = java.nio.ByteBuffer.allocate(b.length + 4 * tFields)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      o.put(b, 0, 8) // preamble is lane-invariant
+      o
+    }
+    if (isEmpty) b
+    else if (isSingle && b.length == 12) {
+      val o = out(1)
+      o.putDouble(in.getFloat(8).toDouble)
+      o.array()
+    } else if (!isSingle && b.length >= 16) {
+      val n = in.getInt(8)
+      if (n < 0 || b.length != 24 + 12 * n) return b
+      val o = out(2 + n)
+      o.put(b, 8, 8) // numCentroids + unused
+      o.putDouble(in.getFloat(16).toDouble) // min
+      o.putDouble(in.getFloat(20).toDouble) // max
+      var i = 0
+      while (i < n) {
+        val base = 24 + 12 * i
+        o.putDouble(in.getFloat(base).toDouble) // mean
+        o.putLong(in.getLong(base + 4)) // weight (uint64, lane-invariant)
+        i += 1
+      }
+      o.array()
+    } else b
+  }
+
   /** Frequent-items key canonicalization. The reference stringifies every
     * input: VARCHAR passthrough, integrals via std::to_string, float/double
     * via std::to_string's "%f" (6 decimals) — reference

@@ -186,7 +186,10 @@ object QuantWrap {
       case ElemType.Lng => new KLng(KllLongsSketch.heapify(mem(bytes)))
     })
     case "req"     => deser("REQ", bytes)(new QReq(ReqSketch.heapify(mem(bytes))))
-    case "tdigest" => deser("TDigest", bytes)(new QTd(TDigestDouble.heapify(mem(bytes))))
+    case "tdigest" =>
+      // reference float-lane blobs widen to the double wire format first
+      val wb = Kit.tdigestWiden(bytes)
+      deser("TDigest", wb)(new QTd(TDigestDouble.heapify(mem(wb))))
     case other     => throw new IllegalArgumentException(s"unknown quantile family '$other'")
   }
 }

@@ -232,6 +232,50 @@ class SafetySpec extends SparkTestBase {
     assert(m.getDouble(0) > 350 && m.getDouble(0) < 650)
   }
 
+  test("reference float-lane tdigest blobs widen and probe through scalars") {
+    // single-value `tdigest<float>` wire form (reference float lane,
+    // codegen/generator.py:46-47): the double-lane golden preamble
+    // (tdigest.test:14-17) with a 4-byte LE float 5.0 payload
+    val single = "0101140a000600000000a040"
+    val r = sql(
+      s"""SELECT datasketch_tdigest_quantile(X'$single', 0.5),
+         |       datasketch_tdigest_total_weight(X'$single'),
+         |       datasketch_tdigest_is_empty(X'$single')""".stripMargin).head()
+    assert(r.getDouble(0) == 5.0 && r.getLong(1) == 1L && !r.getBoolean(2))
+
+    // multi-centroid: narrow a Java double-lane blob to the float wire
+    // format (inverse of Kit.tdigestWiden), then probe both and compare
+    val dbl = sql("SELECT datasketch_tdigest(100, CAST(id AS DOUBLE)) FROM range(1, 1001)")
+      .head().getAs[Array[Byte]](0)
+    val in = java.nio.ByteBuffer.wrap(dbl).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = in.getInt(8)
+    val flt = java.nio.ByteBuffer.allocate(24 + 12 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    flt.put(dbl, 0, 16)
+    flt.putFloat(in.getDouble(16).toFloat)
+    flt.putFloat(in.getDouble(24).toFloat)
+    for (i <- 0 until n) {
+      val base = 32 + 16 * i
+      flt.putFloat(in.getDouble(base).toFloat)
+      flt.putLong(in.getLong(base + 8))
+    }
+    val fltHex = flt.array().map(b => f"${b & 0xff}%02x").mkString
+    val dblHex = dbl.map(b => f"${b & 0xff}%02x").mkString
+    val m = sql(
+      s"""SELECT datasketch_tdigest_quantile(X'$fltHex', 0.5),
+         |       datasketch_tdigest_quantile(X'$dblHex', 0.5),
+         |       datasketch_tdigest_total_weight(X'$fltHex')""".stripMargin).head()
+    assert(math.abs(m.getDouble(0) - m.getDouble(1)) < 0.1,
+      s"float-lane median ${m.getDouble(0)} vs double-lane ${m.getDouble(1)}")
+    assert(m.getLong(2) == 1000L)
+
+    // the float blob also merges through the aggregate path
+    val merged = sql(
+      s"""SELECT datasketch_tdigest_total_weight(datasketch_tdigest(100, sk))
+         |FROM (SELECT X'$fltHex' AS sk UNION ALL SELECT X'$fltHex')""".stripMargin).head()
+    assert(merged.getLong(0) == 2000L)
+  }
+
   test("too-short blob errors cleanly") {
     val e = intercept[Exception](
       sql("SELECT datasketch_theta_estimate(CAST('ab' AS BINARY))").collect())
