@@ -346,21 +346,18 @@ object SparkEntry {
             .getOrElse(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
         }
       }
-      val hllHex = spark.sql("SELECT hex(datasketch_hll(8, CAST(5 AS BIGINT)))")
-        .head().getString(0)
-      val kllHex = spark.sql("SELECT hex(datasketch_kll(8, CAST(5 AS BIGINT)))")
-        .head().getString(0)
-      val cpcHex = spark.sql("SELECT hex(datasketch_cpc(11, CAST(5 AS BIGINT)))")
-        .head().getString(0)
-      val thetaHex = spark.sql("SELECT hex(datasketch_theta(CAST(5 AS BIGINT)))")
-        .head().getString(0)
-      val aodHex = spark.sql(
-          "SELECT hex(datasketch_aod(12, 1, CAST(5 AS BIGINT), CAST(1.0 AS DOUBLE)))")
-        .head().getString(0)
-      val resHex = spark.sql("SELECT hex(datasketch_reservoir(8, CAST(5 AS DOUBLE)))")
-        .head().getString(0)
-      val bloomHex = spark.sql("SELECT hex(datasketch_bloom(1000, 0.01, CAST(5 AS BIGINT)))")
-        .head().getString(0)
+      // all six seed blobs in ONE driver round-trip (each spark.sql is a
+      // separate tiny job; q57 is constant-time but runs in every bench)
+      val seeds = spark.sql(
+        """SELECT hex(datasketch_hll(8, CAST(5 AS BIGINT))),
+          |       hex(datasketch_kll(8, CAST(5 AS BIGINT))),
+          |       hex(datasketch_cpc(11, CAST(5 AS BIGINT))),
+          |       hex(datasketch_theta(CAST(5 AS BIGINT))),
+          |       hex(datasketch_aod(12, 1, CAST(5 AS BIGINT), CAST(1.0 AS DOUBLE))),
+          |       hex(datasketch_reservoir(8, CAST(5 AS DOUBLE))),
+          |       hex(datasketch_bloom(1000, 0.01, CAST(5 AS BIGINT)))""".stripMargin).head()
+      val Seq(hllHex, kllHex, cpcHex, thetaHex, aodHex, resHex, bloomHex) =
+        (0 until 7).map(seeds.getString)
       val probes = Seq(
         "kll_too_short" -> errOf("SELECT datasketch_kll_quantile(CAST('ab' AS BINARY), 0.5, true)"),
         "kll_on_hll_blob" -> errOf(s"SELECT datasketch_kll_quantile(X'$hllHex', 0.5, true)"),
