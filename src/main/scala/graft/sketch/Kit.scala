@@ -173,12 +173,27 @@ object Kit {
       o.array()
     } else if (!isSingle && b.length >= 16) {
       val n = in.getInt(8)
-      if (n < 0 || b.length != 24 + 12 * n) return b
+      if (n <= 0 || b.length != 24 + 12 * n) return b
+      // The length test alone can collide with a TRUNCATED double-lane
+      // blob (any 24+12n length). Validate the float interpretation's
+      // invariants — finite ordered min/max, means inside [min, max],
+      // positive weights — before accepting it; reinterpreted garbage
+      // bytes fail these, fall through untouched, and hit the
+      // deserializer's own error contract instead of decoding silently.
+      val mn = in.getFloat(16); val mx = in.getFloat(20)
+      var valid = java.lang.Float.isFinite(mn) && java.lang.Float.isFinite(mx) && mn <= mx
+      var i = 0
+      while (valid && i < n) {
+        val m = in.getFloat(24 + 12 * i); val w = in.getLong(24 + 12 * i + 4)
+        valid = java.lang.Float.isFinite(m) && m >= mn && m <= mx && w > 0
+        i += 1
+      }
+      if (!valid) return b
       val o = out(2 + n)
       o.put(b, 8, 8) // numCentroids + unused
-      o.putDouble(in.getFloat(16).toDouble) // min
-      o.putDouble(in.getFloat(20).toDouble) // max
-      var i = 0
+      o.putDouble(mn.toDouble)
+      o.putDouble(mx.toDouble)
+      i = 0
       while (i < n) {
         val base = 24 + 12 * i
         o.putDouble(in.getFloat(base).toDouble) // mean

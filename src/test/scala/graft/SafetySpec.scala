@@ -269,6 +269,16 @@ class SafetySpec extends SparkTestBase {
       s"float-lane median ${m.getDouble(0)} vs double-lane ${m.getDouble(1)}")
     assert(m.getLong(2) == 1000L)
 
+    // a truncated DOUBLE-lane blob whose length collides with the float
+    // layout (24+12n) must NOT silently decode as float-lane garbage —
+    // the value-invariant check rejects it and the deserializer's error
+    // contract applies
+    val truncHex = dblHex.take(36 * 2)
+    val te = intercept[Exception](
+      sql(s"SELECT datasketch_tdigest_quantile(X'$truncHex', 0.5)").collect())
+    val tmsg = te.getMessage + Option(te.getCause).map(_.getMessage).getOrElse("")
+    assert(tmsg.contains("Failed to deserialize TDigest"), tmsg)
+
     // the float blob also merges through the aggregate path
     val merged = sql(
       s"""SELECT datasketch_tdigest_total_weight(datasketch_tdigest(100, sk))
