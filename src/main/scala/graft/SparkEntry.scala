@@ -479,7 +479,11 @@ object SparkEntry {
         |       datasketch_frequent_items_epsilon(datasketch_frequent_items(l_returnflag)) AS freq_epsilon,
         |       datasketch_hll_is_compact(datasketch_hll(10, l_suppkey)) AS hll_compact,
         |       round(datasketch_kll_normalized_rank_error(datasketch_kll(200, l_quantity), false), 9) AS kll_nre,
-        |       round(datasketch_quantiles_normalized_rank_error(datasketch_quantiles(128, l_quantity), false), 9) AS q_nre
+        |       round(datasketch_quantiles_normalized_rank_error(datasketch_quantiles(128, l_quantity), false), 9) AS q_nre,
+        |       datasketch_kll_is_empty(datasketch_kll(200, l_quantity)) AS kll_empty,
+        |       datasketch_quantiles_is_empty(datasketch_quantiles(128, l_quantity)) AS q_empty,
+        |       datasketch_req_is_empty(datasketch_req(12, CAST(l_quantity AS FLOAT))) AS req_empty,
+        |       datasketch_tdigest_is_empty(datasketch_tdigest(100, l_quantity)) AS td_empty
         |FROM lineitem""".stripMargin),
 
     // ======================================================================
@@ -1026,7 +1030,9 @@ object SparkEntry {
       """SELECT 200 AS kll_k, true AS kll_est_mode, 12 AS req_k,
         |       CAST(37836 AS BIGINT) AS theta_seed_hash, false AS theta_empty,
         |       CAST(0.00341796875 AS DOUBLE) AS freq_epsilon, false AS hll_compact,
-        |       CAST(0.013294757 AS DOUBLE) AS kll_nre, CAST(0.014063188 AS DOUBLE) AS q_nre""".stripMargin,
+        |       CAST(0.013294757 AS DOUBLE) AS kll_nre, CAST(0.014063188 AS DOUBLE) AS q_nre,
+        |       false AS kll_empty, false AS q_empty, false AS req_empty,
+        |       false AS td_empty""".stripMargin,
 
     // ---- pipeline operators ----------------------------------------------
 
