@@ -210,8 +210,9 @@ class SafetySpec extends SparkTestBase {
     // tdigest format IS cross-compatible between datasketches-cpp and
     // datasketches-java 6.2 (earlier README text claimed otherwise from a
     // misread of the preamble; this test is the correction). The float
-    // lane (`tdigest<float>`, 4-byte centroids) remains engine-local —
-    // datasketches-java ships no float tdigest.
+    // lane (`tdigest<float>`, 4-byte centroids) cross-reads via
+    // Kit.tdigestWiden (next test) — datasketches-java ships no float
+    // tdigest, so it widens to this double wire format on read.
     val refHex = "010114" + "0a00" + "060000" + "000000000000" + "1440"
     val mine = sql("SELECT datasketch_tdigest(10, CAST(5 AS DOUBLE))").head()
       .getAs[Array[Byte]](0).map(b => f"${b & 0xff}%02x").mkString
