@@ -791,6 +791,17 @@ object SparkEntry {
         |       datasketch_frequent_items_num_active(datasketch_frequent_items(o_orderpriority)) AS freq_active
         |FROM orders WHERE o_orderkey < 0""".stripMargin),
 
+    // -- token-budget shard packing (distributed prefix-sum; shard
+    //    assignment identical to a global running sum, computed without
+    //    the single-task global window) ------------------------------------
+    "q58_token_shards" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.Sharding.tokenShards(spark.table("documents"), "doc_id", "text",
+          budget = 2048)
+        .groupBy("shard").agg(count(lit(1)).as("docs"), sum("ntok").as("tokens"))
+        .orderBy("shard")
+    },
+
     // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
     "q43_profiler" -> qd { spark =>
       import org.apache.spark.sql.functions._
@@ -1152,6 +1163,15 @@ object SparkEntry {
 
     "q45_cosine_neardup_lsh" ->
       "SELECT 'lsh_pair_recall_in_theory_band' AS metric, true AS ok",
+
+    "q58_token_shards" ->
+      """WITH t AS (SELECT doc_id AS doc,
+        |                  len(string_split_regex(trim(text), '\s+')) AS ntok
+        |           FROM documents),
+        |p AS (SELECT doc, ntok, sum(ntok) OVER (ORDER BY doc) - ntok AS prefix FROM t)
+        |SELECT CAST(floor(prefix / 2048) AS BIGINT) AS shard,
+        |       count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q40_media_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,

@@ -224,6 +224,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.getOrElse("kept", 0L) == 100L, s"every original must survive: $out")
   }
 
+  test("token shards: distributed prefix-sum ≡ global window, budget respected") {
+    val budget = 500L
+    val dist = Sharding.tokenShards(docs, "doc_id", "text", budget)
+    val glob = Sharding.tokenShardsGlobal(docs, "doc_id", "text", budget)
+    assert(dist.exceptAll(glob).count() == 0 && glob.exceptAll(dist).count() == 0,
+      "two-level scan must equal the single global window")
+    // every shard's token mass stays under budget + one straddling doc
+    val maxDoc = dist.agg(max("ntok")).head().getLong(0)
+    val over = dist.groupBy("shard").agg(sum("ntok").as("t"))
+      .filter(col("t") > budget + maxDoc).count()
+    assert(over == 0, "no shard may exceed budget + one straddling document")
+    // shards are contiguous in doc order and start at 0
+    val ids = dist.select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.head == 0L && ids.zipWithIndex.forall { case (s, i) => s == i })
+  }
+
+  test("token shards: the data-row window is partitioned (no single-task scan)") {
+    // the global-window formulation would show Exchange SinglePartition
+    // feeding a Window over every document row; the production operator
+    // must window over pid partitions instead
+    val plan = Sharding.tokenShards(docs, "doc_id", "text", 500L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(pid"),
+      s"expected the scan window to partition by pid:\n$plan")
+  }
+
   test("media decode stub emits fixed-dim features partition-parallel") {
     docs.createOrReplaceTempView("documents")
     MediaOps.registerViews(spark)
