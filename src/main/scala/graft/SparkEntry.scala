@@ -802,6 +802,18 @@ object SparkEntry {
         .orderBy("shard")
     },
 
+    // -- test-set decontamination (k-gram overlap vs a benchmark slice) ----
+    "q59_decontaminate" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corp = docs.filter(col("doc_id") % 97 =!= 0)
+      val bad = operators.Decontaminate.contaminatedIds(corp, bench, "doc_id", "text", k = 3)
+      corp.agg(count(lit(1)).as("corpus_docs"))
+        .crossJoin(bad.agg(count(lit(1)).as("contaminated")))
+        .select(col("corpus_docs"), col("contaminated"))
+    },
+
     // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
     "q43_profiler" -> qd { spark =>
       import org.apache.spark.sql.functions._
@@ -1172,6 +1184,21 @@ object SparkEntry {
         |SELECT CAST(floor(prefix / 2048) AS BIGINT) AS shard,
         |       count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens
         |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // text 3-grams on both sides (our engine matches hashed shingles;
+    // equality of hash sets ≡ equality of text grams, the same
+    // no-collision assumption q35/q36 already verify on this corpus)
+    "q59_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+2], ' '))) s
+        |       FROM toks WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+        |contam AS (SELECT DISTINCT corp.doc_id FROM corp JOIN bench USING (g))
+        |SELECT (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0) AS corpus_docs,
+        |       (SELECT count(*) FROM contam) AS contaminated""".stripMargin,
 
     "q40_media_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,

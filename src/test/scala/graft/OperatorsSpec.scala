@@ -251,6 +251,27 @@ class OperatorsSpec extends SparkTestBase {
       s"expected the scan window to partition by pid:\n$plan")
   }
 
+  test("decontamination flags exactly the docs sharing a k-gram with the benchmark") {
+    val corp = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'the quick brown fox jumps over'),
+        |  (2L, 'completely unrelated words here now'),
+        |  (3L, 'ends with quick brown fox'),
+        |  (4L, 'short doc'),
+        |  (5L, 'fox brown quick reversed order text') t(doc_id, text)""".stripMargin)
+    val bench = spark.sql(
+      "SELECT * FROM VALUES (100L, 'quick brown fox appears in eval') t(doc_id, text)")
+    val bad = Decontaminate.contaminatedIds(corp, bench, "doc_id", "text", 3)
+      .collect().map(_.getLong(0)).toSet
+    // docs 1 and 3 contain the 3-gram "quick brown fox"; 5 has the words
+    // but not the sequence; 4 is under k tokens; 2 shares nothing
+    assert(bad == Set(1L, 3L), bad)
+    val flagged = Decontaminate.flag(corp, bench, "doc_id", "text", 3)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flagged == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> false))
+  }
+
   test("media decode stub emits fixed-dim features partition-parallel") {
     docs.createOrReplaceTempView("documents")
     MediaOps.registerViews(spark)
