@@ -814,6 +814,19 @@ object SparkEntry {
         .select(col("corpus_docs"), col("contaminated"))
     },
 
+    // -- near-dup clustering: connected components over the q35 pair set.
+    //    Transitivity matters on this corpus (it contains at least one
+    //    A~B~C chain with A!~C), so the oracle is a genuine recursive
+    //    closure, not a pair relabeling. --------------------------------
+    "q60_dedup_clusters" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val pairs = operators.DedupOps.jaccardPairs(spark.table("documents"),
+        "doc_id", "text", k = 3, threshold = 0.6, knownHot = sharedHot(spark, dir))
+      operators.Components.connectedComponents(pairs)
+        .select(col("doc"), col("cluster"))
+        .orderBy("doc")
+    },
+
     // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
     "q43_profiler" -> qd { spark =>
       import org.apache.spark.sql.functions._
@@ -1199,6 +1212,28 @@ object SparkEntry {
         |contam AS (SELECT DISTINCT corp.doc_id FROM corp JOIN bench USING (g))
         |SELECT (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0) AS corpus_docs,
         |       (SELECT count(*) FROM contam) AS contaminated""".stripMargin,
+
+    // connected components as a recursive transitive closure over the
+    // q35 pair set; cluster = min reachable doc id (graph is symmetric,
+    // so min-reachable ≡ component min — exactly the Spark labels)
+    "q60_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+2], ' '))) s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.v)
+        |SELECT v AS doc, MIN(r) AS cluster FROM reach GROUP BY v ORDER BY doc""".stripMargin,
 
     "q40_media_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,

@@ -272,6 +272,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(flagged == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> false))
   }
 
+  test("connected components: chains close transitively, labels = component min") {
+    // 1-2-3-4 chain (diameter 3 forces >1 propagation round), 10-11 pair,
+    // 20 isolated via self-pair, 30 absent from any pair
+    val pairs = spark.sql(
+      """SELECT * FROM VALUES (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L)
+        | t(doc_a, doc_b)""".stripMargin)
+    val labels = Components.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L), labels)
+  }
+
+  test("dedupByClusters keeps the min-id member per cluster and all unpaired docs") {
+    val corpus = spark.sql(
+      "SELECT * FROM VALUES (1L,'a'),(2L,'a'),(3L,'a'),(4L,'a'),(10L,'b'),(11L,'b'),(30L,'c') t(doc_id, text)")
+    val pairs = spark.sql(
+      "SELECT * FROM VALUES (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L) t(doc_a, doc_b)")
+    val kept = Components.dedupByClusters(corpus, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 30L), kept)
+  }
+
+  test("connected components: drop-set join is not broadcast-hinted") {
+    // the drop set is O(duplicates) — at a 50%-dup crawl it is O(corpus),
+    // so the anti-join must stay AQE-decided (same contract as curation)
+    val pairs = spark.sql("SELECT * FROM VALUES (1L, 2L) t(doc_a, doc_b)")
+    val plan = Components.dedupByClusters(docs, pairs, "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ResolvedHint"), s"no forced broadcast allowed:\n$plan")
+  }
+
   test("media decode stub emits fixed-dim features partition-parallel") {
     docs.createOrReplaceTempView("documents")
     MediaOps.registerViews(spark)
