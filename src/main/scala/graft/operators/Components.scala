@@ -20,9 +20,18 @@ import org.apache.spark.storage.StorageLevel
   * data pull), and rounds are bounded by the label-graph diameter. For
   * dedup graphs the diameter is tiny (clusters are near-cliques produced
   * by banding, so 2–4 rounds closes them); `maxIter` guards the
-  * adversarial long-chain case. Each round's result is persisted and the
-  * previous round unpersisted, so lineage stays O(1) across iterations —
-  * the classic requirement for iterative DataFrame jobs at cluster scale.
+  * adversarial long-chain case (non-convergence at `maxIter` is logged —
+  * partially-propagated labels would otherwise silently split clusters).
+  * Each round's result is persisted and the previous round unpersisted,
+  * so RECOMPUTATION is bounded to one round — the logical plan still
+  * grows linearly with round count (Catalyst re-analyzes the full
+  * lineage each round), which is harmless at maxIter=30; true O(1)
+  * lineage would need checkpointing, which dedup diameters never earn.
+  * The returned labels are eagerly local-checkpointed so all
+  * intermediate cached rounds can be freed before returning (no cache
+  * leak into the session); the trade-off is that losing an executor
+  * after return re-fails the job instead of recomputing — acceptable
+  * for a bounded (id, label) table that the caller consumes promptly.
   * (For graphs with genuinely large diameter the published
   * alternating large-star/small-star scheme converges in O(log^2 n)
   * rounds; dedup graphs never need it, so we keep the simpler loop whose
@@ -74,8 +83,18 @@ object Components {
       sig = nextSig
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter WITHOUT converging: " +
+          "labels are partially propagated and one component may carry multiple " +
+          "cluster ids. Raise maxIter (graph diameter exceeds it).")
+    // eager localCheckpoint materializes the final labels and cuts their
+    // lineage, so every intermediate cached round (and sym) can be freed
+    // here instead of leaking into the session until it ends
+    val out = labels.localCheckpoint(eager = true)
+    labels.unpersist(blocking = false)
     sym.unpersist(blocking = false)
-    labels
+    out
   }
 
   /** Canonical-document dedup: keep exactly one document per connected

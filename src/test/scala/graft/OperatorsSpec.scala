@@ -298,9 +298,16 @@ class OperatorsSpec extends SparkTestBase {
     // the drop set is O(duplicates) — at a 50%-dup crawl it is O(corpus),
     // so the anti-join must stay AQE-decided (same contract as curation)
     val pairs = spark.sql("SELECT * FROM VALUES (1L, 2L) t(doc_a, doc_b)")
-    val plan = Components.dedupByClusters(docs, pairs, "doc_id")
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("ResolvedHint"), s"no forced broadcast allowed:\n$plan")
+    // check the ANALYZED plan: EliminateResolvedHint folds ResolvedHint
+    // into the Join's JoinHint before optimization, so asserting on the
+    // optimized plan text is vacuous (it passes even with broadcast())
+    val qe = Components.dedupByClusters(docs, pairs, "doc_id").queryExecution
+    val hints = qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"no forced broadcast allowed:\n${qe.analyzed}")
+    assert(!qe.optimizedPlan.toString.contains("strategy=broadcast"),
+      s"no folded broadcast hint allowed:\n${qe.optimizedPlan}")
   }
 
   test("media decode stub emits fixed-dim features partition-parallel") {
