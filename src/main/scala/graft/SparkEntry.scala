@@ -837,6 +837,92 @@ object SparkEntry {
           col("min"), col("max"), col("p50"), col("p95"))
         .orderBy("column")
     },
+
+    // -- stratified quota sampling (domain mixing; two-stage salted
+    //    ranking — no corpus-sized per-group window task) ------------------
+    "q61_quota_sample" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.QuotaSample.stratifiedQuota(
+          spark.table("documents"), "source", "doc_id", quota = 10)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    },
+
+    // -- PII scan + redaction over a deterministically derived contact
+    //    corpus (testdata text carries no PII; the derivation is repeated
+    //    verbatim in the oracle, so detector AND redactor semantics are
+    //    hash-checked, not just counted) ---------------------------------
+    "q62_pii_scan" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val text = concat(
+        when(col("user_id") % 3 > 0,
+          concat(lit("contact user"), col("user_id").cast("string"), lit("@ex"),
+            (col("user_id") % 7).cast("string"), lit(".com "))).otherwise(lit("")),
+        lit("ip 10."), (col("user_id") % 256).cast("string"), lit("."),
+        (col("event_id") % 256).cast("string"), lit(".9"),
+        when(col("event_id") % 2 === 0,
+          concat(lit(" tel +1555"),
+            lpad((col("event_id") % 10000).cast("string"), 7, "0")))
+          .otherwise(lit("")))
+      val s = operators.Privacy.piiCounts(text)
+      val r = operators.Privacy.piiCounts(operators.Privacy.redact(text))
+      spark.table("events")
+        .select(col("event_type"), s.as("s"), r.as("r"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("s.emails").as("emails"), sum("s.ips").as("ips"),
+          sum("s.phones").as("phones"),
+          sum(col("r.emails") + col("r.ips") + col("r.phones")).as("residual"))
+        .orderBy("event_type")
+    },
+
+    // -- intra-document repetition quality filter (scan-speed, no shuffle
+    //    until the per-source rollup; integer counters by design so the
+    //    aggregate is exactly oracle-comparable) -------------------------
+    "q63_repetition" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val r = operators.QualityFilters.repetitionStats(col("text"))
+      spark.table("documents")
+        .select(col("source"), r.as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum("r.tokens").as("tokens"),
+          sum("r.dup_tokens").as("dup_tokens"),
+          sum("r.dup_bigrams").as("dup_bigrams"),
+          sum(when(col("r.bigrams") > 0 &&
+              col("r.dup_bigrams").cast("double") / col("r.bigrams") > 0.2, 1L)
+            .otherwise(0L)).as("flagged"))
+        .orderBy("source")
+    },
+
+    // -- incremental cross-batch dedup (bloom over history, exact verify;
+    //    result ≡ anti-join of the batch against history) ----------------
+    "q64_incremental_dedup" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.IncrementalDedup.dedupAgainstHistory(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // -- corpus-level duplicated-n-gram profile (Gopher-style shared
+    //    boilerplate signal; gram text never shuffles — 64-bit hashes do) -
+    "q65_shared_grams" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val st = operators.QualityFilters.sharedGramStats(
+        spark.table("documents"), "doc_id", "text", n = 5)
+      val src = spark.table("documents").select(col("doc_id"), col("source"))
+      st.join(src, st("doc") === src("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum("grams").as("grams"),
+          sum("shared_grams").as("shared_grams"),
+          sum(when(col("shared_grams") * 2 >= col("grams"), 1L).otherwise(0L))
+            .as("flagged"))
+        .orderBy("source")
+    },
   )
 
   /** What the benchmark times: `queries`, with oracle-portability shims
@@ -1375,5 +1461,99 @@ object SparkEntry {
         |         CAST((SELECT count(DISTINCT l_returnflag) FROM src) AS DOUBLE),
         |         NULL, NULL, NULL, NULL, NULL)
         |ORDER BY "column"""".stripMargin,
+
+    // quota sampling is deterministic by construction (rank by md5 of the
+    // id string), so the oracle is the naive single-window form of the
+    // same selection — the two-stage salted plan must pick identical rows
+    "q61_quota_sample" ->
+      """SELECT source, doc_id
+        |FROM (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    // same derived contact corpus, same regexes (Java/RE2-shared syntax),
+    // DuckDB's own global regexp_replace chain for the residual — both
+    // the detector counts and the redactor's fixpoint are cross-checked
+    "q62_pii_scan" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         (CASE WHEN user_id % 3 > 0
+        |               THEN 'contact user' || CAST(user_id AS VARCHAR) || '@ex' ||
+        |                    CAST(user_id % 7 AS VARCHAR) || '.com '
+        |               ELSE '' END) ||
+        |         'ip 10.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+        |         CAST(event_id % 256 AS VARCHAR) || '.9' ||
+        |         (CASE WHEN event_id % 2 = 0
+        |               THEN ' tel +1555' || lpad(CAST(event_id % 10000 AS VARCHAR), 7, '0')
+        |               ELSE '' END) AS text
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}')) AS emails,
+        |         len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ips,
+        |         len(regexp_extract_all(text, '\+\d{7,15}')) AS phones,
+        |         regexp_replace(regexp_replace(regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |           '\+\d{7,15}', '<PHONE>', 'g') AS red
+        |  FROM t)
+        |SELECT event_type, count(*) AS n_rows,
+        |       CAST(sum(emails) AS BIGINT) AS emails,
+        |       CAST(sum(ips) AS BIGINT) AS ips,
+        |       CAST(sum(phones) AS BIGINT) AS phones,
+        |       CAST(sum(len(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}'))
+        |              + len(regexp_extract_all(red, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |              + len(regexp_extract_all(red, '\+\d{7,15}')) ) AS BIGINT) AS residual
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q63_repetition" ->
+      """WITH t AS (SELECT source, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |r AS (SELECT source,
+        |             len(tk) AS tokens,
+        |             len(tk) - len(list_distinct(tk)) AS dup_tokens,
+        |             CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS bigrams,
+        |             CASE WHEN len(tk) >= 2
+        |                  THEN (len(tk) - 1) - len(list_distinct(list_transform(
+        |                         range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))))
+        |                  ELSE 0 END AS dup_bigrams
+        |      FROM t)
+        |SELECT source, count(*) AS docs,
+        |       CAST(sum(tokens) AS BIGINT) AS tokens,
+        |       CAST(sum(dup_tokens) AS BIGINT) AS dup_tokens,
+        |       CAST(sum(dup_bigrams) AS BIGINT) AS dup_bigrams,
+        |       CAST(sum(CASE WHEN bigrams > 0
+        |                     AND CAST(dup_bigrams AS DOUBLE) / bigrams > 0.2
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // bloom + exact verify ≡ plain anti-join on the normalized text (the
+    // fingerprint's no-collision regime, same as q34)
+    "q64_incremental_dedup" ->
+      """SELECT b.doc_id FROM documents b
+        |WHERE b.doc_id % 2 = 1
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents a
+        |    WHERE a.doc_id % 2 = 0
+        |      AND lower(regexp_replace(trim(a.text), '\s+', ' ', 'g')) =
+        |          lower(regexp_replace(trim(b.text), '\s+', ' ', 'g')))
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q65_shared_grams" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |g AS (SELECT doc_id, source,
+        |             unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+        |               i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+        |      FROM t WHERE len(tk) >= 5),
+        |dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        |per AS (SELECT g.doc_id, g.source, count(*) AS grams,
+        |               sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS shared
+        |        FROM g JOIN dfreq d USING (gram) GROUP BY g.doc_id, g.source)
+        |SELECT source, count(*) AS docs,
+        |       CAST(sum(grams) AS BIGINT) AS grams,
+        |       CAST(sum(shared) AS BIGINT) AS shared_grams,
+        |       CAST(sum(CASE WHEN shared * 2 >= grams THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (cross-batch) exact dedup — the ingest-time shape.
+  *
+  * A production corpus is not deduplicated once; every new crawl batch
+  * must be checked against ALL history. Re-joining each batch against the
+  * full historical fingerprint table shuffles the history every day. The
+  * incremental pattern: keep a bloom filter over historical fingerprints
+  * (KBs–MBs, mergeable, persisted next to the corpus — the
+  * `datasketch_bloom` / `datasketch_bloom_union` aggregates), probe the
+  * new batch against it AT THE SCAN (codegen'd `might_contain` literal,
+  * same mechanics as [[BloomPrune]]), and exact-verify only the
+  * candidates. Because bloom filters have no false negatives, the result
+  * is EXACTLY the anti-join of the batch against history; false positives
+  * only cost fpp·|batch| rows of residual verify traffic.
+  *
+  * At 100 TB: the history side of the verify join is pruned by the same
+  * filter (a fingerprint the filter rejects can't be a candidate's
+  * partner), so the daily cost is O(|batch| + matches), not O(|history|).
+  */
+object IncrementalDedup {
+
+  /** Rows of `batch` whose text fingerprint does not occur in `history` —
+    * the docs a pipeline would admit. Output schema = `batch` schema.
+    * `maxDistinct`/`fpp` size the historical filter (see sketch.Bloom). */
+  def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
+                          idCol: String, textCol: String,
+                          maxDistinct: Long = 1 << 20,
+                          fpp: Double = 0.01): DataFrame = {
+    val fp = TextOps.fingerprint(col(textCol))
+    // one tiny job over history → a storable KB-scale blob (in production
+    // this is read back from the corpus metadata store, built once and
+    // datasketch_bloom_union-merged per batch, not recomputed)
+    val blob = history.agg(
+        call_function("datasketch_bloom", lit(maxDistinct), lit(fpp), fp).as("f"))
+      .head().getAs[Array[Byte]](0)
+    if (blob == null) return batch // empty history: everything is new
+    val probe = call_function("datasketch_bloom_might_contain", lit(blob), fp)
+    // candidates: true dups + ~fpp·|batch| false positives
+    val cand = batch.filter(probe)
+      .select(col(idCol).as("__inc_id"), fp.as("__inc_fp"))
+    // Verify join. The history side is pruned with a SECOND bloom, built
+    // over the (small) candidate set — pruning history with its own
+    // filter would be a no-op (every history row passes). No false
+    // negatives on the candidate filter means no real partner is
+    // dropped, so the result is still exact; both join inputs now carry
+    // (id, 16 B fingerprint) rows bounded by candidates + fpp·|history|.
+    // (In production the history scan reads a persisted narrow
+    // fingerprint table, not the raw text.)
+    val candBlob = cand.agg(
+        call_function("datasketch_bloom", lit(maxDistinct), lit(fpp),
+          col("__inc_fp")).as("f"))
+      .head().getAs[Array[Byte]](0)
+    if (candBlob == null) return batch // no candidates: everything is new
+    val histFp = history
+      .filter(call_function("datasketch_bloom_might_contain", lit(candBlob), fp))
+      .select(fp.as("__hist_fp")).distinct()
+    val confirmed = cand.join(histFp, col("__inc_fp") === col("__hist_fp"), "left_semi")
+      .select(col("__inc_id"))
+    batch.join(confirmed, batch(idCol) === col("__inc_id"), "left_anti")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repetition-based quality filters — the Gopher/C4-style signals that
+  * catch boilerplate, template spam, and stuck-generator text.
+  *
+  * Two tiers with very different scale shapes:
+  *  - [[repetitionStats]] is INTRA-document: pure array expressions per
+  *    row, no shuffle at all — it runs at scan speed over 100 TB and is
+  *    the cheap first-pass filter.
+  *  - [[sharedGramStats]] is CORPUS-level: an n-gram's document frequency
+  *    needs one aggregation across all documents. Grams are hashed to
+  *    64-bit before the shuffle (xxhash64, the q35/q36 no-collision
+  *    regime), so the two exchanges carry (doc, gramHash) pairs — ~16 B
+  *    per gram — never the gram text; the doc-frequency aggregation is
+  *    map-side partial (a hot boilerplate gram combines within each task
+  *    before shuffling one row per task).
+  */
+object QualityFilters {
+
+  private def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-row repetition counters as a struct:
+    * (tokens, dup_tokens, bigrams, dup_bigrams) where dup_* counts
+    * occurrences beyond the first (so dup/total is the duplicated
+    * fraction). Integer-valued by design: downstream aggregates stay
+    * exactly oracle-comparable (no float-summation order sensitivity). */
+  def repetitionStats(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val bi = ngrams(toks, 2)
+    struct(
+      size(toks).as("tokens"),
+      (size(toks) - size(array_distinct(toks))).as("dup_tokens"),
+      size(bi).as("bigrams"),
+      (size(bi) - size(array_distinct(bi))).as("dup_bigrams"))
+  }
+
+  /** Corpus-level duplicated-n-gram profile: for each document, how many
+    * of its DISTINCT token n-grams occur in at least `minDf` documents
+    * (shared boilerplate). Output: (doc, grams, shared_grams). */
+  def sharedGramStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, minDf: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol).as("doc"),
+        explode(array_distinct(ngrams(TextOps.tokens(col(textCol)), n))).as("g"))
+      .select(col("doc"), xxhash64(col("g")).as("gh"))
+    val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "gh")
+      .groupBy("doc").agg(
+        count(lit(1)).as("grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("shared_grams"))
+  }
+}

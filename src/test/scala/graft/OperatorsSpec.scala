@@ -317,4 +317,88 @@ class OperatorsSpec extends SparkTestBase {
     assert(f.forall(_.features.length == 8))
     assert(f.forall(_.content_len > 16))
   }
+
+  test("stratified quota: two-stage salted plan == naive single window, any salt count") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .withColumn("__k", md5(col("doc_id").cast("string")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("__k"), col("doc_id"))))
+      .filter(col("__rn") <= 7).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    for (salts <- Seq(1, 3, 16)) {
+      val got = QuotaSample.stratifiedQuota(docs, "source", "doc_id", 7, salts)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got == naive, s"salts=$salts diverged from the naive selection")
+    }
+    // quota >= group size keeps everything; output schema is unchanged
+    val all = QuotaSample.stratifiedQuota(docs, "source", "doc_id", 1000)
+    assert(all.count() == docs.count())
+    assert(all.schema == docs.schema)
+  }
+
+  test("PII detection counts and redaction reach a clean fixpoint") {
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('mail me at jo.doe+x@sub.example.co.uk thanks'),
+        |  ('server 192.168.0.1 and 10.0.0.255 up'),
+        |  ('call +4915712345678 or +1234567 now'),
+        |  ('a@b.io 1.2.3.4 +7654321 all three'),
+        |  ('no pii here, just words and 42 dots.')
+        |  t(text)""".stripMargin)
+      .select(Privacy.piiCounts(col("text")).as("c"),
+        Privacy.redact(col("text")).as("red"))
+    val got = rows.select("c.emails", "c.ips", "c.phones", "red").collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1, 0, 0), (0, 2, 0), (0, 0, 2), (1, 1, 1), (0, 0, 0)))
+    assert(got(3).getString(3) == "<EMAIL> <IP> <PHONE> all three")
+    // redaction is complete: re-scanning redacted text finds nothing
+    val residual = rows.select(Privacy.piiCounts(col("red")).as("r"))
+      .selectExpr("r.emails + r.ips + r.phones AS n")
+      .agg(sum("n")).head().getLong(0)
+    assert(residual == 0L)
+  }
+
+  test("repetition stats count duplicate tokens and bigrams exactly") {
+    val r = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('a b a b a'), ('x y z'), ('w'), ('')
+        |  t(text)""".stripMargin)
+      .select(QualityFilters.repetitionStats(col("text")).as("r"))
+      .select("r.tokens", "r.dup_tokens", "r.bigrams", "r.dup_bigrams")
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getInt(3))).toSeq
+    // 'a b a b a': 5 tokens {a,b} -> 3 dup; 4 bigrams {ab,ba} -> 2 dup
+    assert(r == Seq((5, 3, 4, 2), (3, 0, 2, 0), (1, 0, 0, 0), (0, 0, 0, 0)))
+  }
+
+  test("shared-gram stats flag the planted cross-document boilerplate") {
+    val d = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'the quick brown fox jumps over the lazy dog'),
+        |  (2L, 'the quick brown fox jumps high above everything else'),
+        |  (3L, 'completely different words in this one right here ok'),
+        |  (4L, 'too short')
+        |  t(doc_id, text)""".stripMargin)
+    val got = QualityFilters.sharedGramStats(d, "doc_id", "text", n = 5)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // docs 1+2 share exactly one 5-gram: 'the quick brown fox jumps';
+    // doc 4 has < 5 tokens and drops out of the profile entirely
+    assert(got == Seq((1L, 5L, 1L), (2L, 5L, 1L), (3L, 5L, 0L)))
+  }
+
+  test("incremental dedup == plain anti-join; empty history admits all") {
+    val hist = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val got = IncrementalDedup.dedupAgainstHistory(batch, hist, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val fp = TextOps.fingerprint(col("text"))
+    val expect = batch.join(hist.select(fp.as("__h")).distinct(),
+        fp === col("__h"), "left_anti")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+    val none = IncrementalDedup.dedupAgainstHistory(
+      batch, hist.filter(lit(false)), "doc_id", "text")
+    assert(none.count() == batch.count())
+  }
 }
