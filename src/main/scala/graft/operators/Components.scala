@@ -12,30 +12,32 @@ import org.apache.spark.storage.StorageLevel
   * routine in crawl data), so "drop the second element of every pair"
   * both over-drops and under-drops.
   *
-  * Algorithm: iterative min-label propagation on the symmetrized edge
-  * set. Each round is one equi-join (labels onto edge endpoints) + one
-  * min-aggregation — both shuffle only (id, label) pairs, never text.
+  * Algorithm: iterative min-label propagation WITH POINTER JUMPING on
+  * the symmetrized edge set. Each round takes the min over three label
+  * sources per vertex — its own label, its neighbors' labels (one
+  * equi-join), and its label's label l(l(v)) (one self-join of the label
+  * table) — then min-aggregates. Everything shuffles only (id, label)
+  * pairs, never text. Neighbor propagation alone needs O(diameter)
+  * rounds; the l(l(v)) jump halves label-chain depth each round, so
+  * convergence is O(log diameter) — the same idea as the published
+  * alternating large-star/small-star scheme, in its simplest form. That
+  * bound matters twice at scale: fewer rounds of shuffles, and a
+  * bounded logical-plan depth (each round's plan references the
+  * previous round's, so Catalyst re-analysis cost grows with round
+  * count — at O(d) rounds on a diameter-20 graph the ANALYSIS, not the
+  * data, was the measured bottleneck).
+  *
   * Convergence is detected with an order-independent hash signature of
   * the label table (a single scalar aggregate per round, no driver-side
-  * data pull), and rounds are bounded by the label-graph diameter. For
-  * dedup graphs the diameter is tiny (clusters are near-cliques produced
-  * by banding, so 2–4 rounds closes them); `maxIter` guards the
-  * adversarial long-chain case (non-convergence at `maxIter` is logged —
-  * partially-propagated labels would otherwise silently split clusters).
-  * Each round's result is persisted and the previous round unpersisted,
-  * so RECOMPUTATION is bounded to one round — the logical plan still
-  * grows linearly with round count (Catalyst re-analyzes the full
-  * lineage each round), which is harmless at maxIter=30; true O(1)
-  * lineage would need checkpointing, which dedup diameters never earn.
-  * The returned labels are eagerly local-checkpointed so all
+  * data pull); `maxIter` guards pathological cases (non-convergence at
+  * `maxIter` is logged — partially-propagated labels would otherwise
+  * silently split clusters). Each round's result is persisted and the
+  * previous round unpersisted, so RECOMPUTATION is bounded to one
+  * round. The returned labels are eagerly local-checkpointed so all
   * intermediate cached rounds can be freed before returning (no cache
   * leak into the session); the trade-off is that losing an executor
   * after return re-fails the job instead of recomputing — acceptable
   * for a bounded (id, label) table that the caller consumes promptly.
-  * (For graphs with genuinely large diameter the published
-  * alternating large-star/small-star scheme converges in O(log^2 n)
-  * rounds; dedup graphs never need it, so we keep the simpler loop whose
-  * per-round plan Catalyst fully optimizes.)
   *
   * Reference scope note: the reference engine (a single-node SQL
   * extension) has no clustering operator; this is part of the
@@ -53,9 +55,17 @@ object Components {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager localCheckpoint each round, NOT persist: the next round's plan
+    // references this round's THREE times (self + neighbor-prop + jump),
+    // so without lineage truncation the logical plan grows EXPONENTIALLY
+    // in rounds — a diameter-10 graph OOMed the DRIVER on Catalyst
+    // analysis before any executor did real work. A checkpoint makes each
+    // round a leaf: O(1) plan, O(1) analysis, recomputation impossible.
+    // Superseded rounds' checkpoint RDDs are freed by the ContextCleaner
+    // once unreferenced.
     var labels = sym.select(col("src").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // order-independent signature of the label assignment; one Row per
     // round, constant-size — iteration CONTROL, not a data pull. XOR
     // (not sum) so the fold can't overflow under ANSI mode; rows are
@@ -70,14 +80,17 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // label of dst flows to src; keep own label; take the min
+      // label of dst flows to src; keep own label; pointer-jump l(l(v));
+      // take the min of all three
       val prop = sym.join(labels, sym("dst") === labels("doc"))
         .select(sym("src").as("doc"), col("cluster"))
-      val next = labels.select("doc", "cluster").union(prop)
+      val jump = labels.as("x").join(labels.as("y"),
+          col("x.cluster") === col("y.doc"))
+        .select(col("x.doc").as("doc"), col("y.cluster").as("cluster"))
+      val next = labels.select("doc", "cluster").union(prop).union(jump)
         .groupBy("doc").agg(min("cluster").as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSig = signature(next) // also materializes `next`
-      labels.unpersist(blocking = false)
+        .localCheckpoint(true) // eager: materializes and truncates lineage
+      val nextSig = signature(next) // constant-cost scan of the leaf
       labels = next
       converged = nextSig == sig
       sig = nextSig
@@ -88,13 +101,11 @@ object Components {
         s"connectedComponents stopped at maxIter=$maxIter WITHOUT converging: " +
           "labels are partially propagated and one component may carry multiple " +
           "cluster ids. Raise maxIter (graph diameter exceeds it).")
-    // eager localCheckpoint materializes the final labels and cuts their
-    // lineage, so every intermediate cached round (and sym) can be freed
-    // here instead of leaking into the session until it ends
-    val out = labels.localCheckpoint(eager = true)
-    labels.unpersist(blocking = false)
+    // labels is already a materialized checkpoint leaf with no lineage
+    // into sym, so the edge cache can be freed before returning (no cache
+    // leak into the session)
     sym.unpersist(blocking = false)
-    out
+    labels
   }
 
   /** Canonical-document dedup: keep exactly one document per connected

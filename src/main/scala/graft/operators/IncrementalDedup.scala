@@ -23,20 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** The history-side filter blob: one aggregate job over history's
+    * fingerprints. In production this is built once per corpus snapshot,
+    * persisted in the metadata store, `datasketch_bloom_union`-merged as
+    * batches are admitted, and READ BACK per batch — not recomputed.
+    * Callers with that lifecycle pass it to [[dedupAgainstHistory]] via
+    * `historyBlob`. Null when history is empty. */
+  def buildHistoryFilter(history: DataFrame, textCol: String,
+                         maxDistinct: Long = 1 << 20,
+                         fpp: Double = 0.01): Array[Byte] =
+    history.agg(
+        call_function("datasketch_bloom", lit(maxDistinct), lit(fpp),
+          TextOps.fingerprint(col(textCol))).as("f"))
+      .head().getAs[Array[Byte]](0)
+
   /** Rows of `batch` whose text fingerprint does not occur in `history` —
     * the docs a pipeline would admit. Output schema = `batch` schema.
-    * `maxDistinct`/`fpp` size the historical filter (see sketch.Bloom). */
+    * `maxDistinct`/`fpp` size the filters (see sketch.Bloom);
+    * `historyBlob` supplies a prebuilt/persisted history filter (None →
+    * build it here with one extra job). */
   def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
                           idCol: String, textCol: String,
                           maxDistinct: Long = 1 << 20,
-                          fpp: Double = 0.01): DataFrame = {
+                          fpp: Double = 0.01,
+                          historyBlob: Option[Array[Byte]] = None): DataFrame = {
     val fp = TextOps.fingerprint(col(textCol))
-    // one tiny job over history → a storable KB-scale blob (in production
-    // this is read back from the corpus metadata store, built once and
-    // datasketch_bloom_union-merged per batch, not recomputed)
-    val blob = history.agg(
-        call_function("datasketch_bloom", lit(maxDistinct), lit(fpp), fp).as("f"))
-      .head().getAs[Array[Byte]](0)
+    val blob = historyBlob.getOrElse(
+      buildHistoryFilter(history, textCol, maxDistinct, fpp))
     if (blob == null) return batch // empty history: everything is new
     val probe = call_function("datasketch_bloom_might_contain", lit(blob), fp)
     // candidates: true dups + ~fpp·|batch| false positives

@@ -397,6 +397,12 @@ class OperatorsSpec extends SparkTestBase {
         fp === col("__h"), "left_anti")
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(got == expect)
+    // prebuilt/persisted history-filter path selects identically
+    val blob = IncrementalDedup.buildHistoryFilter(hist, "text")
+    val pre = IncrementalDedup.dedupAgainstHistory(batch, hist, "doc_id", "text",
+        historyBlob = Some(blob))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(pre == expect)
     val none = IncrementalDedup.dedupAgainstHistory(
       batch, hist.filter(lit(false)), "doc_id", "text")
     assert(none.count() == batch.count())
