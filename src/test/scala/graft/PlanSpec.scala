@@ -161,4 +161,64 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges.forall(!_.output.exists(_.name == "text")),
       s"text must not enter an exchange:\n$plan")
   }
+
+  test("stratified quota: both window stages run as pre-shuffle group limits") {
+    // The point of the two-stage salted ranking is that no corpus-sized
+    // group serializes through one window task. Spark additionally plants
+    // WindowGroupLimit (partial top-k per input partition) BEFORE each
+    // exchange — rows beyond the quota never enter the shuffle at all.
+    // Pin both: two window stages, each with a Partial group limit, and
+    // a scan that reads only the needed columns.
+    val plan = planOf(operators.QuotaSample
+      .stratifiedQuota(docs, "source", "doc_id", 10).select("source", "doc_id"))
+    val limits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(limits >= 4, s"expected Partial+Final WindowGroupLimit per stage:\n$plan")
+    assert("ReadSchema:[^\n]*text".r.findFirstIn(plan).isEmpty,
+      s"projection must prune text out of the scan:\n$plan")
+  }
+
+  test("PII scan stays inside whole-stage codegen (no UDFs, no python)") {
+    val scanned = docs.select(operators.Privacy.piiCounts(
+      operators.Privacy.redact(col("text"))).as("c"))
+    val plan = planOf(scanned)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"PII ops must be native expressions:\n$plan")
+    // "*(n)" is the WholeStageCodegen marker in executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected whole-stage codegen:\n$plan")
+  }
+
+  test("incremental dedup: bloom probe is a scan-side filter, no forced broadcast") {
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val qe = operators.IncrementalDedup
+      .dedupAgainstHistory(batch, hist, "doc_id", "text").queryExecution
+    // probe literal sits in a Filter (scan-side), not behind a join
+    val analyzed = qe.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"no forced join strategy:\n$analyzed")
+    val filters = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("datasketch_bloom_might_contain") => f
+    }
+    assert(filters.size >= 2,
+      s"expected bloom probes filtering batch AND history scans:\n$analyzed")
+  }
+
+  test("shared-gram profile: gram text never enters an exchange") {
+    val plan = operators.QualityFilters
+      .sharedGramStats(docs, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"expected df-count shuffles:\n$plan")
+    assert(exchanges.forall(!_.output.exists(a =>
+        a.name == "text" || a.name == "g")),
+      s"neither text nor gram strings may enter an exchange (hashes only):\n$plan")
+  }
 }
