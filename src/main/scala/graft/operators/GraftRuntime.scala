@@ -151,4 +151,40 @@ object GraftRuntime {
     }
     InternalRow(nTokens, nChars, stop, en, es, de, fr)
   }
+
+  // ---- RepetitionStats ----------------------------------------------------
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** One byte-scan repetition counters: (tokens, dup_tokens, bigrams,
+    * dup_bigrams), dup_* = occurrences beyond the first. Exact set
+    * semantics (UTF8String equality — no hashing shortcut), matching the
+    * composed `array_distinct` formulation token-for-token; bigram
+    * identity is the space-joined pair, identical to `concat_ws(" ", ...)`
+    * (tokens cannot contain whitespace, so the join is injective). */
+  def repetitionStats(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nTokens, nBigrams = 0
+    val seenTok = new java.util.HashSet[UTF8String]()
+    val seenBi = new java.util.HashSet[UTF8String]()
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val t = UTF8String.fromBytes(bytes, start, i - start)
+        nTokens += 1
+        seenTok.add(t)
+        if (prev != null) {
+          nBigrams += 1
+          seenBi.add(UTF8String.concat(prev, Space, t))
+        }
+        prev = t
+      }
+    }
+    InternalRow(nTokens, nTokens - seenTok.size, nBigrams, nBigrams - seenBi.size)
+  }
 }

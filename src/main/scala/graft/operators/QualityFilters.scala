@@ -30,8 +30,18 @@ object QualityFilters {
     * (tokens, dup_tokens, bigrams, dup_bigrams) where dup_* counts
     * occurrences beyond the first (so dup/total is the duplicated
     * fraction). Integer-valued by design: downstream aggregates stay
-    * exactly oracle-comparable (no float-summation order sensitivity). */
+    * exactly oracle-comparable (no float-summation order sensitivity).
+    * Native one-scan expression ([[RepetitionStats]]); the composed
+    * [[repetitionStatsArrayOps]] is the parity-tested reference shape. */
   def repetitionStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(RepetitionStats(GraftShims.expression(text)))
+  }
+
+  /** Array-ops formulation of [[repetitionStats]] — kept as the unit-test
+    * oracle for the native expression (five array allocations per row vs
+    * one byte scan). */
+  def repetitionStatsArrayOps(text: Column): Column = {
     val toks = TextOps.tokens(text)
     val bi = ngrams(toks, 2)
     struct(

@@ -359,6 +359,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(residual == 0L)
   }
 
+  test("native RepetitionStats matches the array-ops reference formulation") {
+    val both = docs.select(
+      QualityFilters.repetitionStats(col("text")).as("fast"),
+      QualityFilters.repetitionStatsArrayOps(col("text")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("repetition stats count duplicate tokens and bigrams exactly") {
     val r = spark.sql(
       """SELECT * FROM VALUES
