@@ -42,26 +42,41 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def run(): Double = {
-        // drop cached relations so every run measures JIT-warm but
-        // data-cold execution, not a cache replay of the previous run
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
-        }
-        (System.nanoTime() - t0) / 1e9
+    // Iterations are interleaved as FULL QUERY SWEEPS (q01..qNN, five
+    // times) rather than five back-to-back runs per query: a driver-box
+    // contention burst lasting tens of seconds previously landed on ALL
+    // samples of whichever query it overlapped (r9: driver q47 min-of-5
+    // 23.6 s vs 0.8 s idle, identical code+data — every sample taken
+    // inside one burst). Sweep order decorrelates samples of the same
+    // query by the full-sweep period, so a burst inflates one sample of
+    // many queries instead of every sample of one, and the median
+    // recovers it.
+    val names = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      // drop cached relations so every run measures JIT-warm but
+      // data-cold execution, not a cache replay of the previous run
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      // warm-up, untimed; a query that fails here fails deterministically
-      // (bad plan, bad data) — skip the timed runs instead of re-failing
-      // iterations more times
-      if (run() < 0) name -> Seq(-1.0)
-      else {
-        val times = (1 to iterations).map(_ => run()).filter(_ >= 0)
-        name -> (if (times.nonEmpty) times else Seq(-1.0))
-      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up sweep, untimed; a query that fails here fails
+    // deterministically (bad plan, bad data) — skip its timed runs
+    // instead of re-failing `iterations` more times
+    val alive = names.filter { case (n, f) => run(n, f) >= 0 }.map(_._1).toSet
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to iterations; (name, fn) <- names if alive(name)) {
+      val t = run(name, fn)
+      if (t >= 0) samples(name) = samples(name) :+ t
+    }
+    val results = names.map { case (name, _) =>
+      val ts = samples(name)
+      name -> (if (ts.nonEmpty) ts else Vector(-1.0))
     }
     def fmt(f: Seq[Double] => Double): String = results
       .map { case (k, ts) => "\"" + k + "\":" + f"${if (ts.head < 0) -1.0 else f(ts)}%.3f" }
