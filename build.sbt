@@ -27,6 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the bench sweeps ~60 distinct codegen'd plans x 6 iterations; the
+  // default 240m JIT code cache flushes hot compiled methods between a
+  // query's visits, so later sweeps re-run interpreted (2-4x medians)
+  "-XX:ReservedCodeCacheSize=512m",
 )
 
 // Pass forked-run stdout through unprefixed: the bench/verify harness

@@ -16,6 +16,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sweep-interleaved iterations cycle ~60 distinct plans; the default
+      // 100-entry codegen cache evicts every plan between its visits, so
+      // each sweep re-Janino-compiles the whole suite (measured +60% on
+      // the sf0.1 total). Size the cache for the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -55,8 +60,14 @@ object Bench {
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       // drop cached relations so every run measures JIT-warm but
-      // data-cold execution, not a cache replay of the previous run
+      // data-cold execution, not a cache replay of the previous run;
+      // also sweep leftover persistent RDDs (localCheckpoint blocks from
+      // iterative operators) — the ContextCleaner frees them only on its
+      // 30-minute periodic GC, so 360 runs would otherwise accumulate
+      // block-manager debris and degrade later sweeps
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>

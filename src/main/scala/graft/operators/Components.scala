@@ -91,6 +91,11 @@ object Components {
         .groupBy("doc").agg(min("cluster").as("cluster"))
         .localCheckpoint(true) // eager: materializes and truncates lineage
       val nextSig = signature(next) // constant-cost scan of the leaf
+      // free the superseded round's checkpoint blocks NOW: the
+      // ContextCleaner only reclaims them after a periodic driver GC
+      // (default every 30 min), so iterative callers would otherwise
+      // accumulate one block set per round in block-manager storage
+      Components.checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next
       converged = nextSig == sig
       sig = nextSig
@@ -107,6 +112,16 @@ object Components {
     sym.unpersist(blocking = false)
     labels
   }
+
+  /** The checkpointed RDD backing an eagerly local-checkpointed
+    * DataFrame (its plan is a single LogicalRDD leaf). Exposed so the
+    * OWNER of a result can free its blocks without waiting for the
+    * ContextCleaner's periodic GC; only safe once the DataFrame will
+    * never be read again (checkpoint blocks cannot be recomputed). */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 
   /** Canonical-document dedup: keep exactly one document per connected
     * near-dup cluster (the min-id member), and every document that is in
