@@ -949,6 +949,21 @@ object SparkEntry {
         .orderBy("doc")
     },
 
+    // -- top boilerplate n-grams via the frequent-items sketch (sketch ×
+    //    pipeline composition: one mergeable aggregate replaces the full
+    //    gram GROUP BY; exact regime — 16k distinct grams ≪ the lg 18 map
+    //    capacity of ~196k, so estimates are exact counts) ---------------
+    "q67_boilerplate_ngrams" -> q(
+      """SELECT f.item AS gram, f.estimate AS occurrences
+        |FROM (SELECT explode(datasketch_frequent_items_get_frequent(
+        |               datasketch_frequent_items(18, gram), 'NO_FALSE_NEGATIVES')) AS f
+        |      FROM (SELECT explode(transform(sequence(0, size(toks) - 3),
+        |                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
+        |            FROM (SELECT split(trim(text), '\\s+') AS toks FROM documents)
+        |            WHERE size(toks) >= 3))
+        |WHERE f.estimate >= 5
+        |ORDER BY occurrences DESC, gram""".stripMargin),
+
     // -- corpus-level duplicated-n-gram profile (Gopher-style shared
     //    boilerplate signal; gram text never shuffles — 64-bit hashes do) -
     "q65_shared_grams" -> qd { spark =>
@@ -1596,6 +1611,16 @@ object SparkEntry {
         |  UNION
         |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.v)
         |SELECT v AS doc, MIN(r) AS cluster FROM reach GROUP BY v ORDER BY doc""".stripMargin,
+
+    // exact regime: every estimate is the true count, so the sketch path
+    // must equal the plain GROUP BY
+    "q67_boilerplate_ngrams" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') t FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+        |        i -> array_to_string(t[i:i+2], ' '))) AS gram
+        |      FROM toks WHERE len(t) >= 3)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS occurrences FROM g GROUP BY gram
+        |HAVING count(*) >= 5 ORDER BY occurrences DESC, gram""".stripMargin,
 
     "q65_shared_grams" ->
       """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') tk FROM documents),
