@@ -43,6 +43,11 @@ object Bloom {
   def wrap(bytes: Array[Byte]): BloomFilter =
     deser("Bloom", bytes)(BloomFilter.wrap(mem(bytes)))
 
+  /** Updatable on-heap copy of a serialized filter (for stateful
+    * operators that keep inserting into a restored filter). */
+  def heapify(bytes: Array[Byte]): BloomFilter =
+    deser("Bloom", bytes)(BloomFilter.heapify(mem(bytes)))
+
   /** Per-thread last-blob memo. The join-pruning shape probes ONE filter
     * (a scalar-subquery/broadcast literal, i.e. the same `Array[Byte]`
     * instance on every row of a task) millions of times — reference

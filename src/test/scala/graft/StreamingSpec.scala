@@ -105,6 +105,36 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("bloom-state streaming dedup: lifetime cross-batch dedup, bounded state") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[Doc]
+    val out = streaming.StreamingDedup.dropDuplicateDocsBloom(
+      mem.toDF(), "doc_id", "text", shards = 4)
+    val query = out.writeStream.format("memory").queryName("stream_dedup_bloom")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Doc(t(10, 0), 1, "the quick brown fox"),
+        Doc(t(10, 1), 2, "the  quick   brown fox"), // same after normalization
+        Doc(t(10, 2), 3, "something else"))
+      query.processAllAvailable()
+      // cross-batch dups arbitrarily far apart still drop (no watermark
+      // horizon — the filter IS the history)
+      mem.addData(
+        Doc(t(23, 0), 4, "the quick brown fox"),
+        Doc(t(23, 1), 5, "something else"),
+        Doc(t(23, 2), 6, "genuinely new content"))
+      query.processAllAvailable()
+
+      val kept = spark.sql("SELECT doc_id FROM stream_dedup_bloom ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(1L, 3L, 6L), s"expected lifetime first-wins dedup, got $kept")
+    } finally query.stop()
+  }
+
   test("sessionization closes sessions on event-time gaps, sketch state mergeable") {
     val spark2 = spark
     import spark2.implicits._
