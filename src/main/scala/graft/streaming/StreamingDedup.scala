@@ -58,8 +58,12 @@ object StreamingDedup {
     */
   def dropDuplicateDocsBloom(docs: DataFrame, idCol: String, textCol: String,
                              shards: Int = 64,
-                             maxDistinctPerShard: Long = 1 << 22,
+                             maxDistinctPerShard: Long = 1 << 20,
                              fpp: Double = 0.01): Dataset[AdmittedDoc] = {
+    // default capacity: 64 shards × 1M ≈ 67M docs at the advertised fpp,
+    // ~1.2 MB serialized per shard — each micro-batch pays one
+    // heapify + serialize per TOUCHED shard, so filter size is a real
+    // per-batch cost, not just resident state
     val spark = docs.sparkSession
     import spark.implicits._
     val fpCol = TextOps.fingerprint(col(textCol))
