@@ -21,6 +21,17 @@ object Bench {
       // each sweep re-Janino-compiles the whole suite (measured +60% on
       // the sf0.1 total). Size the cache for the suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Survival on a contended host: the r10 driver bench died at 2,466 s
+      // with exit code 56 (ExecutorExitCode.HEARTBEAT_FAILURE) — in
+      // local[N] mode the in-process heartbeater shares the JVM with 32
+      // executor threads, so a long GC or CPU-steal stall (BASELINE.md
+      // recorded ~16% steal on the driver box) starves it past the default
+      // maxFailures=60 @ 10s and Spark kills the WHOLE benchmark JVM.
+      // Heartbeats carry no correctness weight in a single-JVM bench;
+      // make them effectively unkillable.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeat.maxFailures", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -43,6 +54,13 @@ object Bench {
     // The median of 5 absorbs two bad samples; queries_min is reported
     // alongside as the contention-free floor for cross-round comparison.
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    // Wall-time budget: emit a complete (if lower-iteration) report instead
+    // of running unboundedly on a slow box. The first timed sweep always
+    // completes (every query gets >=1 sample); later sweeps stop as soon as
+    // the budget is exceeded, and the medians cover whatever ran.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
@@ -64,7 +82,11 @@ object Bench {
       // also sweep leftover persistent RDDs (localCheckpoint blocks from
       // iterative operators) — the ContextCleaner frees them only on its
       // 30-minute periodic GC, so 360 runs would otherwise accumulate
-      // block-manager debris and degrade later sweeps
+      // block-manager debris and degrade later sweeps.
+      // INVARIANT (see SparkEntry's hotMemo/incBloomMemo/pairsMemo): cross-
+      // query memos must hold driver-side VALUES (arrays, blobs), never
+      // cached or localCheckpoint'ed DataFrames — checkpoint blocks cannot
+      // be recomputed, so this blanket unpersist would break their reuse.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -81,38 +103,65 @@ object Bench {
     val alive = names.filter { case (n, f) => run(n, f) >= 0 }.map(_._1).toSet
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to iterations; (name, fn) <- names if alive(name)) {
-      val t = run(name, fn)
-      if (t >= 0) samples(name) = samples(name) :+ t
+
+    def report(): (String, String, Double) = {
+      val results = names.map { case (name, _) =>
+        val ts = samples(name)
+        name -> (if (ts.nonEmpty) ts else Vector(-1.0))
+      }
+      def fmt(f: Seq[Double] => Double): String = results
+        .map { case (k, ts) => "\"" + k + "\":" + f"${if (ts.head < 0) -1.0 else f(ts)}%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, ts) if ts.head >= 0 => median(ts) }.sum
+      (fmt(median), fmt(_.min), total)
     }
-    val results = names.map { case (name, _) =>
-      val ts = samples(name)
-      name -> (if (ts.nonEmpty) ts else Vector(-1.0))
+    def fullJson(sweepsDone: Int): String = {
+      val (qs, qmin, total) = report()
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sweeps":$sweepsDone,"sf":"$sfDir"}"""
     }
-    def fmt(f: Seq[Double] => Double): String = results
-      .map { case (k, ts) => "\"" + k + "\":" + f"${if (ts.head < 0) -1.0 else f(ts)}%.3f" }
-      .mkString("{", ",", "}")
-    val qs = fmt(median)
-    val qmin = fmt(_.min)
-    val total = results.collect { case (_, ts) if ts.head >= 0 => median(ts) }.sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sf":"$sfDir"}"""
+    // Persist the running result after EVERY completed sweep (atomic
+    // tmp+rename): the r10 crash at sweep ~5 of 6 lost 41 minutes of
+    // samples because results lived only in memory until the final print.
+    // A crash now retains the medians of all completed sweeps.
+    def persist(sweepsDone: Int): Unit = try {
+      val tmp = java.nio.file.Paths.get("bench_last.json.tmp")
+      java.nio.file.Files.write(tmp, (fullJson(sweepsDone) + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("bench_last.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Throwable => () }
+
+    var sweepsDone = 0
+    var stop = false
+    for (sweep <- 1 to iterations if !stop) {
+      for ((name, fn) <- names if alive(name) && !stop) {
+        // budget checks only from sweep 2 on: every alive query is
+        // guaranteed at least one timed sample before early exit
+        if (sweep > 1 && elapsedSec > budgetSec) {
+          System.err.println(
+            f"[bench] wall budget ${budgetSec}%.0f s exceeded at sweep $sweep; stopping")
+          stop = true
+        } else {
+          val t = run(name, fn)
+          if (t >= 0) samples(name) = samples(name) :+ t
+        }
+      }
+      if (!stop) sweepsDone = sweep
+      persist(sweepsDone)
+    }
+
+    val full = fullJson(sweepsDone)
     // r9's BENCH json was truncated in the driver's capture and the round's
     // numbers were lost. Defenses: (1) stop Spark BEFORE printing, so no
-    // executor/shutdown log line can interleave mid-line; (2) keep the
-    // stdout line minimal (queries_min goes to stderr, halving the length);
-    // (3) persist the full JSON to bench_last.json as an on-disk backup the
-    // judge can read even if stdout capture mangles the line.
+    // executor/shutdown log line can interleave mid-line; (2) keep
+    // queries_min IN the stdout line (the r10 driver parse came back null
+    // after it moved to stderr — the stdout line is the parsing contract,
+    // so it carries the full payload and relies on (1) for truncation
+    // safety); (3) bench_last.json is the on-disk backup the judge can
+    // read even if stdout capture mangles the line.
     spark.stop()
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-        (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
-    System.err.println(s"[bench] queries_min=$qmin")
-    System.err.flush()
-    println(line)
+    persist(sweepsDone)
+    println(full)
     System.out.flush()
   }
 }
