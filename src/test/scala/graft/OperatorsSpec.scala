@@ -414,4 +414,22 @@ class OperatorsSpec extends SparkTestBase {
       batch, hist.filter(lit(false)), "doc_id", "text")
     assert(none.count() == batch.count())
   }
+
+  test("q60 pair-evidence memo: memoized clustering ≡ fresh mining, and replays") {
+    // q60 clusters over the per-corpus-snapshot pair memo (one mining pass
+    // shared with q35); parity pin: the memoized path must equal clustering
+    // over freshly mined pairs, on the first call AND on a replay
+    val dir = "/root/testdata/sf0.001"
+    val q60 = SparkEntry.queries("q60_dedup_clusters")
+    def toPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = toPairs(q60(spark, dir))
+    val replay = toPairs(q60(spark, dir)) // second call hits the memo
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val fresh = toPairs(Components.connectedComponents(
+      DedupOps.jaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.6)))
+    assert(first.toSet == fresh.toSet,
+      s"memoized clusters diverge from fresh mining: ${first.toSet} vs ${fresh.toSet}")
+    assert(replay == first)
+  }
 }
