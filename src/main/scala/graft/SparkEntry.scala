@@ -1007,6 +1007,26 @@ object SparkEntry {
         |WHERE f.estimate >= 5
         |ORDER BY occurrences DESC, gram""".stripMargin),
 
+    // -- describe banner probes, oracle-locked as booleans. The reference
+    //    pins describe output only via LIKE smoke probes
+    //    (test/sql/datasketch_hll.test:84, datasketch_cpc.test:44,
+    //    datasketch_theta.test:139,754-755); this query replicates those
+    //    probes verbatim plus banner checks for the four quantile
+    //    families, so all 7 describe names carry an oracle-checked
+    //    contract (describe free text legally differs from the C++
+    //    layout; the banner is the one part the reference's tests pin) --
+    "q68_describe_probes" -> q(
+      """SELECT datasketch_hll_describe(datasketch_hll(12, l_suppkey), true, false) LIKE '%HLL sketch summary%' AS hll_ok,
+        |       datasketch_cpc_describe(datasketch_cpc(11, l_suppkey)) LIKE '%CPC sketch summary%' AS cpc_ok,
+        |       datasketch_theta_describe(datasketch_theta(l_suppkey)) LIKE '%Theta sketch summary%' AS theta_ok,
+        |       (datasketch_theta_describe(datasketch_theta(l_suppkey)) LIKE '%Empty%'
+        |         OR datasketch_theta_describe(datasketch_theta(l_suppkey)) LIKE '%estimate%') AS theta_body_ok,
+        |       datasketch_kll_describe(datasketch_kll(200, l_quantity)) LIKE '%KLL sketch summary%' AS kll_ok,
+        |       datasketch_quantiles_describe(datasketch_quantiles(128, l_quantity)) LIKE '%Quantiles sketch summary%' AS q_ok,
+        |       datasketch_req_describe(datasketch_req(12, CAST(l_quantity AS FLOAT))) LIKE '%REQ sketch summary%' AS req_ok,
+        |       datasketch_tdigest_describe(datasketch_tdigest(100, l_quantity)) LIKE '%TDigest sketch summary%' AS td_ok
+        |FROM lineitem""".stripMargin),
+
     // -- corpus-level duplicated-n-gram profile (Gopher-style shared
     //    boilerplate signal; gram text never shuffles — 64-bit hashes do) -
     "q65_shared_grams" -> qd { spark =>
@@ -1699,5 +1719,12 @@ object SparkEntry {
         |       CAST(sum(shared) AS BIGINT) AS shared_grams,
         |       CAST(sum(CASE WHEN shared * 2 >= grams THEN 1 ELSE 0 END) AS BIGINT) AS flagged
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+    // the probes themselves assert the contract; the oracle pins that
+    // every one of them held (the reference's own expected value)
+    "q68_describe_probes" ->
+      """SELECT true AS hll_ok, true AS cpc_ok, true AS theta_ok,
+        |       true AS theta_body_ok, true AS kll_ok, true AS q_ok,
+        |       true AS req_ok, true AS td_ok""".stripMargin,
   )
 }

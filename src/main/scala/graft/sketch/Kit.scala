@@ -111,6 +111,17 @@ object Kit {
     * probe a bind-time overload error (`codegen/generated.cpp.j2:205-224`);
     * this sniff is the closest runtime analog Spark's untyped BINARY allows.
     */
+  /** Reference-compatible `describe` banner. The C++ reference's describe
+    * output opens with a `### <family> sketch summary` line that its own
+    * test suite probes via LIKE (`test/sql/datasketch_hll.test:84`,
+    * `datasketch_cpc.test:44`, `datasketch_theta.test:139,754-755`); the
+    * Java sketches print differently-cased banners ("### HLL SKETCH
+    * SUMMARY"), so a reference user's probe queries would silently return
+    * false. Describe free text may legally differ, but the banner is the
+    * one part the reference pins — emit it verbatim above the Java body. */
+  def describeBanner(family: String, body: String): String =
+    s"### $family sketch summary:\n$body"
+
   def deser[T](family: String, bytes: Array[Byte])(body: => T): T = {
     if (bytes.length < 8)
       throw new IllegalArgumentException(

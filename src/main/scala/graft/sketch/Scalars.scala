@@ -252,7 +252,13 @@ case class QuantScalar(family: String, fn: String, elem: ElemType, children: Seq
       case "describe" =>
         val a = if (args.length > 1) args(1).asInstanceOf[Boolean] else false
         val b = if (args.length > 2) args(2).asInstanceOf[Boolean] else false
-        UTF8String.fromString(sk.describe(a, b))
+        val disp = family match {
+          case "quantiles" => "Quantiles"
+          case "kll"       => "KLL"
+          case "req"       => "REQ"
+          case _           => "TDigest"
+        }
+        UTF8String.fromString(Kit.describeBanner(disp, sk.describe(a, b)))
     }
   }
 
@@ -304,7 +310,8 @@ case class CountScalar(family: String, fn: String, children: Seq[Expression])
         case "describe" =>
           val summary = if (args.length > 1) args(1).asInstanceOf[Boolean] else true
           val detail = if (args.length > 2) args(2).asInstanceOf[Boolean] else false
-          UTF8String.fromString(sk.toString(summary, detail, false, false))
+          UTF8String.fromString(
+            Kit.describeBanner("HLL", sk.toString(summary, detail, false, false)))
       }
     } else {
       val sk = deser("CPC", bytes)(CpcSketch.heapify(mem(bytes)))
@@ -313,7 +320,7 @@ case class CountScalar(family: String, fn: String, children: Seq[Expression])
         case "lower_bound" => sk.getLowerBound(args(1).asInstanceOf[Int])
         case "upper_bound" => sk.getUpperBound(args(1).asInstanceOf[Int])
         case "is_empty"    => sk.isEmpty
-        case "describe"    => UTF8String.fromString(sk.toString)
+        case "describe"    => UTF8String.fromString(Kit.describeBanner("CPC", sk.toString))
       }
     }
   }
@@ -366,7 +373,8 @@ case class ThetaScalar(fn: String, children: Seq[Expression]) extends SketchScal
       case "estimate"           => wrap(args(0)).getEstimate
       case "lower_bound"        => wrap(args(0)).getLowerBound(args(1).asInstanceOf[Int])
       case "upper_bound"        => wrap(args(0)).getUpperBound(args(1).asInstanceOf[Int])
-      case "describe"           => UTF8String.fromString(wrap(args(0)).toString)
+      case "describe"           =>
+        UTF8String.fromString(Kit.describeBanner("Theta", wrap(args(0)).toString))
       case "is_empty"           => wrap(args(0)).isEmpty
       case "is_estimation_mode" => wrap(args(0)).isEstimationMode
       case "get_theta"          => wrap(args(0)).getTheta
