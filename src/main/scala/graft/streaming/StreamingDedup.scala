@@ -56,6 +56,46 @@ object StreamingDedup {
     * and the per-batch work per shard is its slice of the batch. No
     * timeout: the state is the product, not a window artifact.
     */
+  case class BloomDedupSizing(shards: Int, maxDistinctPerShard: Long)
+
+  /** Derive (shards, per-shard capacity) from the expected LIFETIME corpus
+    * size and target fpp, so the state/fpp trade cannot be misconfigured:
+    * exceeding a bloom filter's design capacity silently degrades its fpp
+    * (the one guarantee the operator advertises), while oversizing the
+    * filter taxes every micro-batch (per-TOUCHED-shard heapify+serialize
+    * scales with filter bytes — the r10 1<<20 right-sizing finding).
+    *
+    * Per-shard capacity comes from the per-shard byte budget via the
+    * standard bloom bound m = -n·ln(p)/ln(2)² bits; shard count then
+    * covers expectedDocs at that capacity with 30% headroom for hash
+    * imbalance (binomial skew across xxhash64-partitioned shards is <<30%
+    * at any realistic per-shard count). More shards also means more keyed-
+    * state parallelism — they spread across executors like any state. */
+  def bloomSizing(expectedDocs: Long, fpp: Double = 0.01,
+                  targetShardBytes: Long = 1280L << 10): BloomDedupSizing = {
+    // default budget 1.25 MiB/shard ≈ capacity 2^20 at fpp 0.01 — the
+    // per-batch-cost sweet spot established by the r10 default change
+    require(expectedDocs > 0, s"expectedDocs must be positive, got $expectedDocs")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val ln2sq = math.log(2) * math.log(2)
+    val capacity = math.max(1L,
+      (targetShardBytes * 8L * ln2sq / -math.log(fpp)).toLong)
+    val shards = math.max(1L, math.ceil(expectedDocs * 1.3 / capacity).toLong)
+    require(shards <= (1 << 16),
+      s"$expectedDocs docs need $shards shards at $targetShardBytes B/shard — " +
+        "raise targetShardBytes (state would shatter into too many keys)")
+    BloomDedupSizing(shards.toInt, capacity)
+  }
+
+  /** [[dropDuplicateDocsBloom]] with the state geometry derived from the
+    * expected lifetime corpus size instead of hand-picked shard counts. */
+  def dropDuplicateDocsBloomSized(docs: DataFrame, idCol: String, textCol: String,
+                                  expectedDocs: Long,
+                                  fpp: Double = 0.01): Dataset[AdmittedDoc] = {
+    val s = bloomSizing(expectedDocs, fpp)
+    dropDuplicateDocsBloom(docs, idCol, textCol, s.shards, s.maxDistinctPerShard, fpp)
+  }
+
   def dropDuplicateDocsBloom(docs: DataFrame, idCol: String, textCol: String,
                              shards: Int = 64,
                              maxDistinctPerShard: Long = 1 << 20,

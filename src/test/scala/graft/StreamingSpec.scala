@@ -135,6 +135,41 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("bloom dedup autosizing: coverage, byte budget, and empirical fpp bound") {
+    import streaming.StreamingDedup.bloomSizing
+    // coverage + budget invariants across the realistic parameter space
+    for (docs <- Seq(10L * 1000, 5L * 1000 * 1000, 2L * 1000 * 1000 * 1000);
+         fpp <- Seq(0.001, 0.01, 0.05)) {
+      val s = bloomSizing(docs, fpp)
+      assert(s.shards.toLong * s.maxDistinctPerShard >= (docs * 1.2).toLong,
+        s"sizing must cover $docs docs with headroom: $s")
+      val filterBytes = sketch.Bloom.create(s.maxDistinctPerShard, fpp).toByteArray.length
+      assert(filterBytes <= (1280L << 10) * 1.15,
+        s"per-shard filter ($filterBytes B) must respect the byte budget: $s")
+    }
+    // monotonicity: more docs never means fewer shards
+    val shardCounts = Seq(1L << 20, 1L << 24, 1L << 28, 1L << 32)
+      .map(d => bloomSizing(d).shards)
+    assert(shardCounts == shardCounts.sorted, shardCounts.toString)
+    // empirical fpp at design capacity: fill a filter sized by the same
+    // bound (small byte budget so the test stays fast), then probe fresh
+    // keys; the false-positive rate must hold near the advertised fpp
+    val small = bloomSizing(10000, 0.01, targetShardBytes = 16L << 10)
+    val f = sketch.Bloom.create(small.maxDistinctPerShard, 0.01)
+    var i = 0L
+    while (i < small.maxDistinctPerShard) {
+      sketch.Bloom.update(f, s"doc-$i".getBytes("UTF-8")); i += 1
+    }
+    val probes = 20000
+    val falsePos = (0 until probes).count(j =>
+      sketch.Bloom.query(f, s"novel-$j".getBytes("UTF-8")))
+    assert(falsePos <= probes * 0.025,
+      s"fpp ${falsePos.toDouble / probes} exceeds 2.5x the advertised 0.01 at design capacity")
+    // misconfiguration guards
+    intercept[IllegalArgumentException](bloomSizing(0))
+    intercept[IllegalArgumentException](bloomSizing(1000, fpp = 1.5))
+  }
+
   test("sessionization closes sessions on event-time gaps, sketch state mergeable") {
     val spark2 = spark
     import spark2.implicits._
