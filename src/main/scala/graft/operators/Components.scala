@@ -48,13 +48,58 @@ object Components {
   /** Cluster labels for every vertex appearing in `pairs`:
     * (doc, cluster) where cluster = min doc id reachable through the
     * undirected pair graph. Input columns default to the dedup operators'
-    * (doc_a, doc_b) convention. */
+    * (doc_a, doc_b) convention.
+    *
+    * Adaptive: the pair-set size is measured on the cached edge set (one
+    * cheap count — the mining cost is already paid), and graphs at or
+    * under `localEdgeLimit` symmetrized edges are solved with a driver
+    * union-find instead of the iterative join loop. Near-dup evidence is
+    * duplicate-rate-sized, not corpus-sized — KB to low MB after any real
+    * dedup filter — and the distributed loop pays O(log d) rounds of
+    * (join + aggregate + checkpoint) fixed cost that dwarfs a
+    * sub-second union-find on such graphs. The distributed path stays
+    * the automatic fallback for crawl-scale pair graphs (50%-dup crawls
+    * make the evidence O(corpus)) and for non-integral id types; both
+    * paths compute identical labels (parity-pinned in OperatorsSpec). */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 30): DataFrame = {
+                          bCol: String = "doc_b", maxIter: Int = 30,
+                          localEdgeLimit: Long = 1L << 20): DataFrame = {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val idType = pairs.select(col(aCol)).schema.head.dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integral && sym.count() <= localEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // ≤ localEdgeLimit tuples of 16 B: a bounded, documented pull —
+      // the same class as the hot-list and pair-evidence memos
+      val edges = sym.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      sym.unpersist(blocking = false)
+      // union-find, path-halving, union-by-min-root: the root of every
+      // set is its minimum member, matching the distributed min-label fixpoint
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keysIterator.map(v => (v, find(v))).toSeq
+      return spark.createDataset(rows).toDF("doc", "cluster")
+        .select(col("doc").cast(idType).as("doc"),
+          col("cluster").cast(idType).as("cluster"))
+    }
     // Eager localCheckpoint each round, NOT persist: the next round's plan
     // references this round's THREE times (self + neighbor-prop + jump),
     // so without lineage truncation the logical plan grows EXPONENTIALLY

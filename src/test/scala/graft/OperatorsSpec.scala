@@ -284,6 +284,22 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L), labels)
   }
 
+  test("connected components: distributed label propagation ≡ driver union-find") {
+    // same labels from both paths — the adaptive threshold must be a pure
+    // performance choice, never a semantics one. The chain through 7→1
+    // merges two multi-hop chains into one component.
+    val pairs = spark.sql(
+      """SELECT * FROM VALUES (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L),
+        |                     (5L, 6L), (6L, 7L), (7L, 1L)
+        | t(doc_a, doc_b)""".stripMargin)
+    def labels(limit: Long) = Components.connectedComponents(pairs, localEdgeLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labels(Long.MaxValue)
+    val dist = labels(0) // 0 forces the iterative distributed path
+    assert(local == dist, s"local $local != distributed $dist")
+    assert(local(7L) == 1L && local(5L) == 1L && local(20L) == 20L, local.toString)
+  }
+
   test("dedupByClusters keeps the min-id member per cluster and all unpaired docs") {
     val corpus = spark.sql(
       "SELECT * FROM VALUES (1L,'a'),(2L,'a'),(3L,'a'),(4L,'a'),(10L,'b'),(11L,'b'),(30L,'c') t(doc_id, text)")
