@@ -53,14 +53,24 @@ object QualityFilters {
 
   /** Corpus-level duplicated-n-gram profile: for each document, how many
     * of its DISTINCT token n-grams occur in at least `minDf` documents
-    * (shared boilerplate). Output: (doc, grams, shared_grams). */
+    * (shared boilerplate). Output: (doc, grams, shared_grams).
+    *
+    * Gram identity rides the native [[ShingleSet]] fold (one byte scan
+    * per doc emitting the distinct hashed n-gram set — the q35/q36
+    * machinery and its no-collision regime) instead of materializing
+    * string gram arrays; docs under n tokens are pre-filtered because the
+    * shingle fold of a short doc would otherwise emit one pseudo-gram.
+    * Document frequency comes from a count-over-window on the hash, so
+    * the gram table is generated ONCE and crosses ONE exchange — the
+    * previous aggregate-then-self-join shape generated the grams twice
+    * and shuffled them twice (measured 2× end-to-end on q65 at sf0.1). */
   def sharedGramStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, minDf: Int = 2): DataFrame = {
-    val grams = df.select(col(idCol).as("doc"),
-        explode(array_distinct(ngrams(TextOps.tokens(col(textCol)), n))).as("g"))
-      .select(col("doc"), xxhash64(col("g")).as("gh"))
-    val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
-    grams.join(dfreq, "gh")
+    val grams = DedupOps.shingleSets(
+        df.filter(TextOps.tokenCount(col(textCol)) >= n), idCol, textCol, n)
+      .select(col("doc"), explode(col("shset")).as("gh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    grams.withColumn("df", count(lit(1)).over(w))
       .groupBy("doc").agg(
         count(lit(1)).as("grams"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("shared_grams"))
