@@ -120,30 +120,47 @@ object SparkEntry {
       // false on production multi-split inputs, where this is a no-op.
       // Sketch-update tables (~100 ns/row) are NOT widened: their
       // single-split scan is cheaper than any rewrite.
-      val computeHeavy = Set("documents", "embeddings")
-      val par = spark.sparkContext.defaultParallelism
-      val absDir = new java.io.File(dir).getAbsolutePath
-      val widened =
-        if (computeHeavy(t) && df.rdd.getNumPartitions < par) {
-          val mtime = srcMtime(new java.io.File(s"$dir/$t.parquet"))
-          val dest = widenedDest.getOrElseUpdate((absDir, t, par, mtime), {
-            // Scratch path under the per-process root ([[widenRoot]]); the
-            // path hash keeps two dirs with the same basename (e.g.
-            // .../a/sf0.1 vs .../b/sf0.1) from colliding on one dest, and
-            // every cache-key dimension (par, source mtime) is also a path
-            // dimension, so a re-widen always writes a FRESH dest instead
-            // of overwriting files older live views still read.
-            val tag = f"${new java.io.File(dir).getName}-${absDir.hashCode & 0x7fffffff}%08x"
-            val d = new java.io.File(widenRoot, s"$tag-p$par-m$mtime/$t").getAbsolutePath
-            df.repartition(par).write.mode("overwrite").parquet(d)
-            d
-          })
-          spark.read.parquet(dest)
-        } else df
-      widened.createOrReplaceTempView(t)
+      widenedIfHeavy(spark, dir, t, df).createOrReplaceTempView(t)
     }
     viewDir(spark) = dir
   }
+
+  private val computeHeavy = Set("documents", "embeddings")
+
+  /** The table widened to `defaultParallelism` splits if it is one of the
+    * compute-heavy tables on a too-narrow source (see the comment above);
+    * identity otherwise. */
+  private def widenedIfHeavy(spark: SparkSession, dir: String, t: String,
+                             df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val absDir = new java.io.File(dir).getAbsolutePath
+    if (computeHeavy(t) && df.rdd.getNumPartitions < par) {
+      val mtime = srcMtime(new java.io.File(s"$dir/$t.parquet"))
+      val dest = widenedDest.getOrElseUpdate((absDir, t, par, mtime), {
+        // Scratch path under the per-process root ([[widenRoot]]); the
+        // path hash keeps two dirs with the same basename (e.g.
+        // .../a/sf0.1 vs .../b/sf0.1) from colliding on one dest, and
+        // every cache-key dimension (par, source mtime) is also a path
+        // dimension, so a re-widen always writes a FRESH dest instead
+        // of overwriting files older live views still read.
+        val tag = f"${new java.io.File(dir).getName}-${absDir.hashCode & 0x7fffffff}%08x"
+        val d = new java.io.File(widenRoot, s"$tag-p$par-m$mtime/$t").getAbsolutePath
+        df.repartition(par).write.mode("overwrite").parquet(d)
+        d
+      })
+      spark.read.parquet(dest)
+    } else df
+  }
+
+  /** The documents table read straight from `dir` (widened), NOT through
+    * the session's temp-view namespace: the corpus-snapshot memo builders
+    * must be keyed by the DATA they mined, and a view named "documents"
+    * is session-global mutable state any other caller (or a concurrently
+    * running test suite) can re-point at a different corpus between a
+    * memo's key computation and its mining collect. */
+  private def documentsOf(spark: SparkSession, dir: String): DataFrame =
+    widenedIfHeavy(spark, dir, "documents",
+      spark.read.parquet(s"$dir/documents.parquet"))
 
   private def q(body: String): (SparkSession, String) => DataFrame =
     (spark, dir) => { prep(spark, dir); spark.sql(body) }
@@ -172,7 +189,7 @@ object SparkEntry {
     val mtime = srcMtime(new java.io.File(s"$dir/documents.parquet"))
     Some(hotMemo.getOrElseUpdate((absDir, k, cap, mtime),
       operators.DedupOps.hotShingles(
-        operators.DedupOps.shingleSets(spark.table("documents"), "doc_id", "text", k), cap)))
+        operators.DedupOps.shingleSets(documentsOf(spark, dir), "doc_id", "text", k), cap)))
   }
 
   /** History-side bloom for q64's incremental dedup, one per corpus
@@ -190,7 +207,7 @@ object SparkEntry {
       val mtime = srcMtime(new java.io.File(s"$dir/documents.parquet"))
       Some(incBloomMemo.getOrElseUpdate((absDir, mtime),
         operators.IncrementalDedup.buildHistoryFilter(
-          spark.table("documents").filter(col("doc_id") % 2 === 0), "text",
+          documentsOf(spark, dir).filter(col("doc_id") % 2 === 0), "text",
           maxDistinct = 1 << 17)))
     }
 
@@ -214,7 +231,7 @@ object SparkEntry {
       val mtime = srcMtime(new java.io.File(s"$dir/documents.parquet"))
       val (rows, schema) = pairsMemo.getOrElseUpdate((absDir, k, threshold, mtime), {
         // exact q35 parameters, so the evidence is the q35 result set
-        val df = operators.DedupOps.jaccardPairs(spark.table("documents"),
+        val df = operators.DedupOps.jaccardPairs(documentsOf(spark, dir),
             "doc_id", "text", k, threshold, knownHot = sharedHot(spark, dir, k))
           .select("doc_a", "doc_b")
         (df.collect(), df.schema)

@@ -162,4 +162,36 @@ class PropertiesSpec extends SparkTestBase {
     // adjusted weights never fall below the true item weight's floor (1.0)
     assert(vs.forall(x => x.getLong(0) >= 0 && x.getLong(0) < 250 && x.getDouble(1) >= 1.0))
   }
+
+  test("native PII scanners ≡ regex formulation on adversarial and random inputs") {
+    // the native byte scanners must be EXACTLY the regex semantics:
+    // leftmost non-overlapping matches, greedy-with-backtracking email
+    // domains (trailing-digit TLDs shorten the match), IPv4 word
+    // boundaries, greedy 15-digit phone cap, sequential redaction passes
+    val adversarial = Seq(
+      "contact a@b.com ip 10.1.2.9 tel +15551234567",
+      "a@b.cd.e9 backtracks to a@b.cd", "a@b..cc", "@@a@b.cc",
+      "x@y.aa@z.bb", "a@b", "x.y%z+w@sub-1.example.co.uk!", "", "no pii",
+      "1.2.3.4.5.6.7.8", "a1.2.3.4", "1234.5.6.7", "12.34.56.789",
+      "1.2.3.4567", "1.2.3.4a", "1.2.3.4.", "1..2.3.4", " 1.2.3.4 ",
+      "+123456", "++12345678", "+12345678901234567890", "+1.2345678",
+      "mail 9a@b1-2.x-9.ab9.fr9.de next 255.255.255.255+12345678",
+      "a@b.cc1.2.3.4+7654321", "a@-.-.ab", "1@2.34", "_@_.aa", "á@é.ok 1.2.3.4")
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab1._%+-@. 9Z".toCharArray
+    val random = (1 to 400).map(_ =>
+      (1 to (5 + rnd.nextInt(60))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (adversarial ++ random).toDF("t")
+    val bad = df.select(col("t"),
+        operators.Privacy.piiCounts(col("t")).as("nat"),
+        operators.Privacy.piiCountsRegex(col("t")).as("ref"),
+        operators.Privacy.redact(col("t")).as("natr"),
+        operators.Privacy.redactRegex(col("t")).as("refr"))
+      .filter(col("nat") =!= col("ref") || col("natr") =!= col("refr"))
+      .collect()
+    assert(bad.isEmpty, s"scanner/regex divergence:\n${bad.take(5).mkString("\n")}")
+  }
 }
