@@ -135,6 +135,27 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("autosized bloom dedup deduplicates across batches end-to-end") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = streaming.StreamingDedup.dropDuplicateDocsBloomSized(
+      mem.toDF(), "doc_id", "text", expectedDocs = 100000)
+    val query = out.writeStream.format("memory").queryName("stream_dedup_sized")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Doc(t(10, 0), 1, "alpha"), Doc(t(10, 1), 2, "beta"),
+        Doc(t(10, 2), 3, "alpha"))
+      query.processAllAvailable()
+      mem.addData(Doc(t(23, 0), 4, "beta"), Doc(t(23, 1), 5, "gamma"))
+      query.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM stream_dedup_sized ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(1L, 2L, 5L), s"expected lifetime first-wins dedup, got $kept")
+    } finally query.stop()
+  }
+
   test("bloom dedup autosizing: coverage, byte budget, and empirical fpp bound") {
     import streaming.StreamingDedup.bloomSizing
     // coverage + budget invariants across the realistic parameter space
