@@ -115,9 +115,14 @@ object Bench {
       val total = results.collect { case (_, ts) if ts.head >= 0 => median(ts) }.sum
       (fmt(median), fmt(_.min), total)
     }
+    // true when the budget tripped inside a sweep: samples from the
+    // aborted sweep are KEPT (they're real measurements), so per-query
+    // sample counts are uneven — queries earlier in sort order carry one
+    // extra sample. The flag keeps cross-round median comparisons honest.
+    var partialSweep = false
     def fullJson(sweepsDone: Int): String = {
       val (qs, qmin, total) = report()
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sweeps":$sweepsDone,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sweeps":$sweepsDone,"partial_sweep":$partialSweep,"sf":"$sfDir"}"""
     }
     // Persist the running result after EVERY completed sweep (atomic
     // tmp+rename): the r10 crash at sweep ~5 of 6 lost 41 minutes of
@@ -134,6 +139,7 @@ object Bench {
     var sweepsDone = 0
     var stop = false
     for (sweep <- 1 to iterations if !stop) {
+      var ranThisSweep = 0
       for ((name, fn) <- names if alive(name) && !stop) {
         // budget checks only from sweep 2 on: every alive query is
         // guaranteed at least one timed sample before early exit
@@ -141,9 +147,11 @@ object Bench {
           System.err.println(
             f"[bench] wall budget ${budgetSec}%.0f s exceeded at sweep $sweep; stopping")
           stop = true
+          partialSweep = ranThisSweep > 0
         } else {
           val t = run(name, fn)
           if (t >= 0) samples(name) = samples(name) :+ t
+          ranThisSweep += 1
         }
       }
       if (!stop) sweepsDone = sweep

@@ -1070,7 +1070,14 @@ object SparkEntry {
     * under the same shared banding core (pinned in OperatorsSpec), so the
     * correctness gate still covers the benched shape. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries ++ Map[String, (SparkSession, String) => DataFrame](
+    queries ++ benchOverrides
+
+  /** Only the entries [[benchQueries]] swaps relative to [[queries]] —
+    * exposed so plan-shape sweeps can cover each distinct plan exactly
+    * once (queries returns fresh lambda instances per call, so the
+    * overridden subset is not recoverable by value comparison). */
+  def benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
       "q37_simhash_pairs" -> qd { spark =>
         import org.apache.spark.sql.functions._
         operators.DedupOps.simhashPairs(spark.table("documents"), "doc_id", "text", maxDist = 3)

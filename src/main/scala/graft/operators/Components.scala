@@ -68,37 +68,48 @@ object Components {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // both id columns must share one integral type: the cast-back below
+    // restores the exact input type, and a mixed (int, long) pair input
+    // would otherwise silently narrow one side. Null ids (degenerate but
+    // expressible input) are detected on the collected rows and fall
+    // through to the distributed path, whose null semantics stand.
     val idType = pairs.select(col(aCol)).schema.head.dataType
-    val integral = idType match {
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
-      case _ => false
-    }
+    val integral = idType == pairs.select(col(bCol)).schema.head.dataType &&
+      (idType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      })
     if (integral && sym.count() <= localEdgeLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
       // ≤ localEdgeLimit tuples of 16 B: a bounded, documented pull —
       // the same class as the hot-list and pair-evidence memos
       val edges = sym.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
-      sym.unpersist(blocking = false)
-      // union-find, path-halving, union-by-min-root: the root of every
-      // set is its minimum member, matching the distributed min-label fixpoint
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
-        r
+        .collect()
+      if (!edges.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        sym.unpersist(blocking = false)
+        // union-find, path-halving, union-by-min-root: the root of every
+        // set is its minimum member, matching the distributed min-label fixpoint
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        edges.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val rows = parent.keysIterator.map(v => (v, find(v))).toSeq
+        return spark.createDataset(rows).toDF("doc", "cluster")
+          .select(col("doc").cast(idType).as("doc"),
+            col("cluster").cast(idType).as("cluster"))
       }
-      edges.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val rows = parent.keysIterator.map(v => (v, find(v))).toSeq
-      return spark.createDataset(rows).toDF("doc", "cluster")
-        .select(col("doc").cast(idType).as("doc"),
-          col("cluster").cast(idType).as("cluster"))
+      // null ids present: fall through to the distributed loop, whose
+      // null semantics (no propagation through a null vertex) stand
     }
     // Eager localCheckpoint each round, NOT persist: the next round's plan
     // references this round's THREE times (self + neighbor-prop + jump),

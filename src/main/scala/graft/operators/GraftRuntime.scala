@@ -194,8 +194,9 @@ object GraftRuntime {
   // (which use no lookaround or backreferences, so each has a
   // deterministic one-pass scanner): java.util.regex pays NFA
   // backtracking and per-char Matcher dispatch — the PII pass must touch
-  // every byte of the corpus, and the scanner is ~4× faster end-to-end
-  // (q62). Equivalence to the regex formulation is parity-pinned in
+  // every byte of the corpus, and the scanner cut the end-to-end q62
+  // query 2.2× (1.19 s → 0.55 s at sf0.1; the isolated scan is faster
+  // still). Equivalence to the regex formulation is parity-pinned in
   // PropertiesSpec over adversarial and randomized inputs. All three
   // patterns are pure ASCII; multi-byte UTF-8 units have the high bit set
   // and never equal an ASCII byte, so scanning raw bytes is sound.

@@ -42,7 +42,10 @@ object Privacy {
     * formulation and the shape the DuckDB oracle runs. */
   def piiCounts(text: Column): Column = {
     import org.apache.spark.sql.GraftShims
-    GraftShims.column(PiiStats(GraftShims.expression(text)))
+    // cast preserves the regexp_count formulation's implicit coercion
+    // (numeric input counts over its string rendering); identity casts
+    // are folded away on string inputs
+    GraftShims.column(PiiStats(GraftShims.expression(text.cast("string"))))
   }
 
   /** Regex formulation of [[piiCounts]] (parity-test reference). */
@@ -59,7 +62,7 @@ object Privacy {
     * in [[redactRegex]] (the parity-test reference). */
   def redact(text: Column): Column = {
     import org.apache.spark.sql.GraftShims
-    GraftShims.column(PiiRedact(GraftShims.expression(text)))
+    GraftShims.column(PiiRedact(GraftShims.expression(text.cast("string"))))
   }
 
   /** Regex formulation of [[redact]] (parity-test reference). */

@@ -60,17 +60,24 @@ object QualityFilters {
     * machinery and its no-collision regime) instead of materializing
     * string gram arrays; docs under n tokens are pre-filtered because the
     * shingle fold of a short doc would otherwise emit one pseudo-gram.
-    * Document frequency comes from a count-over-window on the hash, so
-    * the gram table is generated ONCE and crosses ONE exchange — the
-    * previous aggregate-then-self-join shape generated the grams twice
-    * and shuffled them twice (measured 2× end-to-end on q65 at sf0.1). */
+    * The gram table is generated ONCE (persisted at the most-derived
+    * point, the jaccardPairs discipline) and consumed twice: a map-side-
+    * partial doc-frequency aggregate, then the df join back. NOT a
+    * count-over-window on the hash, although that would be one exchange
+    * fewer: a boilerplate gram present in every document — the exact
+    * signal this operator hunts — would concentrate a corpus-
+    * proportional partition into a single window task, and AQE can split
+    * a skewed shuffle-join partition but never a window partition. The
+    * partial aggregate ships one row per (task, hot gram), and the join
+    * skew is the class OptimizeSkewedJoin handles. */
   def sharedGramStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, minDf: Int = 2): DataFrame = {
     val grams = DedupOps.shingleSets(
         df.filter(TextOps.tokenCount(col(textCol)) >= n), idCol, textCol, n)
       .select(col("doc"), explode(col("shset")).as("gh"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    grams.withColumn("df", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "gh")
       .groupBy("doc").agg(
         count(lit(1)).as("grams"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("shared_grams"))

@@ -196,9 +196,12 @@ class PlanSpec extends SparkTestBase {
     }
     def unboundedP(p: SparkPlan): Boolean = hasScan(p) && !boundedP(p)
 
+    // queries once each, plus only the benched plan swaps — the other
+    // ~58 bench entries are the same lambdas and would double the
+    // sweep's (non-trivial: q57 probes, memo collects) plan-time work
     val targets =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) => (s"queries:$n", f) } ++
-      SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (n, f) => (s"bench:$n", f) }
+      SparkEntry.benchOverrides.toSeq.sortBy(_._1).map { case (n, f) => (s"bench:$n", f) }
     val bad = scala.collection.mutable.Buffer.empty[String]
     for ((tag, fn) <- targets if !allowed(tag)) {
       val qe = fn(spark, dir).queryExecution
