@@ -181,12 +181,17 @@ object SparkEntry {
     * instead of re-paying the full-shingle-mass aggregation in each (the
     * r6 per-query "cap tax"). Bounded by total-shingle-mass / cap —
     * KB-to-MB by construction. */
+  /** (absolute dir, documents mtime) — the identity of a corpus snapshot,
+    * shared key prefix of every snapshot-scoped memo below. */
+  private def docSnapshotKey(dir: String): (String, Long) =
+    (new java.io.File(dir).getAbsolutePath,
+      srcMtime(new java.io.File(s"$dir/documents.parquet")))
+
   private val hotMemo =
     scala.collection.mutable.Map.empty[(String, Int, Int, Long), Array[Long]]
   private def sharedHot(spark: SparkSession, dir: String,
                         k: Int = 3, cap: Int = 1000): Option[Array[Long]] = synchronized {
-    val absDir = new java.io.File(dir).getAbsolutePath
-    val mtime = srcMtime(new java.io.File(s"$dir/documents.parquet"))
+    val (absDir, mtime) = docSnapshotKey(dir)
     Some(hotMemo.getOrElseUpdate((absDir, k, cap, mtime),
       operators.DedupOps.hotShingles(
         operators.DedupOps.shingleSets(documentsOf(spark, dir), "doc_id", "text", k), cap)))
@@ -203,9 +208,7 @@ object SparkEntry {
   private def sharedHistoryBloom(spark: SparkSession, dir: String): Option[Array[Byte]] =
     synchronized {
       import org.apache.spark.sql.functions.col
-      val absDir = new java.io.File(dir).getAbsolutePath
-      val mtime = srcMtime(new java.io.File(s"$dir/documents.parquet"))
-      Some(incBloomMemo.getOrElseUpdate((absDir, mtime),
+      Some(incBloomMemo.getOrElseUpdate(docSnapshotKey(dir),
         operators.IncrementalDedup.buildHistoryFilter(
           documentsOf(spark, dir).filter(col("doc_id") % 2 === 0), "text",
           maxDistinct = 1 << 17)))
@@ -227,8 +230,7 @@ object SparkEntry {
   private def sharedJaccardPairs(spark: SparkSession, dir: String,
                                  k: Int = 3, threshold: Double = 0.6): DataFrame =
     synchronized {
-      val absDir = new java.io.File(dir).getAbsolutePath
-      val mtime = srcMtime(new java.io.File(s"$dir/documents.parquet"))
+      val (absDir, mtime) = docSnapshotKey(dir)
       val (rows, schema) = pairsMemo.getOrElseUpdate((absDir, k, threshold, mtime), {
         // exact q35 parameters, so the evidence is the q35 result set
         val df = operators.DedupOps.jaccardPairs(documentsOf(spark, dir),

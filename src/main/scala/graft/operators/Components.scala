@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a near-duplicate pair set — the step that
@@ -75,11 +76,8 @@ object Components {
     // through to the distributed path, whose null semantics stand.
     val idType = pairs.select(col(aCol)).schema.head.dataType
     val integral = idType == pairs.select(col(bCol)).schema.head.dataType &&
-      (idType match {
-        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
-        case _ => false
-      })
+      Set[org.apache.spark.sql.types.DataType](
+        LongType, IntegerType, ShortType, ByteType)(idType)
     if (integral && sym.count() <= localEdgeLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._

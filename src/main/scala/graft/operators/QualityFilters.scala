@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Repetition-based quality filters — the Gopher/C4-style signals that
   * catch boilerplate, template spam, and stuck-generator text.
@@ -75,7 +76,7 @@ object QualityFilters {
     val grams = DedupOps.shingleSets(
         df.filter(TextOps.tokenCount(col(textCol)) >= n), idCol, textCol, n)
       .select(col("doc"), explode(col("shset")).as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
     grams.join(dfreq, "gh")
       .groupBy("doc").agg(
