@@ -127,6 +127,61 @@ object GraftRuntime {
     new GenericArrayData(mins)
   }
 
+  // ---- LshSignature -------------------------------------------------------
+
+  /** Hyperplane components, lazily materialized per plane index and grown
+    * to the largest dimension seen. Component (p, j) is fully determined
+    * by the seed scheme `xxhash64(p * 100003 + j) / Long.MaxValue` —
+    * identical on every executor and every run, so caching is just
+    * memoization, never coordination. One row per plane, shared by all
+    * signature widths that include that plane. */
+  private val planeRows = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+  private def planeRow(p: Int, dim: Int): Array[Double] = {
+    val cur = planeRows.get(p)
+    if (cur != null && cur.length >= dim) cur
+    else planeRows.compute(p, (_, old) =>
+      if (old != null && old.length >= dim) old
+      else {
+        val n = math.max(dim, if (old == null) 64 else old.length * 2)
+        val arr = new Array[Double](n)
+        var j = 0
+        while (j < n) {
+          // Same hash input type as the column form's `lit(p) * 100003 + j`
+          // (INT arithmetic → xxhash64 over IntegerType, default seed 42).
+          arr(j) = XxHash64Function.hash(p * 100003 + j, IntegerType, 42L)
+            .toDouble / Long.MaxValue.toDouble
+          j += 1
+        }
+        arr
+      })
+  }
+
+  /** Sign-bit LSH signature: bit p set iff the dot product of `vec` with
+    * pseudo-random hyperplane p is > 0. Bit-identical to the composed
+    * `zip_with`/`aggregate` fold (same left-to-right summation order,
+    * same per-component double arithmetic) on non-null vectors; the one
+    * divergence is that the expression wrapper is null-intolerant (null
+    * vector → null signature) where the composed form's `when` collapsed
+    * null to 0 — a bucket-0 collision artifact, not a behavior to keep. */
+  def lshSignature(vec: ArrayData, planes: Int): Long = {
+    val dim = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val row = planeRow(p, dim)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        acc += vec.getFloat(j).toDouble * row(j)
+        j += 1
+      }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   // ---- TokenStats ---------------------------------------------------------
 
   def tokenStats(s: UTF8String): InternalRow = {

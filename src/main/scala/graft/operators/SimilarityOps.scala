@@ -61,14 +61,24 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Sign-bit signature of a vector against `planes` deterministic
+    * pseudo-random hyperplanes (native [[LshSignature]]; bit-identical to
+    * the composed zip_with/aggregate folds, pinned by a property test). */
+  def lshSignature(vec: Column, planes: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(LshSignature(GraftShims.expression(vec), planes))
+  }
+
   /** Deterministic pseudo-random hyperplane component: plane `p`,
     * dimension `j` → a value in [-1, 1] derived from xxhash64. No RNG
     * state, so every executor and every run derives identical planes. */
   private def planeComponent(p: Int, j: Column): Column =
     (xxhash64(lit(p) * 100003 + j).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** Sign-bit signature of a vector against `planes` hyperplanes. */
-  def lshSignature(vec: Column, planes: Int): Column = {
+  /** Reference formulation of [[lshSignature]] (property-test pin): one
+    * interpreted `zip_with`/`aggregate` fold per plane, re-deriving each
+    * hyperplane component through a hash lambda per element. */
+  private[graft] def lshSignatureArrayOps(vec: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

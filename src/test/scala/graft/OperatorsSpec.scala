@@ -165,6 +165,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("native LshSignature matches the array-ops reference formulation bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // Cover every plane count used in production (4, 8, 12) plus an odd one.
+    for (planes <- Seq(4, 7, 8, 12)) {
+      val sigs = emb.select(
+        SimilarityOps.lshSignature(col("embedding"), planes).as("fast"),
+        SimilarityOps.lshSignatureArrayOps(col("embedding"), planes).as("ref"))
+      assert(sigs.filter(col("fast") =!= col("ref")).count() == 0,
+        s"signature mismatch at planes=$planes")
+    }
+  }
+
   test("cosineTopK returns self-similar vector first") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dup = emb.filter(col("vec_id") === 0)
