@@ -124,22 +124,43 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** XOR masks for every signature within Hamming distance `depth` of a
+    * probe signature (the identity mask first). Count is Σ C(planes, d)
+    * for d ≤ depth — the caller's recall/cost dial. */
+  private def probeMasks(planes: Int, depth: Int): Seq[Long] = {
+    def masksAt(d: Int): Seq[Long] =
+      (0 until planes).combinations(d).map(_.map(1L << _).reduce(_ | _)).toSeq
+    (0 to depth).flatMap(d => if (d == 0) Seq(0L) else masksAt(d))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via LSH buckets (equi-join) + exact verification. The all-pairs
-    * variant of [[lshTopK]], for near-dup *removal* rather than search. */
+    * variant of [[lshTopK]], for near-dup *removal* rather than search.
+    *
+    * `probeDepth` sets how far from its own signature one side probes
+    * (Hamming balls of that radius): a pair collides iff the signatures
+    * differ in ≤ probeDepth planes. Recall at a given threshold rises
+    * steeply with depth — for per-plane agreement p ≈ 0.63 (cosine 0.4)
+    * and planes=4, pair recall is p⁴≈0.16 at depth 0, 0.53 at depth 1,
+    * 0.85 at depth 2 — while candidate volume grows only by the ball
+    * size over 2^planes. Recall < 1 at any depth < planes; pair with the
+    * exact all-pairs formulation as ground truth. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 8,
-                         multiProbe: Boolean = true): DataFrame = {
+                         multiProbe: Boolean = true,
+                         probeDepth: Int = 1): DataFrame = {
+    require(probeDepth >= 0 && probeDepth <= planes,
+      s"probeDepth must be in [0, planes=$planes], got $probeDepth")
     val v = df.select(col(idCol).as("doc"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("nrm"), lshSignature(col(vecCol), planes).as("sig"))
-    // multi-probe one side with all Hamming-1 signatures; a pair whose
-    // signatures differ in exactly one plane still collides. distinct()
-    // dedups pairs that collide in several probes.
+    // multi-probe one side with all Hamming-≤depth signatures; a pair
+    // whose signatures differ in ≤ depth planes still collides.
+    // distinct() dedups pairs that collide in several probes.
     val probed =
       if (multiProbe)
         v.select(col("doc"), col("vec"), col("nrm"),
-          explode(array(col("sig") +: (0 until planes).map(p =>
-            col("sig").bitwiseXOR(lit(1L << p))): _*)).as("sig"))
+          explode(array(probeMasks(planes, probeDepth).map(m =>
+            col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
       else v
     probed.as("a").join(v.as("b"),
         col("a.sig") === col("b.sig") && col("a.doc") < col("b.doc"))

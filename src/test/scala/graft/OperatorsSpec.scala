@@ -177,6 +177,31 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("benched q66 (LSH pair source) refines oracle q66 within a recall band") {
+    // The bench swaps q66's oracle-certified all-pairs source for LSH
+    // mining whose recall < 1 by construction; the correctness gate does
+    // not see that plan. This referee pins what the swap guarantees:
+    //  (1) refinement / precision 1 — every benched edge is
+    //      cosine-verified, so each benched cluster must sit inside
+    //      exactly one oracle cluster (a split is legal, a merge or a
+    //      doc outside any oracle cluster is a bug);
+    //  (2) a doc-level recall floor for the probeDepth=2 configuration
+    //      (measured 0.86 / 0.82 / 0.92 at sf0.001/0.01/0.1).
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q66_embedding_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bench = SparkEntry.benchOverrides("q66_embedding_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bench.groupBy(_._2).values.foreach { cluster =>
+      assert(cluster.keys.forall(exact.contains),
+        "benched cluster contains a doc the exact clustering left unclustered")
+      assert(cluster.keys.map(exact).toSet.size == 1,
+        "benched cluster spans two oracle clusters (phantom merge)")
+    }
+    val recall = bench.size.toDouble / exact.size
+    assert(recall >= 0.7, f"doc-level recall $recall%.3f below the 0.7 band")
+  }
+
   test("cosineTopK returns self-similar vector first") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dup = emb.filter(col("vec_id") === 0)
