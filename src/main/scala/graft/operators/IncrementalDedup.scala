@@ -37,16 +37,48 @@ object IncrementalDedup {
           TextOps.fingerprint(col(textCol))).as("f"))
       .head().getAs[Array[Byte]](0)
 
+  /** Filter capacity for an expected key count, with the shared
+    * [[graft.streaming.StreamingDedup.CapacityHeadroom]] policy (the
+    * sharded streaming geometry and this single-blob shape must not
+    * drift apart on sizing). Floored at 1024 — below that the filter is
+    * a few hundred bytes and further shrinking buys nothing. */
+  def sizedMaxDistinct(expectedKeys: Long): Long = {
+    require(expectedKeys > 0, s"expectedKeys must be positive, got $expectedKeys")
+    math.max(1024L,
+      math.ceil(expectedKeys * graft.streaming.StreamingDedup.CapacityHeadroom).toLong)
+  }
+
+  /** [[dedupAgainstHistory]] with both filters sized from expected counts
+    * instead of the unconditional 2^20 default. Filter bytes are a
+    * per-aggregation-buffer cost (each partial-agg task heapifies,
+    * merges, and serializes the full filter), so an oversized filter
+    * taxes every batch: the r11 measurement put the default at ~6× the
+    * right-sized build time on a 10k-key corpus. Exceeding the expected
+    * counts doesn't break correctness — it degrades the history filter's
+    * fpp, i.e. more residual verify traffic, never wrong output. */
+  def dedupAgainstHistorySized(batch: DataFrame, history: DataFrame,
+                               idCol: String, textCol: String,
+                               expectedHistoryDocs: Long,
+                               expectedBatchDocs: Long,
+                               fpp: Double = 0.01,
+                               historyBlob: Option[Array[Byte]] = None): DataFrame =
+    dedupAgainstHistory(batch, history, idCol, textCol,
+      sizedMaxDistinct(expectedHistoryDocs), fpp, historyBlob,
+      candMaxDistinct = sizedMaxDistinct(expectedBatchDocs))
+
   /** Rows of `batch` whose text fingerprint does not occur in `history` —
     * the docs a pipeline would admit. Output schema = `batch` schema.
     * `maxDistinct`/`fpp` size the filters (see sketch.Bloom);
     * `historyBlob` supplies a prebuilt/persisted history filter (None →
-    * build it here with one extra job). */
+    * build it here with one extra job); `candMaxDistinct` sizes the
+    * candidate-set filter separately (candidates are bounded by the
+    * batch, usually far smaller than history; -1 → reuse `maxDistinct`). */
   def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
                           idCol: String, textCol: String,
                           maxDistinct: Long = 1 << 20,
                           fpp: Double = 0.01,
-                          historyBlob: Option[Array[Byte]] = None): DataFrame = {
+                          historyBlob: Option[Array[Byte]] = None,
+                          candMaxDistinct: Long = -1L): DataFrame = {
     val fp = TextOps.fingerprint(col(textCol))
     val blob = historyBlob.getOrElse(
       buildHistoryFilter(history, textCol, maxDistinct, fpp))
@@ -63,8 +95,9 @@ object IncrementalDedup {
     // (id, 16 B fingerprint) rows bounded by candidates + fpp·|history|.
     // (In production the history scan reads a persisted narrow
     // fingerprint table, not the raw text.)
+    val candCap = if (candMaxDistinct > 0) candMaxDistinct else maxDistinct
     val candBlob = cand.agg(
-        call_function("datasketch_bloom", lit(maxDistinct), lit(fpp),
+        call_function("datasketch_bloom", lit(candCap), lit(fpp),
           col("__inc_fp")).as("f"))
       .head().getAs[Array[Byte]](0)
     if (candBlob == null) return batch // no candidates: everything is new

@@ -58,6 +58,13 @@ object StreamingDedup {
     */
   case class BloomDedupSizing(shards: Int, maxDistinctPerShard: Long)
 
+  /** Capacity headroom applied over caller-estimated corpus sizes — 30%
+    * covers both estimate error and (on the sharded streaming geometry)
+    * binomial hash imbalance across shards. Shared with the single-blob
+    * batch filters in [[graft.operators.IncrementalDedup]] so the two
+    * ingest shapes can't drift apart on sizing policy. */
+  val CapacityHeadroom = 1.3
+
   /** Derive (shards, per-shard capacity) from the expected LIFETIME corpus
     * size and target fpp, so the state/fpp trade cannot be misconfigured:
     * exceeding a bloom filter's design capacity silently degrades its fpp
@@ -80,7 +87,8 @@ object StreamingDedup {
     val ln2sq = math.log(2) * math.log(2)
     val capacity = math.max(1L,
       (targetShardBytes * 8L * ln2sq / -math.log(fpp)).toLong)
-    val shards = math.max(1L, math.ceil(expectedDocs * 1.3 / capacity).toLong)
+    val shards = math.max(1L,
+      math.ceil(expectedDocs * CapacityHeadroom / capacity).toLong)
     require(shards <= (1 << 16),
       s"$expectedDocs docs need $shards shards at $targetShardBytes B/shard — " +
         "raise targetShardBytes (state would shatter into too many keys)")

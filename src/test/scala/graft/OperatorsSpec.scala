@@ -468,6 +468,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(none.count() == batch.count())
   }
 
+  test("sized incremental dedup selects identically to the 2^20 default") {
+    // Right-sizing moves only filter capacity (a cost/fpp dial), never
+    // the verified output: bloom has no false negatives at any size, and
+    // the verify join is exact.
+    val hist = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val default = ids(IncrementalDedup.dedupAgainstHistory(batch, hist, "doc_id", "text"))
+    val sized = ids(IncrementalDedup.dedupAgainstHistorySized(batch, hist,
+      "doc_id", "text", expectedHistoryDocs = hist.count(), expectedBatchDocs = batch.count()))
+    assert(sized == default)
+    // headroom policy is shared with the streaming geometry
+    assert(IncrementalDedup.sizedMaxDistinct(10000) ==
+      math.ceil(10000 * graft.streaming.StreamingDedup.CapacityHeadroom).toLong)
+    assert(IncrementalDedup.sizedMaxDistinct(10) == 1024L) // floor
+  }
+
   test("q60 pair-evidence memo: memoized clustering ≡ fresh mining, and replays") {
     // q60 clusters over the per-corpus-snapshot pair memo (one mining pass
     // shared with q35); parity pin: the memoized path must equal clustering
