@@ -1062,6 +1062,25 @@ object SparkEntry {
             .as("flagged"))
         .orderBy("source")
     },
+
+    // -- grouping sets: sketch aggregates under ROLLUP (SURVEY §2.1 —
+    //    mergeability makes subtotal levels free for any
+    //    TypedImperativeAggregate; this is the query that would catch a
+    //    planner misroute of sketch aggs under Expand). Exact regime:
+    //    theta lg_k=13 (K=8192) holds every level exact through the
+    //    sf0.1 grand total (5 000 distinct doc_ids); KLL min/max items
+    //    are exact at any n. Rollup NULL indicators are coalesced to a
+    //    sentinel so engines' NULL orderings can't differ. ---------------
+    "q69_rollup_sketches" -> q(
+      """SELECT coalesce(source, '(all)') AS source,
+        |       coalesce(lang, '(all)') AS lang,
+        |       CAST(grouping(source) AS INT) + CAST(grouping(lang) AS INT) AS lvl,
+        |       CAST(round(datasketch_theta_estimate(datasketch_theta(13, doc_id))) AS BIGINT) AS approx_docs,
+        |       datasketch_kll_min_item(datasketch_kll(200, n_chars), 'long') AS min_chars,
+        |       datasketch_kll_max_item(datasketch_kll(200, n_chars), 'long') AS max_chars
+        |FROM documents
+        |GROUP BY ROLLUP(source, lang)
+        |ORDER BY lvl, source, lang""".stripMargin),
   )
 
   /** What the benchmark times: `queries`, with oracle-portability shims
@@ -1763,5 +1782,18 @@ object SparkEntry {
       """SELECT true AS hll_ok, true AS cpc_ok, true AS theta_ok,
         |       true AS theta_body_ok, true AS kll_ok, true AS q_ok,
         |       true AS req_ok, true AS td_ok""".stripMargin,
+
+    // exact regime at every rollup level (theta K=8192 > grand-total
+    // distincts; kll min/max exact at any n)
+    "q69_rollup_sketches" ->
+      """SELECT coalesce(source, '(all)') AS source,
+        |       coalesce(lang, '(all)') AS lang,
+        |       CAST(GROUPING(source) + GROUPING(lang) AS INT) AS lvl,
+        |       count(DISTINCT doc_id) AS approx_docs,
+        |       min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY ROLLUP(source, lang)
+        |ORDER BY lvl, source, lang""".stripMargin,
   )
 }

@@ -72,8 +72,9 @@ object Components {
     // both id columns must share one integral type: the cast-back below
     // restores the exact input type, and a mixed (int, long) pair input
     // would otherwise silently narrow one side. Null ids (degenerate but
-    // expressible input) are detected on the collected rows and fall
-    // through to the distributed path, whose null semantics stand.
+    // expressible input) are detected with one distributed scan of the
+    // persisted edge set BEFORE any driver pull, and fall through to the
+    // distributed path, whose null semantics stand.
     val idType = pairs.select(col(aCol)).schema.head.dataType
     val integral = idType == pairs.select(col(bCol)).schema.head.dataType &&
       Set[org.apache.spark.sql.types.DataType](
@@ -81,11 +82,15 @@ object Components {
     if (integral && sym.count() <= localEdgeLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      // ≤ localEdgeLimit tuples of 16 B: a bounded, documented pull —
-      // the same class as the hot-list and pair-evidence memos
-      val edges = sym.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect()
-      if (!edges.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+      val lsym = sym.select(col("src").cast("long").as("_1"),
+        col("dst").cast("long").as("_2"))
+      if (lsym.filter(col("_1").isNull || col("_2").isNull).isEmpty) {
+        // ≤ localEdgeLimit boxed (Long, Long) tuples — order 100 MB of
+        // driver heap at the default 2^20 limit, not the raw 16 B/edge: a
+        // bounded, documented pull in the same class as the hot-list and
+        // pair-evidence memos. Typed collect, so no per-row GenericRow
+        // wrapper on top of the boxing.
+        val edges = lsym.as[(Long, Long)].collect()
         sym.unpersist(blocking = false)
         // union-find, path-halving, union-by-min-root: the root of every
         // set is its minimum member, matching the distributed min-label fixpoint
@@ -95,8 +100,7 @@ object Components {
           while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
           r
         }
-        edges.foreach { r =>
-          val a = r.getLong(0); val b = r.getLong(1)
+        edges.foreach { case (a, b) =>
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
           val ra = find(a); val rb = find(b)
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }

@@ -70,7 +70,17 @@ object QualityFilters {
     * proportional partition into a single window task, and AQE can split
     * a skewed shuffle-join partition but never a window partition. The
     * partial aggregate ships one row per (task, hot gram), and the join
-    * skew is the class OptimizeSkewedJoin handles. */
+    * skew is the class OptimizeSkewedJoin handles.
+    *
+    * Lifetime contract: the persisted gram table is NOT unpersisted here
+    * — the result is lazy and consumes it twice, so any eager release
+    * would either re-pay the shingle fold per branch or force
+    * materialization at call time (breaking plan composition and the
+    * PlanSpec exchange pin). Its blocks are freed by the ContextCleaner
+    * once the profile DataFrame is unreferenced; callers running many
+    * profiles in one long-lived session should `spark.catalog
+    * .clearCache()` between them (the bench's inter-run sweep does
+    * exactly this). */
   def sharedGramStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, minDf: Int = 2): DataFrame = {
     val grams = DedupOps.shingleSets(

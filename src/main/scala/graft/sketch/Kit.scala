@@ -100,17 +100,6 @@ object Kit {
     11 -> "Reservoir", 13 -> "VarOpt", 15 -> "KLL", 16 -> "CPC",
     17 -> "REQ", 20 -> "TDigest", 21 -> "Bloom")
 
-  /** Mirrors the reference's deserialize error wrapping
-    * (`codegen/generator.py:71-87` → `InvalidInputException("Failed to
-    * deserialize ...")`, tested at `test/sql/datasketch_kll.test:100-114`),
-    * plus a preamble family-ID sniff BEFORE the deserializer touches the
-    * memory. The wrong family deserializer either throws an opaque internal
-    * bounds/format error or — worse — silently reinterprets the bytes (a
-    * Theta blob "heapifies" as garbage under some layouts). The reference
-    * cannot reach this state: its 36 named alias types make a cross-family
-    * probe a bind-time overload error (`codegen/generated.cpp.j2:205-224`);
-    * this sniff is the closest runtime analog Spark's untyped BINARY allows.
-    */
   /** Reference-compatible `describe` banner. The C++ reference's describe
     * output opens with a `### <family> sketch summary` line that its own
     * test suite probes via LIKE (`test/sql/datasketch_hll.test:84`,
@@ -122,6 +111,17 @@ object Kit {
   def describeBanner(family: String, body: String): String =
     s"### $family sketch summary:\n$body"
 
+  /** Mirrors the reference's deserialize error wrapping
+    * (`codegen/generator.py:71-87` → `InvalidInputException("Failed to
+    * deserialize ...")`, tested at `test/sql/datasketch_kll.test:100-114`),
+    * plus a preamble family-ID sniff BEFORE the deserializer touches the
+    * memory. The wrong family deserializer either throws an opaque internal
+    * bounds/format error or — worse — silently reinterprets the bytes (a
+    * Theta blob "heapifies" as garbage under some layouts). The reference
+    * cannot reach this state: its 36 named alias types make a cross-family
+    * probe a bind-time overload error (`codegen/generated.cpp.j2:205-224`);
+    * this sniff is the closest runtime analog Spark's untyped BINARY allows.
+    */
   def deser[T](family: String, bytes: Array[Byte])(body: => T): T = {
     if (bytes.length < 8)
       throw new IllegalArgumentException(

@@ -20,6 +20,55 @@ class PlanSpec extends SparkTestBase {
     d
   }
 
+  // ---- scale-killer sweep heuristic (shared with its negative test) ----
+
+  /** A predicate bounds a join side only if it pins a KEY-LIKE bare
+    * column (id/key suffix; possibly cast-wrapped) to a constant —
+    * `vec_id < 5` selects a fixed handful of query vectors. Ordinary
+    * data-proportional filters must NOT count: a modulo residue
+    * (`doc_id % 2 = 1`), a quality threshold (`n_chars >= 100`,
+    * `score > 0.5`), or `length(text) > 100` all scale with the corpus,
+    * and counting them would let a nested-loop join over two
+    * threshold-filtered corpora slip through the sweep (r11 advice). */
+  private def selective(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Cast, Expression}
+    def keyAttr(x: Expression): Boolean = (x match {
+      case c: Cast => c.child
+      case other => other
+    }) match {
+      case a: AttributeReference =>
+        val n = a.name.toLowerCase
+        n.endsWith("id") || n.endsWith("key")
+      case _ => false
+    }
+    e.exists {
+      case b: BinaryComparison =>
+        (b.left.foldable && keyAttr(b.right)) ||
+          (b.right.foldable && keyAttr(b.left))
+      case _ => false
+    }
+  }
+
+  private def boundedP(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{FilterExec, LocalTableScanExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    p.exists {
+      case _: LocalTableScanExec => true
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: BaseAggregateExec if a.toString.contains("SPARK_PARTITION_ID") => true
+      case f: FilterExec => selective(f.condition)
+      case n if n.nodeName.toLowerCase.contains("limit") => true
+      case _ => false
+    }
+  }
+
+  private def hasScan(p: SparkPlan): Boolean = p.exists {
+    case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+    case _ => false
+  }
+
+  private def unboundedP(p: SparkPlan): Boolean = hasScan(p) && !boundedP(p)
+
   test("sketch aggregate runs partial (map-side) before the shuffle") {
     spark.range(0, 1000).selectExpr("id % 7 AS g", "id AS v").createOrReplaceTempView("t")
     val plan = planOf(sql(
@@ -142,10 +191,7 @@ class PlanSpec extends SparkTestBase {
     // suite. Bounded sides stay legal: 1-row aggregates, literal-filtered
     // query vectors (vec_id < 5), KB local relations (hot lists), and
     // per-partition-id aggregates (row count = partition count).
-    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Expression, Remainder}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation, LogicalPlan, ResolvedHint, Filter => LFilter}
-    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, LocalTableScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
     val dir = "/root/testdata/sf0.001"
@@ -162,17 +208,6 @@ class PlanSpec extends SparkTestBase {
       // class; its benched twin is the pure LSH path and is swept
       "queries:q45_cosine_neardup_lsh")
 
-    // a predicate comparing a column to a constant (vec_id < 5 — the
-    // literal may arrive wrapped in a cast, hence foldable) caps the
-    // side; a modulo residue (doc_id % 2 = 1) only scales it — still
-    // data-proportional, so it does not count as bounding
-    def selective(e: Expression): Boolean = e.exists {
-      case b: BinaryComparison =>
-        ((b.left.foldable && !b.right.foldable) ||
-          (b.right.foldable && !b.left.foldable)) &&
-          !b.exists(_.isInstanceOf[Remainder])
-      case _ => false
-    }
     def boundedL(p: LogicalPlan): Boolean = p.exists {
       case _: LocalRelation => true
       case a: Aggregate if a.groupingExpressions.isEmpty => true
@@ -182,19 +217,6 @@ class PlanSpec extends SparkTestBase {
       case f: LFilter => selective(f.condition)
       case _ => false
     }
-    def boundedP(p: SparkPlan): Boolean = p.exists {
-      case _: LocalTableScanExec => true
-      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
-      case a: BaseAggregateExec if a.toString.contains("SPARK_PARTITION_ID") => true
-      case f: FilterExec => selective(f.condition)
-      case n if n.nodeName.toLowerCase.contains("limit") => true
-      case _ => false
-    }
-    def hasScan(p: SparkPlan): Boolean = p.exists {
-      case _: FileSourceScanExec => true
-      case _ => false
-    }
-    def unboundedP(p: SparkPlan): Boolean = hasScan(p) && !boundedP(p)
 
     // queries once each, plus only the benched plan swaps — the other
     // ~58 bench entries are the same lambdas and would double the
@@ -218,6 +240,34 @@ class PlanSpec extends SparkTestBase {
         bad += s"$tag: nested-loop join over two unbounded sides:\n${loops.head.nodeName}"
     }
     assert(bad.isEmpty, s"scale-killer plans found:\n${bad.mkString("\n")}")
+  }
+
+  test("scale-killer heuristic: threshold filters do not bound a join side") {
+    // Negative control for the sweep above (r11 advice): ordinary
+    // data-proportional filters — a quality threshold, a length floor —
+    // match the old any-column-vs-constant shape, so a nested-loop join
+    // over two threshold-filtered corpora would have passed silently.
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val a = docs.filter(col("n_chars") >= 100)          // quality threshold
+    val b = docs.filter(length(col("text")) > 100)      // derived threshold
+    val loop = a.as("a").crossJoin(b.as("b"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+    val joins = loop.queryExecution.sparkPlan.collect {
+      case j: CartesianProductExec if unboundedP(j.left) && unboundedP(j.right) => j
+      case j: BroadcastNestedLoopJoinExec if unboundedP(j.left) && unboundedP(j.right) => j
+    }
+    assert(joins.nonEmpty,
+      "the sweep must flag a nested-loop join over two threshold-filtered corpora")
+    // positive control: a key pinned to a constant still bounds its side
+    val bounded = docs.filter(col("doc_id") < 5).as("a")
+      .crossJoin(docs.filter(col("n_chars") >= 100).as("b"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+    val boundedJoins = bounded.queryExecution.sparkPlan.collect {
+      case j: CartesianProductExec if unboundedP(j.left) && unboundedP(j.right) => j
+      case j: BroadcastNestedLoopJoinExec if unboundedP(j.left) && unboundedP(j.right) => j
+    }
+    assert(boundedJoins.isEmpty,
+      "a key-equality/range literal filter (doc_id < 5) must still bound its side")
   }
 
   test("exact dedup: no shuffle carries the document text") {
