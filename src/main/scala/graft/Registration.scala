@@ -209,9 +209,15 @@ object Registration {
   private val thetaAggBuilder: (String, B) = "datasketch_theta" -> { args: Seq[Expression] =>
     arity("datasketch_theta", args, 1, 2)
     // Optional leading lg_k (reference default 12, src/theta_sketch.cpp:59).
+    // Floor 5, not the HLL/CPC 4: the reference's theta binder forwards
+    // lg_k unvalidated (src/theta_sketch.cpp:51-53) and the C++ library
+    // rejects < theta_constants::MIN_LG_K = 5 at sketch creation, so a
+    // reference user gets an error at lg_k=4; datasketches-java would
+    // silently accept 4 — surfacing the reference's floor at bind time
+    // keeps the error contract (probed by q57's theta_lgk_floor row).
     val (lgK, child) =
       if (args.length == 2)
-        (checkRange("datasketch_theta", foldInt(args.head, "datasketch_theta"), 4, 26, "lg_k"), args(1))
+        (checkRange("datasketch_theta", foldInt(args.head, "datasketch_theta"), 5, 26, "lg_k"), args(1))
       else (12, args.head)
     if (child.dataType == BinaryType) checkFamilyTag("datasketch_theta", "theta", child)
     ThetaAgg(lgK, child)

@@ -450,13 +450,19 @@ object SparkEntry {
         "aod_truncated" -> errOf(s"SELECT datasketch_aod_estimate(X'${aodHex.take(24)}')"),
         "reservoir_truncated" -> errOf(s"SELECT datasketch_reservoir_n(X'${resHex.take(20)}')"),
         "varopt_on_reservoir_blob" -> errOf(s"SELECT datasketch_varopt_n(X'$resHex')"),
-        "bloom_truncated" -> errOf(s"SELECT datasketch_bloom_bits_used(X'${bloomHex.take(24)}')"))
+        "bloom_truncated" -> errOf(s"SELECT datasketch_bloom_bits_used(X'${bloomHex.take(24)}')"),
+        // theta lg_k floor is 5 (the C++ library's MIN_LG_K, which the
+        // reference's unvalidating binder surfaces at sketch creation;
+        // Registration enforces it at bind time) — lg_k=4 must error,
+        // unlike HLL/CPC where 4 is legal
+        "theta_lgk_floor" -> errOf("SELECT datasketch_theta(4, CAST(5 AS BIGINT))"))
       val r = probes.map { case (p, m) =>
         val cls =
           if (m.contains("BLOB too short")) "too_short"
           else if (m.contains("probe it with the matching")) "wrong_family"
           else if (m.contains("not a recognizable sketch")) "unrecognized"
           else if (m.startsWith("Failed to deserialize")) "deserialize_error"
+          else if (m.contains("must be between")) "bind_range"
           else "other:" + m.take(40)
         (p, cls, m.startsWith("Failed to deserialize"))
       }
@@ -1275,6 +1281,7 @@ object SparkEntry {
         |  ('kll_too_short', 'too_short', true),
         |  ('reservoir_truncated', 'deserialize_error', true),
         |  ('tdigest_too_short', 'too_short', true),
+        |  ('theta_lgk_floor', 'bind_range', false),
         |  ('theta_unrecognized', 'unrecognized', true),
         |  ('varopt_on_reservoir_blob', 'wrong_family', true)) t(probe, error_class, ref_prefix)
         |ORDER BY probe""".stripMargin,

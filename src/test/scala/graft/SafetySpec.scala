@@ -135,6 +135,7 @@ class SafetySpec extends SparkTestBase {
       ("kll_too_short", "too_short", true),
       ("reservoir_truncated", "deserialize_error", true),
       ("tdigest_too_short", "too_short", true),
+      ("theta_lgk_floor", "bind_range", false),
       ("theta_unrecognized", "unrecognized", true),
       ("varopt_on_reservoir_blob", "wrong_family", true))
     assert(rows.toSeq == expected, rows.mkString("\n"))
