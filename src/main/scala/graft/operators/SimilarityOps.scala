@@ -91,24 +91,28 @@ object SimilarityOps {
 
   /** LSH-bucketed approximate top-k with exact re-ranking inside buckets.
     *
-    * Multi-probe: the query side also probes every bucket at Hamming
-    * distance 1 from its own signature (the standard recall lever — a
-    * near neighbor most often differs in exactly one hyperplane sign).
-    * Probing multiplies only the broadcast-small query side by
-    * (planes+1); the corpus is still bucketed once and never shuffled.
+    * Multi-probe: the query side also probes every bucket within
+    * Hamming distance `probeDepth` of its own signature (the standard
+    * recall lever — a near neighbor most often differs in only a few
+    * hyperplane signs; same dial as [[cosineNearDupPairs]]). Probing
+    * multiplies only the broadcast-small query side by the Hamming-ball
+    * size; the corpus is still bucketed once and never shuffled.
     * Recall < 1 by construction; pair with [[cosineTopK]] as ground
     * truth. Output: (query_id, neighbor_id, rank, cosine). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 12,
-              multiProbe: Boolean = true): DataFrame = {
+              multiProbe: Boolean = true,
+              probeDepth: Int = 1): DataFrame = {
+    require(probeDepth >= 0 && probeDepth <= planes,
+      s"probeDepth must be in [0, planes=$planes], got $probeDepth")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"), lshSignature(col(vecCol), planes).as("sig"))
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"), lshSignature(col(vecCol), planes).as("sig0"))
     val probeSigs =
       if (multiProbe)
-        array(col("sig0") +: (0 until planes).map(p =>
-          col("sig0").bitwiseXOR(lit(1L << p))): _*)
+        array(probeMasks(planes, probeDepth).map(m =>
+          col("sig0").bitwiseXOR(lit(m))): _*)
       else array(col("sig0"))
     val q = q0.select(col("query_id"), col("qv"), col("qn"),
       explode(probeSigs).as("sig"))

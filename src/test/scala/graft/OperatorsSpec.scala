@@ -202,6 +202,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.7, f"doc-level recall $recall%.3f below the 0.7 band")
   }
 
+  test("lshTopK probeDepth widens recall monotonically vs brute-force truth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def hits(depth: Int) = SimilarityOps.lshTopK(q, emb, "vec_id", "embedding",
+        k = 3, planes = 4, probeDepth = depth)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = SimilarityOps.cosineTopK(q, emb, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = (hits(1) & truth).size.toDouble / truth.size
+    val r2 = (hits(2) & truth).size.toDouble / truth.size
+    assert(r2 >= r1, f"depth-2 recall $r2%.2f must not trail depth-1 $r1%.2f")
+    assert(r2 >= 0.5, f"depth-2 recall $r2%.2f below sanity floor")
+  }
+
   test("cosineTopK returns self-similar vector first") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dup = emb.filter(col("vec_id") === 0)
