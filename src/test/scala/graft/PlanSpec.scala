@@ -81,6 +81,25 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("rollup sketch aggregate (q69): partial agg runs above Expand, before the shuffle") {
+    // Grouping sets multiply input rows through Expand (one copy per
+    // grouping-set level); the partial ObjectHashAggregate must still sit
+    // BETWEEN Expand and the exchange so sketch states — not expanded
+    // rows — cross the wire. The q69 CORRECTNESS entry checks the
+    // answer; this pins the 100 TB property.
+    val plan = planOf(SparkEntry.queries("q69_rollup_sketches")(
+      spark, "/root/testdata/sf0.001"))
+    val iExpand = plan.indexOf("Expand")
+    val iPartial = plan.lastIndexOf("ObjectHashAggregate")
+    val iFinal = plan.indexOf("ObjectHashAggregate")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    assert(iExpand >= 0 && iPartial >= 0 && iFinal >= 0 && iFinal < iPartial,
+      s"expected partial+final ObjectHashAggregate around an Expand:\n$plan")
+    // plan text prints top-down: final agg < exchange < partial agg < Expand
+    assert(iFinal < iExchange && iExchange < iPartial && iPartial < iExpand,
+      s"partial aggregate must run above Expand, before the exchange:\n$plan")
+  }
+
   test("cosine top-k broadcasts the query side (no corpus shuffle)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = planOf(operators.SimilarityOps.cosineTopK(
