@@ -26,17 +26,22 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("sig").parquet(path)
   }
 
-  /** Top-k query against the materialized index with multi-probe
-    * (own bucket + all Hamming-1 buckets). The probe signature set
-    * becomes a partition filter. Output: (query_id, neighbor_id, rank,
-    * cosine). */
+  /** Top-k query against the materialized index with multi-probe (own
+    * bucket + every bucket within Hamming distance `probeDepth` — the
+    * same recall dial as [[SimilarityOps.lshTopK]]). The probe signature
+    * set becomes a partition filter, so deeper probing reads more
+    * partitions but still never lists the rest. Output: (query_id,
+    * neighbor_id, rank, cosine). */
   def query(spark: SparkSession, path: String, queries: DataFrame,
-            idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+            idCol: String, vecCol: String, k: Int, planes: Int = 8,
+            probeDepth: Int = 1): DataFrame = {
+    require(probeDepth >= 0 && probeDepth <= planes,
+      s"probeDepth must be in [0, planes=$planes], got $probeDepth")
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       SimilarityOps.norm(col(vecCol)).as("qn"),
       SimilarityOps.lshSignature(col(vecCol), planes).as("sig0"))
-    val probeSigs = array(col("sig0") +: (0 until planes).map(p =>
-      col("sig0").bitwiseXOR(lit(1L << p))): _*)
+    val probeSigs = array(SimilarityOps.probeMasks(planes, probeDepth).map(m =>
+      col("sig0").bitwiseXOR(lit(m))): _*)
     val q = q0.select(col("query_id"), col("qv"), col("qn"),
       explode(probeSigs).as("sig"))
     val index = spark.read.parquet(path)

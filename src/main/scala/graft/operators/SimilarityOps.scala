@@ -131,7 +131,7 @@ object SimilarityOps {
   /** XOR masks for every signature within Hamming distance `depth` of a
     * probe signature (the identity mask first). Count is Σ C(planes, d)
     * for d ≤ depth — the caller's recall/cost dial. */
-  private def probeMasks(planes: Int, depth: Int): Seq[Long] = {
+  private[operators] def probeMasks(planes: Int, depth: Int): Seq[Long] = {
     def masksAt(d: Int): Seq[Long] =
       (0 until planes).combinations(d).map(_.map(1L << _).reduce(_ | _)).toSeq
     (0 to depth).flatMap(d => if (d == 0) Seq(0L) else masksAt(d))
