@@ -74,7 +74,12 @@ object Bench {
     // query by the full-sweep period, so a burst inflates one sample of
     // many queries instead of every sample of one, and the median
     // recovers it.
+    // Optional comma-separated query filter for focused re-measurement
+    // (regression triage) — unset means the full driver sweep.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       // drop cached relations so every run measures JIT-warm but
