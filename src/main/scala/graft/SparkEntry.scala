@@ -702,12 +702,17 @@ object SparkEntry {
         .orderBy("format")
     },
 
-    "q42_media_decode_stub" -> qd { spark =>
+    // REAL codec round-trip: deterministic grayscale PNGs encoded then
+    // decoded with javax.imageio, both partition-parallel. The oracle
+    // predicts decoded width/height/pixel-checksum in closed form (the
+    // test image's gradient is wrap-free — see MediaOps.testPngBytes), so
+    // this green means actual PNG decode, not header parsing.
+    "q42_media_decode" -> qd { spark =>
       import org.apache.spark.sql.functions._
-      operators.MediaOps.registerViews(spark)
-      operators.MediaOps.decodeStubFeatures(spark.table("media"))
-        .filter(col("doc_id") < 10)
-        .select(col("doc_id"), col("feature_dim"), col("content_len"))
+      val pngs = operators.MediaOps.pngTable(
+        spark.table("documents").filter(col("doc_id") < 10))
+      operators.MediaOps.decodeImages(pngs)
+        .select(col("doc_id"), col("width"), col("height"), col("checksum"))
         .orderBy("doc_id")
     },
 
@@ -1532,9 +1537,16 @@ object SparkEntry {
         |       CAST(sum(CAST(floor((1000 + (doc_id % 60) * 500 - 1) / 500) AS BIGINT) + 1) AS BIGINT) AS frames
         |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
 
-    "q42_media_decode_stub" ->
-      """SELECT doc_id, 8 AS feature_dim,
-        |       CAST(16 + octet_length(encode(text)) AS INT) AS content_len
+    // decoded width/height and the pixel checksum of the wrap-free
+    // gradient: h * (w*base + w*(w-1)/2) with base = doc_id % 200
+    "q42_media_decode" ->
+      """SELECT doc_id,
+        |       CAST(16 + doc_id % 8 AS INT) AS width,
+        |       CAST(12 + doc_id % 5 AS INT) AS height,
+        |       CAST((12 + doc_id % 5) *
+        |            ((16 + doc_id % 8) * (doc_id % 200) +
+        |             (16 + doc_id % 8) * (16 + doc_id % 8 - 1) / 2) AS BIGINT)
+        |         AS checksum
         |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
 
     "q46_curation" ->

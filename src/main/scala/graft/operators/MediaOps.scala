@@ -10,19 +10,67 @@ import org.apache.spark.sql.functions._
   * bytes stay in parquet binary pages (column-pruned away unless the query
   * touches them), metadata is queryable without decoding.
   *
-  * The decode step is STUBBED — this container has no image/audio codecs —
-  * with a deterministic fake that parses our synthetic 16-byte header. The
-  * Spark-side plumbing (schema, partition-parallel `mapPartitions` decode,
-  * batch shape, frame sampling) is real and tested; swap
-  * [[decodeStubFeatures]]'s body for a JNI/codec call in production.
+  * Image decode is REAL: [[ImageIoCodec]] decodes PNG/JPEG/GIF/BMP with
+  * the JDK's `javax.imageio` (no external codecs needed), behind the
+  * [[ImageCodec]] interface so a deployment can swap in a JNI/TurboJPEG
+  * or video codec without touching the Spark plumbing. The decode runs
+  * partition-parallel inside `mapPartitions` — the legitimate use: an
+  * external-library call per binary value, no shuffle, content column
+  * pruned away unless the query actually decodes.
   */
 object MediaOps {
 
   case class MediaMeta(format: String, width: Int, height: Int, duration_ms: Int)
-  case class MediaRow(doc_id: Long, content: Array[Byte],
-                      format: String, width: Int, height: Int, duration_ms: Int)
-  case class MediaFeatures(doc_id: Long, feature_dim: Int, content_len: Int,
-                           checksum: Long, features: Array[Float])
+
+  /** A decoded raster, reduced to row-major 0–255 luminance — the common
+    * denominator every downstream feature step here consumes. */
+  final case class DecodedImage(width: Int, height: Int, gray: Array[Int])
+
+  /** Pluggable image decoder. Implementations must be Serializable (the
+    * codec ships to executors inside the decode closure) and return None
+    * on undecodable bytes — corrupt assets are dropped, not fatal. */
+  trait ImageCodec extends Serializable {
+    def decode(content: Array[Byte]): Option[DecodedImage]
+  }
+
+  /** JDK `javax.imageio` codec: PNG/JPEG/GIF/BMP without any external
+    * native library. Multi-band images collapse to integer ITU-R 601
+    * luminance; single-band (grayscale) rasters pass through exactly, so
+    * decoded pixels of a lossless grayscale PNG are bit-exact — which is
+    * what lets q42's oracle predict the pixel checksum in closed form. */
+  object ImageIoCodec extends ImageCodec {
+    override def decode(content: Array[Byte]): Option[DecodedImage] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = new Array[Int](w * h)
+        val raster = img.getRaster
+        if (raster.getNumBands == 1) {
+          raster.getSamples(0, 0, w, h, 0, gray)
+        } else {
+          var y = 0
+          var i = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF
+              val g = (rgb >> 8) & 0xFF
+              val b = rgb & 0xFF
+              gray(i) = (r * 299 + g * 587 + b * 114) / 1000
+              x += 1; i += 1
+            }
+            y += 1
+          }
+        }
+        Some(DecodedImage(w, h, gray))
+      }
+    }
+  }
 
   private val formats = Seq("jpeg", "png", "webp")
 
@@ -45,31 +93,84 @@ object MediaOps {
         (lit(1000) + (col("doc_id") % 60) * 500).cast("int").as("duration_ms")).as("meta"))
   }
 
-  /** STUB decode: parse the synthetic header and emit deterministic fake
-    * features. Real implementation would call an image/audio codec here;
-    * the signature — binary in, fixed-dim float features out, executed
-    * partition-parallel with no shuffle — is the production shape. */
-  def decodeStubFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+  /** Deterministic grayscale test PNG for `docId`: width 16 + id%8,
+    * height 12 + id%5, pixel(x, y) = (id % 200) + x. The base stays below
+    * 200 and x below 24, so no byte wraps and the decoded pixel checksum
+    * has the closed form h·(w·base + w(w−1)/2) — an ANSI-SQL oracle for a
+    * REAL codec round-trip (PNG is lossless). */
+  def testPngBytes(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 8).toInt
+    val h = 12 + (docId % 5).toInt
+    val base = (docId % 200).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, base + x); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** (doc_id, content) table of [[testPngBytes]] images, encoded
+    * partition-parallel — the ingest half of the decode round-trip. */
+  def pngTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, testPngBytes(id))))
+      .toDF("doc_id", "content")
+  }
+
+  case class MediaDecoded(doc_id: Long, width: Int, height: Int,
+                          checksum: Long, features: Array[Float])
+
+  /** REAL decode: binary content in, decoded dimensions + pixel checksum +
+    * a grid×grid mean-luminance feature vector out. Partition-parallel, no
+    * shuffle, undecodable rows dropped (`flatMap` over the codec's Option).
+    * The codec is a parameter: swap [[ImageIoCodec]] for a JNI decoder and
+    * the plan shape — and this method — stay identical. */
+  def decodeImages(media: DataFrame, codec: ImageCodec = ImageIoCodec,
+                   grid: Int = 2): Dataset[MediaDecoded] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val rows = media.select(
-      col("doc_id"), col("content"),
-      col("meta.format").as("format"), col("meta.width").as("width"),
-      col("meta.height").as("height"), col("meta.duration_ms").as("duration_ms"))
-      .as[MediaRow]
-    rows.mapPartitions { it =>
-      it.map { r =>
-        // ---- STUB: deterministic fake "decode" ----
-        // checksum = sum of content bytes; features = affine map of
-        // (width, height, byte-sum) — stands in for codec output.
-        var sum = 0L
-        var i = 0
-        while (i < r.content.length) { sum += (r.content(i) & 0xFF); i += 1 }
-        val feats = Array.tabulate(dim)(d =>
-          ((sum % 1000).toFloat / 1000f) + d * 0.25f + r.width.toFloat / 10000f)
-        MediaFeatures(r.doc_id, dim, r.content.length, sum, feats)
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          codec.decode(bytes).map { d =>
+            var sum = 0L
+            var i = 0
+            while (i < d.gray.length) { sum += d.gray(i); i += 1 }
+            // grid×grid cell means: the cheap classical image descriptor;
+            // cells cover ceil-divided spans so every pixel lands in
+            // exactly one cell whatever the dimensions
+            val feats = new Array[Float](grid * grid)
+            val counts = new Array[Int](grid * grid)
+            var y = 0
+            while (y < d.height) {
+              val cy = y * grid / d.height
+              var x = 0
+              while (x < d.width) {
+                val c = cy * grid + (x * grid / d.width)
+                feats(c) += d.gray(y * d.width + x)
+                counts(c) += 1
+                x += 1
+              }
+              y += 1
+            }
+            i = 0
+            while (i < feats.length) {
+              if (counts(i) > 0) feats(i) /= counts(i)
+              i += 1
+            }
+            MediaDecoded(id, d.width, d.height, sum, feats)
+          }
+        }
       }
-    }
   }
 
   /** Frame sampling: one row per sampled frame timestamp, every

@@ -379,12 +379,37 @@ class OperatorsSpec extends SparkTestBase {
       s"no folded broadcast hint allowed:\n${qe.optimizedPlan}")
   }
 
-  test("media decode stub emits fixed-dim features partition-parallel") {
+  test("real PNG decode round-trips dimensions and exact pixels; JPEG and corrupt bytes handled") {
+    // PNG: lossless, so decoded luminance is bit-exact vs the generator
+    for (id <- Seq(0L, 3L, 7L, 199L, 205L)) {
+      val d = MediaOps.ImageIoCodec.decode(MediaOps.testPngBytes(id)).get
+      val (w, h, base) = (16 + (id % 8).toInt, 12 + (id % 5).toInt, (id % 200).toInt)
+      assert(d.width == w && d.height == h)
+      assert(d.gray.sum.toLong == h.toLong * (w.toLong * base + w.toLong * (w - 1) / 2))
+    }
+    // JPEG through the same interface: dimensions survive, pixels lossy
+    val img = new java.awt.image.BufferedImage(
+      20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jd = MediaOps.ImageIoCodec.decode(out.toByteArray).get
+    assert(jd.width == 20 && jd.height == 10)
+    // corrupt bytes: dropped (None), never thrown
+    assert(MediaOps.ImageIoCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaOps.ImageIoCodec.decode("not an image".getBytes).isEmpty)
+  }
+
+  test("distributed decode pipeline: encode and decode partition-parallel, features sane") {
     docs.createOrReplaceTempView("documents")
-    MediaOps.registerViews(spark)
-    val f = MediaOps.decodeStubFeatures(spark.table("media")).limit(5).collect()
-    assert(f.forall(_.features.length == 8))
-    assert(f.forall(_.content_len > 16))
+    val decoded = MediaOps.decodeImages(MediaOps.pngTable(docs)).collect()
+    assert(decoded.length == docs.count())
+    assert(decoded.forall(_.features.length == 4))
+    // every feature cell is a mean luminance inside the gradient's range
+    assert(decoded.forall(d => d.features.forall(f => f >= 0f && f < 224f)))
+    // checksum parity vs the single-node codec
+    val one = decoded.find(_.doc_id == 1L).get
+    val ref = MediaOps.ImageIoCodec.decode(MediaOps.testPngBytes(1L)).get
+    assert(one.checksum == ref.gray.sum.toLong)
   }
 
   test("stratified quota: two-stage salted plan == naive single window, any salt count") {
