@@ -250,9 +250,7 @@ case class BloomScalar(fn: String, children: Seq[Expression]) extends SketchScal
     case other => throw new IllegalStateException(s"unknown bloom scalar $other")
   }
 
-  override def eval(input: InternalRow): Any = {
-    val args = evalArgs(input)
-    if (args == null) return null
+  override def compute(args: Array[Any]): Any = {
     val f = Bloom.wrap(args(0).asInstanceOf[Array[Byte]])
     fn match {
       case "is_empty"        => f.isEmpty

@@ -152,6 +152,43 @@ object Kit {
 
   def mem(bytes: Array[Byte]): Memory = Memory.wrap(bytes)
 
+  /** Per-thread bounded memo for deserialized sketches. Probe-shaped
+    * queries (q22/q68: one stored BLOB, a dozen scalar probes over it)
+    * re-deserialize the same bytes once per scalar call; the memo makes
+    * that one deserialization per task thread instead. Sketch objects are
+    * read-only through every probe here, and the key is CONTENT (Spark
+    * hands each call a fresh copied array, so identity would never hit).
+    * Bounds: 32 entries per thread, LRU, blobs over 64 KiB bypass —
+    * worst case ~2 MiB per executor thread, no coordination. Failures
+    * are never cached: only a successfully deserialized sketch enters. */
+  private final class BlobKey(val tag: String, val bytes: Array[Byte]) {
+    override val hashCode: Int = tag.hashCode * 31 + java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case b: BlobKey => b.tag == tag && java.util.Arrays.equals(b.bytes, bytes)
+      case _          => false
+    }
+  }
+  private val memoMaxEntries = 32
+  private val memoMaxBlob = 64 * 1024
+  private val deserMemo: ThreadLocal[java.util.LinkedHashMap[BlobKey, AnyRef]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[BlobKey, AnyRef](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[BlobKey, AnyRef]): Boolean =
+          size() > memoMaxEntries
+      })
+
+  def memoDeser[T <: AnyRef](tag: String, bytes: Array[Byte])(build: => T): T = {
+    if (bytes.length > memoMaxBlob) build
+    else {
+      val m = deserMemo.get()
+      val k = new BlobKey(tag, bytes)
+      val v = m.get(k)
+      if (v != null) v.asInstanceOf[T]
+      else { val nv = build; m.put(k, nv); nv }
+    }
+  }
+
   /** Widen a C++ `tdigest<float>` blob (reference float lane,
     * `codegen/generator.py:46-47` — 4-byte min/max/centroid-means) to the
     * double-lane wire format datasketches-java reads. The two lanes share

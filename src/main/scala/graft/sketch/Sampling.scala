@@ -221,9 +221,7 @@ case class SamplingScalar(family: String, fn: String, elem: Sampling.SElem,
     case other => throw new IllegalStateException(s"unknown sampling scalar $other")
   }
 
-  override def eval(input: InternalRow): Any = {
-    val args = evalArgs(input)
-    if (args == null) return null
+  override def compute(args: Array[Any]): Any = {
     val bytes = args(0).asInstanceOf[Array[Byte]]
     family match {
       case "reservoir" =>

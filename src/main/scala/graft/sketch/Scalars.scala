@@ -11,7 +11,8 @@ import org.apache.datasketches.tdigest.TDigestDouble
 import org.apache.datasketches.theta
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,14 +23,70 @@ import Kit._
   *
   * Like the reference's `Unary/Binary/TernaryExecutor` lambdas
   * (`codegen/generator.py:531-626`), every scalar deserializes the sketch
-  * BLOB per row and computes with datasketches-java. All are deterministic,
+  * BLOB per row and computes with datasketches-java — memoized per thread
+  * for repeated blobs ([[Kit.memoDeser]]). All are deterministic,
   * non-foldable, null-propagating (DuckDB scalar-on-NULL → NULL).
-  * Whole-stage codegen falls back to interpreted eval ([[CodegenFallback]]);
-  * deserialization dominates the per-row cost either way (SURVEY §3.3).
+  *
+  * Codegen: unlike a `CodegenFallback` (which disqualifies the whole
+  * operator from whole-stage codegen — `CollapseCodegenStages` rejects any
+  * plan containing one), [[doGenCode]] emits a boxed-args call to
+  * [[compute]] through a reference object. The per-row dispatch stays
+  * interpreted (deserialization dominates it by orders of magnitude), but
+  * a projection mixing sketch probes with ordinary arithmetic now stays
+  * one codegen stage instead of forcing the operator interpreted.
   */
-abstract class SketchScalar extends Expression with CodegenFallback {
+abstract class SketchScalar extends Expression {
   override def nullable: Boolean = true
   override def foldable: Boolean = false
+
+  /** The probe body: non-null evaluated children in, result out (null
+    * result allowed). Shared verbatim by interpreted [[eval]] and the
+    * generated code, so the two paths cannot diverge. */
+  def compute(args: Array[Any]): Any
+
+  override final def eval(input: InternalRow): Any = {
+    val args = evalArgs(input)
+    if (args == null) null else compute(args)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sketchScalar", this, classOf[SketchScalar].getName)
+    val argsTerm = ctx.freshName("sketchArgs")
+    val objTerm = ctx.freshName("sketchResult")
+    val javaType = CodeGenerator.javaType(dataType)
+    val boxedType = CodeGenerator.boxedType(dataType)
+    def boxed(dt: DataType, v: String): String = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => s"${CodeGenerator.boxedType(dt)}.valueOf($v)"
+      case _ => v
+    }
+    val childCode = children.zipWithIndex.map { case (c, i) =>
+      val e = c.genCode(ctx)
+      s"""
+         |if (!${ev.isNull}) {
+         |  ${e.code}
+         |  if (${e.isNull}) { ${ev.isNull} = true; }
+         |  else { $argsTerm[$i] = ${boxed(c.dataType, e.value.toString)}; }
+         |}""".stripMargin
+    }.mkString("\n")
+    val unbox = dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType =>
+        val prim = javaType // "double", "long", ... — matches the *Value() prefix
+        s"${ev.value} = (($boxedType) $objTerm).${prim}Value();"
+      case _ => s"${ev.value} = ($javaType) $objTerm;"
+    }
+    ev.copy(code = code"""
+       |boolean ${ev.isNull} = false;
+       |Object[] $argsTerm = new Object[${children.length}];
+       |$childCode
+       |$javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+       |if (!${ev.isNull}) {
+       |  Object $objTerm = $ref.compute($argsTerm);
+       |  if ($objTerm == null) { ${ev.isNull} = true; }
+       |  else { $unbox }
+       |}""".stripMargin)
+  }
 
   /** Evaluate all children; null if any input is null (IgnoreNull probes). */
   protected final def evalArgs(input: InternalRow): Array[Any] = {
@@ -173,8 +230,12 @@ object QuantWrap {
     override def totalWeight: Long = s.getTotalWeight
   }
 
-  /** Deserialize a quantile-family sketch blob into the uniform view. */
-  def of(family: String, elem: ElemType, bytes: Array[Byte]): QuantWrap = family match {
+  /** Deserialize a quantile-family sketch blob into the uniform view,
+    * memoized per thread on blob content ([[Kit.memoDeser]]). */
+  def of(family: String, elem: ElemType, bytes: Array[Byte]): QuantWrap =
+    memoDeser(s"$family/${elem.tag}", bytes)(ofUncached(family, elem, bytes))
+
+  private def ofUncached(family: String, elem: ElemType, bytes: Array[Byte]): QuantWrap = family match {
     case "quantiles" => deser("Quantiles", bytes)(elem match {
       case ElemType.Lng => new QLng(ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(bytes), longCmp, longsSerDe))
       case ElemType.Flt => new QFlt(ClassicItemsSketch.getInstance(classOf[java.lang.Float], mem(bytes), floatCmp, floatsSerDe))
@@ -223,9 +284,7 @@ case class QuantScalar(family: String, fn: String, elem: ElemType, children: Seq
     case other => throw new IllegalArgumentException(s"unknown quantile scalar '$other'")
   }
 
-  override def eval(input: InternalRow): Any = {
-    val args = evalArgs(input)
-    if (args == null) return null
+  override def compute(args: Array[Any]): Any = {
     val sk = QuantWrap.of(family, elem, args(0).asInstanceOf[Array[Byte]])
     fn match {
       case "quantile" =>
@@ -294,12 +353,10 @@ case class CountScalar(family: String, fn: String, children: Seq[Expression])
     case other => throw new IllegalArgumentException(s"unknown $family scalar '$other'")
   }
 
-  override def eval(input: InternalRow): Any = {
-    val args = evalArgs(input)
-    if (args == null) return null
+  override def compute(args: Array[Any]): Any = {
     val bytes = args(0).asInstanceOf[Array[Byte]]
     if (family == "hll") {
-      val sk = deser("HLL", bytes)(HllSketch.heapify(mem(bytes)))
+      val sk = memoDeser("hll", bytes)(deser("HLL", bytes)(HllSketch.heapify(mem(bytes))))
       fn match {
         case "estimate"    => sk.getEstimate
         case "lower_bound" => sk.getLowerBound(args(1).asInstanceOf[Int])
@@ -314,7 +371,7 @@ case class CountScalar(family: String, fn: String, children: Seq[Expression])
             Kit.describeBanner("HLL", sk.toString(summary, detail, false, false)))
       }
     } else {
-      val sk = deser("CPC", bytes)(CpcSketch.heapify(mem(bytes)))
+      val sk = memoDeser("cpc", bytes)(deser("CPC", bytes)(CpcSketch.heapify(mem(bytes))))
       fn match {
         case "estimate"    => sk.getEstimate
         case "lower_bound" => sk.getLowerBound(args(1).asInstanceOf[Int])
@@ -350,12 +407,10 @@ case class ThetaScalar(fn: String, children: Seq[Expression]) extends SketchScal
 
   private def wrap(a: Any): theta.Sketch = {
     val b = a.asInstanceOf[Array[Byte]]
-    deser("Theta", b)(theta.Sketches.wrapSketch(mem(b)))
+    memoDeser("theta", b)(deser("Theta", b)(theta.Sketches.wrapSketch(mem(b))))
   }
 
-  override def eval(input: InternalRow): Any = {
-    val args = evalArgs(input)
-    if (args == null) return null
+  override def compute(args: Array[Any]): Any = {
     fn match {
       // Pairwise set ops run at the reference's fixed default lg_k=12
       // (src/theta_sketch.cpp:228) and emit compact-ordered blobs.
@@ -414,12 +469,10 @@ case class FreqScalar(fn: String, children: Seq[Expression]) extends SketchScala
     case other => throw new IllegalArgumentException(s"unknown frequent_items scalar '$other'")
   }
 
-  override def eval(input: InternalRow): Any = {
-    val args = evalArgs(input)
-    if (args == null) return null
+  override def compute(args: Array[Any]): Any = {
     val bytes = args(0).asInstanceOf[Array[Byte]]
-    val sk = deser("Frequent Items", bytes)(
-      frequencies.ItemsSketch.getInstance(mem(bytes), stringsSerDe))
+    val sk = memoDeser("freq", bytes)(deser("Frequent Items", bytes)(
+      frequencies.ItemsSketch.getInstance(mem(bytes), stringsSerDe)))
     fn match {
       case "estimate"     => sk.getEstimate(freqKey(args(1)))
       case "lower_bound"  => sk.getLowerBound(freqKey(args(1)))

@@ -1,9 +1,7 @@
 package graft.sketch
 
 import org.apache.datasketches.theta
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -22,13 +20,12 @@ case class ThetaJaccard(children: Seq[Expression]) extends SketchScalar {
   override def prettyName: String = "datasketch_theta_jaccard"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
-  private def wrap(a: Any): theta.Sketch =
-    deser("Theta", a.asInstanceOf[Array[Byte]])(
-      theta.Sketches.wrapSketch(mem(a.asInstanceOf[Array[Byte]])))
+  private def wrap(a: Any): theta.Sketch = {
+    val b = a.asInstanceOf[Array[Byte]]
+    memoDeser("theta", b)(deser("Theta", b)(theta.Sketches.wrapSketch(mem(b))))
+  }
 
-  override def eval(input: InternalRow): Any = {
-    val args = evalArgs(input)
-    if (args == null) return null
+  override def compute(args: Array[Any]): Any = {
     val r = org.apache.datasketches.theta.JaccardSimilarity.jaccard(
       wrap(args(0)), wrap(args(1)))
     new GenericArrayData(r)

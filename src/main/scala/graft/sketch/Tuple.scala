@@ -192,9 +192,7 @@ case class TupleScalar(fn: String, children: Seq[Expression]) extends SketchScal
     case other => throw new IllegalStateException(s"unknown aod scalar $other")
   }
 
-  override def eval(input: InternalRow): Any = {
-    val args = evalArgs(input)
-    if (args == null) return null
+  override def compute(args: Array[Any]): Any = {
     val sk = TupleAod.heapify(args(0).asInstanceOf[Array[Byte]])
     fn match {
       case "estimate" => sk.getEstimate
