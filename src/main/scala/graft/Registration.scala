@@ -37,6 +37,7 @@ object Registration {
 
   val ElemTag = "sketchElementType"
   val FamilyTag = "sketchFamily"
+  val InputTag = "sketchInputType"
 
   // ---- bind helpers -------------------------------------------------------
 
@@ -74,11 +75,29 @@ object Registration {
 
   private val elemTags = Set("long", "float", "double")
 
-  /** Strip a trailing explicit element-type tag literal, if present. */
-  private def splitElemTag(args: Seq[Expression]): (Seq[Expression], Option[ElemType]) =
-    args.lastOption.flatMap(stringLit).filter(elemTags.contains) match {
-      case Some(tag) => (args.init, Some(ElemType.fromTag(tag)))
-      case None      => (args, None)
+  /** Narrow integral SQL type names → Spark output type. The reference's
+    * alias types return the INPUT type from element-typed probes
+    * (`codegen/generator.py:558-563`: SMALLINT in → SMALLINT out); these
+    * tags select the long Java lane and cast element-typed results back. */
+  private val narrowTypes: Map[String, DataType] = Map(
+    "tinyint" -> ByteType, "smallint" -> ShortType,
+    "int" -> IntegerType, "integer" -> IntegerType)
+
+  /** Accepted explicit element-tag literals → (Java lane, narrow cast-back). */
+  private val elemTagMap: Map[String, (ElemType, Option[DataType])] =
+    Map[String, (ElemType, Option[DataType])](
+      "long" -> ((ElemType.Lng, None)), "bigint" -> ((ElemType.Lng, None)),
+      "float" -> ((ElemType.Flt, None)), "double" -> ((ElemType.Dbl, None))) ++
+      narrowTypes.map { case (t, dt) => t -> ((ElemType.Lng, Some(dt))) }
+
+  /** Strip a trailing explicit element-type tag literal, if present.
+    * Returns (remaining args, lane, narrow output type for element-typed
+    * probes). */
+  private def splitElemTag(args: Seq[Expression])
+      : (Seq[Expression], Option[ElemType], Option[DataType]) =
+    args.lastOption.flatMap(stringLit).flatMap(elemTagMap.get) match {
+      case Some((elem, narrow)) => (args.init, Some(elem), narrow)
+      case None                 => (args, None, None)
     }
 
   /** Recover a sketch column's element type (alias-type dispatch analog):
@@ -126,6 +145,52 @@ object Registration {
     case _ => None
   }
 
+  private[graft] def inputTypeTagOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference if a.metadata.contains(InputTag) =>
+      Some(a.metadata.getString(InputTag))
+    case al: Alias =>
+      if (al.metadata.contains(InputTag)) Some(al.metadata.getString(InputTag))
+      else inputTypeTagOf(al.child)
+    case _ => None
+  }
+
+  /** Tag value a long-lane create aggregate records for a narrow integral
+    * input column; merge aggregates propagate the stored column's tag. */
+  private[graft] def inputTagFor(child: Expression): Option[String] =
+    child.dataType match {
+      case ByteType    => Some("tinyint")
+      case ShortType   => Some("smallint")
+      case IntegerType => Some("int")
+      case BinaryType  => inputTypeTagOf(child)
+      case _           => None
+    }
+
+  /** Narrow output type of an element-typed probe over `e`: stored-column
+    * metadata first (same walk as the family/elem checks), then a nested
+    * long-lane create aggregate's raw input type. */
+  private def narrowOf(e: Expression): Option[DataType] =
+    inputTypeTagOf(e).flatMap(narrowTypes.get).orElse {
+      def nested(x: Expression): Option[DataType] = x match {
+        case al: Alias => nested(al.child)
+        case ae: AggregateExpression =>
+          ae.aggregateFunction match {
+            case k: KllAgg if k.elem == ElemType.Lng =>
+              k.child.dataType match {
+                case dt @ (ByteType | ShortType | IntegerType) => Some(dt)
+                case _ => None
+              }
+            case q: QuantilesAgg if q.elem == ElemType.Lng =>
+              q.child.dataType match {
+                case dt @ (ByteType | ShortType | IntegerType) => Some(dt)
+                case _ => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+      nested(e)
+    }
+
   private def checkFamilyTag(fname: String, expected: String, e: Expression): Unit =
     if (e.dataType == BinaryType)
       familyTagOf(e).filter(_ != expected).foreach { actual =>
@@ -159,7 +224,7 @@ object Registration {
       case _         => (1, 32768, "K")
     }
     fname -> { rawArgs: Seq[Expression] =>
-      val (args, tag) = splitElemTag(rawArgs)
+      val (args, tag, _) = splitElemTag(rawArgs)
       arity(fname, args, 2, 2)
       val k = checkRange(fname, foldInt(args.head, fname), lo, hi, what)
       if (family == "req" && k % 2 != 0) bindErr(s"$fname: K must be even, got $k")
@@ -237,12 +302,19 @@ object Registration {
 
   // ---- scalar builders ----------------------------------------------------
 
+  /** Element-typed probes return the element type; for a long-lane sketch
+    * built over a narrow integral column the reference returns the NARROW
+    * input type (`codegen/generator.py:558-563`), recovered here from an
+    * explicit tag, the stored column's `sketchInputType` metadata, or a
+    * nested create aggregate's input — then cast back at bind time. */
+  private val elemTypedFns = Set("quantile", "min_item", "max_item")
+
   private def quantScalarBuilders(family: String): Seq[(String, B)] = {
     val isTd = family == "tdigest"
     def b(fn: String)(f: (Seq[Expression], ElemType) => Seq[Expression], lo: Int, hi: Int): (String, B) = {
       val fname = s"datasketch_${family}_$fn"
       fname -> { rawArgs: Seq[Expression] =>
-        val (args0, tag) = splitElemTag(rawArgs)
+        val (args0, tag, tagNarrow) = splitElemTag(rawArgs)
         arity(fname, args0, lo, hi)
         checkFamilyTag(fname, family, args0.head)
         val elem0 = tag.getOrElse(elemOf(args0.head, ElemType.Dbl))
@@ -253,7 +325,12 @@ object Registration {
           case "tdigest" => ElemType.Dbl
           case _         => elem0
         }
-        QuantScalar(family, fn, elem, f(args0, elem))
+        val scalar = QuantScalar(family, fn, elem, f(args0, elem))
+        val narrow =
+          if (elem == ElemType.Lng && elemTypedFns.contains(fn))
+            tagNarrow.orElse(narrowOf(args0.head))
+          else None
+        narrow.fold(scalar: Expression)(Cast(scalar, _))
       }
     }
     def inclTail(args: Seq[Expression], from: Int): Seq[Expression] =
@@ -582,8 +659,10 @@ object SketchMetadataRule
   private def metadataFor(e: Expression): Option[Metadata] = e match {
     case ae: AggregateExpression =>
       ae.aggregateFunction match {
-        case k: KllAgg        => Some(Kit.sketchMetadata("kll", Some(k.elem)))
-        case q: QuantilesAgg  => Some(Kit.sketchMetadata("quantiles", Some(q.elem)))
+        case k: KllAgg        => Some(Kit.sketchMetadata("kll", Some(k.elem),
+          Registration.inputTagFor(k.child)))
+        case q: QuantilesAgg  => Some(Kit.sketchMetadata("quantiles", Some(q.elem),
+          Registration.inputTagFor(q.child)))
         case _: ReqAgg        => Some(Kit.sketchMetadataTags("req", None))
         case _: TDigestAgg    => Some(Kit.sketchMetadataTags("tdigest", None))
         case _: HllBuildAgg | _: HllUnionAgg => Some(Kit.sketchMetadataTags("hll", None))

@@ -1092,6 +1092,20 @@ object SparkEntry {
         |FROM documents
         |GROUP BY ROLLUP(source, lang)
         |ORDER BY lvl, source, lang""".stripMargin),
+
+    // -- element-typed returns for narrow ints (reference
+    //    codegen/generator.py:558-563: SMALLINT in → SMALLINT out). The
+    //    INT input column resolves through sketchInputType metadata
+    //    (q50/mn/mx) and the explicit 'int' tag (q90); schema_match green
+    //    means the probes return INT, not the long lane's BIGINT. Exact
+    //    regime like q14: K=8192 ≥ n at the correctness SF. -------------
+    "q71_kll_int_elem" -> q(
+      """SELECT datasketch_kll_quantile(sk, 0.5, true) AS q50,
+        |       datasketch_kll_min_item(sk) AS mn,
+        |       datasketch_kll_max_item(sk) AS mx,
+        |       datasketch_kll_quantile(CAST(sk AS BINARY), 0.9, true, 'int') AS q90
+        |FROM (SELECT datasketch_kll(8192, l_linenumber) AS sk
+        |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
   )
 
   /** What the benchmark times: `queries`, with oracle-portability shims
@@ -1801,6 +1815,14 @@ object SparkEntry {
       """SELECT true AS hll_ok, true AS cpc_ok, true AS theta_ok,
         |       true AS theta_body_ok, true AS kll_ok, true AS q_ok,
         |       true AS req_ok, true AS td_ok""".stripMargin,
+
+    "q71_kll_int_elem" ->
+      """WITH src AS (SELECT l_linenumber v FROM lineitem WHERE l_partkey % 16 = 0),
+        |ranked AS (SELECT v, cume_dist() OVER (ORDER BY v) cd FROM src)
+        |SELECT (SELECT CAST(min(v) AS INT) FROM ranked WHERE cd >= 0.5) AS q50,
+        |       (SELECT CAST(min(v) AS INT) FROM src) AS mn,
+        |       (SELECT CAST(max(v) AS INT) FROM src) AS mx,
+        |       (SELECT CAST(min(v) AS INT) FROM ranked WHERE cd >= 0.9) AS q90""".stripMargin,
 
     // exact regime at every rollup level (theta K=8192 > grand-total
     // distincts; kll min/max exact at any n)

@@ -302,13 +302,18 @@ object Kit {
     StructField("upper_bound", LongType, nullable = false)))
 
   /** Metadata tag our aggregates attach so downstream scalar binds can
-    * recover family + element type from a stored sketch column. */
-  def sketchMetadata(family: String, elem: Option[ElemType]): Metadata =
-    sketchMetadataTags(family, elem.map(_.tag))
+    * recover family + element type — and, for long-lane sketches over
+    * narrow integral columns, the original input type so element-typed
+    * probes return it (reference `codegen/generator.py:558-563`). */
+  def sketchMetadata(family: String, elem: Option[ElemType],
+                     inputTag: Option[String] = None): Metadata =
+    sketchMetadataTags(family, elem.map(_.tag), inputTag)
 
-  def sketchMetadataTags(family: String, elemTag: Option[String]): Metadata = {
+  def sketchMetadataTags(family: String, elemTag: Option[String],
+                         inputTag: Option[String] = None): Metadata = {
     val b = new MetadataBuilder().putString("sketchFamily", family)
     elemTag.foreach(t => b.putString("sketchElementType", t))
+    inputTag.foreach(t => b.putString("sketchInputType", t))
     b.build()
   }
 }

@@ -48,6 +48,43 @@ class SafetySpec extends SparkTestBase {
       .schema.head.dataType == org.apache.spark.sql.types.LongType)
   }
 
+  test("narrow INT input: element-typed probes return INT via metadata, tag, and nesting") {
+    // reference codegen/generator.py:558-563 — element-typed probes
+    // return the INPUT type; the long lane computes, a bind-time cast
+    // narrows back
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+    val path = tmpDir("graft-safety-kll-int")
+    spark.range(1, 1002).selectExpr("CAST(id AS INT) AS v")
+      .selectExpr("datasketch_kll(2048, v) AS sk")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("stored_kll_int")
+    // input-type metadata survives parquet; probes come back as INT
+    val md = spark.table("stored_kll_int").schema("sk").metadata
+    assert(md.getString(Registration.InputTag) == "int")
+    val probed = sql(
+      """SELECT datasketch_kll_quantile(sk, 0.5, true) AS q50,
+        |       datasketch_kll_min_item(sk) AS mn,
+        |       datasketch_kll_max_item(sk) AS mx,
+        |       datasketch_kll_n(sk) AS n
+        |FROM stored_kll_int""".stripMargin)
+    assert(probed.schema("q50").dataType == IntegerType)
+    assert(probed.schema("mn").dataType == IntegerType)
+    assert(probed.schema("mx").dataType == IntegerType)
+    assert(probed.schema("n").dataType == LongType) // counters stay BIGINT
+    val r = probed.head()
+    assert(r.getInt(0) == 501 && r.getInt(1) == 1 && r.getInt(2) == 1001)
+    // explicit tag on an untagged blob (CAST strips metadata)
+    val tagged = sql(
+      """SELECT datasketch_kll_max_item(CAST(sk AS BINARY), 'smallint') AS mx
+        |FROM stored_kll_int""".stripMargin)
+    assert(tagged.schema("mx").dataType == ShortType)
+    assert(tagged.head().getShort(0) == 1001.toShort)
+    // nested create aggregate resolves without any metadata or tag
+    val nested = sql(
+      "SELECT datasketch_kll_quantile(datasketch_kll(256, CAST(id AS SMALLINT)), 0.5, true) AS q FROM range(100)")
+    assert(nested.schema("q").dataType == ShortType)
+  }
+
   test("string reservoir works on a stored table without the tag literal") {
     val path = tmpDir("graft-safety-res")
     sql("SELECT concat('v', id) AS s FROM range(10)")
