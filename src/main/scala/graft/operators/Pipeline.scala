@@ -21,10 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** @param knownNearDupPairs pre-mined verified near-dup pair evidence
+    *        with (doc_a, doc_b) columns — the same corpus-snapshot memo
+    *        lifecycle as `knownHot`: a production pipeline materializes
+    *        the pair set when a snapshot is admitted, and every consumer
+    *        (clustering, removal, curation) reads the persisted evidence
+    *        instead of re-mining the corpus. Must come from the same
+    *        (corpus, shingleK, nearDupThreshold) parameters; when None,
+    *        the pairs are mined inline. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              nearDupThreshold: Double = 0.9, minQuality: Double = 0.2,
              shingleK: Int = 3, maxShingleDF: Int = 1000,
-             knownHot: Option[Array[Long]] = None): DataFrame = {
+             knownHot: Option[Array[Long]] = None,
+             knownNearDupPairs: Option[DataFrame] = None): DataFrame = {
     val id = col(idCol)
 
     // 1. exact-dup drop set: the ranking window sees only (fp, id) pairs,
@@ -35,8 +44,9 @@ object Pipeline {
 
     // 2. near-dup drop set: higher id of every verified pair (hot-shingle
     //    cap threaded through — boilerplate must not go quadratic here)
-    val dropNear = DedupOps.minhashLshPairs(docs, idCol, textCol, shingleK, nearDupThreshold,
-        maxShingleDF = maxShingleDF, knownHot = knownHot)
+    val dropNear = knownNearDupPairs
+      .getOrElse(DedupOps.minhashLshPairs(docs, idCol, textCol, shingleK, nearDupThreshold,
+        maxShingleDF = maxShingleDF, knownHot = knownHot))
       .select(col("doc_b").as("__near_drop")).distinct()
 
     // NO forced broadcast on the drop sets: their size is O(duplicates),

@@ -277,6 +277,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.getOrElse("kept", 0L) == 100L, s"every original must survive: $out")
   }
 
+  test("curate with pre-mined pair evidence ≡ curate mining inline") {
+    // the q46 memo path: pair evidence persisted per corpus snapshot and
+    // threaded through knownNearDupPairs must change nothing about the
+    // decisions vs inline mining with identical parameters
+    val premined = operators.DedupOps.minhashLshPairs(
+      docs, "doc_id", "text", 3, 0.9, knownHot = None).select("doc_a", "doc_b")
+    val viaEvidence = operators.Pipeline.curate(docs, "doc_id", "text",
+        knownNearDupPairs = Some(premined))
+      .select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inline = operators.Pipeline.curate(docs, "doc_id", "text")
+      .select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaEvidence == inline,
+      s"evidence-fed curation diverged: ${viaEvidence.toSet.diff(inline.toSet)}")
+  }
+
   test("token shards: distributed prefix-sum ≡ global window, budget respected") {
     val budget = 500L
     val dist = Sharding.tokenShards(docs, "doc_id", "text", budget)
