@@ -160,10 +160,16 @@ object GraftRuntime {
   /** Sign-bit LSH signature: bit p set iff the dot product of `vec` with
     * pseudo-random hyperplane p is > 0. Bit-identical to the composed
     * `zip_with`/`aggregate` fold (same left-to-right summation order,
-    * same per-component double arithmetic) on non-null vectors; the one
-    * divergence is that the expression wrapper is null-intolerant (null
-    * vector → null signature) where the composed form's `when` collapsed
-    * null to 0 — a bucket-0 collision artifact, not a behavior to keep. */
+    * same per-component double arithmetic) on null-free vectors; two
+    * DEFINED divergences, both pinned by tests:
+    *  - whole-null vector → null signature (the expression wrapper is
+    *    null-intolerant) where the composed form's `when` collapsed null
+    *    to 0 — a bucket-0 collision artifact, not a behavior to keep;
+    *  - null ELEMENT → 0.0 contribution to every plane (sparse-vector
+    *    reading; explicit isNullAt so the semantics cannot depend on an
+    *    ArrayData implementation's null-slot representation), where the
+    *    composed fold would null-poison the plane's projection into an
+    *    unconditional 0 bit. */
   def lshSignature(vec: ArrayData, planes: Int): Long = {
     val dim = vec.numElements()
     var sig = 0L
@@ -173,7 +179,7 @@ object GraftRuntime {
       var acc = 0.0
       var j = 0
       while (j < dim) {
-        acc += vec.getFloat(j).toDouble * row(j)
+        if (!vec.isNullAt(j)) acc += vec.getFloat(j).toDouble * row(j)
         j += 1
       }
       if (acc > 0) sig |= (1L << p)

@@ -22,6 +22,16 @@ case class LshSignature(child: Expression, planes: Int) extends UnaryExpression 
 
   override def prettyName: String = "lsh_signature"
   override def dataType: DataType = LongType
+
+  /** `containsNull` arrays are accepted on purpose — parquet list columns
+    * read back with nullable elements even when no null exists. DEFINED
+    * null-element semantics: a null component contributes 0.0 to every
+    * plane projection (the vector is treated as sparse), pinned by the
+    * null-element property test. This intentionally diverges from what a
+    * naive composed `when(proj > 0, ...)` would do (null poisons the
+    * whole projection → bit always 0): zeroing one missing component
+    * keeps the other dims' geometry; collapsing the whole plane to bit 0
+    * buckets every null-containing vector together. */
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) =>

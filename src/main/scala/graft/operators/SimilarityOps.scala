@@ -130,11 +130,24 @@ object SimilarityOps {
 
   /** XOR masks for every signature within Hamming distance `depth` of a
     * probe signature (the identity mask first). Count is Σ C(planes, d)
-    * for d ≤ depth — the caller's recall/cost dial. */
-  private[operators] def probeMasks(planes: Int, depth: Int): Seq[Long] = {
+    * for d ≤ depth — the caller's recall/cost dial.
+    *
+    * Capped at 512 masks: every mask becomes one XOR expression in an
+    * `array(...)` literal AND one exploded probe row per query, so the
+    * ball size multiplies both codegen size and the probe join's fan-out.
+    * e.g. (planes=12, depth=6) is already 2,510 masks — past any sane
+    * recall/cost point; raise recall with more bands or a deeper re-rank
+    * instead of a Hamming ball that swallows the bucket space. */
+  private[graft] def probeMasks(planes: Int, depth: Int): Seq[Long] = {
     def masksAt(d: Int): Seq[Long] =
       (0 until planes).combinations(d).map(_.map(1L << _).reduce(_ | _)).toSeq
-    (0 to depth).flatMap(d => if (d == 0) Seq(0L) else masksAt(d))
+    val masks = (0 to depth).flatMap(d => if (d == 0) Seq(0L) else masksAt(d))
+    require(masks.size <= 512,
+      s"probeDepth=$depth over planes=$planes expands to ${masks.size} probe " +
+        "masks (> 512): each mask is one generated XOR expression and one " +
+        "exploded probe row per query — lower probeDepth, or trade recall " +
+        "via more planes/bands instead")
+    masks
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

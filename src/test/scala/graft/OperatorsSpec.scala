@@ -177,6 +177,34 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("LshSignature null elements: defined zero-contribution semantics") {
+    // null components read as 0.0 (sparse-vector semantics) — NOT the
+    // composed form's null-poisoned plane (bit forced to 0). Pin against
+    // the reference formulation over an explicitly null-zeroed copy.
+    val withNulls = spark.sql(
+      """SELECT * FROM VALUES
+        | (array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT), CAST(-2.0 AS FLOAT), CAST(0.5 AS FLOAT))),
+        | (array(CAST(NULL AS FLOAT), CAST(NULL AS FLOAT), CAST(3.0 AS FLOAT), CAST(-1.0 AS FLOAT))),
+        | (array(CAST(0.25 AS FLOAT), CAST(2.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(NULL AS FLOAT)))
+        | t(vec)""".stripMargin)
+    for (planes <- Seq(4, 12)) {
+      val sigs = withNulls.select(
+        SimilarityOps.lshSignature(col("vec"), planes).as("fast"),
+        SimilarityOps.lshSignatureArrayOps(
+          transform(col("vec"), x => coalesce(x, lit(0.0f))), planes).as("ref"))
+      assert(sigs.filter(col("fast") =!= col("ref")).count() == 0,
+        s"null-element signature mismatch at planes=$planes")
+    }
+  }
+
+  test("probeMasks rejects Hamming balls past the codegen/fan-out cap") {
+    // 512-mask cap: each mask is one generated XOR + one exploded probe
+    // row per query
+    assert(SimilarityOps.probeMasks(12, 3).size == 299) // fine
+    val e = intercept[IllegalArgumentException](SimilarityOps.probeMasks(12, 6))
+    assert(e.getMessage.contains("probe") && e.getMessage.contains("512"))
+  }
+
   test("benched q66 (LSH pair source) refines oracle q66 within a recall band") {
     // The bench swaps q66's oracle-certified all-pairs source for LSH
     // mining whose recall < 1 by construction; the correctness gate does
