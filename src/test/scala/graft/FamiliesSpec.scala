@@ -342,6 +342,33 @@ class FamiliesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", orig)
   }
 
+  test("high-cardinality natural fallback ≡ pure hash path (100k groups)") {
+    // q23's production regime at scale: with the default 128-entry
+    // threshold every partition of a 100k-group aggregate leaves the hash
+    // path and streams sort-based, round-tripping every sketch buffer
+    // through serialize/update cycles under memory pressure. Parity pin:
+    // natural fallback (default conf) ≡ pure hash (threshold lifted above
+    // the group count), checksummed across all groups.
+    spark.range(0, 1000000)
+      .selectExpr("id % 100000 AS g", "id AS v", "CAST(id % 1000 AS DOUBLE) AS d")
+      .createOrReplaceTempView("fb_hc")
+    def checksum(): org.apache.spark.sql.Row = sql(
+      """SELECT count(*) AS groups,
+        |       sum(CAST(round(datasketch_theta_estimate(t)) AS BIGINT)) AS t_sum,
+        |       sum(datasketch_kll_n(k)) AS n_sum,
+        |       bit_xor(xxhash64(t)) AS t_bytes, bit_xor(xxhash64(k)) AS k_bytes
+        |FROM (SELECT g, datasketch_theta(v) AS t, datasketch_kll(64, d) AS k
+        |      FROM fb_hc GROUP BY g)""".stripMargin).head()
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val orig = spark.conf.get(key, "128")
+    val natural = checksum() // default threshold: sort-based fallback engaged
+    try {
+      spark.conf.set(key, "10000000") // pure hash path, no fallback
+      assert(checksum() == natural,
+        "natural sort-based fallback must equal the pure hash path at 100k groups")
+    } finally spark.conf.set(key, orig)
+  }
+
   test("frequent items canonicalizes NaN/±Inf keys like C (%f) formatting") {
     sql("""SELECT * FROM VALUES (CAST('NaN' AS DOUBLE)), (CAST('Infinity' AS DOUBLE)),
           |(CAST('-Infinity' AS DOUBLE)), (CAST('NaN' AS DOUBLE)) t(d)""".stripMargin)
