@@ -25,7 +25,11 @@ object Decontaminate {
         df.filter(TextOps.tokenCount(col(textCol)) >= k), idCol, textCol, k)
       .select(col("doc"), explode(col("shset")).as("g"))
     val benchGrams = grams(benchmark).select("g").distinct()
-    grams(corpus).join(benchGrams, "g").select("doc").distinct()
+    // left-semi: the benchmark gram only gates existence, so no join
+    // output is materialized and the hash probe short-circuits on first
+    // match — same row set as inner-join + distinct by construction
+    grams(corpus).join(benchGrams, Seq("g"), "left_semi")
+      .select("doc").distinct()
   }
 
   /** Corpus with a `contaminated` flag column appended. */
