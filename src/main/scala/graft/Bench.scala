@@ -75,9 +75,17 @@ object Bench {
     // many queries instead of every sample of one, and the median
     // recovers it.
     // Optional comma-separated query filter for focused re-measurement
-    // (regression triage) — unset means the full driver sweep.
+    // (regression triage) — unset means the full driver sweep. Unknown
+    // names fail LOUDLY: a stale/typo'd name would otherwise produce an
+    // empty sweep whose total=0.0 reads like a resolved regression.
+    val allNames = SparkEntry.benchQueries.keySet
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(allNames)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in benchQueries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>

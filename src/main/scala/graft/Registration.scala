@@ -326,9 +326,13 @@ object Registration {
           case _         => elem0
         }
         val scalar = QuantScalar(family, fn, elem, f(args0, elem))
+        // An explicit tag wins outright: 'long'/'bigint' must SUPPRESS a
+        // stored column's narrow metadata (tagNarrow=None then, and no
+        // metadata fallback), exactly as explicit tags override metadata
+        // in the lane dispatch above.
         val narrow =
           if (elem == ElemType.Lng && elemTypedFns.contains(fn))
-            tagNarrow.orElse(narrowOf(args0.head))
+            (if (tag.isDefined) tagNarrow else narrowOf(args0.head))
           else None
         narrow.fold(scalar: Expression)(Cast(scalar, _))
       }

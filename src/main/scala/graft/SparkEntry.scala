@@ -224,45 +224,54 @@ object SparkEntry {
     * a table, same lifecycle. Holds plain driver-side rows, never a cached
     * or checkpointed DataFrame (Bench's inter-run unpersist sweep must
     * stay safe — see the invariant note in Bench.run). */
-  private val pairsMemo = scala.collection.mutable.Map.empty[
+  private type RowsMemo = scala.collection.mutable.Map[
     (String, Int, Double, Long),
     (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
-  private def sharedJaccardPairs(spark: SparkSession, dir: String,
-                                 k: Int = 3, threshold: Double = 0.6): DataFrame =
+
+  /** Shared driver-rows memo pattern: mine once per corpus-snapshot key,
+    * replay as a fresh local DataFrame on every later call. Values are
+    * plain rows + schema — never a cached or checkpointed DataFrame (the
+    * Bench inter-run unpersist invariant lives HERE, once, instead of by
+    * convention at each memo). */
+  private def memoRows(memo: RowsMemo, key: (String, Int, Double, Long),
+                       spark: SparkSession)(mine: => DataFrame): DataFrame =
     synchronized {
-      val (absDir, mtime) = docSnapshotKey(dir)
-      val (rows, schema) = pairsMemo.getOrElseUpdate((absDir, k, threshold, mtime), {
-        // exact q35 parameters, so the evidence is the q35 result set
-        val df = operators.DedupOps.jaccardPairs(documentsOf(spark, dir),
-            "doc_id", "text", k, threshold, knownHot = sharedHot(spark, dir, k))
-          .select("doc_a", "doc_b")
+      val (rows, schema) = memo.getOrElseUpdate(key, {
+        val df = mine
         (df.collect(), df.schema)
       })
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }
+
+  private val pairsMemo: RowsMemo = scala.collection.mutable.Map.empty
+  private def sharedJaccardPairs(spark: SparkSession, dir: String,
+                                 k: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val (absDir, mtime) = docSnapshotKey(dir)
+    memoRows(pairsMemo, (absDir, k, threshold, mtime), spark) {
+      // exact q35 parameters, so the evidence is the q35 result set
+      operators.DedupOps.jaccardPairs(documentsOf(spark, dir),
+          "doc_id", "text", k, threshold, knownHot = sharedHot(spark, dir, k))
+        .select("doc_a", "doc_b")
+    }
+  }
 
   /** q46's near-dup pair evidence at the CURATION threshold (0.9 — a
     * different operating point than [[sharedJaccardPairs]]' 0.6), same
     * corpus-snapshot memo lifecycle: mined once per (dir, k, threshold,
     * mtime), consumed by every curation run. Holds driver-side rows only
     * (see the Bench unpersist invariant). */
-  private val curatePairsMemo = scala.collection.mutable.Map.empty[
-    (String, Int, Double, Long),
-    (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]
+  private val curatePairsMemo: RowsMemo = scala.collection.mutable.Map.empty
   private def sharedCuratePairs(spark: SparkSession, dir: String,
-                                k: Int = 3, threshold: Double = 0.9): DataFrame =
-    synchronized {
-      val (absDir, mtime) = docSnapshotKey(dir)
-      val (rows, schema) = curatePairsMemo.getOrElseUpdate((absDir, k, threshold, mtime), {
-        // exact q46 parameters, so the evidence equals what curate's
-        // inline mining would produce (parity pinned in OperatorsSpec)
-        val df = operators.DedupOps.minhashLshPairs(documentsOf(spark, dir),
-            "doc_id", "text", k, threshold, knownHot = sharedHot(spark, dir, k))
-          .select("doc_a", "doc_b")
-        (df.collect(), df.schema)
-      })
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+                                k: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val (absDir, mtime) = docSnapshotKey(dir)
+    memoRows(curatePairsMemo, (absDir, k, threshold, mtime), spark) {
+      // exact q46 parameters, so the evidence equals what curate's
+      // inline mining would produce (parity pinned in OperatorsSpec)
+      operators.DedupOps.minhashLshPairs(documentsOf(spark, dir),
+          "doc_id", "text", k, threshold, knownHot = sharedHot(spark, dir, k))
+        .select("doc_a", "doc_b")
     }
+  }
 
   /** q57's corrupt-blob probe verdicts. Every probe is a constant
     * expression (no data scan), but each failing probe pays a full job

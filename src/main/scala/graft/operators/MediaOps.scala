@@ -49,7 +49,11 @@ object MediaOps {
         val h = img.getHeight
         val gray = new Array[Int](w * h)
         val raster = img.getRaster
-        if (raster.getNumBands == 1) {
+        // the fast path must uphold the 0–255 luminance contract: a
+        // 16-bit (TYPE_USHORT_GRAY) or 1-bit bilevel PNG also reads as a
+        // single-band raster, but with raw samples 0–65535 / 0–1 — those
+        // route through getRGB like multi-band images
+        if (raster.getNumBands == 1 && raster.getSampleModel.getSampleSize(0) == 8) {
           raster.getSamples(0, 0, w, h, 0, gray)
         } else {
           var y = 0

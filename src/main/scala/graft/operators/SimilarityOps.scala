@@ -139,15 +139,25 @@ object SimilarityOps {
     * recall/cost point; raise recall with more bands or a deeper re-rank
     * instead of a Hamming ball that swallows the bucket space. */
   private[graft] def probeMasks(planes: Int, depth: Int): Seq[Long] = {
-    def masksAt(d: Int): Seq[Long] =
-      (0 until planes).combinations(d).map(_.map(1L << _).reduce(_ | _)).toSeq
-    val masks = (0 to depth).flatMap(d => if (d == 0) Seq(0L) else masksAt(d))
-    require(masks.size <= 512,
-      s"probeDepth=$depth over planes=$planes expands to ${masks.size} probe " +
-        "masks (> 512): each mask is one generated XOR expression and one " +
+    // count the ball arithmetically BEFORE enumerating: C(63, 31)-class
+    // inputs must hit the error message, not hang the driver inside
+    // combinations(); saturate at the first sum past the cap
+    var ballSize = 0L
+    var c = 1L // C(planes, d), built incrementally
+    var d = 0
+    while (d <= depth && ballSize <= 512) {
+      ballSize += c
+      c = c * (planes - d) / (d + 1)
+      d += 1
+    }
+    require(ballSize <= 512,
+      s"probeDepth=$depth over planes=$planes expands to > 512 probe " +
+        "masks: each mask is one generated XOR expression and one " +
         "exploded probe row per query — lower probeDepth, or trade recall " +
         "via more planes/bands instead")
-    masks
+    def masksAt(n: Int): Seq[Long] =
+      (0 until planes).combinations(n).map(_.map(1L << _).reduce(_ | _)).toSeq
+    (0 to depth).flatMap(n => if (n == 0) Seq(0L) else masksAt(n))
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

@@ -203,6 +203,12 @@ class OperatorsSpec extends SparkTestBase {
     assert(SimilarityOps.probeMasks(12, 3).size == 299) // fine
     val e = intercept[IllegalArgumentException](SimilarityOps.probeMasks(12, 6))
     assert(e.getMessage.contains("probe") && e.getMessage.contains("512"))
+    // the ball is COUNTED arithmetically before enumeration — an
+    // astronomically large request errors instantly instead of hanging
+    // inside combinations()
+    val t0 = System.nanoTime()
+    intercept[IllegalArgumentException](SimilarityOps.probeMasks(63, 31))
+    assert((System.nanoTime() - t0) / 1e9 < 1.0, "huge ball must fail fast")
   }
 
   test("benched q66 (LSH pair source) refines oracle q66 within a recall band") {
@@ -442,6 +448,17 @@ class OperatorsSpec extends SparkTestBase {
     // corrupt bytes: dropped (None), never thrown
     assert(MediaOps.ImageIoCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(MediaOps.ImageIoCodec.decode("not an image".getBytes).isEmpty)
+    // 16-bit grayscale reads as a single-band raster with 0-65535
+    // samples — the luminance contract (0-255) must still hold
+    val img16 = new java.awt.image.BufferedImage(
+      4, 3, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    img16.getRaster.setSample(0, 0, 0, 65535) // white
+    val out16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img16, "png", out16)
+    val d16 = MediaOps.ImageIoCodec.decode(out16.toByteArray).get
+    assert(d16.gray.forall(v => v >= 0 && v <= 255),
+      s"16-bit gray must normalize to 0-255, got max ${d16.gray.max}")
+    assert(d16.gray(0) == 255 && d16.gray(1) == 0)
   }
 
   test("distributed decode pipeline: encode and decode partition-parallel, features sane") {

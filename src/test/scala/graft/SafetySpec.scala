@@ -83,6 +83,16 @@ class SafetySpec extends SparkTestBase {
     val nested = sql(
       "SELECT datasketch_kll_quantile(datasketch_kll(256, CAST(id AS SMALLINT)), 0.5, true) AS q FROM range(100)")
     assert(nested.schema("q").dataType == ShortType)
+    // an explicit 'long'/'bigint' tag SUPPRESSES the stored narrow
+    // metadata — the one way to read the un-narrowed lane from a tagged
+    // column (explicit tags override metadata, as in lane dispatch)
+    val wide = sql(
+      """SELECT datasketch_kll_quantile(sk, 0.5, true, 'bigint') AS q,
+        |       datasketch_kll_min_item(sk, 'long') AS mn
+        |FROM stored_kll_int""".stripMargin)
+    assert(wide.schema("q").dataType == LongType)
+    assert(wide.schema("mn").dataType == LongType)
+    assert(wide.head().getLong(0) == 501L)
   }
 
   test("string reservoir works on a stored table without the tag literal") {
