@@ -620,6 +620,17 @@ object Registration {
       "graft_cosine" -> { (args: Seq[Expression]) =>
         arity("graft_cosine", args, 2, 2)
         toExpression(graft.operators.SimilarityOps.cosine(column(args(0)), column(args(1))))
+      },
+      // sign-bit LSH bucket signature — the SQL face of the ANN/near-dup
+      // bucketing primitive, so SQL-only users can bucket/partition a
+      // corpus (e.g. GROUP BY graft_lsh_signature(embedding, 12)) with
+      // signatures identical to the Scala operators'
+      "graft_lsh_signature" -> { (args: Seq[Expression]) =>
+        arity("graft_lsh_signature", args, 2, 2)
+        val planes = foldInt(args(1), "graft_lsh_signature")
+        if (planes < 1 || planes > 63)
+          bindErr(s"graft_lsh_signature: planes must be between 1 and 63, got $planes")
+        graft.operators.LshSignature(args.head, planes)
       })
   }
 

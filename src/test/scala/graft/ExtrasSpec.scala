@@ -56,6 +56,21 @@ class ExtrasSpec extends SparkTestBase {
         |""".stripMargin).head()
     assert(r2.getInt(0) == 4 && r2.getInt(1) == 2)
     assert(r2.getInt(2) == 2 && r2.getInt(3) == 8)
+    // SQL LSH signature ≡ the Scala operator's (shared expression)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("lsh_sql_emb")
+    val sqlSigs = sql(
+      "SELECT vec_id, graft_lsh_signature(embedding, 12) AS s FROM lsh_sql_emb")
+    val scalaSigs = emb.select(col("vec_id"),
+      operators.SimilarityOps.lshSignature(col("embedding"), 12).as("s"))
+    assert(sqlSigs.exceptAll(scalaSigs).count() == 0 &&
+      scalaSigs.exceptAll(sqlSigs).count() == 0)
+    // planes out of range is a bind error
+    val e = intercept[Exception](
+      sql("SELECT graft_lsh_signature(array(1.0F), 64)").queryExecution.analyzed)
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    assert(chain(e).mkString(" ").contains("between 1 and 63"))
   }
 
   test("salted skew aggregation equals unsalted exactly (theta determinism)") {
