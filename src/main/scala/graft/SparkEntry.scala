@@ -1140,6 +1140,19 @@ object SparkEntry {
         |FROM (SELECT datasketch_kll(8192, l_linenumber) AS sk
         |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
 
+    // -- decode → resize chain (media pipeline stage 2): integer-factor
+    //    area-average downscale over the REAL decoded raster. Closed form
+    //    on the wrap-free gradient at factor 2: pixel2(x2) = base + 2*x2,
+    //    so checksum2 = h2 * (w2*base + w2*(w2-1)). ----------------------
+    "q72_media_resize" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val pngs = operators.MediaOps.pngTable(
+        spark.table("documents").filter(col("doc_id") < 10))
+      operators.MediaOps.resizeImages(pngs, factor = 2)
+        .select(col("doc_id"), col("width"), col("height"), col("checksum"))
+        .orderBy("doc_id")
+    },
+
     // -- streaming surface, oracle-checked: replay a corpus slice through
     //    the LIFETIME bloom dedup (3 micro-batches), then replay it AGAIN —
     //    cross-batch state must admit exactly the distinct fingerprints on
@@ -1898,6 +1911,17 @@ object SparkEntry {
       """SELECT true AS hll_ok, true AS cpc_ok, true AS theta_ok,
         |       true AS theta_body_ok, true AS kll_ok, true AS q_ok,
         |       true AS req_ok, true AS td_ok""".stripMargin,
+
+    // resized dims + checksum of the area-averaged wrap-free gradient
+    "q72_media_resize" ->
+      """WITH g AS (SELECT doc_id,
+        |                  CAST(floor((16 + doc_id % 8) / 2) AS INT) AS w2,
+        |                  CAST(floor((12 + doc_id % 5) / 2) AS INT) AS h2,
+        |                  doc_id % 200 AS base
+        |           FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, w2 AS width, h2 AS height,
+        |       CAST(h2 * (w2 * base + w2 * (w2 - 1)) AS BIGINT) AS checksum
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // streaming lifetime dedup ≡ batch exact dedup on the replayed slice
     // (zero-FP regime: filters sized far above the slice), replay admits 0

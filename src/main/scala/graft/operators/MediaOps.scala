@@ -149,32 +149,89 @@ object MediaOps {
             var sum = 0L
             var i = 0
             while (i < d.gray.length) { sum += d.gray(i); i += 1 }
-            // grid×grid cell means: the cheap classical image descriptor;
-            // cells cover ceil-divided spans so every pixel lands in
-            // exactly one cell whatever the dimensions
-            val feats = new Array[Float](grid * grid)
-            val counts = new Array[Int](grid * grid)
-            var y = 0
-            while (y < d.height) {
-              val cy = y * grid / d.height
-              var x = 0
-              while (x < d.width) {
-                val c = cy * grid + (x * grid / d.width)
-                feats(c) += d.gray(y * d.width + x)
-                counts(c) += 1
-                x += 1
-              }
-              y += 1
-            }
-            i = 0
-            while (i < feats.length) {
-              if (counts(i) > 0) feats(i) /= counts(i)
-              i += 1
-            }
-            MediaDecoded(id, d.width, d.height, sum, feats)
+            MediaDecoded(id, d.width, d.height, sum, gridFeatures(d, grid))
           }
         }
       }
+  }
+
+  /** Integer-factor area-average downscale of a decoded raster. Block
+    * mean with floor division — deterministic integer math, so resized
+    * pixels are closed-form predictable for synthetic inputs (which is
+    * what lets q72's oracle check a REAL decode→resize chain). Trailing
+    * rows/columns that don't fill a block are dropped (the standard
+    * crop-to-multiple convention). */
+  def downscale(img: DecodedImage, factor: Int): DecodedImage = {
+    require(factor >= 1, s"downscale factor must be >= 1, got $factor")
+    val w2 = img.width / factor
+    val h2 = img.height / factor
+    val out = new Array[Int](w2 * h2)
+    var y2 = 0
+    while (y2 < h2) {
+      var x2 = 0
+      while (x2 < w2) {
+        var sum = 0
+        var dy = 0
+        while (dy < factor) {
+          val row = (y2 * factor + dy) * img.width + x2 * factor
+          var dx = 0
+          while (dx < factor) { sum += img.gray(row + dx); dx += 1 }
+          dy += 1
+        }
+        out(y2 * w2 + x2) = sum / (factor * factor)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    DecodedImage(w2, h2, out)
+  }
+
+  /** Decode → area-average downscale, partition-parallel: the resize
+    * stage of the media pipeline (the other stages being [[decodeImages]]
+    * and [[frameSample]]). Emits the RESIZED raster's dimensions,
+    * checksum, and grid features. */
+  def resizeImages(media: DataFrame, factor: Int,
+                   codec: ImageCodec = ImageIoCodec,
+                   grid: Int = 2): Dataset[MediaDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          codec.decode(bytes).map { d =>
+            val r = downscale(d, factor)
+            var sum = 0L
+            var i = 0
+            while (i < r.gray.length) { sum += r.gray(i); i += 1 }
+            MediaDecoded(id, r.width, r.height, sum, gridFeatures(r, grid))
+          }
+        }
+      }
+  }
+
+  /** grid×grid cell mean luminance — ceil-divided spans, every pixel in
+    * exactly one cell whatever the dimensions. */
+  private def gridFeatures(d: DecodedImage, grid: Int): Array[Float] = {
+    val feats = new Array[Float](grid * grid)
+    val counts = new Array[Int](grid * grid)
+    var y = 0
+    while (y < d.height) {
+      val cy = y * grid / d.height
+      var x = 0
+      while (x < d.width) {
+        val c = cy * grid + (x * grid / d.width)
+        feats(c) += d.gray(y * d.width + x)
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < feats.length) {
+      if (counts(i) > 0) feats(i) /= counts(i)
+      i += 1
+    }
+    feats
   }
 
   /** Frame sampling: one row per sampled frame timestamp, every

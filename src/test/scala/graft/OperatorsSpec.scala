@@ -461,6 +461,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(d16.gray(0) == 255 && d16.gray(1) == 0)
   }
 
+  test("area-average downscale: exact block means, crop-to-multiple on odd dims") {
+    // 3x5 raster, factor 2 -> 1x2: block means with floor, trailing
+    // row/col dropped
+    val img = MediaOps.DecodedImage(5, 3, Array(
+      10, 20, 30, 40, 99,
+      12, 22, 32, 42, 99,
+      99, 99, 99, 99, 99))
+    val r = MediaOps.downscale(img, 2)
+    assert(r.width == 2 && r.height == 1)
+    assert(r.gray.toSeq == Seq((10 + 20 + 12 + 22) / 4, (30 + 40 + 32 + 42) / 4))
+    // factor 1 is identity
+    val id1 = MediaOps.downscale(img, 1)
+    assert(id1.width == 5 && id1.gray.toSeq == img.gray.toSeq)
+    // gradient closed form at factor 2: pixel2(x2) = base + 2*x2
+    val d = MediaOps.ImageIoCodec.decode(MediaOps.testPngBytes(3L)).get
+    val r2 = MediaOps.downscale(d, 2)
+    val base = 3 % 200
+    for (x2 <- 0 until r2.width)
+      assert(r2.gray(x2) == base + 2 * x2, s"x2=$x2")
+  }
+
   test("distributed decode pipeline: encode and decode partition-parallel, features sane") {
     docs.createOrReplaceTempView("documents")
     val decoded = MediaOps.decodeImages(MediaOps.pngTable(docs)).collect()
