@@ -1153,6 +1153,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- REAL audio decode (javax.sound.sampled WAV parsing): hand-built
+    //    canonical RIFF containers decoded distributed; oracle predicts
+    //    rate / sample count / sample checksum in closed form. -----------
+    "q73_audio_decode" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val wavs = operators.MediaOps.wavTable(
+        spark.table("documents").filter(col("doc_id") < 10))
+      operators.MediaOps.decodeAudio(wavs)
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("checksum"))
+        .orderBy("doc_id")
+    },
+
     // -- streaming surface, oracle-checked: replay a corpus slice through
     //    the LIFETIME bloom dedup (3 micro-batches), then replay it AGAIN —
     //    cross-batch state must admit exactly the distinct fingerprints on
@@ -1921,6 +1933,18 @@ object SparkEntry {
         |           FROM documents WHERE doc_id < 10)
         |SELECT doc_id, w2 AS width, h2 AS height,
         |       CAST(h2 * (w2 * base + w2 * (w2 - 1)) AS BIGINT) AS checksum
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // decoded WAV facts: sample(i) = base + i%50 over n samples →
+    // checksum = k(50·base + 1225) + r·base + r(r−1)/2, k = n/50, r = n%50
+    "q73_audio_decode" ->
+      """WITH g AS (SELECT doc_id,
+        |                  400 + doc_id % 100 AS n,
+        |                  doc_id % 200 AS base
+        |           FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, 8000 AS sample_rate, CAST(n AS INT) AS n_samples,
+        |       CAST((n // 50) * (50 * base + 1225) + (n % 50) * base
+        |            + (n % 50) * (n % 50 - 1) / 2 AS BIGINT) AS checksum
         |FROM g ORDER BY doc_id""".stripMargin,
 
     // streaming lifetime dedup ≡ batch exact dedup on the replayed slice

@@ -155,6 +155,109 @@ object MediaOps {
       }
   }
 
+  /** A decoded audio clip: format facts plus unsigned 8-bit samples
+    * (the common denominator for fingerprinting/feature steps here). */
+  final case class DecodedAudio(sample_rate: Int, channels: Int,
+                                samples: Array[Int])
+
+  /** Pluggable audio decoder — same contract as [[ImageCodec]]:
+    * Serializable, None on undecodable bytes. */
+  trait AudioCodec extends Serializable {
+    def decode(content: Array[Byte]): Option[DecodedAudio]
+  }
+
+  /** JDK `javax.sound.sampled` codec: WAV/AIFF/AU without any external
+    * native library. 8-bit PCM passes through exactly (what lets q73's
+    * oracle predict the sample checksum in closed form); 16-bit PCM
+    * collapses to unsigned 8-bit by taking the high byte. */
+  object JavaSoundCodec extends AudioCodec {
+    override def decode(content: Array[Byte]): Option[DecodedAudio] = {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          val bits = fmt.getSampleSizeInBits
+          val samples =
+            if (bits == 8) {
+              val signed = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              bytes.map(b => if (signed) (b & 0xFF) ^ 0x80 else b & 0xFF)
+            } else if (bits == 16) {
+              val out = new Array[Int](bytes.length / 2)
+              val hi = if (fmt.isBigEndian) 0 else 1
+              var i = 0
+              while (i < out.length) {
+                out(i) = ((bytes(2 * i + hi) & 0xFF) ^ 0x80)
+                i += 1
+              }
+              out
+            } else return None
+          Some(DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, samples))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Deterministic 8-bit unsigned PCM mono WAV for `docId`: rate 8000 Hz,
+    * n = 400 + id%100 samples, sample(i) = (id % 200) + (i % 50) — wrap-free
+    * (< 250), so the decoded sample checksum has the closed form
+    * k·(50·base + 1225) + r·base + r(r−1)/2 with k = n/50, r = n%50.
+    * The RIFF container is written by hand (44-byte canonical header);
+    * decoding it through [[JavaSoundCodec]] exercises real WAV parsing. */
+  def testWavBytes(docId: Long): Array[Byte] = {
+    val n = 400 + (docId % 100).toInt
+    val base = (docId % 200).toInt
+    val b = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)        // PCM
+    b.putShort(1)        // mono
+    b.putInt(8000)       // sample rate
+    b.putInt(8000)       // byte rate (8-bit mono)
+    b.putShort(1)        // block align
+    b.putShort(8)        // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) { b.put((base + i % 50).toByte); i += 1 }
+    b.array()
+  }
+
+  /** (doc_id, content) table of [[testWavBytes]] clips, partition-parallel. */
+  def wavTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, testWavBytes(id))))
+      .toDF("doc_id", "content")
+  }
+
+  case class AudioDecoded(doc_id: Long, sample_rate: Int, n_samples: Int,
+                          checksum: Long)
+
+  /** REAL audio decode, partition-parallel — the audio face of
+    * [[decodeImages]]: binary in, decoded format facts + sample checksum
+    * out, undecodable rows dropped. */
+  def decodeAudio(media: DataFrame,
+                  codec: AudioCodec = JavaSoundCodec): Dataset[AudioDecoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          codec.decode(bytes).map { a =>
+            var sum = 0L
+            var i = 0
+            while (i < a.samples.length) { sum += a.samples(i); i += 1 }
+            AudioDecoded(id, a.sample_rate, a.samples.length, sum)
+          }
+        }
+      }
+  }
+
   /** Integer-factor area-average downscale of a decoded raster. Block
     * mean with floor division — deterministic integer math, so resized
     * pixels are closed-form predictable for synthetic inputs (which is

@@ -482,6 +482,35 @@ class OperatorsSpec extends SparkTestBase {
       assert(r2.gray(x2) == base + 2 * x2, s"x2=$x2")
   }
 
+  test("real WAV decode round-trips 8-bit samples exactly; 16-bit and corrupt handled") {
+    for (id <- Seq(0L, 7L, 99L, 205L)) {
+      val a = MediaOps.JavaSoundCodec.decode(MediaOps.testWavBytes(id)).get
+      val (n, base) = (400 + (id % 100).toInt, (id % 200).toInt)
+      assert(a.sample_rate == 8000 && a.channels == 1 && a.samples.length == n)
+      assert(a.samples.zipWithIndex.forall { case (s, i) => s == base + i % 50 })
+    }
+    // 16-bit PCM written by AudioSystem itself, read through the same
+    // interface: high byte survives as unsigned 8-bit
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = Array.tabulate(100)(i => (i * 256).toShort)
+    val raw = new Array[Byte](200)
+    for (i <- pcm.indices) {
+      raw(2 * i) = (pcm(i) & 0xFF).toByte
+      raw(2 * i + 1) = ((pcm(i) >> 8) & 0xFF).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 100)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val a16 = MediaOps.JavaSoundCodec.decode(out.toByteArray).get
+    assert(a16.samples.length == 100)
+    assert(a16.samples.zipWithIndex.forall { case (s, i) => s == (i ^ 0x80) })
+    // corrupt bytes drop, never throw
+    assert(MediaOps.JavaSoundCodec.decode("not audio".getBytes).isEmpty)
+    assert(MediaOps.JavaSoundCodec.decode(Array[Byte](82, 73, 70, 70)).isEmpty)
+  }
+
   test("distributed decode pipeline: encode and decode partition-parallel, features sane") {
     docs.createOrReplaceTempView("documents")
     val decoded = MediaOps.decodeImages(MediaOps.pngTable(docs)).collect()
