@@ -163,6 +163,72 @@ class PropertiesSpec extends SparkTestBase {
     assert(vs.forall(x => x.getLong(0) >= 0 && x.getLong(0) < 250 && x.getDouble(1) >= 1.0))
   }
 
+  test("deser memo transparency: memoized probe values ≡ fresh deserialization, any order") {
+    // random blobs across heapify-class families probed repeatedly in
+    // interleaved order: the per-thread memo must never change a value
+    // (content-keyed; same compute body), only skip work
+    randomTable("pm1", 3000, 700)
+    val blobs = sql(
+      """SELECT i % 40 AS g, datasketch_kll(200, CAST(v AS DOUBLE)) AS k,
+        |       datasketch_cpc(11, v) AS c, datasketch_hll(11, v) AS h
+        |FROM pm1 GROUP BY i % 40""".stripMargin).cache()
+    blobs.createOrReplaceTempView("pm_blobs")
+    val probe =
+      """SELECT g, datasketch_kll_quantile(k, 0.5, true) AS q,
+        |       datasketch_cpc_estimate(c) AS ce, datasketch_hll_estimate(h) AS he,
+        |       datasketch_kll_n(k) AS n, datasketch_hll_lower_bound(h, 2) AS lb
+        |FROM pm_blobs ORDER BY g""".stripMargin
+    val first = sql(probe).collect().toSeq
+    // re-run several times: warm memo, evicted memo (other blobs in
+    // between), and cross-family interleaving must all agree
+    sql("SELECT datasketch_cpc_estimate(c) FROM pm_blobs").collect()
+    for (_ <- 1 to 3) assert(sql(probe).collect().toSeq == first)
+    blobs.unpersist()
+  }
+
+  test("downscale invariants on random rasters: mean preservation, composition bound") {
+    for (trial <- 1 to 20) {
+      val w = 2 + rnd.nextInt(30)
+      val h = 2 + rnd.nextInt(30)
+      val img = operators.MediaOps.DecodedImage(
+        w, h, Array.fill(w * h)(rnd.nextInt(256)))
+      val f = 1 + rnd.nextInt(4)
+      val r = operators.MediaOps.downscale(img, f)
+      assert(r.width == w / f && r.height == h / f, s"trial $trial dims")
+      if (r.gray.nonEmpty) {
+        // every output pixel is a floor-mean of its block: within [min, max]
+        // of the source and the total is bounded by the covered region's sum
+        assert(r.gray.forall(v => v >= 0 && v <= 255))
+        val covered = (for {
+          y <- 0 until r.height * f
+          x <- 0 until r.width * f
+        } yield img.gray(y * w + x)).sum
+        val out = r.gray.map(_.toLong).sum
+        // floor-mean per block loses < 1 per block
+        assert(out * f * f <= covered && covered - out * f * f < r.gray.length.toLong * f * f,
+          s"trial $trial mean preservation")
+      }
+    }
+  }
+
+  test("narrow cast-back never changes the probed value, random int distributions") {
+    for (seedExtra <- Seq(0, 1)) {
+      val data = Seq.fill(4000)(rnd.nextInt(100000) - 50000)
+      spark.createDataFrame(data.zipWithIndex.map { case (v, i) => (i, v) })
+        .toDF("i", "v").createOrReplaceTempView("pn1")
+      val r = sql(
+        """SELECT datasketch_kll_quantile(datasketch_kll(4096, v), 0.5, true) AS qi,
+          |       datasketch_kll_quantile(datasketch_kll(4096, CAST(v AS BIGINT)), 0.5, true) AS ql,
+          |       datasketch_kll_min_item(datasketch_kll(4096, v)) AS mni,
+          |       datasketch_kll_min_item(datasketch_kll(4096, CAST(v AS BIGINT))) AS mnl
+          |FROM pn1""".stripMargin).head()
+      // INT lane result == BIGINT lane result, just narrower (n=4000 ≤ K:
+      // exact regime, so both lanes see identical retained items)
+      assert(r.getInt(0).toLong == r.getLong(1), s"quantile diverged run $seedExtra")
+      assert(r.getInt(2).toLong == r.getLong(3), s"min diverged run $seedExtra")
+    }
+  }
+
   test("native PII scanners ≡ regex formulation on adversarial and random inputs") {
     // the native byte scanners must be EXACTLY the regex semantics:
     // leftmost non-overlapping matches, greedy-with-backtracking email
