@@ -133,9 +133,14 @@ object Bench {
     // sample counts are uneven — queries earlier in sort order carry one
     // extra sample. The flag keeps cross-round median comparisons honest.
     var partialSweep = false
+    // A BENCH_ONLY-filtered sweep must say so in its own JSON: a partial
+    // snapshot that looks like a full sweep would later be mistaken for a
+    // full-suite regression baseline (only the reduced key count hints).
+    val filterJson = only
+      .map(o => "\"" + o.toSeq.sorted.mkString(",") + "\"").getOrElse("null")
     def fullJson(sweepsDone: Int): String = {
       val (qs, qmin, total) = report()
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sweeps":$sweepsDone,"partial_sweep":$partialSweep,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"sf":"$sfDir"}"""
     }
     // Persist the running result after EVERY completed sweep (atomic
     // tmp+rename): the r10 crash at sweep ~5 of 6 lost 41 minutes of
@@ -173,16 +178,24 @@ object Bench {
 
     val full = fullJson(sweepsDone)
     // r9's BENCH json was truncated in the driver's capture and the round's
-    // numbers were lost. Defenses: (1) stop Spark BEFORE printing, so no
-    // executor/shutdown log line can interleave mid-line; (2) keep
-    // queries_min IN the stdout line (the r10 driver parse came back null
-    // after it moved to stderr — the stdout line is the parsing contract,
-    // so it carries the full payload and relies on (1) for truncation
-    // safety); (3) bench_last.json is the on-disk backup the judge can
-    // read even if stdout capture mangles the line.
+    // numbers were lost; r13's parse came back null because the driver
+    // keeps only the LAST ~2000 chars of stdout and the 67-query line is
+    // ~4 KB — its head fell outside the window, so it never parsed.
+    // Defenses: (1) stop Spark BEFORE printing, so no executor/shutdown
+    // log line can interleave mid-line; (2) the LAST stdout line must FIT
+    // the driver's tail window: print the full payload when it's short
+    // enough (focused BENCH_ONLY sweeps), else print it for human eyes and
+    // follow with a compact summary line — totals + sweep facts + a
+    // bench_file pointer — that the driver can always parse; (3)
+    // bench_last.json holds the complete payload either way.
     spark.stop()
     persist(sweepsDone)
-    println(full)
+    if (full.length <= 1500) println(full)
+    else {
+      println(full)
+      val (_, _, total) = report()
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"n_queries":${names.size},"bench_file":"bench_last.json","sf":"$sfDir"}""")
+    }
     System.out.flush()
   }
 }

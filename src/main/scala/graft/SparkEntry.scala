@@ -689,30 +689,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
 
-    // recall < 1 by construction → rows-only check (ground truth is q38)
     // bounded-recall check against the q38 brute-force ground truth: the
     // ANN result is recall<1 by construction (no ANSI oracle can rebuild
     // the xxhash64 hyperplanes), so the driver-checkable contract is
-    // "LSH top-k finds >= 50% of the exact top-k" — a boolean row the
+    // "LSH top-k finds >= 70% of the exact top-k" — a boolean row the
     // oracle matches as a literal. Planes are hash-derived (deterministic
-    // across runs/executors), so the observed recall is reproducible:
-    // 9/15 = 0.60 at sf0.01 with planes=4 (500-vector corpus — the
-    // synthetic embeddings carry weak neighborhood structure, so more
-    // planes shatter true neighbors across buckets; 4 is the measured
-    // recall/candidate-fraction knee for this corpus).
+    // across runs/executors), so the observed recall is reproducible.
+    // planes=4, probeDepth=2 is the r14-measured operating point: recall
+    // 0.80/0.80/0.93 at sf0.001/0.01/0.1 (BASELINE.md r14 table — the
+    // synthetic embeddings are near-random, so per-plane agreement sits
+    // just above 1/2 and depth 1 reads only 0.47–0.60; depth 2 probes
+    // 11/16 buckets and clears the 0.7 floor at every scale).
     "q39_ann_lsh_topk" -> qd { spark =>
       import org.apache.spark.sql.functions._
       val emb = spark.table("embeddings")
       val q = emb.filter(col("vec_id") < 5)
       val truth = operators.SimilarityOps.cosineTopK(q, emb, "vec_id", "embedding", k = 3)
         .select("query_id", "neighbor_id")
-      val ann = operators.SimilarityOps.lshTopK(q, emb, "vec_id", "embedding", k = 3, planes = 4)
+      val ann = operators.SimilarityOps.lshTopK(q, emb, "vec_id", "embedding",
+          k = 3, planes = 4, probeDepth = 2)
         .select("query_id", "neighbor_id")
       ann.join(truth, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
         .crossJoin(truth.agg(count(lit(1)).as("n")))
-        .select(lit("ann_lsh_recall_ge_0.5").as("metric"),
-          (col("hits") >= col("n") * 0.5).as("ok"))
+        .select(lit("ann_lsh_recall_ge_0.7").as("metric"),
+          (col("hits") >= col("n") * 0.7).as("ok"))
     },
 
     // -- multimodal columns -------------------------------------------------
@@ -1214,6 +1215,155 @@ object SparkEntry {
         spark.catalog.dropTempView(sink)
       }
     },
+
+    // -- streaming sessionization, oracle-checked: replay an events slice
+    //    chronologically through `sessionize` (event-gap sessions with
+    //    sketch-carrying flatMapGroupsWithState state), flush every open
+    //    session with watermark-advancing sentinels, and compare against
+    //    the batch gap-and-island answer. Exact regime: the theta sketch
+    //    in session state (default lg_k) is exact at ≤5 distinct event
+    //    types, so approx_distinct_types ≡ count(DISTINCT event_type).
+    //    Timestamps compare as epoch microseconds (integer on both
+    //    engines — no timestamp-encoding ambiguity in the hash). Batches
+    //    are chronological, so every event is ≥ 2h-watermark + gap ahead
+    //    of state timeouts (no late-event drops, no stale-timeout traps).
+    //    MemoryStream replay is the test HARNESS, not the scale path. ----
+    "q74_sessionize" -> qd { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val gapMin = 360
+      val slice = spark.table("events")
+        .filter(col("user_id") % 20 === 0)
+        .select(col("ts"), col("user_id").cast("long"), col("event_type"))
+        .as[(java.sql.Timestamp, Long, String)].collect().sortBy(_._1.getTime)
+      val maxTs = slice.map(_._1.getTime).max
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String)]
+      val sessions = streaming.StreamingDedup.sessionize(
+        mem.toDF().toDF("ts", "user_id", "event_type"), gapMinutes = gapMin)
+      val sink = s"q74_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try sessions.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        val third = math.max(1, (slice.length + 2) / 3)
+        slice.grouped(third).foreach { batch =>
+          mem.addData(batch.toSeq); query.processAllAvailable()
+        }
+        // Sentinel user −1 far past every last-event + gap + the 2 h
+        // watermark delay: sentinel 1 raises max event time, sentinel 2
+        // triggers a batch that sees the advanced watermark, so every
+        // real user's event-time timeout fires and its session emits.
+        val hour = 3600000L
+        Seq(maxTs + gapMin * 60000L + 3 * hour,
+            maxTs + 2 * gapMin * 60000L + 9 * hour).foreach { t =>
+          mem.addData(Seq((new java.sql.Timestamp(t), -1L, "sentinel")))
+          query.processAllAvailable()
+        }
+        // epoch SECONDS, not micros: the nanos→micros widening in prep()
+        // goes through a double division that can land one µs off
+        // DuckDB's exact integer truncation; at second granularity the
+        // ±1 µs band is invisible (and sessions are ≥ gap apart, so
+        // second-truncated starts can't collide within a user)
+        spark.table(sink)
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            col("session_start").cast("long").as("session_start_s"),
+            col("session_end").cast("long").as("session_end_s"),
+            col("events"), col("approx_distinct_types"))
+          .orderBy("user_id", "session_start_s")
+          // the memory sink outlives query.stop() only via this
+          // materialized copy; localCheckpoint pins the rows before the
+          // temp view is dropped below
+          .localCheckpoint(true)
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView(sink)
+      }
+    },
+
+    // -- REQ over a non-float column: the documented deviation (SURVEY
+    //    §1.4 / VERDICT r13 gap 3) pinned numerically. The reference
+    //    registers req_sketch over 10 element lanes (src/generated.cpp:
+    //    5096-5164); Java REQ is float-native, so non-float inputs cast
+    //    to float and every probe RETURNS float — schema_match green on
+    //    FLOAT columns is the deviation's contract. Exact regime: the
+    //    %64 slice keeps every item retained at K=1024 (same as q16),
+    //    and l_linenumber values (1..7) are float-exact, so the
+    //    cast-to-float band is zero-width here. ------------------------
+    "q76_req_int_elem" -> q(
+      """SELECT datasketch_req_quantile(sk, 0.5, true) AS q50,
+        |       datasketch_req_quantile(sk, 0.9, true) AS q90,
+        |       datasketch_req_min_item(sk) AS mn,
+        |       datasketch_req_max_item(sk) AS mx,
+        |       datasketch_req_n(sk) AS n,
+        |       datasketch_req_num_retained(sk) AS retained
+        |FROM (SELECT datasketch_req(1024, l_linenumber) AS sk
+        |      FROM lineitem WHERE l_partkey % 64 = 0)""".stripMargin),
+
+    // -- unsigned-widening lane exercised end-to-end (SURVEY §7.3 risk 6 /
+    //    VERDICT r13 gap 2): the reference registers sketches over
+    //    UTINYINT..UBIGINT (codegen/generator.py:49-60); this engine
+    //    widens unsigned lanes to the next signed type. Synthesize a
+    //    UINTEGER-range column (every value > 2^31 — past INT, inside
+    //    the widened LONG lane), build KLL + theta over it, and oracle
+    //    against DuckDB computing on genuine UINTEGER. Green means the
+    //    widened-signed ordering ≡ unsigned ordering over the full
+    //    UINTEGER range (the documented caveat starts only past 2^63−1,
+    //    UBIGINT-only). Exact regime: K=8192 ≥ n, theta lg_k=13 ≥
+    //    distincts at the correctness SF. --------------------------------
+    "q77_unsigned_widened" -> q(
+      """WITH src AS (SELECT CAST(2147483648 + l_orderkey AS BIGINT) AS u
+        |             FROM lineitem WHERE l_partkey % 16 = 0)
+        |SELECT datasketch_kll_quantile(datasketch_kll(8192, u), 0.5, true) AS q50,
+        |       datasketch_kll_min_item(datasketch_kll(8192, u)) AS mn,
+        |       datasketch_kll_max_item(datasketch_kll(8192, u)) AS mx,
+        |       CAST(round(datasketch_theta_estimate(datasketch_theta(13, u))) AS BIGINT)
+        |         AS approx_distinct
+        |FROM src""".stripMargin),
+
+    // -- IVF materialized ANN index, oracle-checked: build the
+    //    signature-partitioned index (the lakehouse IVF layout — probes
+    //    prune to partition files via PartitionFilters, pinned in
+    //    PlanSpec), query it at probeDepth=2, and bound recall against
+    //    the q38 brute-force truth as a literal boolean row (the q39
+    //    pattern — no ANSI oracle can rebuild the xxhash64 hyperplanes).
+    //    planes=4 is the measured knee for this corpus (q39 note);
+    //    depth 2 probes 11 of 16 buckets — recall 0.80/0.80/0.93 at
+    //    sf0.001/0.01/0.1 (BASELINE.md r14 table), so the floor is 0.7,
+    //    the same contract as q39 (index ≡ runtime-LSH semantics).
+    //    The index lives in a temp dir per run: the BUILD is part of
+    //    what the query times (one corpus pass, partitioned write). ------
+    "q75_ann_ivf_index" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = operators.SimilarityOps.cosineTopK(q, emb, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      try {
+        operators.AnnIndex.build(emb, "vec_id", "embedding", path, planes = 4)
+        val ann = operators.AnnIndex.query(spark, path, q, "vec_id", "embedding",
+            k = 3, planes = 4, probeDepth = 2)
+          .select("query_id", "neighbor_id")
+        ann.join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n")))
+          .select(lit("ivf_probe2_recall_ge_0.7").as("metric"),
+            (col("hits") >= col("n") * 0.7).as("ok"))
+          // materialize before the temp index dir is deleted below
+          .localCheckpoint(true)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }
+    },
   )
 
   /** What the benchmark times: `queries`, with oracle-portability shims
@@ -1244,8 +1394,11 @@ object SparkEntry {
       "q39_ann_lsh_topk" -> qd { spark =>
         import org.apache.spark.sql.functions._
         val emb = spark.table("embeddings")
+        // probeDepth=2: the r14 operating point the recall contract is
+        // measured at (0.80/0.80/0.93 across SFs) — bench what ships
         operators.SimilarityOps.lshTopK(
-            emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3, planes = 4)
+            emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+            k = 3, planes = 4, probeDepth = 2)
           .select(col("query_id"), col("neighbor_id"), col("rank"),
             round(col("cosine"), 6).as("cosine"))
           .orderBy("query_id", "rank")
@@ -1596,7 +1749,7 @@ object SparkEntry {
     // brute-force ground truth and emits (metric, ok); the oracle pins
     // the expected literals (ok=true means the bound held)
     "q39_ann_lsh_topk" ->
-      "SELECT 'ann_lsh_recall_ge_0.5' AS metric, true AS ok",
+      "SELECT 'ann_lsh_recall_ge_0.7' AS metric, true AS ok",
 
     "q45_cosine_neardup_lsh" ->
       "SELECT 'lsh_pair_recall_in_theory_band' AS metric, true AS ok",
@@ -1963,6 +2116,55 @@ object SparkEntry {
         |       (SELECT CAST(min(v) AS INT) FROM src) AS mn,
         |       (SELECT CAST(max(v) AS INT) FROM src) AS mx,
         |       (SELECT CAST(min(v) AS INT) FROM ranked WHERE cd >= 0.9) AS q90""".stripMargin,
+
+    // unsigned widening: DuckDB computes on genuine UINTEGER; equality
+    // with the widened-LONG lane pins order preservation over the range
+    "q77_unsigned_widened" ->
+      """WITH src AS (SELECT CAST(2147483648 + l_orderkey AS UINTEGER) AS u
+        |             FROM lineitem WHERE l_partkey % 16 = 0),
+        |ranked AS (SELECT u, cume_dist() OVER (ORDER BY u) cd FROM src)
+        |SELECT (SELECT CAST(min(u) AS BIGINT) FROM ranked WHERE cd >= 0.5) AS q50,
+        |       (SELECT CAST(min(u) AS BIGINT) FROM src) AS mn,
+        |       (SELECT CAST(max(u) AS BIGINT) FROM src) AS mx,
+        |       (SELECT count(DISTINCT u) FROM src) AS approx_distinct""".stripMargin,
+
+    // REQ over INT: probes return FLOAT (the documented cast-to-float
+    // deviation), values exact (retained == n, float-exact small ints)
+    "q76_req_int_elem" ->
+      """WITH src AS (SELECT l_linenumber v FROM lineitem WHERE l_partkey % 64 = 0),
+        |ranked AS (SELECT v, cume_dist() OVER (ORDER BY v) cd FROM src)
+        |SELECT (SELECT CAST(min(v) AS FLOAT) FROM ranked WHERE cd >= 0.5) AS q50,
+        |       (SELECT CAST(min(v) AS FLOAT) FROM ranked WHERE cd >= 0.9) AS q90,
+        |       (SELECT CAST(min(v) AS FLOAT) FROM src) AS mn,
+        |       (SELECT CAST(max(v) AS FLOAT) FROM src) AS mx,
+        |       (SELECT count(*) FROM src) AS n,
+        |       (SELECT count(*) FROM src) AS retained""".stripMargin,
+
+    // IVF index probe recall bound holds (hyperplanes not ANSI-expressible
+    // → literal boolean contract, like q39)
+    "q75_ann_ivf_index" ->
+      "SELECT 'ivf_probe2_recall_ge_0.7' AS metric, true AS ok",
+
+    // streaming event-gap sessions ≡ batch gap-and-island grouping on the
+    // replayed slice (exact theta regime: ≤5 distinct event types)
+    "q74_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE user_id % 20 = 0),
+        |m AS (SELECT user_id, ts, event_type,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR ts - lag(ts) OVER w > INTERVAL 360 MINUTE
+        |                  THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id,
+        |       epoch_us(min(ts)) // 1000000 AS session_start_s,
+        |       epoch_us(max(ts)) // 1000000 AS session_end_s,
+        |       count(*) AS events,
+        |       count(DISTINCT event_type) AS approx_distinct_types
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_s""".stripMargin,
 
     // exact regime at every rollup level (theta K=8192 > grand-total
     // distincts; kll min/max exact at any n)

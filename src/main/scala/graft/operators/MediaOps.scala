@@ -185,11 +185,17 @@ object MediaOps {
                 javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
               bytes.map(b => if (signed) (b & 0xFF) ^ 0x80 else b & 0xFF)
             } else if (bits == 16) {
+              // The ^0x80 converts a SIGNED high byte to the unsigned-8-bit
+              // lane; an unsigned 16-bit stream's high byte is already
+              // unsigned, so the same XOR would offset every sample by 128.
+              val signed = fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
               val out = new Array[Int](bytes.length / 2)
               val hi = if (fmt.isBigEndian) 0 else 1
               var i = 0
               while (i < out.length) {
-                out(i) = ((bytes(2 * i + hi) & 0xFF) ^ 0x80)
+                val b = bytes(2 * i + hi) & 0xFF
+                out(i) = if (signed) b ^ 0x80 else b
                 i += 1
               }
               out
@@ -273,7 +279,9 @@ object MediaOps {
     while (y2 < h2) {
       var x2 = 0
       while (x2 < w2) {
-        var sum = 0
+        // Long accumulator: 255·factor² overflows Int at factor ≳ 2900,
+        // which would silently corrupt pixels rather than error.
+        var sum = 0L
         var dy = 0
         while (dy < factor) {
           val row = (y2 * factor + dy) * img.width + x2 * factor
@@ -281,7 +289,7 @@ object MediaOps {
           while (dx < factor) { sum += img.gray(row + dx); dx += 1 }
           dy += 1
         }
-        out(y2 * w2 + x2) = sum / (factor * factor)
+        out(y2 * w2 + x2) = (sum / (factor.toLong * factor)).toInt
         x2 += 1
       }
       y2 += 1

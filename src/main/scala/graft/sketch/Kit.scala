@@ -160,7 +160,15 @@ object Kit {
     * hands each call a fresh copied array, so identity would never hit).
     * Bounds: 32 entries per thread, LRU, blobs over 64 KiB bypass —
     * worst case ~2 MiB per executor thread, no coordination. Failures
-    * are never cached: only a successfully deserialized sketch enters. */
+    * are never cached: only a successfully deserialized sketch enters.
+    *
+    * CONTRACT for callers of [[memoDeser]]: the `bytes` array must not be
+    * mutated after the call. Wrap-style deserializers (theta `wrapSketch`)
+    * return an object that ALIASES the array, and the memo key also holds
+    * it; mutating it would corrupt both the cached sketch and key. Every
+    * current caller passes a Spark-owned copy that is never written again,
+    * and heapify-style deserializers copy out — but a new wrap-style
+    * caller that reuses buffers must copy before calling. */
   private final class BlobKey(val tag: String, val bytes: Array[Byte]) {
     override val hashCode: Int = tag.hashCode * 31 + java.util.Arrays.hashCode(bytes)
     override def equals(o: Any): Boolean = o match {
