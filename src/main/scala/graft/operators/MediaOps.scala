@@ -171,6 +171,37 @@ object MediaOps {
     * oracle predict the sample checksum in closed form); 16-bit PCM
     * collapses to unsigned 8-bit by taking the high byte. */
   object JavaSoundCodec extends AudioCodec {
+
+    /** Raw PCM frames → unsigned 8-bit samples, or None for unsupported
+      * depths. Package-visible because JavaSound's WAV reader can never
+      * hand the 16-bit-unsigned branch a real container (WAV 16-bit is
+      * signed by spec) — the branch is reachable only via AIFF/AU
+      * variants, so its test drives this conversion directly. */
+    private[graft] def toSamples(
+        fmt: javax.sound.sampled.AudioFormat,
+        bytes: Array[Byte]): Option[Array[Int]] = {
+      val signed = fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      fmt.getSampleSizeInBits match {
+        case 8 =>
+          Some(bytes.map(b => if (signed) (b & 0xFF) ^ 0x80 else b & 0xFF))
+        case 16 =>
+          // The ^0x80 converts a SIGNED high byte to the unsigned-8-bit
+          // lane; an unsigned 16-bit stream's high byte is already
+          // unsigned, so the same XOR would offset every sample by 128.
+          val out = new Array[Int](bytes.length / 2)
+          val hi = if (fmt.isBigEndian) 0 else 1
+          var i = 0
+          while (i < out.length) {
+            val b = bytes(2 * i + hi) & 0xFF
+            out(i) = if (signed) b ^ 0x80 else b
+            i += 1
+          }
+          Some(out)
+        case _ => None
+      }
+    }
+
     override def decode(content: Array[Byte]): Option[DecodedAudio] = {
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -178,29 +209,8 @@ object MediaOps {
         try {
           val fmt = in.getFormat
           val bytes = in.readAllBytes()
-          val bits = fmt.getSampleSizeInBits
-          val samples =
-            if (bits == 8) {
-              val signed = fmt.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-              bytes.map(b => if (signed) (b & 0xFF) ^ 0x80 else b & 0xFF)
-            } else if (bits == 16) {
-              // The ^0x80 converts a SIGNED high byte to the unsigned-8-bit
-              // lane; an unsigned 16-bit stream's high byte is already
-              // unsigned, so the same XOR would offset every sample by 128.
-              val signed = fmt.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-              val out = new Array[Int](bytes.length / 2)
-              val hi = if (fmt.isBigEndian) 0 else 1
-              var i = 0
-              while (i < out.length) {
-                val b = bytes(2 * i + hi) & 0xFF
-                out(i) = if (signed) b ^ 0x80 else b
-                i += 1
-              }
-              out
-            } else return None
-          Some(DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, samples))
+          toSamples(fmt, bytes).map(samples =>
+            DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, samples))
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }

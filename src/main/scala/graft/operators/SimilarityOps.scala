@@ -160,6 +160,30 @@ object SimilarityOps {
     (0 to depth).flatMap(n => if (n == 0) Seq(0L) else masksAt(n))
   }
 
+  /** Planes sized to the corpus — the BASELINE.md "planes ∝ log₂(corpus)"
+    * scale dial as POLICY rather than prose (the sizing-derivation pattern
+    * of [[graft.streaming.StreamingDedup.bloomSizing]]: the cost dial is
+    * derived from a caller-estimated size, so it cannot be misconfigured
+    * silently). Holds expected bucket occupancy n/2^planes at
+    * `targetBucket`, so LSH candidate volume stays ~linear in n:
+    * planes = ceil(log₂(n / targetBucket)), clamped to [4, 24].
+    *
+    * targetBucket=125 reproduces the measured knee for this corpus class
+    * (2 000 vectors → 4 planes, the r14 recall-mapped operating point;
+    * 20 000 → 8, the r12-measured 2.4×/10× configuration). Recall at
+    * fixed probeDepth falls as planes rise — callers holding a recall
+    * contract raise probeDepth alongside (the r14 recall map rows give
+    * the trade per step). Size from a caller ESTIMATE, not a count() —
+    * corpus size class is pipeline metadata, exact counts are not
+    * needed (the dial moves in powers of two). */
+  def planesFor(expectedVectors: Long, targetBucket: Long = 125): Int = {
+    require(expectedVectors > 0,
+      s"expectedVectors must be positive, got $expectedVectors")
+    require(targetBucket > 0, s"targetBucket must be positive, got $targetBucket")
+    val ratio = math.max(1.0, expectedVectors.toDouble / targetBucket)
+    math.min(24, math.max(4, math.ceil(math.log(ratio) / math.log(2)).toInt))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via LSH buckets (equi-join) + exact verification. The all-pairs
     * variant of [[lshTopK]], for near-dup *removal* rather than search.
@@ -172,6 +196,19 @@ object SimilarityOps {
     * 0.85 at depth 2 — while candidate volume grows only by the ball
     * size over 2^planes. Recall < 1 at any depth < planes; pair with the
     * exact all-pairs formulation as ground truth. */
+  /** [[cosineNearDupPairs]] with planes derived from the expected corpus
+    * size via [[planesFor]] instead of hand-picked — the sizing-policy
+    * face of the operator (cf. `dropDuplicateDocsBloomSized`): candidate
+    * volume stays ~linear as the corpus grows without anyone remembering
+    * to turn the dial. Recall at fixed probeDepth falls as planes rise
+    * (r14 recall map); the probeDepth default matches the r14-measured
+    * operating point at the 4-plane floor. */
+  def cosineNearDupPairsSized(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, expectedVectors: Long,
+                              probeDepth: Int = 2): DataFrame =
+    cosineNearDupPairs(df, idCol, vecCol, threshold,
+      planes = planesFor(expectedVectors), probeDepth = probeDepth)
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int = 8,
                          multiProbe: Boolean = true,

@@ -511,6 +511,63 @@ class OperatorsSpec extends SparkTestBase {
     assert(MediaOps.JavaSoundCodec.decode(Array[Byte](82, 73, 70, 70)).isEmpty)
   }
 
+  test("16-bit sample conversion honors the stream's encoding (signed XOR, unsigned pass-through)") {
+    def fmt(signed: Boolean) = new javax.sound.sampled.AudioFormat(
+      if (signed) javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      else javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    // little-endian 16-bit frames with high bytes 0, 1, 127, 128, 255
+    val raw = Array[Int](0, 1, 127, 128, 255)
+      .flatMap(hi => Array(0x34.toByte, hi.toByte))
+    // signed stream: high byte is two's-complement → offset into 0-255
+    assert(MediaOps.JavaSoundCodec.toSamples(fmt(signed = true), raw).get.toSeq ==
+      Seq(0x80, 0x81, 0xFF, 0x00, 0x7F))
+    // unsigned stream: high byte IS the unsigned sample — no XOR (the
+    // pre-r14 code offset every sample by 128 here)
+    assert(MediaOps.JavaSoundCodec.toSamples(fmt(signed = false), raw).get.toSeq ==
+      Seq(0, 1, 127, 128, 255))
+    // unsupported depth: None, not garbage
+    val f24 = new javax.sound.sampled.AudioFormat(8000f, 24, 1, true, false)
+    assert(MediaOps.JavaSoundCodec.toSamples(f24, new Array[Byte](6)).isEmpty)
+  }
+
+  test("downscale block sums survive factors whose pixel sum exceeds Int.MaxValue") {
+    // 2902² white pixels: 255·2902² = 2 147 509 020 > Int.MaxValue — an
+    // Int accumulator wraps negative and floor-divides to a wrong pixel
+    val f = 2902
+    val img = MediaOps.DecodedImage(f, f, Array.fill(f * f)(255))
+    val r = MediaOps.downscale(img, f)
+    assert(r.width == 1 && r.height == 1 && r.gray(0) == 255)
+  }
+
+  test("planesFor: corpus-sized LSH planes reproduce the measured knees and clamp") {
+    // the r14 recall-map operating point (2k vectors) and the r12
+    // 10×-scaling configuration (20k) fall out of the same policy
+    assert(SimilarityOps.planesFor(2000) == 4)
+    assert(SimilarityOps.planesFor(20000) == 8)
+    // clamps: tiny corpora floor at 4 planes, no corpus exceeds 24
+    assert(SimilarityOps.planesFor(1) == 4)
+    assert(SimilarityOps.planesFor(Long.MaxValue / 4) == 24)
+    // monotone in corpus size (the dial never shrinks as data grows)
+    val sizes = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 10000000L)
+    val planes = sizes.map(SimilarityOps.planesFor(_))
+    assert(planes == planes.sorted, s"not monotone: $planes")
+    intercept[IllegalArgumentException](SimilarityOps.planesFor(0))
+  }
+
+  test("cosineNearDupPairsSized == explicit planes at the derived setting") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val sized = SimilarityOps.cosineNearDupPairsSized(
+        emb, "vec_id", "embedding", threshold = 0.4, expectedVectors = n)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = SimilarityOps.cosineNearDupPairs(
+        emb, "vec_id", "embedding", threshold = 0.4,
+        planes = SimilarityOps.planesFor(n), probeDepth = 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sized == explicit && sized.nonEmpty)
+  }
+
   test("distributed decode pipeline: encode and decode partition-parallel, features sane") {
     docs.createOrReplaceTempView("documents")
     val decoded = MediaOps.decodeImages(MediaOps.pngTable(docs)).collect()
