@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, UpdateSketchBuilder}
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -145,22 +145,37 @@ object StreamingDedup {
                             approx_distinct_types: Long,
                             types_sketch: Array[Byte])
 
-  private def updateTheta(old: Array[Byte], types: Iterator[String]): Array[Byte] = {
-    val sk = new UpdateSketchBuilder().build()
-    types.foreach(sk.update)
-    if (old == null || old.isEmpty) sk.compact().toByteArray
-    else {
-      val u = SetOperation.builder().buildUnion()
-      u.union(Sketches.wrapCompactSketch(org.apache.datasketches.memory.Memory.wrap(old)))
-      u.union(sk.compact())
-      u.getResult.toByteArray
-    }
-  }
-
   private def summary(userId: Long, s: SessionState): SessionSummary = {
     val est = CompactSketch.wrap(
       org.apache.datasketches.memory.Memory.wrap(s.thetaBytes)).getEstimate
     SessionSummary(userId, s.start, s.last, s.events, math.round(est), s.thetaBytes)
+  }
+
+  /** A session being extended within one micro-batch: counters plus a
+    * LIVE theta Union, serialized only at a state boundary (batch end or
+    * session close). The per-event alternative — fresh sketch, union,
+    * serialize for every event — costs a builder + compact + byte copy
+    * per event and dominated the replay benchmark; raw `Union.update`
+    * makes per-event cost one hash. */
+  private final class LiveSession(var start: Timestamp, var last: Timestamp,
+                                  var events: Long,
+                                  val union: org.apache.datasketches.theta.Union) {
+    def close(): SessionState =
+      SessionState(start, last, events, union.getResult.toByteArray)
+  }
+
+  private def openSession(ts: Timestamp, tpe: String,
+                          resume: SessionState = null): LiveSession = {
+    val u = SetOperation.builder().buildUnion()
+    if (resume != null) {
+      u.union(Sketches.wrapCompactSketch(
+        org.apache.datasketches.memory.Memory.wrap(resume.thetaBytes)))
+      u.update(tpe)
+      new LiveSession(resume.start, ts, resume.events + 1, u)
+    } else {
+      u.update(tpe)
+      new LiveSession(ts, ts, 1L, u)
+    }
   }
 
   /** Event-gap sessionization: a user's session closes after `gapMinutes`
@@ -192,24 +207,36 @@ object StreamingDedup {
             out.iterator
           } else {
             val batch = rows.toSeq.sortBy(_._2.getTime)
-            var cur = state.getOption.orNull
+            // resume the stored session lazily: its sketch bytes are only
+            // deserialized into the live Union when the first event lands
+            var stored = state.getOption.orNull
+            var cur: LiveSession = null
             val closed = Seq.newBuilder[SessionSummary]
             batch.foreach { case (_, ts, tpe) =>
-              cur =
-                if (cur == null)
-                  SessionState(ts, ts, 1L, updateTheta(null, Iterator(tpe)))
-                else if (ts.getTime - cur.last.getTime > gapMs) {
-                  // in-batch gap: close the previous session immediately
-                  closed += summary(userId, cur)
-                  SessionState(ts, ts, 1L, updateTheta(null, Iterator(tpe)))
-                } else
-                  SessionState(cur.start, ts, cur.events + 1,
-                    updateTheta(cur.thetaBytes, Iterator(tpe)))
+              if (cur == null && stored == null)
+                cur = openSession(ts, tpe)
+              else if (cur == null) {
+                // first event of the batch against the stored session
+                if (ts.getTime - stored.last.getTime > gapMs) {
+                  closed += summary(userId, stored)
+                  cur = openSession(ts, tpe)
+                } else cur = openSession(ts, tpe, resume = stored)
+                stored = null
+              } else if (ts.getTime - cur.last.getTime > gapMs) {
+                // in-batch gap: close the previous session immediately
+                closed += summary(userId, cur.close())
+                cur = openSession(ts, tpe)
+              } else {
+                cur.union.update(tpe)
+                cur.last = ts
+                cur.events += 1
+              }
             }
             if (cur != null) {
-              state.update(cur)
+              val s = cur.close()
+              state.update(s)
               // close when the watermark passes last-event + gap
-              state.setTimeoutTimestamp(cur.last.getTime + gapMs)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
             }
             closed.result().iterator
           }
