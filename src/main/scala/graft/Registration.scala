@@ -631,6 +631,40 @@ object Registration {
         if (planes < 1 || planes > 63)
           bindErr(s"graft_lsh_signature: planes must be between 1 and 63, got $planes")
         graft.operators.LshSignature(args.head, planes)
+      },
+
+      // The reference's 36 named sketch alias types, as a reinterpret
+      // cast ([[graft.plans.SketchCastRewrite]] turns `CAST(b AS
+      // sketch_kll_double)` / `b::sketch_kll_float` into this call):
+      // bytes pass through untouched; the result is an Alias carrying
+      // the family/lane/narrow metadata every probe builder already
+      // dispatches on — exactly what `as_sketch` writes from the
+      // DataFrame API, now reachable from verbatim reference SQL.
+      "graft_sketch_cast" -> { (args: Seq[Expression]) =>
+        arity("graft_sketch_cast", args, 2, 2)
+        val typeName = args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString.toLowerCase(java.util.Locale.ROOT)
+          case _ => bindErr("graft_sketch_cast: the type name must be a string literal")
+        }
+        val (family, lane, narrow) =
+          graft.plans.SketchCastRewrite.aliasTypes.getOrElse(typeName,
+            bindErr(s"graft_sketch_cast: unknown sketch type '$typeName' — " +
+              "valid names are sketch_{quantiles,kll,req}_<element>, " +
+              "sketch_tdigest_{float,double}, sketch_hll, sketch_cpc, " +
+              "sketch_theta, sketch_frequent_items"))
+        val child = args.head.dataType match {
+          case BinaryType => args.head
+          // VARCHAR blobs cast like the reference's implicit VARCHAR→BLOB
+          case StringType | NullType => Cast(args.head, BinaryType)
+          case dt => bindErr(s"CAST to $typeName: only BLOB input can be " +
+            s"reinterpreted as a sketch type, got ${dt.simpleString}")
+        }
+        // metadata-carrying Alias: familyTagOf/elemTagOf/inputTypeTagOf
+        // walk straight through it; CleanupAliases strips it after
+        // binding has consumed the tags, leaving the bytes pass-through
+        Alias(child, typeName)(
+          explicitMetadata = Some(Kit.sketchMetadataTags(family, lane, narrow)))
       })
   }
 
@@ -728,5 +762,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectResolutionRule(_ => SketchMetadataRule)
+    // SQL-surface bridge for the reference's named sketch alias types:
+    // `CAST(b AS sketch_kll_double)` / `b::sketch_kll_float` rewrite to
+    // graft_sketch_cast before Spark's parser sees the text
+    ext.injectParser((_, delegate) => new graft.plans.SketchCastParser(delegate))
   }
 }
