@@ -74,6 +74,15 @@ object SketchCastRewrite {
   private def isIdentChar(c: Char): Boolean =
     c == '_' || Character.isLetterOrDigit(c)
 
+  /** The identifier whose last character sits at `endExcl - 1`, if any:
+    * (start index, text). */
+  private def identEndingAtIn(s: String, norm: Array[Boolean],
+                              endExcl: Int): Option[(Int, String)] = {
+    var b = endExcl
+    while (b > 0 && norm(b - 1) && isIdentChar(s.charAt(b - 1))) b -= 1
+    if (b < endExcl) Some((b, s.substring(b, endExcl))) else None
+  }
+
   /** Positions of normal-state (outside strings/comments/backquotes)
     * characters. Recomputed per pass — SQL strings are small and passes
     * are bounded by the cast count. */
@@ -119,11 +128,8 @@ object SketchCastRewrite {
     val norm = normalMask(s)
     val lower = s.toLowerCase(java.util.Locale.ROOT)
 
-    def identEndingAt(endExcl: Int): Option[(Int, String)] = {
-      var b = endExcl
-      while (b > 0 && norm(b - 1) && isIdentChar(s.charAt(b - 1))) b -= 1
-      if (b < endExcl) Some((b, s.substring(b, endExcl))) else None
-    }
+    def identEndingAt(endExcl: Int): Option[(Int, String)] =
+      identEndingAtIn(s, norm, endExcl)
 
     // -- CAST(expr AS sketch_x) --------------------------------------------
     var i = 0
@@ -247,10 +253,69 @@ object SketchCastRewrite {
     None
   }
 
+  /** Alias types that are LOSSLESS as a bare `BINARY` DDL column type:
+    * the untyped families recover by runtime family sniff, `_double`
+    * lanes are the probe default, and REQ/TDigest probes force their
+    * native lane whatever the suffix. `CREATE TABLE t (s
+    * sketch_kll_double)` (test/sql/datasketch_kll.test:56,
+    * datasketch_hll.test:111) therefore rewrites to BINARY with
+    * identical binding behavior. Narrow/float integer lanes are NOT in
+    * this set: erasing them to BINARY would silently mis-lane
+    * element-typed probes, so those DDL spellings keep Spark's loud
+    * UNSUPPORTED_DATATYPE error (use CTAS, which carries the metadata
+    * tags automatically). */
+  val ddlLossless: Set[String] =
+    Set("sketch_hll", "sketch_cpc", "sketch_theta", "sketch_frequent_items",
+      "sketch_quantiles_double", "sketch_kll_double") ++
+      aliasTypes.keys.filter(n =>
+        n.startsWith("sketch_req_") || n.startsWith("sketch_tdigest_"))
+
+  /** Rewrite lossless alias types used as DDL column TYPES to BINARY —
+    * only in CREATE/REPLACE statements, and only where the alias name
+    * sits in type position (immediately after a column-name identifier).
+    * A non-DDL statement never reaches this path, so a column merely
+    * NAMED like an alias type cannot be rewritten. */
+  private def rewriteDdl(s: String): String = {
+    val head = s.dropWhile(_.isWhitespace).take(8).toLowerCase(java.util.Locale.ROOT)
+    if (!head.startsWith("create") && !head.startsWith("replace")) return s
+    val norm = normalMask(s)
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      var matched = false
+      if (norm(i) && isIdentChar(s.charAt(i)) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1)))) {
+        var e = i
+        while (e < s.length && norm(e) && isIdentChar(s.charAt(e))) e += 1
+        val word = lower.substring(i, e)
+        if (ddlLossless.contains(word)) {
+          // type position: preceded by an identifier (the column name)
+          // separated by whitespace only
+          var p = i
+          while (p > 0 && s.charAt(p - 1).isWhitespace) p -= 1
+          // the preceding identifier must be the COLUMN NAME — an `AS`
+          // keyword means this is a cast/alias position inside a CTAS
+          // query body, which belongs to the expression rewrite instead
+          val prevIdent = if (p > 0 && p < i && norm(p - 1) && isIdentChar(s.charAt(p - 1)))
+            identEndingAtIn(s, norm, p).map(_._2.toLowerCase(java.util.Locale.ROOT))
+          else None
+          if (prevIdent.exists(w => w != "as" && w != "returns")) {
+            out.append("BINARY")
+            i = e
+            matched = true
+          }
+        }
+      }
+      if (!matched) { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
   def apply(sql: String): String = {
     // cheap gate: virtually no query mentions the alias types
     if (!sql.toLowerCase(java.util.Locale.ROOT).contains("sketch_")) return sql
-    var cur = sql
+    var cur = rewriteDdl(sql)
     var guard = 0
     var next = rewriteOne(cur)
     while (next.isDefined && guard < 256) {

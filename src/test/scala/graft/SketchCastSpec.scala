@@ -114,4 +114,40 @@ class SketchCastSpec extends SparkTestBase {
       sql("SELECT graft_sketch_cast(42, 'sketch_hll')").collect())
     assert(e.getMessage.contains("only BLOB input"), e.getMessage)
   }
+
+  // ---- DDL column types ----------------------------------------------------
+
+  test("rewrite: lossless alias types as DDL column types become BINARY; CTAS casts untouched") {
+    assert(SketchCastRewrite("CREATE TABLE sketches (sketch sketch_kll_double)") ==
+      "CREATE TABLE sketches (sketch BINARY)")
+    assert(SketchCastRewrite("CREATE TABLE s (a sketch_hll, b INT, c sketch_req_integer)") ==
+      "CREATE TABLE s (a BINARY, b INT, c BINARY)")
+    // narrow lanes stay: erasure would silently mis-lane probes — Spark
+    // errors loudly instead (use CTAS, which carries metadata)
+    val narrow = "CREATE TABLE s (a sketch_kll_integer)"
+    assert(SketchCastRewrite(narrow) == narrow)
+    // a cast inside a CTAS body is the expression rewrite's business
+    assert(SketchCastRewrite("CREATE TABLE t AS SELECT CAST(b AS sketch_kll_double) FROM u") ==
+      "CREATE TABLE t AS SELECT graft_sketch_cast(b, 'sketch_kll_double') FROM u")
+    // non-DDL statements never touch type-position rewriting: a column
+    // literally named sketch_hll survives
+    val named = "SELECT x sketch_hll FROM t"
+    assert(SketchCastRewrite(named) == named)
+  }
+
+  test("reference DDL flow: CREATE with alias type, INSERT sketches, merge and probe (datasketch_kll.test:56)") {
+    val loc = java.nio.file.Files.createTempDirectory("graft-ddl").toString
+    sql(s"CREATE TABLE graft_cast_sketches (sketch sketch_kll_double) USING parquet LOCATION '$loc/t'")
+    try {
+      sql("""INSERT INTO graft_cast_sketches
+            |SELECT datasketch_kll(16, CAST(id AS DOUBLE)) FROM range(1, 501)""".stripMargin)
+      sql("""INSERT INTO graft_cast_sketches
+            |SELECT datasketch_kll(16, CAST(id AS DOUBLE)) FROM range(501, 1001)""".stripMargin)
+      val r = sql(
+        """SELECT datasketch_kll_max_item(datasketch_kll(16, sketch)) AS mx,
+          |       datasketch_kll_min_item(datasketch_kll(16, sketch)) AS mn
+          |FROM graft_cast_sketches""".stripMargin).collect().head
+      assert(r.getDouble(0) == 1000.0 && r.getDouble(1) == 1.0)
+    } finally sql("DROP TABLE graft_cast_sketches")
+  }
 }
