@@ -1326,6 +1326,23 @@ object SparkEntry {
         |         AS approx_distinct
         |FROM src""".stripMargin),
 
+    // -- reference alias-cast SYNTAX under the oracle gate: both cast
+    //    spellings (`CAST(b AS sketch_kll_integer)`, `b::sketch_theta`)
+    //    parse via the injected SketchCastParser and bind the tagged
+    //    lane/family. CAST(sk AS BINARY) first ERASES the aggregate's
+    //    metadata, so the element-typed INT returns (schema_match) can
+    //    only come from the alias cast re-attaching it — the syntax is
+    //    load-bearing, not decorative. Exact regime: K=8192 ≥ n,
+    //    theta lg_k=13 ≥ supplier distincts at every test SF. ----------
+    "q78_alias_cast_sql" -> q(
+      """SELECT datasketch_kll_min_item(CAST(CAST(sk AS BINARY) AS sketch_kll_integer)) AS mn,
+        |       datasketch_kll_max_item(CAST(sk AS BINARY)::sketch_kll_integer) AS mx,
+        |       CAST(round(datasketch_theta_estimate(CAST(th AS BINARY)::sketch_theta)) AS BIGINT)
+        |         AS approx_suppliers
+        |FROM (SELECT datasketch_kll(8192, l_linenumber) AS sk,
+        |             datasketch_theta(13, l_suppkey) AS th
+        |      FROM lineitem WHERE l_partkey % 16 = 0)""".stripMargin),
+
     // -- IVF materialized ANN index, oracle-checked: build the
     //    signature-partitioned index (the lakehouse IVF layout — probes
     //    prune to partition files via PartitionFilters, pinned in
@@ -2116,6 +2133,16 @@ object SparkEntry {
         |       (SELECT CAST(min(v) AS INT) FROM src) AS mn,
         |       (SELECT CAST(max(v) AS INT) FROM src) AS mx,
         |       (SELECT CAST(min(v) AS INT) FROM ranked WHERE cd >= 0.9) AS q90""".stripMargin,
+
+    // alias-cast syntax binds the right lane/family: INT element returns
+    // + exact theta through both cast spellings
+    "q78_alias_cast_sql" ->
+      """WITH src AS (SELECT l_linenumber, l_suppkey FROM lineitem
+        |             WHERE l_partkey % 16 = 0)
+        |SELECT CAST(min(l_linenumber) AS INT) AS mn,
+        |       CAST(max(l_linenumber) AS INT) AS mx,
+        |       count(DISTINCT l_suppkey) AS approx_suppliers
+        |FROM src""".stripMargin,
 
     // unsigned widening: DuckDB computes on genuine UINTEGER; equality
     // with the widened-LONG lane pins order preservation over the range
