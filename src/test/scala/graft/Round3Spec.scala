@@ -16,10 +16,10 @@ class Round3Spec extends SparkTestBase {
     spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
 
   private lazy val events = {
-    // ts is TIMESTAMP(NANOS) parquet → read as nano-long, convert to micros
+    // Older corpora: ts is TIMESTAMP(NANOS) parquet → nano-long under this
+    // flag; newer ones are native timestamp[us]. Helper handles both.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    raw.withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS BIGINT))"))
+    normalizeEventTs(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
   }
 
   // ---- bloom --------------------------------------------------------------

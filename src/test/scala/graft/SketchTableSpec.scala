@@ -9,8 +9,8 @@ class SketchTableSpec extends SparkTestBase {
   test("daily sketch table rollup matches direct raw-data answers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_st").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS BIGINT))"))
+    val events = normalizeEventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
 
     val table = operators.SketchTable.buildDaily(
       events, "ts", "event_type", "user_id", "value")

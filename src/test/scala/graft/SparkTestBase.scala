@@ -16,6 +16,17 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
   def sql(q: String): org.apache.spark.sql.DataFrame = spark.sql(q)
 
+  /** Normalize the events `ts` column to a timestamp regardless of how the
+    * testdata generation wrote it: older corpora store TIMESTAMP(NANOS)
+    * read back as nano-longs (under `nanosAsLong`), newer ones native
+    * timestamp[us]. Mirrors the schema-conditional view prep in
+    * `SparkEntry.prep`. */
+  def normalizeEventTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(CAST(ts / 1000 AS BIGINT))"))
+    else df
+
   /** Render a binary result like DuckDB's `\xNN` test notation for golden
     * byte comparisons against the reference corpus. */
   def duckHex(bytes: Array[Byte]): String = bytes.map { b =>
