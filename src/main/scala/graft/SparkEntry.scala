@@ -1286,6 +1286,69 @@ object SparkEntry {
       }
     },
 
+    // -- streaming windowed sketch aggregation, oracle-checked: replay an
+    //    events slice chronologically through StreamingSketches
+    //    .windowedProfile (watermarked 1h tumbling windows holding theta +
+    //    KLL + frequent-items state, merged incrementally across
+    //    micro-batches), flush every window with watermark-advancing
+    //    sentinels, and compare per-window distinct users + median value
+    //    against the batch grouped answer. Exact regime: the %5 user
+    //    slice leaves ≤10 events per hour window, so theta (4096
+    //    retained) ≡ count(DISTINCT user_id) and KLL(200) retains every
+    //    item — quantile(0.5, inclusive) ≡ min value at cume_dist ≥ 0.5.
+    //    Sentinel windows sit ≥3h past the last real event and are
+    //    filtered by window start; real windows all close because the
+    //    second sentinel's batch observes watermark = sentinel1 − 2h >
+    //    every real window end. MemoryStream replay is the test HARNESS;
+    //    the operator itself is the 100 TB/day dashboard shape (state ∝
+    //    windows × groups × sketch size, not event volume). ------------
+    "q79_streaming_windowed" -> qd { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val slice = spark.table("events")
+        .filter(col("user_id") % 5 === 0)
+        .select(col("ts"), col("user_id").cast("long"), col("event_type"),
+          col("value").cast("double"))
+        .as[(java.sql.Timestamp, Long, String, Double)]
+        .collect().sortBy(_._1.getTime)
+      val maxTs = slice.map(_._1.getTime).max
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+      val prof = streaming.StreamingSketches.windowedProfile(
+        mem.toDF().toDF("ts", "user_id", "event_type", "value"))
+      val sink = s"q79_windows_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try prof.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        val third = math.max(1, (slice.length + 2) / 3)
+        slice.grouped(third).foreach { batch =>
+          mem.addData(batch.toSeq); query.processAllAvailable()
+        }
+        val hour = 3600000L
+        // sentinel 1 raises max event time 4h past the last real event;
+        // sentinel 2's batch then runs with watermark = sentinel1 − 2h,
+        // which exceeds every real window's end → all real windows emit
+        Seq(maxTs + 4 * hour, maxTs + 8 * hour).foreach { t =>
+          mem.addData(Seq((new java.sql.Timestamp(t), -1L, "sentinel", 0.0)))
+          query.processAllAvailable()
+        }
+        spark.table(sink)
+          .select(col("window_start").cast("long").as("window_start_s"),
+            col("approx_users"), col("median_value"))
+          .filter(col("window_start_s") <= maxTs / 1000L)
+          .orderBy("window_start_s")
+          .localCheckpoint(true)
+      } finally {
+        query.stop()
+        spark.catalog.dropTempView(sink)
+      }
+    },
+
     // -- REQ over a non-float column: the documented deviation (SURVEY
     //    §1.4 / VERDICT r13 gap 3) pinned numerically. The reference
     //    registers req_sketch over 10 element lanes (src/generated.cpp:
@@ -2192,6 +2255,24 @@ object SparkEntry {
         |       count(DISTINCT event_type) AS approx_distinct_types
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_s""".stripMargin,
+
+    // exact regime per hour window: ≤10 events (theta + KLL both exact),
+    // so approx_users ≡ count distinct and the inclusive median ≡ the
+    // smallest value at cume_dist ≥ 0.5
+    "q79_streaming_windowed" ->
+      """WITH src AS (SELECT date_trunc('hour', ts) AS h, user_id, value
+        |             FROM events WHERE user_id % 5 = 0),
+        |u AS (SELECT h, count(DISTINCT user_id) AS approx_users
+        |      FROM src GROUP BY h),
+        |m AS (SELECT h, min(CASE WHEN cd >= 0.5 THEN value END) AS median_value
+        |      FROM (SELECT h, value,
+        |                   cume_dist() OVER (PARTITION BY h ORDER BY value) AS cd
+        |            FROM src)
+        |      GROUP BY h)
+        |SELECT epoch_us(u.h) // 1000000 AS window_start_s,
+        |       u.approx_users, m.median_value
+        |FROM u JOIN m ON u.h = m.h
+        |ORDER BY window_start_s""".stripMargin,
 
     // exact regime at every rollup level (theta K=8192 > grand-total
     // distincts; kll min/max exact at any n)
