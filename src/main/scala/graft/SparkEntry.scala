@@ -1349,6 +1349,73 @@ object SparkEntry {
       }
     },
 
+    // -- int8 embedding quantization: the 4× memory/shuffle lever for
+    //    similarity search at corpus scale, as pure codegen'd built-ins
+    //    (transform/aggregate — no UDF, no shuffle; a narrow map over
+    //    the embeddings scan). Oracle recomputes the same symmetric
+    //    scheme in DuckDB lambda SQL: identical IEEE double arithmetic
+    //    (float max → /127.0 → round-half-away-from-zero on both
+    //    engines), so codes match EXACTLY — pinned via per-vector code
+    //    sums/extrema rather than raw arrays to keep the compare scalar.
+    "q80_quantize_int8" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val q = operators.Quantize.quantizeInt8(spark.table("embeddings"))
+      q.select(col("vec_id"), col("q_scale"),
+          aggregate(col("q_codes"), lit(0L), (a, x) => a + x).as("codes_sum"),
+          aggregate(col("q_codes"), lit(0L), (a, x) => a + abs(x)).as("codes_l1"),
+          array_max(col("q_codes")).as("code_max"),
+          array_min(col("q_codes")).as("code_min"))
+        .orderBy("vec_id")
+    },
+
+    // -- streaming → lakehouse sketch-table loop, oracle-checked: replay
+    //    an events slice through sinkToSketchTable (update-mode windowed
+    //    sketches appended to parquet per micro-batch), then roll the
+    //    appended rows up through the merge aggregate — duplicate window
+    //    rows from successive batch updates must union away (sketch
+    //    idempotence), leaving per-window distinct users ≡ the batch
+    //    grouped answer (exact regime: per-window distinct users sit
+    //    orders of magnitude below theta's 4096 retained). Update mode emits every touched window each batch,
+    //    so no watermark sentinels are needed. -------------------------
+    "q81_streaming_sketch_sink" -> qd { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val slice = spark.table("events")
+        .filter(col("user_id") % 7 === 0)
+        .select(col("ts"), col("user_id").cast("long"), col("event_type"),
+          col("value").cast("double"))
+        .as[(java.sql.Timestamp, Long, String, Double)]
+        .collect().sortBy(_._1.getTime)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+      val dir = java.nio.file.Files.createTempDirectory("graft_q81").toString
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try streaming.StreamingSketches.sinkToSketchTable(
+          mem.toDF().toDF("ts", "user_id", "event_type", "value"), dir,
+          window = "1 hour", watermark = "2 hours")
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        val third = math.max(1, (slice.length + 2) / 3)
+        slice.grouped(third).foreach { batch =>
+          mem.addData(batch.toSeq); query.processAllAvailable()
+        }
+        spark.read.parquet(dir)
+          .groupBy(col("window_start"))
+          .agg(call_function("datasketch_theta", col("users_sketch")).as("merged"))
+          .select(col("window_start").cast("long").as("window_start_s"),
+            round(call_function("datasketch_theta_estimate", col("merged")))
+              .cast("long").as("approx_users"))
+          .orderBy("window_start_s")
+          .localCheckpoint(true)
+      } finally {
+        query.stop()
+        scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
+      }
+    },
+
     // -- REQ over a non-float column: the documented deviation (SURVEY
     //    §1.4 / VERDICT r13 gap 3) pinned numerically. The reference
     //    registers req_sketch over 10 element lanes (src/generated.cpp:
@@ -2272,6 +2339,37 @@ object SparkEntry {
         |SELECT epoch_us(u.h) // 1000000 AS window_start_s,
         |       u.approx_users, m.median_value
         |FROM u JOIN m ON u.h = m.h
+        |ORDER BY window_start_s""".stripMargin,
+
+    // same symmetric scheme in DuckDB lambda SQL; double arithmetic and
+    // round-half-away-from-zero agree bit-for-bit with the Spark side
+    "q80_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |           / 127.0 AS q_scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, q_scale,
+        |         list_transform(embedding,
+        |           x -> CASE WHEN q_scale = 0 THEN 0
+        |                     ELSE CAST(round(CAST(x AS DOUBLE) / q_scale) AS INTEGER)
+        |                END) AS codes
+        |  FROM q)
+        |SELECT vec_id, q_scale,
+        |       CAST(list_sum(codes) AS BIGINT) AS codes_sum,
+        |       CAST(list_sum(list_transform(codes, y -> abs(y))) AS BIGINT) AS codes_l1,
+        |       CAST(list_max(codes) AS INTEGER) AS code_max,
+        |       CAST(list_min(codes) AS INTEGER) AS code_min
+        |FROM c ORDER BY vec_id""".stripMargin,
+
+    // exact regime per hour window (distinct users ≪ 4096 retained):
+    // the rolled-up theta union ≡ count distinct
+    "q81_streaming_sketch_sink" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start_s,
+        |       count(DISTINCT user_id) AS approx_users
+        |FROM events WHERE user_id % 7 = 0
+        |GROUP BY date_trunc('hour', ts)
         |ORDER BY window_start_s""".stripMargin,
 
     // exact regime at every rollup level (theta K=8192 > grand-total
