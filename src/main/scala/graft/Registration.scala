@@ -621,6 +621,16 @@ object Registration {
         arity("graft_cosine", args, 2, 2)
         toExpression(graft.operators.SimilarityOps.cosine(column(args(0)), column(args(1))))
       },
+      // int8 quantization primitives — SQL face of operators.Quantize's
+      // packed lane (CTAS a quantized index, re-rank with byte dots)
+      "graft_int8_pack" -> { (args: Seq[Expression]) =>
+        arity("graft_int8_pack", args, 2, 2)
+        graft.operators.Int8Pack(args(0), args(1))
+      },
+      "graft_int8_dot" -> { (args: Seq[Expression]) =>
+        arity("graft_int8_dot", args, 2, 2)
+        graft.operators.Int8Dot(args(0), args(1))
+      },
       // sign-bit LSH bucket signature — the SQL face of the ANN/near-dup
       // bucketing primitive, so SQL-only users can bucket/partition a
       // corpus (e.g. GROUP BY graft_lsh_signature(embedding, 12)) with

@@ -30,6 +30,43 @@ object GraftRuntime {
     acc
   }
 
+  // ---- Int8Pack / Int8Dot -------------------------------------------------
+
+  /** Pack a float vector into int8 codes at `scale` (= max|v|/127):
+    * round-half-away-from-zero of v/scale, clamped to ±127, one byte per
+    * element — the storage form of [[Quantize]]. `scale <= 0` (the zero
+    * vector) packs all-zero codes. Rounding matches Spark/DuckDB
+    * `round()` (away from zero), so packed codes equal the q80-oracled
+    * ARRAY<INT> lane byte-for-byte. */
+  def int8Pack(v: ArrayData, scale: Double): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    if (scale > 0.0) {
+      var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble / scale
+        val r = if (x >= 0) Math.floor(x + 0.5) else Math.ceil(x - 0.5)
+        val c = if (r > 127.0) 127L else if (r < -127.0) -127L else r.toLong
+        out(i) = c.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Fused signed-byte dot product — the re-rank inner loop over packed
+    * codes. Fits in a long: 127² × dim ≪ 2⁶³ for any real dim. */
+  def int8Dot(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   // ---- SimHash64 ----------------------------------------------------------
 
   def simhash64(s: UTF8String): Long = {

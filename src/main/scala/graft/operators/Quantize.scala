@@ -41,6 +41,33 @@ object Quantize {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => (c.cast("double") * scale).cast("float"))
 
+  /** Quantize `vecCol` into the PACKED form: `q_scale` DOUBLE + `q_bytes`
+    * BINARY, exactly one byte per element ([[Int8Pack]]) — what a 100 TB
+    * index stores instead of parquet-encoded INT32 code arrays. Codes
+    * equal [[quantizeInt8]]'s (same round-half-away-from-zero), so the
+    * q80 oracle pins this lane too. */
+  def quantizeInt8Packed(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val df = embeddings.withColumn("q_scale", int8Scale(col(vecCol)))
+    df.withColumn("q_bytes", org.apache.spark.sql.GraftShims.column(Int8Pack(
+      org.apache.spark.sql.GraftShims.expression(col(vecCol)),
+      org.apache.spark.sql.GraftShims.expression(col("q_scale")))))
+  }
+
+  /** Signed-byte dot product of two packed code columns ([[Int8Dot]]). */
+  def int8Dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftShims.column(Int8Dot(
+      org.apache.spark.sql.GraftShims.expression(a), org.apache.spark.sql.GraftShims.expression(b)))
+
+  /** Cosine over packed codes. Quantization scales cancel out of cosine
+    * (cos(s_a·a, s_b·b) = cos(a, b)), so this needs only integer dots —
+    * three fused byte loops per pair, no float vector in sight. */
+  def packedCosine(bytesA: Column, bytesB: Column): Column = {
+    val num = int8Dot(bytesA, bytesB).cast("double")
+    val den = sqrt(int8Dot(bytesA, bytesA).cast("double")) *
+      sqrt(int8Dot(bytesB, bytesB).cast("double"))
+    when(den === 0.0, lit(0.0)).otherwise(num / den)
+  }
+
   /** Cosine similarity computed on quantized codes: int dot products
     * scaled back by the two q_scales. Norm error inherits the ≤ scale/2
     * per-element band, so ranking quality degrades gracefully while the

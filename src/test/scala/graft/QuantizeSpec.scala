@@ -52,6 +52,34 @@ class QuantizeSpec extends SparkTestBase {
     assert(worst < 0.02, s"quantized cosine drifts $worst from exact")
   }
 
+  test("packed lane: bytes equal the oracle-pinned INT codes; packedCosine " +
+    "equals quantizedCosine") {
+    val both = Quantize.quantizeInt8Packed(
+      Quantize.quantizeInt8(embeddings).drop("q_scale"))
+    // byte-for-byte: packed code i == INT code i for every vector
+    val rows = both.select(col("q_codes"), col("q_bytes")).collect()
+    val mismatched = rows.count { r =>
+      val codes = r.getSeq[Int](0)
+      val bytes = r.getAs[Array[Byte]](1)
+      codes.size != bytes.length ||
+        codes.indices.exists(i => codes(i).toByte != bytes(i))
+    }
+    assert(mismatched == 0, s"$mismatched vectors pack differently than they quantize")
+
+    // scales cancel: packedCosine ≡ quantizedCosine on real pairs
+    val p = both.limit(30).select(col("vec_id"), col("q_codes"), col("q_scale"), col("q_bytes"))
+    val a = p.select(col("vec_id").as("ia"), col("q_codes").as("ca"),
+      col("q_scale").as("sa"), col("q_bytes").as("ba"))
+    val b = p.select(col("vec_id").as("ib"), col("q_codes").as("cb"),
+      col("q_scale").as("sb"), col("q_bytes").as("bb"))
+    val worst = a.join(b, col("ia") < col("ib"))
+      .select(max(abs(
+        Quantize.quantizedCosine(col("ca"), col("sa"), col("cb"), col("sb")) -
+          Quantize.packedCosine(col("ba"), col("bb")))))
+      .head().getDouble(0)
+    assert(worst < 1e-12, s"packed and unpacked cosine diverge by $worst")
+  }
+
   test("zero vector quantizes to zero codes and reconstructs to zeros") {
     import spark.implicits._
     val df = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f)))
