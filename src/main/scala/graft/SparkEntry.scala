@@ -1511,6 +1511,38 @@ object SparkEntry {
         rm(new java.io.File(path))
       }
     },
+
+    // -- quantized IVF index under the same bounded-recall contract as
+    //    q75: packed int8 vector storage (one byte per element, byte-dot
+    //    re-rank) must keep recall ≥0.7 vs the q38 brute-force truth at
+    //    probeDepth=2. Bucket routing hashes the original floats, so any
+    //    recall loss vs q75 could come only from quantized re-ranking —
+    //    the contract pins the 4×-smaller index as a drop-in. ----------
+    "q82_ann_ivf_quantized" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = operators.SimilarityOps.cosineTopK(q, emb, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfq_").toString
+      try {
+        operators.AnnIndex.buildQuantized(emb, "vec_id", "embedding", path, planes = 4)
+        val ann = operators.AnnIndex.queryQuantized(spark, path, q, "vec_id", "embedding",
+            k = 3, planes = 4, probeDepth = 2)
+          .select("query_id", "neighbor_id")
+        ann.join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n")))
+          .select(lit("ivf_quantized_probe2_recall_ge_0.7").as("metric"),
+            (col("hits") >= col("n") * 0.7).as("ok"))
+          .localCheckpoint(true)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }
+    },
   )
 
   /** What the benchmark times: `queries`, with oracle-portability shims
@@ -2301,6 +2333,9 @@ object SparkEntry {
     // → literal boolean contract, like q39)
     "q75_ann_ivf_index" ->
       "SELECT 'ivf_probe2_recall_ge_0.7' AS metric, true AS ok",
+
+    "q82_ann_ivf_quantized" ->
+      "SELECT 'ivf_quantized_probe2_recall_ge_0.7' AS metric, true AS ok",
 
     // streaming event-gap sessions ≡ batch gap-and-island grouping on the
     // replayed slice (exact theta regime: ≤5 distinct event types)
