@@ -1527,6 +1527,22 @@ object SparkEntry {
       }
     },
 
+    // -- char-trigram LM quality scoring (CCNet/Gopher-style rare-n-gram
+    //    filter): train add-one-smoothed trigram probabilities on the
+    //    English slice, score EVERY document by average negative log
+    //    probability. The model is a bounded driver pull (≤ charset³
+    //    trigrams) re-broadcast as a LocalRelation; scoring is explode →
+    //    broadcast join → per-doc aggregate. Scores emit µ-quantized
+    //    (floor(score·10⁶)) so the oracle compares integers — last-ulp
+    //    ln()/summation-order bits cannot flip the hash. ---------------
+    "q83_trigram_lm" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.TextOps.trigramLmScores(
+          docs.filter(col("lang") === "en"), docs)
+        .orderBy("doc_id")
+    },
+
     // -- quantized IVF index under the same bounded-recall contract as
     //    q75: packed int8 vector storage (one byte per element, byte-dot
     //    re-rank) must keep recall ≥0.7 vs the q38 brute-force truth at
@@ -2351,6 +2367,27 @@ object SparkEntry {
 
     "q82_ann_ivf_quantized" ->
       "SELECT 'ivf_quantized_probe2_recall_ge_0.7' AS metric, true AS ok",
+
+    // same add-one trigram model re-derived in SQL; µ-quantized scores
+    // compare as integers (ln/summation last-ulp differences cannot
+    // cross the floor boundary — see BASELINE r14 notes)
+    "q83_trigram_lm" ->
+      """WITH norm AS (SELECT doc_id, lang,
+        |                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |              FROM documents),
+        |ref_tri AS (SELECT substr(t, CAST(i AS INT), 3) AS tri
+        |            FROM norm, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+        |            WHERE lang = 'en'),
+        |model AS (SELECT tri, count(*) AS c FROM ref_tri GROUP BY tri),
+        |stats AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom FROM model),
+        |doc_tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+        |            FROM norm, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+        |scored AS (SELECT d.doc_id,
+        |                  coalesce(ln((m.c + 1.0) / s.denom), ln(1.0 / s.denom)) AS lp
+        |           FROM doc_tri d CROSS JOIN stats s LEFT JOIN model m USING (tri))
+        |SELECT doc_id, count(*) AS n_tri,
+        |       CAST(floor(-avg(lp) * 1000000) AS BIGINT) AS lm_score_u
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // streaming event-gap sessions ≡ batch gap-and-island grouping on the
     // replayed slice (exact theta regime: ≤5 distinct event types)

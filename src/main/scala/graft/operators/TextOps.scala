@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -78,7 +78,7 @@ object TextOps {
     * grouping on a 128-bit digest instead of the full text keeps shuffle
     * rows small at 100 TB. */
   def fingerprint(text: Column): Column =
-    md5(encode(lower(regexp_replace(trim(text), "\\s+", " ")), "UTF-8"))
+    md5(encode(normText(text), "UTF-8"))
 
   /** 64-bit rolling content hash over tokens:
     * h ← rotl(h, 5) XOR xxhash64(t_i). Order-sensitive (unlike the md5
@@ -88,4 +88,56 @@ object TextOps {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) =>
       shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
+
+  /** Whitespace-collapsed lowercase text — the shared normalization of
+    * [[fingerprint]], exposed for n-gram models. */
+  def normText(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Character trigrams of the normalized text (empty for texts shorter
+    * than 3 chars). Pure built-ins — sequence + substr stay codegen'd. */
+  def charTrigrams(text: Column): Column = {
+    val t = normText(text)
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Char-trigram language-model quality score (the CCNet/Gopher-style
+    * rare-n-gram filter): train add-one-smoothed unigram-over-trigrams
+    * probabilities on a REFERENCE slice, score every document by its
+    * average negative log-probability — gibberish, boilerplate-free
+    * noise, and out-of-domain text all surface as high scores in one
+    * number.
+    *
+    * Scale shape: the model is a BOUNDED driver pull — distinct
+    * trigrams of the normalized charset, ≤ |charset|³ and in practice a
+    * few thousand rows (same lifecycle as the corpus hot-shingle list:
+    * derive once per reference snapshot, reuse across scoring jobs) —
+    * re-broadcast as a LocalRelation, so scoring is one explode + one
+    * broadcast hash join + one doc-level aggregate; no shuffle carries
+    * text. The score is emitted µ-quantized (`floor(score·10⁶)`) so the
+    * cross-engine oracle compares integers, not last-ulp ln() bits.
+    *
+    * @return one row per doc: (idCol, n_tri, lm_score_u) */
+  def trigramLmScores(reference: DataFrame, docs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val modelRows = reference
+      .select(explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nTot = modelRows.map(_._2).sum
+    val vocab = modelRows.length + 1L // +1 = unseen bucket
+    val denom = (nTot + vocab).toDouble
+    val unseen = math.log(1.0 / denom)
+    val model = broadcast(modelRows.toSeq.toDF("tri", "c"))
+    docs.select(col(idCol), explode(charTrigrams(col(textCol))).as("tri"))
+      .join(model, Seq("tri"), "left")
+      .withColumn("lp", coalesce(log((col("c") + lit(1.0)) / lit(denom)), lit(unseen)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tri"),
+        floor(-avg(col("lp")) * lit(1e6)).cast("long").as("lm_score_u"))
+  }
 }

@@ -147,6 +147,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(3).getString(1) == "es")
   }
 
+  test("trigramLmScores: in-domain text scores lower than gibberish; " +
+    "unseen trigrams hit the smoothed floor") {
+    import spark.implicits._
+    val ref = Seq("the quick brown fox jumps over the lazy dog",
+      "the rain in spain stays mainly in the plain",
+      "pack my box with five dozen liquor jugs")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "the quick brown fox"),          // in-domain: seen trigrams
+      (11L, "0101 1100 0011 1010"),          // digit noise: ref has no digits → all unseen
+      (12L, "ab")                            // < 3 chars: no trigrams, no row
+    ).toDF("doc_id", "text")
+    val r = TextOps.trigramLmScores(ref, docs).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(10L, 11L), "short doc must emit no row")
+    val (inDomain, gibberish) = (r(0).getLong(2), r(1).getLong(2))
+    assert(inDomain < gibberish,
+      s"in-domain $inDomain must score below gibberish $gibberish")
+    // every gibberish trigram is unseen → its score is exactly the
+    // smoothed floor -ln(1/(N+V)), i.e. maximal for the model
+    val docs2 = Seq((20L, "99 99")).toDF("doc_id", "text")
+    val floorScore = TextOps.trigramLmScores(ref, docs2).head().getLong(2)
+    assert(gibberish == floorScore, "all-unseen docs must share the max score")
+  }
+
   test("rollingHash is order-sensitive, fingerprint is whitespace-robust") {
     val r = spark.sql("SELECT * FROM VALUES ('a b c'), ('c b a'), ('a  b  c') t(s)")
       .select(TextOps.rollingHash(col("s")).as("rh"),
