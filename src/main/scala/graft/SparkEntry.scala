@@ -1543,6 +1543,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- paragraph-level dedup with document reassembly (CCNet /
+    //    RefinedWeb curation stage): 10-word chunk units, global
+    //    first-occurrence wins, text rebuilt from survivors. The dedup
+    //    window ranks (md5, doc, cidx) rows only; reassembly joins the
+    //    text scan against losers-per-doc (AQE-broadcastable). ---------
+    "q84_paragraph_dedup" -> qd { spark =>
+      operators.ParagraphDedup.paragraphDedup(
+          spark.table("documents"), "doc_id", "text", chunkWords = 10)
+        .orderBy("doc_id")
+    },
+
+    // -- exact duplicated-span detection (suffix-array-style substring
+    //    dedup): maximal aligned runs of ≥20 verbatim-shared tokens
+    //    between document pairs, via positional 8-gram equi-join +
+    //    diagonal islands. Oracle rebuilds the same spans from raw gram
+    //    text; the Spark side joins on the 8-byte native gram hash. ----
+    "q85_duplicated_spans" -> qd { spark =>
+      operators.SpanDedup.duplicatedSpans(
+          spark.table("documents"), "doc_id", "text",
+          k = 8, minSpan = 20, maxGramOccurrences = 1000)
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    },
+
     // -- quantized IVF index under the same bounded-recall contract as
     //    q75: packed int8 vector storage (one byte per element, byte-dot
     //    re-rank) must keep recall ≥0.7 vs the q38 brute-force truth at
@@ -2388,6 +2411,54 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tri,
         |       CAST(floor(-avg(lp) * 1000000) AS BIGINT) AS lm_score_u
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // chunk-grain first-occurrence dedup + reassembly; chunk identity is
+    // the exact 10-word window text (space-rejoined), winner order is
+    // (doc_id, chunk index) — both engine-portable
+    "q84_paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents WHERE trim(text) <> ''),
+        |ch AS (SELECT doc_id,
+        |              unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS cidx,
+        |              unnest(list_transform(range(CAST(ceil(len(t) / 10.0) AS BIGINT)),
+        |                     i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' '))) AS chunk
+        |       FROM toks),
+        |rk AS (SELECT doc_id, cidx, chunk,
+        |              row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+        |       FROM ch)
+        |SELECT doc_id,
+        |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_chunks,
+        |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_chunks,
+        |       coalesce(string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE rn = 1), '')
+        |         AS cleaned_text
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // maximal aligned duplicated runs from raw 8-gram text: equi-join on
+    // the gram, diagonal = pos_a - pos_b, islands trick for maximality;
+    // the 1000-occurrence hot-gram cap mirrors the Spark plan exactly
+    "q85_duplicated_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents WHERE trim(text) <> ''),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |              unnest(list_transform(range(len(t) - 7),
+        |                     i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
+        |       FROM toks WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, pos, gr FROM g0
+        |      QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |             a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+        |runs AS (SELECT da, db, diag, pa, pb,
+        |                pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa)
+        |                  AS island
+        |         FROM m),
+        |spans AS (SELECT da AS doc_a, db AS doc_b,
+        |                 min(pa) AS a_start, min(pb) AS b_start,
+        |                 max(pa) - min(pa) + 8 AS span_tokens
+        |          FROM runs GROUP BY da, db, diag, island)
+        |SELECT doc_a, doc_b, a_start, b_start, span_tokens
+        |FROM spans WHERE span_tokens >= 20
+        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
 
     // streaming event-gap sessions ≡ batch gap-and-island grouping on the
     // replayed slice (exact theta regime: ≤5 distinct event types)

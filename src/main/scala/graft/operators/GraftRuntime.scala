@@ -145,6 +145,47 @@ object GraftRuntime {
     new GenericArrayData(out)
   }
 
+  // ---- GramHashes ---------------------------------------------------------
+
+  /** Positional k-gram hashes over whitespace tokens: element `p` is the
+    * xor-rotate-5 fold of the xxhash64 (seed 42) token hashes at positions
+    * `p..p+k-1` — the same gram identity as [[shingleSet]], but kept IN
+    * POSITION ORDER with no dedup, so a consumer can detect aligned
+    * duplicated runs. Documents with fewer than k tokens produce an EMPTY
+    * array (a span of length ≥ k cannot start in them), unlike
+    * [[shingleSet]]'s single whole-doc fold. */
+  def gramHashes(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var tokens = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        if (nTok == tokens.length) tokens = java.util.Arrays.copyOf(tokens, nTok * 2)
+        tokens(nTok) = XxHash64Function.hash(
+          UTF8String.fromBytes(bytes, start, i - start), StringType, 42L)
+        nTok += 1
+      }
+    }
+    if (nTok < k) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](nTok - k + 1)
+      var p = 0
+      while (p < out.length) {
+        var acc = 0L
+        var t = p
+        while (t < p + k) { acc = rot5(acc) ^ tokens(t); t += 1 }
+        out(p) = acc
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   // ---- MinHashSig ---------------------------------------------------------
 
   def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {

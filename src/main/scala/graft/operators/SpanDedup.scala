@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-span detection across documents — the
+  * suffix-array-style "exact substring dedup" of training-data curation
+  * (find every maximal run of ≥ minSpan tokens shared verbatim between two
+  * documents), re-expressed as a shuffle-friendly Spark plan:
+  *
+  *  1. positional k-gram hashes per document (native [[GramHashes]] —
+  *     one byte-scan, map-side, whole-stage codegen'd);
+  *  2. a document-frequency cap drops grams occurring more than
+  *     `maxGramOccurrences` times (boilerplate: headers, license blocks)
+  *     — the same quadratic-head protection as the Jaccard inverted
+  *     index, and the only thing standing between the gram self-join and
+  *     an O(df²) blowup on hot grams at 100 TB;
+  *  3. an equi-join on the gram id yields cross-document positional
+  *     matches (doc_a < doc_b);
+  *  4. matches on one alignment share a diagonal (pos_a − pos_b);
+  *     consecutive positions within a diagonal are grouped with the
+  *     classic islands trick (pos − row_number), and each island is one
+  *     maximal duplicated span of `islandLen + k − 1` tokens.
+  *
+  * Nothing after step 1 carries text: the join and both shuffles move
+  * (doc, pos, 8-byte gram id) rows only. The diagonal window partitions
+  * by (doc_a, doc_b, diagonal) — groups are bounded by the shorter
+  * document's length, never by corpus size, so no skewed window task.
+  */
+object SpanDedup {
+
+  /** Positional gram relation: (doc, pos, g) — one row per k-gram start
+    * position. Docs with fewer than k tokens contribute nothing. */
+  def gramRelation(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    df.select(col(idCol).as("doc"),
+        GraftShims.column(GramHashes(GraftShims.expression(col(textCol)), k)).as("ga"))
+      .select(col("doc"), posexplode(col("ga")))
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("col").as("g"))
+  }
+
+  /** Reference formulation of the positional gram array with pure array
+    * ops (kept for the property test pinning [[GramHashes]] semantics). */
+  private[graft] def gramHashesArrayOps(text: Column, k: Int): Column = {
+    val th = transform(TextOps.tokens(text), t => xxhash64(t))
+    val n = size(th)
+    val fold = (window: Column) =>
+      aggregate(window, lit(0L),
+        (acc, h) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(h))
+    when(n < k, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), n - k), i => fold(slice(th, i + 1, lit(k)))))
+  }
+
+  /** Maximal cross-document duplicated spans of ≥ `minSpan` tokens.
+    *
+    * Returns (doc_a, doc_b, a_start, b_start, span_tokens), doc_a < doc_b,
+    * positions 0-based token offsets. Grams occurring more than
+    * `maxGramOccurrences` times corpus-wide are excluded before the
+    * self-join (a span crossing an excluded gram splits — the documented
+    * cap trade-off, identical to the inverted-index DF cap). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, minSpan: Int = 20,
+                      maxGramOccurrences: Int = 1000): DataFrame = {
+    val g = gramRelation(df, idCol, textCol, k)
+    // Hot-gram exclusion: the hot list is tiny by construction (≤ mass /
+    // cap entries of one long each), so the anti-join broadcasts under
+    // AQE; the gram mass itself is never collected or re-keyed.
+    val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxGramOccurrences)
+      .select("g")
+    val capped =
+      if (maxGramOccurrences <= 0) g
+      else g.join(hot, Seq("g"), "left_anti")
+    val m = capped.as("a")
+      .join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    m.withColumn("island", col("pa") - row_number().over(w))
+      .groupBy("da", "db", "diag", "island")
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (max("pa") - min("pa") + lit(k.toLong)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("a_start"), col("b_start"), col("span_tokens"))
+  }
+}

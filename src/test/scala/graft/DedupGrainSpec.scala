@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import operators._
+
+/** Sub-document-grain dedup: paragraph/chunk dedup with reassembly
+  * ([[ParagraphDedup]]) and exact duplicated-span detection
+  * ([[SpanDedup]]). */
+class DedupGrainSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.cache().count()
+    d
+  }
+
+  test("native GramHashes matches the array-ops reference formulation") {
+    for (k <- Seq(1, 3, 8)) {
+      val fast = SpanDedup.gramRelation(docs.limit(40), "doc_id", "text", k)
+        .orderBy("doc", "pos")
+      val ref = docs.limit(40)
+        .select(col("doc_id").as("doc"), SpanDedup.gramHashesArrayOps(col("text"), k).as("ga"))
+        .select(col("doc"), posexplode(col("ga")))
+        .select(col("doc"), col("pos").cast("long").as("pos"), col("col").as("g"))
+        .orderBy("doc", "pos")
+      assert(fast.exceptAll(ref).count() == 0 && ref.exceptAll(fast).count() == 0,
+        s"positional gram hashes differ at k=$k")
+    }
+    // fewer than k tokens → EMPTY (no whole-doc fold, unlike ShingleSet)
+    val edge = spark.sql("SELECT * FROM VALUES ('one two', 1L), ('', 2L) t(text, doc_id)")
+    assert(SpanDedup.gramRelation(edge, "doc_id", "text", 3).count() == 0)
+  }
+
+  test("paragraphDedup drops repeated chunks globally, first occurrence wins") {
+    val d = spark.sql(
+      """SELECT * FROM VALUES
+        | (1L, 'a b c d e f g'),
+        | (2L, 'a b c x y z'),
+        | (3L, 'd e f d e f'),
+        | (4L, '   ') t(doc_id, text)""".stripMargin)
+    val out = ParagraphDedup.paragraphDedup(d, "doc_id", "text", chunkWords = 3)
+      .orderBy("doc_id").collect()
+    // blank doc 4 is excluded; doc 1 keeps all 3 chunks (incl. short tail)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 0 &&
+      out(0).getString(3) == "a b c d e f g")
+    // doc 2: 'a b c' already seen in doc 1
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == 1 &&
+      out(1).getString(3) == "x y z")
+    // doc 3: both its chunks equal doc 1's 'd e f' → everything drops
+    assert(out(2).getLong(1) == 0 && out(2).getLong(2) == 2 &&
+      out(2).getString(3) == "")
+  }
+
+  test("paragraphDedup drops an intra-document repeat, keeps the earlier position") {
+    val d = spark.sql("SELECT * FROM VALUES (1L, 'p q r s t u p q r v w x') t(doc_id, text)")
+    val out = ParagraphDedup.paragraphDedup(d, "doc_id", "text", chunkWords = 3)
+      .collect().head
+    assert(out.getLong(1) == 3 && out.getLong(2) == 1)
+    assert(out.getString(3) == "p q r s t u v w x")
+  }
+
+  test("duplicatedSpans finds a maximal aligned run with correct offsets") {
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val d = spark.sql(
+      s"""SELECT * FROM VALUES
+         | (1L, '$a'),
+         | (2L, 'x1 x2 x3 x4 x5 $a') t(doc_id, text)""".stripMargin)
+    val out = SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 20)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 5L && r.getLong(4) == 30L)
+    // the same pair is below a higher threshold
+    assert(SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 40).count() == 0)
+  }
+
+  test("duplicatedSpans splits on a single-token edit (island maximality)") {
+    val left = (1 to 15).map(i => s"a$i")
+    val right = (17 to 30).map(i => s"a$i")
+    val orig = (left ++ Seq("a16") ++ right).mkString(" ")
+    val edited = (left ++ Seq("EDIT") ++ right).mkString(" ")
+    val d = spark.sql(
+      s"SELECT * FROM VALUES (1L, '$orig'), (2L, '$edited') t(doc_id, text)")
+    val out = SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 10)
+      .orderBy("a_start").collect()
+    // two maximal spans: tokens 0..14 (15) and 16..29 (14), same diagonal
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 0L && out(0).getLong(4) == 15L)
+    assert(out(1).getLong(2) == 16L && out(1).getLong(4) == 14L)
+  }
+
+  test("hot-gram cap excludes boilerplate grams from span detection") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val rows = (1 to 4).map(i => s"(${i}L, '$boiler u${i}1 u${i}2 u${i}3')").mkString(", ")
+    val d = spark.sql(s"SELECT * FROM VALUES $rows t(doc_id, text)")
+    // every boilerplate gram occurs 4× > cap 3 → no candidate pairs at all
+    assert(SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 8,
+      maxGramOccurrences = 3).count() == 0)
+    // cap off: all 6 pairs share the 10-token boilerplate span
+    val uncapped = SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 8,
+      maxGramOccurrences = 0).collect()
+    assert(uncapped.length == 6 && uncapped.forall(_.getLong(4) == 10L))
+  }
+
+  test("q84/q85 driver entries return the documented shapes at sf0.001") {
+    val p = SparkEntry.queries("q84_paragraph_dedup")(spark, "/root/testdata/sf0.001")
+    assert(p.columns.toSeq ==
+      Seq("doc_id", "kept_chunks", "dropped_chunks", "cleaned_text"))
+    val rows = p.collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(1) + r.getLong(2) > 0))
+    val s = SparkEntry.queries("q85_duplicated_spans")(spark, "/root/testdata/sf0.001")
+    assert(s.columns.toSeq ==
+      Seq("doc_a", "doc_b", "a_start", "b_start", "span_tokens"))
+    assert(s.collect().forall(_.getLong(4) >= 20))
+  }
+}

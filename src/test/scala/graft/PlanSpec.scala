@@ -346,6 +346,43 @@ class PlanSpec extends SparkTestBase {
       s"text must not enter an exchange:\n$plan")
   }
 
+  test("paragraph dedup: the ranking shuffle carries (hash, doc, cidx) only") {
+    // Sub-document grain, same contract as exact dedup: the decision path
+    // ranks md5 fingerprints, never chunk text — at 100 TB the window
+    // exchange moves ~56 B/chunk instead of the chunk bytes.
+    val plan = operators.ParagraphDedup.chunkDrops(docs, "doc_id", "text", 10)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"expected the ranking-window shuffle:\n$plan")
+    val allowed = Set("h", "doc", "cidx")
+    assert(exchanges.forall(_.output.forall(a => allowed(a.name))),
+      s"only (h, doc, cidx) may enter the dedup-decision exchange:\n$plan")
+  }
+
+  test("duplicated spans: no exchange carries document or gram text") {
+    // Positional gram ids are 8-byte longs from the map-side native
+    // expression; the self-join, hot-gram anti-join, and diagonal window
+    // all move numeric rows only.
+    val plan = operators.SpanDedup
+      .duplicatedSpans(docs, "doc_id", "text", k = 8, minSpan = 20)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"expected gram-join shuffles:\n$plan")
+    assert(exchanges.forall(!_.output.exists(
+        _.dataType == org.apache.spark.sql.types.StringType)),
+      s"no string column may enter an exchange:\n$plan")
+  }
+
   test("stratified quota: both window stages run as pre-shuffle group limits") {
     // The point of the two-stage salted ranking is that no corpus-sized
     // group serializes through one window task. Spark additionally plants
