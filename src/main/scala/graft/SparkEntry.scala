@@ -1566,6 +1566,18 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     },
 
+    // -- duplicated-span REMOVAL (the second half of exact substring
+    //    dedup): every q85 span is cut from its pair's higher-id doc,
+    //    union of ranges per doc, text rebuilt from surviving tokens.
+    //    Oracle re-derives the same cut set from raw gram text and
+    //    anti-joins token positions. --------------------------------
+    "q86_span_removal" -> qd { spark =>
+      operators.SpanDedup.removeDuplicatedSpans(
+          spark.table("documents"), "doc_id", "text",
+          k = 8, minSpan = 20, maxGramOccurrences = 1000)
+        .orderBy("doc_id")
+    },
+
     // -- quantized IVF index under the same bounded-recall contract as
     //    q75: packed int8 vector storage (one byte per element, byte-dot
     //    re-rank) must keep recall ≥0.7 vs the q38 brute-force truth at
@@ -2459,6 +2471,46 @@ object SparkEntry {
         |SELECT doc_a, doc_b, a_start, b_start, span_tokens
         |FROM spans WHERE span_tokens >= 20
         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+    // q85's span pipeline, then cut the b-side copy: distinct cut
+    // positions per doc, token-position anti-join, per-doc reassembly
+    "q86_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents WHERE trim(text) <> ''),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |              unnest(list_transform(range(len(t) - 7),
+        |                     i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
+        |       FROM toks WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, pos, gr FROM g0
+        |      QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |             a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+        |runs AS (SELECT da, db, diag, pa, pb,
+        |                pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa)
+        |                  AS island
+        |         FROM m),
+        |spans AS (SELECT db AS doc_id,
+        |                 min(pb) AS b_start,
+        |                 max(pa) - min(pa) + 8 AS span_tokens
+        |          FROM runs GROUP BY da, db, diag, island),
+        |cutset AS (SELECT DISTINCT doc_id,
+        |                  unnest(range(b_start, b_start + span_tokens)) AS cut
+        |           FROM spans WHERE span_tokens >= 20),
+        |tok AS (SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS w
+        |        FROM toks),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.w
+        |         FROM tok LEFT JOIN cutset
+        |           ON tok.doc_id = cutset.doc_id AND tok.pos = cutset.cut
+        |         WHERE cutset.cut IS NULL)
+        |SELECT toks.doc_id,
+        |       CAST(count(kept.pos) AS BIGINT) AS kept_tokens,
+        |       CAST(len(any_value(toks.t)) - count(kept.pos) AS BIGINT)
+        |         AS removed_tokens,
+        |       coalesce(string_agg(kept.w, ' ' ORDER BY kept.pos), '')
+        |         AS cleaned_text
+        |FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id
+        |GROUP BY toks.doc_id ORDER BY toks.doc_id""".stripMargin,
 
     // streaming event-gap sessions ≡ batch gap-and-island grouping on the
     // replayed slice (exact theta regime: ≤5 distinct event types)

@@ -87,4 +87,44 @@ object SpanDedup {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("a_start"), col("b_start"), col("span_tokens"))
   }
+
+  /** Documents with duplicated spans REMOVED — the second half of exact
+    * substring dedup: for every span [[duplicatedSpans]] reports, the
+    * copy in the HIGHER-id document (the pair's b side) is cut and the
+    * lower-id copy kept, so one copy of every duplicated run survives
+    * corpus-wide. A document hit by several partners loses the UNION of
+    * its b-side token ranges.
+    *
+    * Returns (idCol, kept_tokens, removed_tokens, cleaned_text), one row
+    * per non-blank document (untouched documents pass through whole,
+    * single-space re-joined).
+    *
+    * Scale shape: span detection shuffles gram ids only; the cut list
+    * groups to one interval-array row per AFFECTED document (bounded by
+    * doc length / minSpan intervals), so the reassembly join is the q84
+    * losers-join — AQE-broadcastable on a mostly-clean corpus, text
+    * rebuilt map-side over the scan with an `exists` over intervals. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, minSpan: Int = 20,
+                            maxGramOccurrences: Int = 1000): DataFrame = {
+    val cuts = duplicatedSpans(df, idCol, textCol, k, minSpan, maxGramOccurrences)
+      .groupBy(col("doc_b").as("doc"))
+      .agg(collect_list(struct(col("b_start"), col("span_tokens"))).as("cuts"))
+    val base = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+    base.join(cuts, base(idCol) === cuts("doc"), "left")
+      .withColumn("keep",
+        when(col("cuts").isNull, sequence(lit(0L), size(col("toks")).cast("long") - 1L))
+          .otherwise(filter(
+            sequence(lit(0L), size(col("toks")).cast("long") - 1L),
+            i => !exists(col("cuts"),
+              c => i >= c("b_start") && i < c("b_start") + c("span_tokens")))))
+      .select(
+        col(idCol),
+        size(col("keep")).cast("long").as("kept_tokens"),
+        (size(col("toks")) - size(col("keep"))).cast("long").as("removed_tokens"),
+        array_join(
+          transform(col("keep"), i => element_at(col("toks"), (i + 1L).cast("int"))),
+          " ").as("cleaned_text"))
+  }
 }

@@ -105,6 +105,43 @@ class DedupGrainSpec extends SparkTestBase {
     assert(uncapped.length == 6 && uncapped.forall(_.getLong(4) == 10L))
   }
 
+  test("removeDuplicatedSpans cuts the b-side copy, keeps the lowest-id copy") {
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val d = spark.sql(
+      s"""SELECT * FROM VALUES
+         | (1L, '$a'),
+         | (2L, 'x1 x2 x3 x4 x5 $a'),
+         | (3L, 'u1 u2 u3 u4 u5 u6 u7 u8 u9 u10') t(doc_id, text)""".stripMargin)
+    val out = SpanDedup.removeDuplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 20)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    // doc 1 keeps its copy whole
+    assert(out(0).getLong(1) == 30 && out(0).getLong(2) == 0 && out(0).getString(3) == a)
+    // doc 2 loses the 30-token duplicated run, keeps its unique prefix
+    assert(out(1).getLong(1) == 5 && out(1).getLong(2) == 30 &&
+      out(1).getString(3) == "x1 x2 x3 x4 x5")
+    // doc 3 shares nothing and passes through
+    assert(out(2).getLong(2) == 0 && out(2).getString(3).startsWith("u1 u2"))
+  }
+
+  test("removeDuplicatedSpans unions overlapping cut ranges from several partners") {
+    val t1 = (1 to 30).map(i => s"a$i").mkString(" ")
+    val t2 = (11 to 40).map(i => s"a$i").mkString(" ")
+    val t3 = (1 to 40).map(i => s"a$i").mkString(" ")
+    val d = spark.sql(
+      s"SELECT * FROM VALUES (1L, '$t1'), (2L, '$t2'), (3L, '$t3') t(doc_id, text)")
+    val out = SpanDedup.removeDuplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 20)
+      .orderBy("doc_id").collect()
+    // doc 1 untouched; doc 2 loses its 20-token overlap with doc 1
+    // (pos 0..19), keeping a31..a40; doc 3 is covered by the union of the
+    // (1,3) span [0,30) and the (2,3) span [10,40) → fully removed
+    assert(out(0).getLong(2) == 0)
+    assert(out(1).getLong(1) == 10 && out(1).getLong(2) == 20 &&
+      out(1).getString(3) == (31 to 40).map(i => s"a$i").mkString(" "))
+    assert(out(2).getLong(1) == 0 && out(2).getLong(2) == 40 &&
+      out(2).getString(3) == "")
+  }
+
   test("q84/q85 driver entries return the documented shapes at sf0.001") {
     val p = SparkEntry.queries("q84_paragraph_dedup")(spark, "/root/testdata/sf0.001")
     assert(p.columns.toSeq ==
@@ -115,5 +152,9 @@ class DedupGrainSpec extends SparkTestBase {
     assert(s.columns.toSeq ==
       Seq("doc_a", "doc_b", "a_start", "b_start", "span_tokens"))
     assert(s.collect().forall(_.getLong(4) >= 20))
+    val r = SparkEntry.queries("q86_span_removal")(spark, "/root/testdata/sf0.001")
+    assert(r.columns.toSeq ==
+      Seq("doc_id", "kept_tokens", "removed_tokens", "cleaned_text"))
+    assert(r.collect().forall(x => x.getLong(1) + x.getLong(2) > 0))
   }
 }
