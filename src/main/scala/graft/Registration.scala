@@ -609,6 +609,10 @@ object Registration {
         arity("graft_shingle_set", args, 2, 2)
         graft.operators.ShingleSet(args.head, foldInt(args(1), "graft_shingle_set"))
       },
+      "graft_gram_hashes" -> { (args: Seq[Expression]) =>
+        arity("graft_gram_hashes", args, 2, 2)
+        graft.operators.GramHashes(args.head, foldInt(args(1), "graft_gram_hashes"))
+      },
       "graft_minhash_sig" -> { (args: Seq[Expression]) =>
         arity("graft_minhash_sig", args, 2, 2)
         graft.operators.MinHashSig(args.head, foldInt(args(1), "graft_minhash_sig"))

@@ -1566,6 +1566,19 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     },
 
+    // -- DSIR-style data selection: per-doc avg log-likelihood RATIO
+    //    between a target-domain (lang='en') and the raw-corpus trigram
+    //    model over a 1024-bucket hashed feature space (md5-derived, so
+    //    the oracle rebuilds the identical buckets). Positive = more
+    //    target-like; the resampling weight of DSIR. ------------------
+    "q87_dsir_weights" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.TextOps.dsirWeights(
+          docs.filter(col("lang") === "en"), docs, buckets = 1024)
+        .orderBy("doc_id")
+    },
+
     // -- duplicated-span REMOVAL (the second half of exact substring
     //    dedup): every q85 span is cut from its pair's higher-id doc,
     //    union of ranges per doc, text rebuilt from surviving tokens.
@@ -2471,6 +2484,31 @@ object SparkEntry {
         |SELECT doc_a, doc_b, a_start, b_start, span_tokens
         |FROM spans WHERE span_tokens >= 20
         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+    // hashed-trigram importance weights: same normalization/trigram
+    // derivation as q83, buckets via the portable md5-prefix hash, two
+    // add-one models, per-doc avg log ratio micro-quantized
+    "q87_dsir_weights" ->
+      """WITH norm AS (SELECT doc_id, lang,
+        |                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |              FROM documents),
+        |tri AS (SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS tri
+        |        FROM norm, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+        |bk AS (SELECT doc_id, lang,
+        |              ('0x' || substr(md5(tri), 1, 8))::UBIGINT % 1024 AS b
+        |       FROM tri),
+        |tc AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY b),
+        |rc AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+        |td AS (SELECT CAST(sum(c) + 1024 AS DOUBLE) AS d FROM tc),
+        |rd AS (SELECT CAST(sum(c) + 1024 AS DOUBLE) AS d FROM rc),
+        |scored AS (SELECT bk.doc_id,
+        |                  ln((coalesce(tc.c, 0) + 1.0) / td.d) -
+        |                  ln((coalesce(rc.c, 0) + 1.0) / rd.d) AS lr
+        |           FROM bk CROSS JOIN td CROSS JOIN rd
+        |           LEFT JOIN tc USING (b) LEFT JOIN rc USING (b))
+        |SELECT doc_id, count(*) AS n_tri,
+        |       CAST(floor(avg(lr) * 1000000) AS BIGINT) AS dsir_weight_u
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q85's span pipeline, then cut the b-side copy: distinct cut
     // positions per doc, token-position anti-join, per-doc reassembly

@@ -186,6 +186,39 @@ object GraftRuntime {
     }
   }
 
+  // ---- CharWindows --------------------------------------------------------
+
+  /** All k-code-point windows of a string, in order: element `i` equals
+    * `substr(s, i+1, k)` (code-point semantics, matching Spark/DuckDB
+    * substr). Strings shorter than k code points yield an empty array.
+    * One pass: code-point byte offsets are walked once and windows are
+    * zero-copy-sliced out of one shared byte array. */
+  def charWindows(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // byte offset of each code point start, plus the end sentinel
+    var offs = new Array[Int](math.max(n + 1, 8))
+    var nCp = 0
+    var i = 0
+    while (i < n) {
+      offs(nCp) = i
+      nCp += 1
+      val b = bytes(i) & 0xFF
+      i += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+    }
+    offs(nCp) = n
+    if (nCp < k) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](nCp - k + 1)
+      var p = 0
+      while (p < out.length) {
+        out(p) = UTF8String.fromBytes(bytes, offs(p), offs(p + k) - offs(p))
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   // ---- MinHashSig ---------------------------------------------------------
 
   def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {

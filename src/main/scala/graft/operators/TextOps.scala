@@ -95,8 +95,18 @@ object TextOps {
     lower(regexp_replace(trim(text), "\\s+", " "))
 
   /** Character trigrams of the normalized text (empty for texts shorter
-    * than 3 chars). Pure built-ins — sequence + substr stay codegen'd. */
+    * than 3 chars). Normalization runs ONCE as the native expression's
+    * child; windows are zero-copy slices (see [[CharWindows]] for why
+    * the composed transform+substr formulation — kept in
+    * [[charTrigramsArrayOps]] as the property-test pin — is O(len²)). */
   def charTrigrams(text: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(CharWindows(GraftShims.expression(normText(text)), 3))
+  }
+
+  /** Reference formulation of [[charTrigrams]] with pure built-ins
+    * (property-test pin for the native expression). */
+  private[graft] def charTrigramsArrayOps(text: Column): Column = {
     val t = normText(text)
     when(length(t) >= 3,
       transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
@@ -139,5 +149,74 @@ object TextOps {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tri"),
         floor(-avg(col("lp")) * lit(1e6)).cast("long").as("lm_score_u"))
+  }
+
+  /** Engine-portable trigram feature bucket: the first 8 md5 hex digits
+    * (a 32-bit value) mod `buckets` — DuckDB reproduces it as
+    * `('0x'||substr(md5(tri),1,8))::UBIGINT % buckets`. Computed
+    * driver-side on DISTINCT trigrams only (bounded by charset³): the
+    * scoring pass never hashes a trigram instance. */
+  private def triBucketLocal(tri: String, buckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tri.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    v % buckets
+  }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling): per-document average log-likelihood RATIO between a
+    * target-domain model and the raw-corpus model, both add-one-smoothed
+    * unigram models over a HASHED char-trigram feature space of
+    * `buckets` buckets — the fixed-size feature hashing that makes DSIR
+    * tractable at corpus scale. Positive weight = looks more like the
+    * target than the background; resample/filter on it.
+    *
+    * Scale shape (the q83 model-pull precedent, tightened): each model
+    * is a ≤`buckets`-row aggregate — bounded by construction regardless
+    * of corpus size — collected once and re-broadcast as a LocalRelation
+    * joined on the bucket id. Scoring is one pass over the docs'
+    * trigrams: broadcast join + map-side partial average; trigram rows
+    * never shuffle, only (doc, partial-sum) rows do.
+    *
+    * Weights are emitted micro-quantized (`floor(w · 1e6)` as a long) so
+    * an external SQL oracle can match them integer-exactly. */
+  def dsirWeights(target: DataFrame, docs: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  buckets: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Distinct-trigram counts (≤ charset³ rows, the q83 bounded pull);
+    // md5 bucketing happens ONCE per distinct trigram on the driver, so
+    // the corpus passes pay string aggregation only — no per-instance
+    // hashing anywhere.
+    def triCounts(df: DataFrame): Map[String, Long] =
+      df.select(explode(charTrigrams(col(textCol))).as("tri"))
+        .groupBy("tri").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tTri = triCounts(target)
+    val rTri = triCounts(docs)
+    def toBuckets(m: Map[String, Long]): Map[Long, Long] =
+      m.groupMapReduce { case (tri, _) => triBucketLocal(tri, buckets) }(_._2)(_ + _)
+    val tCounts = toBuckets(tTri)
+    val rCounts = toBuckets(rTri)
+    val tDenom = (tCounts.values.sum + buckets).toDouble
+    val rDenom = (rCounts.values.sum + buckets).toDouble
+    def bucketLr(b: Long): Double =
+      math.log((tCounts.getOrElse(b, 0L) + 1.0) / tDenom) -
+        math.log((rCounts.getOrElse(b, 0L) + 1.0) / rDenom)
+    // Broadcast tri → lr(bucket(tri)) for every trigram the scoring pass
+    // can produce (scoring input ⊆ docs by construction, so the map
+    // covers every instance; the scoring join is a string equi-join that
+    // AQE keeps broadcast).
+    val lrRows = (tTri.keySet ++ rTri.keySet).toSeq
+      .map(tri => (tri, bucketLr(triBucketLocal(tri, buckets))))
+    val model = broadcast(lrRows.toDF("tri", "lr"))
+    docs.select(col(idCol), explode(charTrigrams(col(textCol))).as("tri"))
+      .join(model, Seq("tri"), "left")
+      .withColumn("lr", coalesce(col("lr"), lit(math.log(rDenom / tDenom))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tri"),
+        floor(avg(col("lr")) * lit(1e6)).cast("long").as("dsir_weight_u"))
   }
 }

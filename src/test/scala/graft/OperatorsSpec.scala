@@ -171,6 +171,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(gibberish == floorScore, "all-unseen docs must share the max score")
   }
 
+  test("native CharWindows matches the transform+substr reference formulation") {
+    val both = docs.limit(60).select(
+      sort_array(TextOps.charTrigrams(col("text"))).as("fast"),
+      sort_array(TextOps.charTrigramsArrayOps(col("text"))).as("ref"))
+    assert(both.filter(not(col("fast") <=> col("ref"))).count() == 0)
+    // edge cases: short, exact-3, multibyte code points
+    val edge = spark.sql("SELECT * FROM VALUES ('ab'), ('abc'), ('héllo ü') t(s)")
+      .select(TextOps.charTrigrams(col("s")).as("w"),
+        TextOps.charTrigramsArrayOps(col("s")).as("r")).collect()
+    assert(edge(0).getSeq[String](0).isEmpty)
+    assert(edge(1).getSeq[String](0) == Seq("abc"))
+    assert(edge(2).getSeq[String](0) == edge(2).getSeq[String](1) &&
+      edge(2).getSeq[String](0).head == "hél")
+  }
+
+  test("dsirWeights: target-like text weighs positive, background-like negative") {
+    import spark.implicits._
+    // target = letter text, background bulk = digit text; the corpus
+    // holds both, so target-looking docs get p_target ≫ p_raw
+    val target = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the rain in spain stays mainly in the plain")).toDF("doc_id", "text")
+    val noise = (10L to 29L).map(i => (i, s"000$i 111$i 010 101 0011 1100")).toDF("doc_id", "text")
+    val corpus = target.union(noise)
+    val w = TextOps.dsirWeights(target, corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(0L) > 0 && w(1L) > 0, s"target docs must weigh positive: $w")
+    assert((10L to 29L).forall(w(_) < 0), "background docs must weigh negative")
+    assert(w(0L) > w(10L))
+    // degenerate identity: target == corpus → every bucket's ratio is
+    // exactly 1 → all weights exactly 0
+    val self = TextOps.dsirWeights(corpus, corpus).collect()
+    assert(self.nonEmpty && self.forall(_.getLong(2) == 0L))
+  }
+
   test("rollingHash is order-sensitive, fingerprint is whitespace-robust") {
     val r = spark.sql("SELECT * FROM VALUES ('a b c'), ('c b a'), ('a  b  c') t(s)")
       .select(TextOps.rollingHash(col("s")).as("rh"),
