@@ -609,6 +609,14 @@ object Registration {
         arity("graft_shingle_set", args, 2, 2)
         graft.operators.ShingleSet(args.head, foldInt(args(1), "graft_shingle_set"))
       },
+      "graft_word_chunks" -> { (args: Seq[Expression]) =>
+        arity("graft_word_chunks", args, 2, 2)
+        graft.operators.WordChunks(args.head, foldInt(args(1), "graft_word_chunks"))
+      },
+      "graft_word_windows" -> { (args: Seq[Expression]) =>
+        arity("graft_word_windows", args, 2, 2)
+        graft.operators.WordWindows(args.head, foldInt(args(1), "graft_word_windows"))
+      },
       "graft_gram_hashes" -> { (args: Seq[Expression]) =>
         arity("graft_gram_hashes", args, 2, 2)
         graft.operators.GramHashes(args.head, foldInt(args(1), "graft_gram_hashes"))

@@ -1064,10 +1064,8 @@ object SparkEntry {
       """SELECT f.item AS gram, f.estimate AS occurrences
         |FROM (SELECT explode(datasketch_frequent_items_get_frequent(
         |               datasketch_frequent_items(18, gram), 'NO_FALSE_NEGATIVES')) AS f
-        |      FROM (SELECT explode(transform(sequence(0, size(toks) - 3),
-        |                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
-        |            FROM (SELECT split(trim(text), '\\s+') AS toks FROM documents)
-        |            WHERE size(toks) >= 3))
+        |      FROM (SELECT explode(graft_word_windows(text, 3)) AS gram
+        |            FROM documents))
         |WHERE f.estimate >= 5
         |ORDER BY occurrences DESC, gram""".stripMargin),
 

@@ -186,6 +186,87 @@ object GraftRuntime {
     }
   }
 
+  // ---- WordChunks / WordWindows -------------------------------------------
+
+  /** Byte ranges (start, end) of whitespace-separated tokens. */
+  private def tokenRanges(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    val n = bytes.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val s = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > s) {
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s; ends(nTok) = i; nTok += 1
+      }
+    }
+    (starts, ends, nTok)
+  }
+
+  /** Single-space join of tokens `from until until` into a fresh string. */
+  private def joinTokens(bytes: Array[Byte], starts: Array[Int], ends: Array[Int],
+                         from: Int, until: Int): UTF8String = {
+    var len = until - from - 1
+    var t = from
+    while (t < until) { len += ends(t) - starts(t); t += 1 }
+    val out = new Array[Byte](len)
+    var pos = 0
+    t = from
+    while (t < until) {
+      if (t > from) { out(pos) = ' '; pos += 1 }
+      val l = ends(t) - starts(t)
+      System.arraycopy(bytes, starts(t), out, pos, l)
+      pos += l
+      t += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Non-overlapping k-token chunks, single-space re-joined, trailing
+    * partial chunk included; blank input → empty array. Equals
+    * `transform(sequence(0, ceil(n/k)-1), i => array_join(slice(
+    * split(trim(s), '\s+'), i*k+1, k), ' '))` without re-splitting the
+    * text once per chunk. */
+  def wordChunks(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends, nTok) = tokenRanges(bytes)
+    if (nTok == 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val nc = (nTok + k - 1) / k
+      val out = new Array[Any](nc)
+      var c = 0
+      while (c < nc) {
+        out(c) = joinTokens(bytes, starts, ends, c * k, math.min((c + 1) * k, nTok))
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Sliding k-token windows (full windows only), single-space
+    * re-joined; fewer than k tokens → empty array. */
+  def wordWindows(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends, nTok) = tokenRanges(bytes)
+    if (nTok < k) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](nTok - k + 1)
+      var p = 0
+      while (p < out.length) {
+        out(p) = joinTokens(bytes, starts, ends, p, p + k)
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   // ---- CharWindows --------------------------------------------------------
 
   /** All k-code-point windows of a string, in order: element `i` equals

@@ -29,8 +29,17 @@ object ParagraphDedup {
 
   /** Per-document chunk array: fixed windows of `chunkWords` whitespace
     * tokens, single-space re-joined (the trailing chunk may be short).
-    * Blank documents produce an empty array. */
-  private[operators] def chunkArray(text: Column, chunkWords: Int): Column = {
+    * Blank documents produce an empty array. Native [[WordChunks]] —
+    * the composed transform+slice formulation (kept in
+    * [[chunkArrayOps]] as the property pin) re-splits the text once per
+    * chunk when the lambda evaluates interpreted. */
+  private[graft] def chunkArray(text: Column, chunkWords: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(WordChunks(GraftShims.expression(text), chunkWords))
+  }
+
+  /** Reference formulation of [[chunkArray]] (property-test pin). */
+  private[graft] def chunkArrayOps(text: Column, chunkWords: Int): Column = {
     val words = split(trim(text), "\\s+")
     val nc = ceil(size(words) / lit(chunkWords.toDouble)).cast("int")
     when(trim(text) === "", array().cast("array<string>"))

@@ -32,6 +32,33 @@ class DedupGrainSpec extends SparkTestBase {
     assert(SpanDedup.gramRelation(edge, "doc_id", "text", 3).count() == 0)
   }
 
+  test("native WordChunks/WordWindows match the composed formulations") {
+    for (k <- Seq(1, 3, 10)) {
+      val both = docs.limit(40).select(
+        ParagraphDedup.chunkArray(col("text"), k).as("fast"),
+        ParagraphDedup.chunkArrayOps(col("text"), k).as("ref"))
+      assert(both.filter(not(col("fast") <=> col("ref"))).count() == 0,
+        s"chunk arrays differ at k=$k")
+    }
+    // windows vs the q67 composed shape (full windows only)
+    val w = docs.limit(40).selectExpr(
+      "graft_word_windows(text, 3) AS fast",
+      """CASE WHEN size(split(trim(text), '\\s+')) >= 3
+        |  THEN transform(sequence(0, size(split(trim(text), '\\s+')) - 3),
+        |    i -> concat_ws(' ', split(trim(text), '\\s+')[i],
+        |      split(trim(text), '\\s+')[i+1], split(trim(text), '\\s+')[i+2]))
+        |  ELSE array() END AS ref""".stripMargin)
+    assert(w.filter(not(col("fast") <=> col("ref"))).count() == 0)
+    // edges: blank → empty, multi-space collapse, short docs
+    val edge = spark.sql(
+      "SELECT * FROM VALUES ('   '), ('a  b   c d'), ('x y') t(s)")
+      .select(ParagraphDedup.chunkArray(col("s"), 3).as("c"),
+        col("s")).collect()
+    assert(edge(0).getSeq[String](0).isEmpty)
+    assert(edge(1).getSeq[String](0) == Seq("a b c", "d"))
+    assert(edge(2).getSeq[String](0) == Seq("x y"))
+  }
+
   test("paragraphDedup drops repeated chunks globally, first occurrence wins") {
     val d = spark.sql(
       """SELECT * FROM VALUES
