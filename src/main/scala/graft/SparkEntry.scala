@@ -1564,6 +1564,21 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     },
 
+    // -- sequence-level contamination: verbatim spans shared between
+    //    the corpus and a benchmark slice (doc_id % 7 = 0, the q59
+    //    split pattern). Catches long partial overlaps and quantifies
+    //    their extent, where gram-membership decontamination only
+    //    flags. ---------------------------------------------------------
+    "q88_contamination_spans" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.SpanDedup.crossSpans(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", k = 8, minSpan = 20, maxGramOccurrences = 1000)
+        .orderBy("left_id", "right_id", "left_start", "right_start")
+    },
+
     // -- DSIR-style data selection: per-doc avg log-likelihood RATIO
     //    between a target-domain (lang='en') and the raw-corpus trigram
     //    model over a 1024-bucket hashed feature space (md5-derived, so
@@ -2482,6 +2497,34 @@ object SparkEntry {
         |SELECT doc_a, doc_b, a_start, b_start, span_tokens
         |FROM spans WHERE span_tokens >= 20
         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+    // cross-corpus span pipeline from raw gram text; the 1000-occurrence
+    // cap is computed over BOTH sides' gram mass (union), mirroring
+    // crossSpans exactly
+    "q88_contamination_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents WHERE trim(text) <> ''),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |              unnest(list_transform(range(len(t) - 7),
+        |                     i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
+        |       FROM toks WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, pos, gr FROM g0
+        |      QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |             a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gr = b.gr
+        |      WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0),
+        |runs AS (SELECT da, db, diag, pa, pb,
+        |                pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa)
+        |                  AS island
+        |         FROM m),
+        |spans AS (SELECT da AS left_id, db AS right_id,
+        |                 min(pa) AS left_start, min(pb) AS right_start,
+        |                 max(pa) - min(pa) + 8 AS span_tokens
+        |          FROM runs GROUP BY da, db, diag, island)
+        |SELECT left_id, right_id, left_start, right_start, span_tokens
+        |FROM spans WHERE span_tokens >= 20
+        |ORDER BY left_id, right_id, left_start, right_start""".stripMargin,
 
     // hashed-trigram importance weights: same normalization/trigram
     // derivation as q83, buckets via the portable md5-prefix hash, two

@@ -52,6 +52,34 @@ object SpanDedup {
       .otherwise(transform(sequence(lit(0), n - k), i => fold(slice(th, i + 1, lit(k)))))
   }
 
+  /** Hot-gram exclusion over one or two gram relations: drop grams with
+    * more than `cap` total occurrences. The hot list is tiny by
+    * construction (≤ mass / cap entries of one long each), so the
+    * anti-join broadcasts under AQE; the gram mass itself is never
+    * collected or re-keyed. */
+  private def capGrams(rels: Seq[DataFrame], cap: Int): Seq[DataFrame] =
+    if (cap <= 0) rels
+    else {
+      val hot = rels.reduce(_ unionByName _)
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select("g")
+      rels.map(_.join(hot, Seq("g"), "left_anti"))
+    }
+
+  /** The diagonal-islands core: positional matches (da, db, pa, pb) on
+    * one alignment share `diag = pa − pb`; consecutive pa within a
+    * diagonal group into maximal runs, each a span of
+    * `runLen + k − 1` tokens. */
+  private def islandSpans(m: DataFrame, k: Int, minSpan: Int): DataFrame = {
+    val w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    m.withColumn("island", col("pa") - row_number().over(w))
+      .groupBy("da", "db", "diag", "island")
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (max("pa") - min("pa") + lit(k.toLong)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+  }
+
   /** Maximal cross-document duplicated spans of ≥ `minSpan` tokens.
     *
     * Returns (doc_a, doc_b, a_start, b_start, span_tokens), doc_a < doc_b,
@@ -62,30 +90,47 @@ object SpanDedup {
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, minSpan: Int = 20,
                       maxGramOccurrences: Int = 1000): DataFrame = {
-    val g = gramRelation(df, idCol, textCol, k)
-    // Hot-gram exclusion: the hot list is tiny by construction (≤ mass /
-    // cap entries of one long each), so the anti-join broadcasts under
-    // AQE; the gram mass itself is never collected or re-keyed.
-    val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxGramOccurrences)
-      .select("g")
-    val capped =
-      if (maxGramOccurrences <= 0) g
-      else g.join(hot, Seq("g"), "left_anti")
+    val Seq(capped) = capGrams(
+      Seq(gramRelation(df, idCol, textCol, k)), maxGramOccurrences)
     val m = capped.as("a")
       .join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("da"), col("b.doc").as("db"),
         col("a.pos").as("pa"), col("b.pos").as("pb"),
         (col("a.pos") - col("b.pos")).as("diag"))
-    val w = Window.partitionBy("da", "db", "diag").orderBy("pa")
-    m.withColumn("island", col("pa") - row_number().over(w))
-      .groupBy("da", "db", "diag", "island")
-      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
-        (max("pa") - min("pa") + lit(k.toLong)).as("span_tokens"))
-      .filter(col("span_tokens") >= minSpan)
+    islandSpans(m, k, minSpan)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("a_start"), col("b_start"), col("span_tokens"))
+  }
+
+  /** Maximal verbatim spans shared BETWEEN two corpora — sequence-level
+    * contamination detection: where k-gram membership (q59-style
+    * decontamination) flags documents sharing ANY gram with the
+    * benchmark, this reports the aligned runs themselves, catching long
+    * partial overlaps and quantifying their extent. Id spaces must be
+    * disjoint or overlap is reported for equal ids too (no self-pair
+    * exclusion across relations).
+    *
+    * Returns (left_id, right_id, left_start, right_start, span_tokens).
+    * The occurrence cap is computed over the UNION of both gram masses,
+    * bounding the df_left(g) × df_right(g) quadratic head on grams hot
+    * in either corpus. */
+  def crossSpans(left: DataFrame, right: DataFrame,
+                 idCol: String, textCol: String,
+                 k: Int = 8, minSpan: Int = 20,
+                 maxGramOccurrences: Int = 1000): DataFrame = {
+    val Seq(gl, gr) = capGrams(
+      Seq(gramRelation(left, idCol, textCol, k),
+        gramRelation(right, idCol, textCol, k)), maxGramOccurrences)
+    val m = gl.as("a")
+      .join(gr.as("b"), col("a.g") === col("b.g"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    islandSpans(m, k, minSpan)
+      .select(col("da").as("left_id"), col("db").as("right_id"),
+        col("a_start").as("left_start"), col("b_start").as("right_start"),
+        col("span_tokens"))
   }
 
   /** Documents with duplicated spans REMOVED — the second half of exact

@@ -169,6 +169,23 @@ class DedupGrainSpec extends SparkTestBase {
       out(2).getString(3) == "")
   }
 
+  test("crossSpans reports corpus-vs-benchmark overlap, no within-side pairs") {
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    val corp = spark.sql(
+      s"""SELECT * FROM VALUES
+         | (1L, 'c1 c2 c3 $shared'),
+         | (2L, 'c1 c2 c3 $shared'),
+         | (3L, 'n1 n2 n3 n4 n5 n6 n7 n8 n9') t(doc_id, text)""".stripMargin)
+    val bench = spark.sql(s"SELECT * FROM VALUES (100L, '$shared') t(doc_id, text)")
+    val out = SpanDedup.crossSpans(corp, bench, "doc_id", "text",
+      k = 8, minSpan = 20).orderBy("left_id").collect()
+    // docs 1 AND 2 both hit the benchmark (within-corpus 1~2 duplication
+    // is NOT reported — that's duplicatedSpans' job); doc 3 is clean
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.forall(r => r.getLong(1) == 100L && r.getLong(2) == 3L &&
+      r.getLong(3) == 0L && r.getLong(4) == 25L))
+  }
+
   test("q84/q85 driver entries return the documented shapes at sf0.001") {
     val p = SparkEntry.queries("q84_paragraph_dedup")(spark, "/root/testdata/sf0.001")
     assert(p.columns.toSeq ==
