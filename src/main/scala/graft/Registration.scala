@@ -367,6 +367,36 @@ object Registration {
     common ++ nonTd ++ nre ++ tw
   }
 
+  /** Two-sample Kolmogorov–Smirnov probes over quantile-family blobs
+    * (beyond-parity, SURVEY §7.4): `datasketch_{kll,quantiles}_ks(a, b)`
+    * → delta, `_ks_test(a, b, p)` → reject/accept. Lane dispatch follows
+    * the quantile-scalar rules (explicit tag wins, else metadata, else
+    * double); the lanes without a library KS overload bind-error with
+    * the fix spelled out. */
+  private def ksBuilders: Seq[(String, B)] = {
+    def b(family: String, fn: String): (String, B) = {
+      val fname = s"datasketch_${family}_ks" + (if (fn == "test") "_test" else "")
+      fname -> { rawArgs: Seq[Expression] =>
+        val (args0, tag, _) = splitElemTag(rawArgs)
+        val lohi = if (fn == "test") 3 else 2
+        arity(fname, args0, lohi, lohi)
+        checkFamilyTag(fname, family, args0.head)
+        checkFamilyTag(fname, family, args0(1))
+        val elem = tag.getOrElse(elemOf(args0.head, ElemType.Dbl))
+        if (family == "quantiles" && elem != ElemType.Dbl)
+          bindErr(s"$fname: KS is defined for the double lane of the classic quantiles " +
+            s"sketch; got '${elem.tag}' — build the sketches over DOUBLE values")
+        if (family == "kll" && elem == ElemType.Lng)
+          bindErr(s"$fname: KS is defined for the double and float KLL lanes; " +
+            "build the sketches over DOUBLE (cast integer inputs) to compare them")
+        val tail = if (fn == "test") Seq(dbl(args0(2))) else Seq.empty
+        KsScalar(family, fn, elem, Seq(args0.head, args0(1)) ++ tail)
+      }
+    }
+    Seq(b("kll", "delta"), b("kll", "test"),
+      b("quantiles", "delta"), b("quantiles", "test"))
+  }
+
   private def countScalarBuilders(family: String): Seq[(String, B)] = {
     def b(fn: String)(f: Seq[Expression] => Seq[Expression], lo: Int, hi: Int): (String, B) = {
       val fname = s"datasketch_${family}_$fn"
@@ -699,6 +729,7 @@ object Registration {
         thetaAggBuilder, freqAggBuilder) ++
       Seq("quantiles", "kll", "req", "tdigest").flatMap(quantScalarBuilders) ++
       countScalarBuilders("hll") ++ countScalarBuilders("cpc") ++
+      ksBuilders ++
       thetaScalarBuilders ++ freqScalarBuilders ++ bloomBuilders ++
       tupleBuilders ++ samplingBuilders ++ pipelineBuilders
 

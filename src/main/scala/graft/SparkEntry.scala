@@ -1635,6 +1635,56 @@ object SparkEntry {
         rm(new java.io.File(path))
       }
     },
+
+    // -- corpus-statistics scoring: BM25 against a bounded query set.
+    //    TF map-side (no token-instance shuffle), DF bounded by |Q|,
+    //    scoring one projection + TakeOrderedAndProject top-k ----------
+    "q89_bm25" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.TfIdf.bm25(spark.table("documents"), "doc_id", "text",
+          query = Seq("spark", "dup", "vector"), topK = 20)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("score_u"))
+        .orderBy("doc_id")
+    },
+
+    // -- full-vocabulary TF-IDF salient term per doc: (term,tf) pairs
+    //    from the sorted-run boundary scan (one row per DISTINCT term
+    //    per doc), vocab-sized DF equi-join, per-doc top-1 window ------
+    "q90_tfidf_terms" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.TfIdf.tfidfTopTerms(spark.table("documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("top_term"), col("tf"), col("w_u"))
+        .orderBy("doc_id")
+    },
+
+    // -- sketch-native distribution drift: KLL two-sample KS between the
+    //    click and view value distributions via datasketch_kll_ks, with
+    //    the exact distributed KS (two-level prefix scan — never a
+    //    global window) as in-query truth; ok = sketch within the two
+    //    sketches' summed normalized rank error of exact ---------------
+    "q91_kll_drift" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val ev = spark.table("events")
+        .filter(col("event_type").isin("click", "view"))
+      val isA = col("event_type") === "click"
+      operators.DriftOps.sketchKs(ev, "value", isA, k = 200)
+        .crossJoin(operators.DriftOps.exactKs(ev, "value", isA)) // both 1 row
+        .select(lit("kll_ks_click_vs_view").as("metric"),
+          floor(col("ks_exact") * 1e6).cast("long").as("ks_exact_u"),
+          (abs(col("ks_sketch") - col("ks_exact")) <= col("eps")).as("ok"))
+    },
+
+    // -- token-distribution entropy (gibberish/template signal), fully
+    //    map-side: sorted-run counts, H = ln(n) − Σ tf·ln(tf)/n --------
+    "q92_token_entropy" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      spark.table("documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(operators.TfIdf.lowerTokens(col("text"))).cast("long").as("n_tokens"),
+          floor(operators.TfIdf.tokenEntropy(col("text")) * 1e6).cast("long").as("entropy_u"))
+        .orderBy("doc_id")
+    },
   )
 
   /** What the benchmark times: `queries`, with oracle-portability shims
@@ -2673,5 +2723,95 @@ object SparkEntry {
         |FROM documents
         |GROUP BY ROLLUP(source, lang)
         |ORDER BY lvl, source, lang""".stripMargin,
+
+    // BM25 with the SAME floating-point expression tree as the Spark side:
+    // sub-expressions like (1.2 + 1.0) are left unfolded so both engines
+    // round identically, and the three per-term contributions are added in
+    // query-term order (the Spark left fold's order)
+    "q89_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |                  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS dl
+        |           FROM documents WHERE trim(text) <> ''),
+        |stats AS (SELECT CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
+        |                 count(*) AS n FROM d),
+        |dfq AS (SELECT
+        |          CAST((SELECT count(*) FROM d WHERE list_contains(toks, 'spark')) AS DOUBLE) AS df1,
+        |          CAST((SELECT count(*) FROM d WHERE list_contains(toks, 'dup')) AS DOUBLE) AS df2,
+        |          CAST((SELECT count(*) FROM d WHERE list_contains(toks, 'vector')) AS DOUBLE) AS df3),
+        |sc AS (SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+        |         ln(1.0 + (s.n - q.df1 + 0.5) / (q.df1 + 0.5))
+        |           * (CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+        |           / (CAST(len(list_filter(toks, t -> t = 'spark')) AS DOUBLE)
+        |              + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl))
+        |       + ln(1.0 + (s.n - q.df2 + 0.5) / (q.df2 + 0.5))
+        |           * (CAST(len(list_filter(toks, t -> t = 'dup')) AS DOUBLE) * (1.2 + 1.0))
+        |           / (CAST(len(list_filter(toks, t -> t = 'dup')) AS DOUBLE)
+        |              + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl))
+        |       + ln(1.0 + (s.n - q.df3 + 0.5) / (q.df3 + 0.5))
+        |           * (CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE) * (1.2 + 1.0))
+        |           / (CAST(len(list_filter(toks, t -> t = 'vector')) AS DOUBLE)
+        |              + 1.2 * ((1.0 - 0.75) + 0.75 * dl / s.avgdl)) AS score
+        |       FROM d CROSS JOIN stats s CROSS JOIN dfq q)
+        |SELECT doc_id, n_tokens, CAST(floor(score * 1000000) AS BIGINT) AS score_u
+        |FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // identical w = tf · ln(N/df) expression; top-1 per doc by
+    // (w desc, term) — the Spark window's exact comparator
+    "q90_tfidf_terms" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |              FROM documents WHERE trim(text) <> ''),
+        |pairs AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        |tc AS (SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM base),
+        |sc AS (SELECT tc.doc_id, tc.term, tc.tf,
+        |              CAST(tc.tf AS DOUBLE)
+        |                * ln(CAST(n.n_docs AS DOUBLE) / CAST(dft.df AS DOUBLE)) AS w
+        |       FROM tc JOIN dft USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY w DESC, term) AS rn FROM sc)
+        |SELECT doc_id, term AS top_term, tf,
+        |       CAST(floor(w * 1000000) AS BIGINT) AS w_u
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // exact two-sample KS: integer cumulative counts per distinct value
+    // (ties exact), only the final divisions are doubles — bit-stable, so
+    // the exact side hash-matches and the sketch side is a literal-true
+    // band check (the q39 pattern)
+    "q91_kll_drift" ->
+      """WITH vals AS (SELECT value AS v,
+        |                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+        |              FROM events
+        |              WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |d AS (SELECT v, CAST(sum(ia) AS BIGINT) AS da,
+        |             CAST(sum(1 - ia) AS BIGINT) AS db
+        |      FROM vals GROUP BY v),
+        |c AS (SELECT v, sum(da) OVER (ORDER BY v) AS ca,
+        |             sum(db) OVER (ORDER BY v) AS cb FROM d),
+        |n AS (SELECT CAST(sum(da) AS DOUBLE) AS na,
+        |             CAST(sum(db) AS DOUBLE) AS nb FROM d)
+        |SELECT 'kll_ks_click_vs_view' AS metric,
+        |       CAST(floor(max(abs(CAST(ca AS DOUBLE) / na
+        |                          - CAST(cb AS DOUBLE) / nb)) * 1000000) AS BIGINT)
+        |         AS ks_exact_u,
+        |       true AS ok
+        |FROM c CROSS JOIN n""".stripMargin,
+
+    // per-doc tf list assembled in sorted-term order so list_sum folds the
+    // SAME addends in the SAME order as the Spark side's sorted-run scan
+    "q92_token_entropy" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |              FROM documents WHERE trim(text) <> ''),
+        |pairs AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        |tc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM pairs GROUP BY doc_id, term),
+        |tfl AS (SELECT doc_id, list(tf ORDER BY term) AS tfs FROM tc GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n FROM base)
+        |SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+        |       CAST(floor((ln(n.n)
+        |         - list_sum(list_transform(tfs, x -> x * ln(x))) / n.n) * 1000000)
+        |         AS BIGINT) AS entropy_u
+        |FROM tfl JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }
