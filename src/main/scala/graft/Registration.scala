@@ -647,6 +647,10 @@ object Registration {
         arity("graft_word_windows", args, 2, 2)
         graft.operators.WordWindows(args.head, foldInt(args(1), "graft_word_windows"))
       },
+      "graft_term_runs" -> { (args: Seq[Expression]) =>
+        arity("graft_term_runs", args, 1, 1)
+        graft.operators.TermRuns(args.head)
+      },
       "graft_gram_hashes" -> { (args: Seq[Expression]) =>
         arity("graft_gram_hashes", args, 2, 2)
         graft.operators.GramHashes(args.head, foldInt(args(1), "graft_gram_hashes"))

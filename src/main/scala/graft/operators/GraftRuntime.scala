@@ -267,6 +267,44 @@ object GraftRuntime {
     }
   }
 
+  // ---- TermRuns -----------------------------------------------------------
+
+  /** Per-document (term, tf) pairs over the LOWERCASED whitespace tokens,
+    * in sorted-term order — one lowercase, one tokenize, one sort, one
+    * run-length scan. Equals the composed
+    * `zip_with(starts, ends, ... sort_array(split(lower(trim(s)),'\s+')))`
+    * formulation, whose interpreted evaluation re-sorts the token array
+    * once per element comparison (O(n² log n) per document — the lambda
+    * tax [[charWindows]] removed for char grams). Blank input → empty. */
+  def termRuns(s: UTF8String): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val (starts, ends, nTok) = tokenRanges(bytes)
+    if (nTok == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](nTok)
+    var i = 0
+    while (i < nTok) {
+      toks(i) = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
+      i += 1
+    }
+    java.util.Arrays.sort(toks, null) // natural order = Spark's binary string order
+    val out = new Array[Any](nTok)
+    var nRuns = 0
+    var p = 0
+    while (p < nTok) {
+      var q = p + 1
+      while (q < nTok && toks(q) == toks(p)) q += 1
+      out(nRuns) = InternalRow(toks(p), (q - p).toLong)
+      nRuns += 1
+      p = q
+    }
+    if (nRuns == nTok) new GenericArrayData(out)
+    else {
+      val trimmed = new Array[Any](nRuns)
+      System.arraycopy(out, 0, trimmed, 0, nRuns)
+      new GenericArrayData(trimmed)
+    }
+  }
+
   // ---- CharWindows --------------------------------------------------------
 
   /** All k-code-point windows of a string, in order: element `i` equals

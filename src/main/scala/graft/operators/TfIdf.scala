@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape, in the order the 100 TB audit cares about:
   *   - Per-document term frequencies never shuffle token instances: the
-  *     (term, tf) pairs are built map-side from a sorted-token boundary
-  *     scan ([[termCounts]], O(n log n) per doc, whole-stage codegen'd
-  *     array expressions) — the explode carries one row per DISTINCT term
-  *     per doc, not one per token.
+  *     (term, tf) pairs are built map-side by the native [[TermRuns]]
+  *     expression (one sorted-run scan, O(n log n) per doc, whole-stage
+  *     codegen'd) — the explode carries one row per DISTINCT term per
+  *     doc, not one per token.
   *   - BM25's document-frequency pass aggregates only tokens that match
   *     the bounded query set (filter BEFORE explode), so the shuffle is
   *     |Q| counters wide; the resulting per-term IDF table is a driver
@@ -33,12 +33,21 @@ object TfIdf {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(text)), "\\s+"))
 
-  /** Per-document (term, tf) pairs as `array<struct<term,tf>>`, computed
-    * WITHOUT a shuffle: sort the token array, find run boundaries, emit
-    * one struct per run. O(n log n) per document — not the O(n·distinct)
-    * of a naive `transform(distinct, t -> count)` (the same lambda tax
-    * [[CharWindows]] removed for char grams). */
-  def termCounts(toks: Column): Column = {
+  /** Per-document (term, tf) pairs as `array<struct<term,tf>>` in sorted
+    * term order, computed WITHOUT a shuffle by the native [[TermRuns]]
+    * expression (one lowercase → tokenize → sort → run-length scan per
+    * document, whole-stage codegen'd). */
+  def termRuns(text: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(TermRuns(GraftShims.expression(text)))
+  }
+
+  /** Composed reference formulation of [[termRuns]] over a pre-split
+    * token array — run boundaries from a filtered index sequence. Its
+    * interpreted evaluation inlines `sort_array` into the boundary
+    * lambda (re-sorts per element), so it exists only as the parity
+    * oracle for the native expression (DriftTfIdfSpec). */
+  private[graft] def termCountsArrayOps(toks: Column): Column = {
     val s = sort_array(toks)
     val n = size(s)
     // 0-based indices where a new run of equal tokens starts
@@ -51,18 +60,24 @@ object TfIdf {
       .otherwise(pairs)
   }
 
-  /** Shannon entropy (nats) of a document's token distribution, map-side:
-    * H = ln(n) − Σ tf·ln(tf) / n over the [[termCounts]] runs. NULL for
-    * empty documents. The algebraic form matches the oracle SQL term for
-    * term so both engines sum the same addends. */
-  def tokenEntropy(text: Column): Column = {
-    val toks = lowerTokens(text)
-    val n = size(toks).cast("double")
-    val sumTfLnTf = aggregate(termCounts(toks), lit(0.0d),
-      (acc, x) => acc + x.getField("tf").cast("double") * log(x.getField("tf").cast("double")))
-    when(size(toks) === 0, lit(null).cast("double"))
-      .otherwise(log(n) - sumTfLnTf / n)
-  }
+  /** Shannon entropy (nats) of a document's token distribution, map-side
+    * in ONE pass over the [[termRuns]] runs: a fused (n, Σ tf·ln tf)
+    * accumulator, finished as H = ln(n) − Σ tf·ln(tf) / n. NULL for
+    * empty documents. The algebraic form and the sorted-term addend
+    * order match the oracle SQL exactly. */
+  def tokenEntropy(text: Column): Column =
+    aggregate(termRuns(text),
+      struct(lit(0L).as("n"), lit(0.0d).as("s")),
+      (acc, x) => {
+        val tf = x.getField("tf")
+        struct((acc.getField("n") + tf).as("n"),
+          (acc.getField("s") + tf.cast("double") * log(tf.cast("double"))).as("s"))
+      },
+      acc => {
+        val n = acc.getField("n").cast("double")
+        when(acc.getField("n") === 0, lit(null).cast("double"))
+          .otherwise(log(n) - acc.getField("s") / n)
+      })
 
   /** BM25 document scores against a fixed query-term set; top `topK` docs
     * by (score desc, id asc). Output: (id, n_tokens, score_u) with the
@@ -116,10 +131,10 @@ object TfIdf {
     * the same (id, term, tf) relation (already one row per distinct term
     * per doc, so DF is a plain count), and joins back on the term key. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), lowerTokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
+    val base = docs.select(col(idCol).as("id"), termRuns(col(textCol)).as("tc"))
+      .filter(size(col("tc")) > 0)
     val pairs = base
-      .select(col("id"), explode(termCounts(col("toks"))).as("tc"))
+      .select(col("id"), explode(col("tc")).as("tc"))
       .select(col("id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val dfTable = pairs.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = base.agg(count(lit(1)).as("n_docs")) // 1 row

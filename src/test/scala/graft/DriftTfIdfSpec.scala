@@ -85,13 +85,21 @@ class DriftTfIdfSpec extends SparkTestBase {
 
   // --- termCounts / entropy ---------------------------------------------
 
-  test("termCounts: sorted-run scan matches a naive count, empty → empty") {
-    val df = Seq("b a b c a b", "x", "", "   ").toDF("text")
-      .select(TfIdf.termCounts(TfIdf.lowerTokens(col("text"))).as("tc"))
+  test("termRuns: native runs match hand counts, empty → empty") {
+    val df = Seq("b a B c a b", "x", "", "   ").toDF("text")
+      .select(TfIdf.termRuns(col("text")).as("tc"))
     val rows = df.selectExpr("to_json(tc) AS j").as[String].collect()
     assert(rows(0) == """[{"term":"a","tf":2},{"term":"b","tf":3},{"term":"c","tf":1}]""")
     assert(rows(1) == """[{"term":"x","tf":1}]""")
     assert(rows(2) == "[]" && rows(3) == "[]")
+  }
+
+  test("termRuns ≡ the composed array-ops reference on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val both = docs.select(
+      TfIdf.termRuns(col("text")).as("fast"),
+      TfIdf.termCountsArrayOps(TfIdf.lowerTokens(col("text"))).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
   test("tokenEntropy: uniform = ln(k), constant = 0, empty = NULL") {
