@@ -382,19 +382,25 @@ object Registration {
         arity(fname, args0, lohi, lohi)
         checkFamilyTag(fname, family, args0.head)
         checkFamilyTag(fname, family, args0(1))
-        val elem = tag.getOrElse(elemOf(args0.head, ElemType.Dbl))
+        val elem0 = tag.getOrElse(elemOf(args0.head, ElemType.Dbl))
+        val elem = if (family == "req") ElemType.Flt else elem0 // REQ is float-native
         if (family == "quantiles" && elem != ElemType.Dbl)
           bindErr(s"$fname: KS is defined for the double lane of the classic quantiles " +
             s"sketch; got '${elem.tag}' — build the sketches over DOUBLE values")
         if (family == "kll" && elem == ElemType.Lng)
           bindErr(s"$fname: KS is defined for the double and float KLL lanes; " +
             "build the sketches over DOUBLE (cast integer inputs) to compare them")
+        if (family == "req" && fn == "test")
+          bindErr(s"$fname: REQ's rank error is relative (rank-adaptive), so there " +
+            "is no constant-epsilon KS threshold — use datasketch_req_ks for the " +
+            "raw delta, or build KLL sketches for the thresholded test")
         val tail = if (fn == "test") Seq(dbl(args0(2))) else Seq.empty
         KsScalar(family, fn, elem, Seq(args0.head, args0(1)) ++ tail)
       }
     }
     Seq(b("kll", "delta"), b("kll", "test"),
-      b("quantiles", "delta"), b("quantiles", "test"))
+      b("quantiles", "delta"), b("quantiles", "test"),
+      b("req", "delta"), b("req", "test")) // req test binds to the explanatory error
   }
 
   private def countScalarBuilders(family: String): Seq[(String, B)] = {

@@ -1674,6 +1674,21 @@ object SparkEntry {
           (abs(col("ks_sketch") - col("ks_exact")) <= col("eps")).as("ok"))
     },
 
+    // -- PSI drift between the same two slices: exact equi-width-bin
+    //    PSI (bins-bounded aggregation, hash-checked) + the sketch-PMF
+    //    form a dashboard computes from stored blobs (band-checked) ----
+    "q93_psi_drift" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val ev = spark.table("events")
+        .filter(col("event_type").isin("click", "view"))
+      val isA = col("event_type") === "click"
+      operators.DriftOps.sketchPsi(ev, "value", isA, bins = 10, k = 200)
+        .crossJoin(operators.DriftOps.exactPsi(ev, "value", isA, bins = 10)) // 1 row each
+        .select(lit("psi_click_vs_view").as("metric"),
+          floor(col("psi_exact") * 1e6).cast("long").as("psi_exact_u"),
+          (abs(col("psi_sketch") - col("psi_exact")) <= 0.05).as("ok"))
+    },
+
     // -- token-distribution entropy (gibberish/template signal), fully
     //    map-side: sorted-run counts, H = ln(n) − Σ tf·ln(tf)/n --------
     "q92_token_entropy" -> qd { spark =>
@@ -2797,6 +2812,31 @@ object SparkEntry {
         |         AS ks_exact_u,
         |       true AS ok
         |FROM c CROSS JOIN n""".stripMargin,
+
+    // exact PSI: equi-width bins over the pooled [min,max] range, integer
+    // bin counts, 1e-4 zero-clip, contributions summed in bin order (the
+    // Spark fold's order); the sketch-PMF side is the literal-true band
+    "q93_psi_drift" ->
+      """WITH vals AS (SELECT value AS v,
+        |                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+        |              FROM events
+        |              WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+        |b AS (SELECT least(CAST(floor((v - lo) / ((hi - lo) / 10)) AS BIGINT),
+        |                   9) AS bin, ia
+        |      FROM vals CROSS JOIN mm),
+        |c AS (SELECT bin, CAST(sum(ia) AS BIGINT) AS ca,
+        |             CAST(sum(1 - ia) AS BIGINT) AS cb FROM b GROUP BY bin),
+        |n AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+        |             CAST(sum(cb) AS DOUBLE) AS nb FROM c),
+        |x AS (SELECT bin, greatest(ca / na, 0.0001) AS p,
+        |             greatest(cb / nb, 0.0001) AS q
+        |      FROM c CROSS JOIN n),
+        |l AS (SELECT list((p - q) * ln(p / q) ORDER BY bin) AS arr FROM x)
+        |SELECT 'psi_click_vs_view' AS metric,
+        |       CAST(floor(list_sum(arr) * 1000000) AS BIGINT) AS psi_exact_u,
+        |       true AS ok
+        |FROM l""".stripMargin,
 
     // per-doc tf list assembled in sorted-term order so list_sum folds the
     // SAME addends in the SAME order as the Spark side's sorted-run scan

@@ -34,6 +34,61 @@ object DriftOps {
         (expr("datasketch_kll_normalized_rank_error(sk_a, false)") +
           expr("datasketch_kll_normalized_rank_error(sk_b, false)")).as("eps"))
 
+  /** One row: (psi_sketch) — Population Stability Index between the two
+    * slices over `bins` equi-width bins of the pooled [min, max] range,
+    * computed from the two KLL sketches' PMF probes (the monitoring-
+    * dashboard form: bin masses come from stored KB blobs, not a data
+    * pass). Zero bins are clipped to 1e-4 before the log (the standard
+    * PSI convention, mirrored exactly by [[exactPsi]] and the oracle). */
+  def sketchPsi(df: DataFrame, valueCol: String, isA: Column,
+                bins: Int = 10, k: Int = 200): DataFrame = {
+    require(bins >= 2 && bins <= 1024, s"psi bins must be in [2,1024], got $bins")
+    val sk = df.select(col(valueCol).cast("double").as("v"), isA.as("is_a"))
+      .filter(col("v").isNotNull)
+      .agg(
+        expr(s"datasketch_kll($k, CASE WHEN is_a THEN v END)").as("sk_a"),
+        expr(s"datasketch_kll($k, CASE WHEN NOT is_a THEN v END)").as("sk_b"),
+        min("v").as("lo"), max("v").as("hi"))
+      .withColumn("w", (col("hi") - col("lo")) / bins)
+    val splits = array((1 until bins).map(i => col("lo") + lit(i) * col("w")): _*)
+    def clip(c: Column) = greatest(c, lit(1e-4))
+    sk.withColumn("splits", splits)
+      .withColumn("pa", expr("datasketch_kll_pmf(sk_a, splits, false)"))
+      .withColumn("pb", expr("datasketch_kll_pmf(sk_b, splits, false)"))
+      .select(aggregate(
+        zip_with(col("pa"), col("pb"), (p, q) =>
+          (clip(p) - clip(q)) * log(clip(p) / clip(q))),
+        lit(0.0d), (acc, x) => acc + x).as("psi_sketch"))
+  }
+
+  /** One row: (psi_exact) — the exact PSI twin: equi-width bin counts
+    * via a bins-bounded aggregation (scales like any grouped count),
+    * contributions summed in bin order so the oracle's `list(... ORDER
+    * BY bin)` fold adds the identical IEEE addends. */
+  def exactPsi(df: DataFrame, valueCol: String, isA: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1024, s"psi bins must be in [2,1024], got $bins")
+    val vals = df.select(col(valueCol).cast("double").as("v"),
+        when(isA, 1L).otherwise(0L).as("ia"))
+      .filter(col("v").isNotNull)
+    val mm = vals.agg(min("v").as("lo"), max("v").as("hi")) // 1 row
+    val binned = vals.crossJoin(broadcast(mm))
+      .withColumn("bin", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(floor((col("v") - col("lo"))
+          / ((col("hi") - col("lo")) / bins)), lit((bins - 1).toLong))))
+    val counts = binned.groupBy("bin")
+      .agg(sum("ia").as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+    val n = counts.agg(sum("ca").cast("double").as("na"),
+      sum("cb").cast("double").as("nb")) // 1 row
+    def clip(c: Column) = greatest(c, lit(1e-4))
+    counts.crossJoin(broadcast(n))
+      .withColumn("p", clip(col("ca") / col("na")))
+      .withColumn("q", clip(col("cb") / col("nb")))
+      .withColumn("contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+      .agg(sort_array(collect_list(struct(col("bin"), col("contrib")))).as("arr"))
+      .select(aggregate(col("arr"), lit(0.0d),
+        (acc, x) => acc + x.getField("contrib")).as("psi_exact"))
+  }
+
   /** One row: (ks_exact) — the exact two-sample KS distance, distributed.
     * Counts are exact integers end-to-end; the only doubles are the final
     * per-row divisions, so the result is bit-stable across engines. */

@@ -3,6 +3,7 @@ package graft.sketch
 import org.apache.datasketches.kll.{KllDoublesSketch, KllFloatsSketch}
 import org.apache.datasketches.quantiles.DoublesSketch
 import org.apache.datasketches.quantilescommon.{KolmogorovSmirnov, QuantilesAPI}
+import org.apache.datasketches.req.ReqSketch
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types._
 
@@ -14,13 +15,16 @@ import Kit._
   * its tests; datasketches-java ships the closed form over the sketches'
   * sorted views).
   *
-  * `datasketch_kll_ks(a, b)` / `datasketch_quantiles_ks(a, b)` return
-  * the KS delta (max CDF distance, in [0,1]); the `_ks_test(a, b, p)`
-  * forms return the library's reject/accept decision at target p-value
-  * `p`. Lanes: KLL double + float (the two KS overloads the library
-  * defines), classic quantiles double. Either-side-empty → NULL (there
-  * is no CDF to compare — the same shape as the families' per-family
-  * empty finalize, pinned in DriftSpec).
+  * `datasketch_{kll,quantiles,req}_ks(a, b)` return the KS delta (max
+  * CDF distance, in [0,1]); the `_ks_test(a, b, p)` forms return the
+  * library's reject/accept decision at target p-value `p`. Lanes: KLL
+  * double + float (the two KS overloads the library defines), classic
+  * quantiles double, REQ (float-native; delta only — REQ's relative
+  * rank error admits no constant-epsilon threshold, so `_ks_test`
+  * bind-errors, mirroring the library's own rejection). Either-side-
+  * empty → NULL
+  * (there is no CDF to compare — the same shape as the families'
+  * per-family empty finalize, pinned in DriftTfIdfSpec).
   *
   * Why this is the 100 TB answer: the exact two-sample KS needs a global
   * ECDF (a sort or a two-level prefix scan over ALL rows every time the
@@ -49,6 +53,9 @@ case class KsScalar(family: String, fn: String, elem: ElemType, children: Seq[Ex
   private def classicD(bytes: Array[Byte]): DoublesSketch =
     memoDeser("ks/quantiles/double", bytes)(
       deser("Quantiles", bytes)(DoublesSketch.heapify(mem(bytes))))
+  private def req(bytes: Array[Byte]): ReqSketch =
+    memoDeser("ks/req", bytes)(
+      deser("REQ", bytes)(ReqSketch.heapify(mem(bytes))))
 
   override def compute(args: Array[Any]): Any = {
     val ba = args(0).asInstanceOf[Array[Byte]]
@@ -59,6 +66,9 @@ case class KsScalar(family: String, fn: String, elem: ElemType, children: Seq[Ex
         finish(s1, s2, KolmogorovSmirnov.computeKSDelta(s1, s2), args)
       case ("kll", _) =>
         val (s1, s2) = (kllD(ba), kllD(bb))
+        finish(s1, s2, KolmogorovSmirnov.computeKSDelta(s1, s2), args)
+      case ("req", _) =>
+        val (s1, s2) = (req(ba), req(bb))
         finish(s1, s2, KolmogorovSmirnov.computeKSDelta(s1, s2), args)
       case _ =>
         val (s1, s2) = (classicD(ba), classicD(bb))

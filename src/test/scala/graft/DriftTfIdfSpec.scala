@@ -83,6 +83,38 @@ class DriftTfIdfSpec extends SparkTestBase {
     assert(fast == slow)
   }
 
+  test("req_ks: float-native delta works; _ks_test bind-errors (relative error)") {
+    val r = spark.range(5000).select(col("id").cast("double").as("v"))
+      .agg(expr("datasketch_req(12, v)").as("a"))
+      .selectExpr("datasketch_req_ks(a, a) AS same").head()
+    assert(r.getDouble(0) == 0.0)
+    val err = intercept[Exception] {
+      spark.range(10).select(col("id").cast("double").as("v"))
+        .agg(expr("datasketch_req(12, v)").as("a"))
+        .selectExpr("datasketch_req_ks_test(a, a, 0.05)").collect()
+    }
+    assert(err.getMessage.contains("relative"))
+  }
+
+  test("psi: identical slices ~0, shifted slices large, sketch tracks exact") {
+    // same uniform distribution in both slices → exact PSI 0
+    val same = spark.range(20000).select(
+      (col("id") % 1000).cast("double").as("v"), (col("id") % 2 === 0).as("is_a"))
+    val e0 = DriftOps.exactPsi(same, "v", col("is_a")).head().getDouble(0)
+    assert(math.abs(e0) < 1e-12)
+    val s0 = DriftOps.sketchPsi(same, "v", col("is_a")).head().getDouble(0)
+    assert(math.abs(s0 - e0) <= 0.05)
+    // disjoint slabs → every bin one-sided: PSI = 2 · Σ p·ln(p/1e-4), large
+    val shifted = spark.range(20000).select(
+      when(col("id") % 2 === 0, col("id") % 1000)
+        .otherwise((col("id") % 1000) + 10000).cast("double").as("v"),
+      (col("id") % 2 === 0).as("is_a"))
+    val e1 = DriftOps.exactPsi(shifted, "v", col("is_a")).head().getDouble(0)
+    assert(e1 > 5.0)
+    val s1 = DriftOps.sketchPsi(shifted, "v", col("is_a")).head().getDouble(0)
+    assert(math.abs(s1 - e1) <= 0.5, s"sketch PSI $s1 vs exact $e1")
+  }
+
   // --- termCounts / entropy ---------------------------------------------
 
   test("termRuns: native runs match hand counts, empty → empty") {
