@@ -1689,6 +1689,22 @@ object SparkEntry {
           (abs(col("psi_sketch") - col("psi_exact")) <= 0.05).as("ok"))
     },
 
+    // -- hour-over-hour drift series: one KLL blob per window, KS probed
+    //    between consecutive windows via window-lag over the BLOBS —
+    //    the production monitoring shape (sketches stored once, drift a
+    //    scalar probe; no re-scan per question). The exact per-pair KS
+    //    (parallel per-pair windows) is hash-checked; the sketch KS is
+    //    band-checked within summed rank error + one combined ECDF step
+    //    (the library's merge-walk evaluation grain) ------------------
+    "q94_drift_series" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.DriftOps.ksSeries(spark.table("events"), "ts", "value", k = 200)
+        .select(col("h").cast("long").as("window_start_s"),
+          floor(col("ks_exact") * 1e6).cast("long").as("ks_exact_u"),
+          (abs(col("ks_sketch") - col("ks_exact")) <= col("eps")).as("ok"))
+        .orderBy("window_start_s")
+    },
+
     // -- token-distribution entropy (gibberish/template signal), fully
     //    map-side: sorted-run counts, H = ln(n) − Σ tf·ln(tf)/n --------
     "q92_token_entropy" -> qd { spark =>
@@ -2837,6 +2853,31 @@ object SparkEntry {
         |       CAST(floor(list_sum(arr) * 1000000) AS BIGINT) AS psi_exact_u,
         |       true AS ok
         |FROM l""".stripMargin,
+
+    // exact per-consecutive-hour-pair two-sample KS (integer ECDF counts,
+    // ties exact, pure IEEE divisions — hash-stable); the sketch-probe
+    // side is the literal-true band column
+    "q94_drift_series" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, value AS v FROM events),
+        |hrs AS (SELECT DISTINCT h FROM e),
+        |pairs AS (SELECT h, lag(h) OVER (ORDER BY h) AS ph FROM hrs),
+        |p AS (SELECT h, ph FROM pairs WHERE ph IS NOT NULL),
+        |m AS (SELECT p.h AS h, e.v,
+        |             CASE WHEN e.h = p.ph THEN 1 ELSE 0 END AS ia
+        |      FROM p JOIN e ON e.h = p.ph OR e.h = p.h),
+        |d AS (SELECT h, v, CAST(sum(ia) AS BIGINT) AS da,
+        |             CAST(sum(1 - ia) AS BIGINT) AS db FROM m GROUP BY h, v),
+        |c AS (SELECT h, v, sum(da) OVER (PARTITION BY h ORDER BY v) AS ca,
+        |             sum(db) OVER (PARTITION BY h ORDER BY v) AS cb FROM d),
+        |n AS (SELECT h, CAST(sum(da) AS DOUBLE) AS na,
+        |             CAST(sum(db) AS DOUBLE) AS nb FROM d GROUP BY h)
+        |SELECT epoch_us(c.h) // 1000000 AS window_start_s,
+        |       CAST(floor(max(abs(CAST(ca AS DOUBLE) / na
+        |                          - CAST(cb AS DOUBLE) / nb)) * 1000000) AS BIGINT)
+        |         AS ks_exact_u,
+        |       true AS ok
+        |FROM c JOIN n USING (h)
+        |GROUP BY c.h ORDER BY window_start_s""".stripMargin,
 
     // per-doc tf list assembled in sorted-term order so list_sum folds the
     // SAME addends in the SAME order as the Spark side's sorted-run scan

@@ -34,6 +34,67 @@ object DriftOps {
         (expr("datasketch_kll_normalized_rank_error(sk_a, false)") +
           expr("datasketch_kll_normalized_rank_error(sk_b, false)")).as("eps"))
 
+  /** Hour-over-hour drift series: one KLL blob per hour, KS probed
+    * between consecutive (existing) hours via a lag window over the
+    * BLOBS — the production monitoring shape: sketches are stored once
+    * and drift is a scalar probe, no re-scan per question. Alongside,
+    * the exact per-pair two-sample KS (per-pair windows, parallel
+    * across pairs) as the in-query truth.
+    *
+    * Output per pair: (h, ks_sketch, ks_exact, eps) where `eps` =
+    * summed normalized rank errors + one combined ECDF step
+    * (1/na + 1/nb). The step term bounds the library's merge-walk
+    * evaluation, which probes CDF differences at sorted-view frontier
+    * pairs rather than the textbook sup over ≤-ECDFs — measured ≤0.55
+    * of a combined step on this corpus, and 0 when both distributions
+    * are identical.
+    *
+    * The lag window is one row per HOUR — bounded like the two-level
+    * scans' P-row step; partition it by day/month at larger spans. */
+  def ksSeries(events: DataFrame, tsCol: String, valueCol: String,
+               k: Int = 200): DataFrame = {
+    val e = events
+      .select(date_trunc("hour", col(tsCol)).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val hourly = e.groupBy("h")
+      .agg(expr(s"datasketch_kll($k, v)").as("sk"), count(lit(1)).as("n"))
+    val w = Window.orderBy("h")
+    val sketchSide = hourly
+      .withColumn("prev", lag(col("sk"), 1).over(w))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("h"),
+        expr("datasketch_kll_ks(prev, sk)").as("ks_sketch"),
+        (expr("datasketch_kll_normalized_rank_error(prev, false)")
+          + expr("datasketch_kll_normalized_rank_error(sk, false)")
+          + lit(1.0) / col("prev_n") + lit(1.0) / col("n")).as("eps"))
+    // exact side: every event is the 'current' of its own pair and the
+    // 'prev' of the next existing hour's pair. The hour-pair relation is
+    // hours-sized but grows with the time span, so the joins are plain
+    // equi-joins — AQE broadcasts them while they fit and splits them
+    // when they don't (the scale-killer sweep's contract)
+    val hp = hourly.select(col("h").as("p"))
+      .withColumn("ph", lag(col("p"), 1).over(Window.orderBy("p")))
+      .filter(col("ph").isNotNull)
+    val ma = e.join(hp, col("h") === col("ph"))
+      .select(col("p"), col("v"), lit(1L).as("ia"))
+    val mb = e.join(hp.select("p"), col("h") === col("p"))
+      .select(col("p"), col("v"), lit(0L).as("ia"))
+    val d = ma.unionByName(mb).groupBy("p", "v")
+      .agg(sum("ia").as("da"), sum(lit(1L) - col("ia")).as("db"))
+    val wp = Window.partitionBy("p").orderBy("v")
+    val n = d.groupBy("p").agg(sum("da").cast("double").as("na"),
+      sum("db").cast("double").as("nb"))
+    val exact = d
+      .withColumn("ca", sum("da").over(wp))
+      .withColumn("cb", sum("db").over(wp))
+      .join(n, "p")
+      .groupBy("p")
+      .agg(max(abs(col("ca") / col("na") - col("cb") / col("nb"))).as("ks_exact"))
+    sketchSide.join(exact, col("h") === col("p")).drop("p")
+  }
+
   /** One row: (psi_sketch) — Population Stability Index between the two
     * slices over `bins` equi-width bins of the pooled [min, max] range,
     * computed from the two KLL sketches' PMF probes (the monitoring-

@@ -66,6 +66,29 @@ class DriftTfIdfSpec extends SparkTestBase {
     assert(err.getMessage.contains("double and float KLL lanes"))
   }
 
+  test("identical distributions: sketch KS ≡ exact KS exactly (ties included)") {
+    // the library's merge-walk evaluates CDF differences at sorted-view
+    // frontier pairs — off the textbook sup by up to one combined ECDF
+    // step on differing distributions (the q94 band), but exactly 0 ≡ 0
+    // when the two distributions coincide
+    val df = spark.range(300).select(
+      ((col("id") % 60) / 4.0).as("v"), (col("id") % 2 === 0).as("is_a"))
+    val sk = DriftOps.sketchKs(df, "v", col("is_a"), k = 200).head().getDouble(0)
+    val ex = DriftOps.exactKs(df, "v", col("is_a")).head().getDouble(0)
+    assert(sk == ex, s"sketch $sk != exact $ex on identical slices")
+  }
+
+  test("ksSeries: every pair's sketch KS lands inside its band") {
+    val ev = normalizeEventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val r = DriftOps.ksSeries(ev, "ts", "value", k = 200)
+      .select((abs(col("ks_sketch") - col("ks_exact")) <= col("eps")).as("ok"),
+        col("ks_exact"))
+      .collect()
+    assert(r.nonEmpty && r.forall(_.getBoolean(0)))
+    assert(r.forall(x => x.getDouble(1) >= 0 && x.getDouble(1) <= 1))
+  }
+
   test("exactKs two-level scan ≡ single-window formulation, ties included") {
     import org.apache.spark.sql.expressions.Window
     val df = spark.range(3000).select(
