@@ -1705,6 +1705,40 @@ object SparkEntry {
         .orderBy("window_start_s")
     },
 
+    // -- quantile-rank normalization (sketch-as-broadcast-model): one
+    //    KLL pass builds the model, the transform is a per-row codegen'd
+    //    probe of the 1-row broadcast blob. Five anchor rows are checked
+    //    against their EXACT global ranks (conditional-count aggregates,
+    //    one scan for all five): exact rank hash-matches DuckDB, sketch
+    //    rank band-checked at 2× normalized rank error ----------------
+    "q95_rank_normalize" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val ev = spark.table("events").filter(col("value").isNotNull)
+      val ranked = operators.RangeBounds
+        .rankTransform(ev, "value", "r", kllK = 400)
+        .filter(col("event_id") < 5)
+        .select(col("event_id"), col("r"))
+      // bounded driver pull: the 5 anchor values
+      val anchors = ev.filter(col("event_id") < 5)
+        .select(col("event_id"), col("value")).collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._1)
+      val cnts = ev.agg(count(lit(1)).as("n"),
+        anchors.map { case (id, v) =>
+          sum(when(col("value") <= v, 1L).otherwise(0L)).as(s"c$id") }: _*).head()
+      val n = cnts.getLong(0).toDouble
+      val exact = anchors.indices
+        .map(i => (anchors(i)._1, cnts.getLong(i + 1) / n)).toMap
+      val exactCol = anchors.foldLeft(lit(null).cast("double")) { case (acc, (id, _)) =>
+        when(col("event_id") === id, lit(exact(id))).otherwise(acc) }
+      val nre = org.apache.datasketches.kll.KllSketch
+        .getNormalizedRankError(400, false)
+      ranked.withColumn("exact", exactCol)
+        .select(col("event_id"),
+          floor(col("exact") * 1e6).cast("long").as("exact_rank_u"),
+          (abs(col("r") - col("exact")) <= nre * 2).as("ok"))
+        .orderBy("event_id")
+    },
+
     // -- token-distribution entropy (gibberish/template signal), fully
     //    map-side: sorted-run counts, H = ln(n) − Σ tf·ln(tf)/n --------
     "q92_token_entropy" -> qd { spark =>
@@ -1734,6 +1768,16 @@ object SparkEntry {
     * overridden subset is not recoverable by value comparison). */
   def benchOverrides: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
+      // q95's `queries` entry checks 5 anchors; the production path is
+      // the full-table transform (one model pass + a per-row broadcast
+      // probe) — bench the shape a feature pipeline actually runs
+      "q95_rank_normalize" -> qd { spark =>
+        import org.apache.spark.sql.functions._
+        operators.RangeBounds.rankTransform(
+            spark.table("events").filter(col("value").isNotNull),
+            "value", "r", kllK = 400)
+          .select(col("event_id"), col("r"))
+      },
       "q37_simhash_pairs" -> qd { spark =>
         import org.apache.spark.sql.functions._
         operators.DedupOps.simhashPairs(spark.table("documents"), "doc_id", "text", maxDist = 3)
@@ -2828,6 +2872,19 @@ object SparkEntry {
         |         AS ks_exact_u,
         |       true AS ok
         |FROM c CROSS JOIN n""".stripMargin,
+
+    // exact inclusive rank count(v' <= v)/n for the 5 anchors; the
+    // sketch-probe rank is the literal-true band column
+    "q95_rank_normalize" ->
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events
+        |           WHERE value IS NOT NULL)
+        |SELECT p.event_id,
+        |       CAST(floor((SELECT count(*) FROM events e
+        |                   WHERE e.value IS NOT NULL AND e.value <= p.value)
+        |                  / n.n * 1000000) AS BIGINT) AS exact_rank_u,
+        |       true AS ok
+        |FROM (SELECT event_id, value FROM events WHERE event_id < 5) p
+        |CROSS JOIN n ORDER BY p.event_id""".stripMargin,
 
     // exact PSI: equi-width bins over the pooled [min,max] range, integer
     // bin counts, 1e-4 zero-clip, contributions summed in bin order (the

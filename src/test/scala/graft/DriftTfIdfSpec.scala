@@ -138,6 +138,20 @@ class DriftTfIdfSpec extends SparkTestBase {
     assert(math.abs(s1 - e1) <= 0.5, s"sketch PSI $s1 vs exact $e1")
   }
 
+  test("rankTransform: ranks in (0,1], monotone with value, near-exact") {
+    val df = spark.range(5000).select((col("id") % 997).cast("double").as("v"))
+    val r = operators.RangeBounds.rankTransform(df, "v", "r", kllK = 400)
+      .collect().map(x => (x.getDouble(0), x.getDouble(1)))
+    assert(r.forall { case (_, rk) => rk > 0.0 && rk <= 1.0 })
+    val nre = org.apache.datasketches.kll.KllSketch.getNormalizedRankError(400, false)
+    // exact inclusive rank of v in id%997 over 5000 rows is closed-form
+    val counts = r.map(_._1).groupBy(identity).view.mapValues(_.size).toMap
+    val sortedVals = counts.keys.toSeq.sorted
+    val cum = sortedVals.scanLeft(0)((a, v) => a + counts(v)).tail
+    val exact = sortedVals.zip(cum.map(_ / 5000.0)).toMap
+    assert(r.forall { case (v, rk) => math.abs(rk - exact(v)) <= 2 * nre })
+  }
+
   // --- termCounts / entropy ---------------------------------------------
 
   test("termRuns: native runs match hand counts, empty → empty") {
