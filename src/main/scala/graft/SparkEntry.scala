@@ -1705,6 +1705,40 @@ object SparkEntry {
         .orderBy("window_start_s")
     },
 
+    // -- snapshot profile drift: exact row/null counts per column are
+    //    hash-checked; HLL distinct estimates band-checked against exact
+    //    distincts (computed in-query, 3σ ≈ 5% at lgK=12); KLL KS
+    //    band-checked as a same-distribution sanity (both slices
+    //    interleave the same generator). Two aggregation passes total
+    //    for the profile regardless of column count. -------------------
+    "q96_profile_drift" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val ev = spark.table("events")
+      val sa = ev.filter(col("user_id") % 2 === 0)
+      val sb = ev.filter(col("user_id") % 2 === 1)
+      val cols = Seq("value", "user_id", "event_type")
+      val prof = operators.Profiler.profileDrift(sa, sb, cols)
+      // bounded pulls: one exact-distinct row per side (oracle-harness
+      // exactness; a deployment reads the HLL fields instead)
+      def exact(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(countDistinct(col(cols.head)),
+          cols.tail.map(c => countDistinct(col(c))): _*).head()
+        cols.indices.map(i => cols(i) -> r.getLong(i)).toMap
+      }
+      val (ea, eb) = (exact(sa), exact(sb))
+      def litFor(m: Map[String, Long]) = cols.foldLeft(lit(null).cast("double")) {
+        case (acc, c) => when(col("column") === c, lit(m(c).toDouble)).otherwise(acc)
+      }
+      prof
+        .withColumn("xa", litFor(ea)).withColumn("xb", litFor(eb))
+        .select(col("column").as("col_name"),
+          col("n_a"), col("n_b"), col("null_a"), col("null_b"),
+          (abs(col("approx_distinct_a") - col("xa")) <= col("xa") * 0.05).as("distinct_a_ok"),
+          (abs(col("approx_distinct_b") - col("xb")) <= col("xb") * 0.05).as("distinct_b_ok"),
+          (col("ks").isNull || col("ks") < 0.1).as("ks_ok"))
+        .orderBy("col_name")
+    },
+
     // -- quantile-rank normalization (sketch-as-broadcast-model): one
     //    KLL pass builds the model, the transform is a per-row codegen'd
     //    probe of the 1-row broadcast blob. Five anchor rows are checked
@@ -2872,6 +2906,30 @@ object SparkEntry {
         |         AS ks_exact_u,
         |       true AS ok
         |FROM c CROSS JOIN n""".stripMargin,
+
+    // exact per-column row/null counts; the sketch estimates are the
+    // literal-true band columns
+    "q96_profile_drift" ->
+      """WITH a AS (SELECT * FROM events WHERE user_id % 2 = 0),
+        |b AS (SELECT * FROM events WHERE user_id % 2 = 1),
+        |rows_ab AS (
+        |  SELECT 'event_type' AS col_name,
+        |         (SELECT count(*) FROM a WHERE event_type IS NULL) AS null_a,
+        |         (SELECT count(*) FROM b WHERE event_type IS NULL) AS null_b
+        |  UNION ALL
+        |  SELECT 'user_id',
+        |         (SELECT count(*) FROM a WHERE user_id IS NULL),
+        |         (SELECT count(*) FROM b WHERE user_id IS NULL)
+        |  UNION ALL
+        |  SELECT 'value',
+        |         (SELECT count(*) FROM a WHERE value IS NULL),
+        |         (SELECT count(*) FROM b WHERE value IS NULL))
+        |SELECT col_name,
+        |       (SELECT count(*) FROM a) AS n_a,
+        |       (SELECT count(*) FROM b) AS n_b,
+        |       null_a, null_b,
+        |       true AS distinct_a_ok, true AS distinct_b_ok, true AS ks_ok
+        |FROM rows_ab ORDER BY col_name""".stripMargin,
 
     // exact inclusive rank count(v' <= v)/n for the 5 anchors; the
     // sketch-probe rank is the literal-true band column

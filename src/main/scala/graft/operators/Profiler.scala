@@ -53,4 +53,52 @@ object Profiler {
     }
     sk.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Snapshot-over-snapshot profile drift — the ops question "did this
+    * table change shape since yesterday?" answered from TWO aggregation
+    * passes (one per snapshot) regardless of column count: exact row and
+    * null counts, HLL distinct-count ratio, and (numeric columns) the
+    * KLL two-sample KS distance. The comparison itself is a 1-row ×
+    * 1-row join of sketch blobs probed scalar-side — and since the per-
+    * snapshot aggregates are mergeable sketches, a deployment stores
+    * them per snapshot and answers every later drift question without
+    * touching either snapshot again.
+    *
+    * Output: one row per column —
+    * (column, n_a, n_b, null_a, null_b, approx_distinct_a,
+    *  approx_distinct_b, ks) with ks NULL for non-numeric columns. */
+  def profileDrift(a: DataFrame, b: DataFrame, columns: Seq[String],
+                   lgK: Int = 12, kllK: Int = 200): DataFrame = {
+    graft.Registration.register(a.sparkSession)
+    val numeric = columns.filter(c => a.schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }).toSet
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val aggs = count(lit(1)).as(s"n__$tag") +: columns.flatMap { c =>
+        val base = Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls_$tag"),
+          datasketch_hll(lgK, col(c)).as(s"${c}__hll_$tag"))
+        if (numeric(c))
+          base :+ datasketch_kll(kllK, col(c).cast("double")).as(s"${c}__kll_$tag")
+        else base
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val joined = side(a, "a").crossJoin(side(b, "b")) // 1 row × 1 row
+    val rows = columns.map { c =>
+      val ks =
+        if (numeric(c))
+          sketch_fn("kll", "ks", col(s"${c}__kll_a"), col(s"${c}__kll_b"))
+        else lit(null).cast("double")
+      struct(
+        lit(c).as("column"),
+        col("n__a").as("n_a"), col("n__b").as("n_b"),
+        col(s"${c}__nulls_a").as("null_a"), col(s"${c}__nulls_b").as("null_b"),
+        round(sketch_fn("hll", "estimate", col(s"${c}__hll_a")), 1).as("approx_distinct_a"),
+        round(sketch_fn("hll", "estimate", col(s"${c}__hll_b")), 1).as("approx_distinct_b"),
+        ks.as("ks"))
+    }
+    joined.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
 }
