@@ -260,4 +260,27 @@ class PropertiesSpec extends SparkTestBase {
       .collect()
     assert(bad.isEmpty, s"scanner/regex divergence:\n${bad.take(5).mkString("\n")}")
   }
+
+  test("TermRuns: fuzz parity with a plain-Scala bag-of-words over adversarial text") {
+    // unicode letters (case-fold through UTF8String.toLowerCase), mixed
+    // whitespace classes, separator runs, empty and blank strings
+    val alphabet = "aAbBzZéÉαΑ \t\n\r\f09._".toCharArray
+    val rnd = new scala.util.Random(7)
+    val texts = Seq("", " ", "\t\n", "a", " a ", "A a aa") ++ (1 to 300).map(_ =>
+      (1 to rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = texts.toDF("t")
+      .select(operators.TfIdf.termRuns(col("t")).as("tc"))
+      .selectExpr("transform(tc, x -> concat(x.term, ':', x.tf)) AS p")
+      .as[Seq[String]].collect()
+    texts.zip(got).foreach { case (t, pairs) =>
+      // reference: Java-regex tokenizer + lowercase + sorted bag count
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val want = toks.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }
+      assert(pairs == want, s"mismatch on ${t.map(_.toInt).mkString(",")}")
+    }
+  }
 }
