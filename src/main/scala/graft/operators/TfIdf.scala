@@ -100,6 +100,8 @@ object TfIdf {
     val stats = base.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl").cast("long")).cast("double") / count(lit(1))).as("avgdl")).head()
     val nDocs = stats.getLong(0)
+    if (nDocs == 0) // empty corpus: empty result of the output schema
+      return base.select(col("id"), lit(0L).as("n_tokens"), lit(0L).as("score_u"))
     val avgdl = stats.getDouble(1)
     // |Q|-bounded DF pass: filter to query terms BEFORE exploding
     val qArr = array(qTerms.map(lit): _*)

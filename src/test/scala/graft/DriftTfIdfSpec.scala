@@ -206,6 +206,12 @@ class DriftTfIdfSpec extends SparkTestBase {
       Seq((1L, "rare"), (2L, "x"), (3L, "y")))
   }
 
+  test("bm25: empty or all-blank corpus returns an empty frame, no crash") {
+    val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(TfIdf.bm25(docs, "doc_id", "text", query = Seq("x")).count() == 0)
+    assert(TfIdf.bm25(docs.limit(0), "doc_id", "text", query = Seq("x")).count() == 0)
+  }
+
   test("bm25 rejects an unbounded query-term set") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     val err = intercept[IllegalArgumentException] {
