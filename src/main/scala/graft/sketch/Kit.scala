@@ -170,7 +170,28 @@ object Kit {
     * and heapify-style deserializers copy out — but a new wrap-style
     * caller that reuses buffers must copy before calling. */
   private final class BlobKey(val tag: String, val bytes: Array[Byte]) {
-    override val hashCode: Int = tag.hashCode * 31 + java.util.Arrays.hashCode(bytes)
+    // Sampled content hash: per-row probes construct a key per call, and
+    // hashing a multi-KB blob per row dominated the q95 rank-transform
+    // profile. Ends + middle discriminate real sketch blobs (the tail of
+    // a sketch is data, not preamble); equals stays a FULL compare, so a
+    // sampled collision costs one memcmp, never a wrong cache hit.
+    override val hashCode: Int = {
+      val n = bytes.length
+      var h = tag.hashCode * 31 + n
+      if (n <= 48) {
+        var i = 0
+        while (i < n) { h = h * 31 + bytes(i); i += 1 }
+      } else {
+        var i = 0
+        while (i < 16) { h = h * 31 + bytes(i); i += 1 }
+        val mid = n / 2 - 8
+        i = 0
+        while (i < 16) { h = h * 31 + bytes(mid + i); i += 1 }
+        i = n - 16
+        while (i < n) { h = h * 31 + bytes(i); i += 1 }
+      }
+      h
+    }
     override def equals(o: Any): Boolean = o match {
       case b: BlobKey => b.tag == tag && java.util.Arrays.equals(b.bytes, bytes)
       case _          => false
