@@ -16,8 +16,10 @@ import graft.sketch.Kit.ElemType
 class GraftBindException(msg: String) extends IllegalArgumentException(msg)
 
 /** Function registration — the Spark analog of the reference's extension
-  * entry point (`src/datasketches_extension.cpp:30-41`): installs all 88
-  * SQL names into the session's FunctionRegistry.
+  * entry point (`src/datasketches_extension.cpp:30-41`): installs the
+  * reference's 88 SQL names, plus the beyond-parity surface (bloom /
+  * tuple-AOD / sampling families, the KS drift probes, and the
+  * `graft_*` pipeline expressions), into the session's FunctionRegistry.
   *
   * Bind-time behavior mirrors the reference:
   *  - K / lg_k must be a foldable constant; it is validated against the

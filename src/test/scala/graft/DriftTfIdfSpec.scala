@@ -89,6 +89,15 @@ class DriftTfIdfSpec extends SparkTestBase {
     assert(r.forall(x => x.getDouble(1) >= 0 && x.getDouble(1) <= 1))
   }
 
+  test("ks scalars surface the family deserialization error on corrupt blobs") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT datasketch_kll_ks(CAST('garbage' AS BINARY), " +
+        "CAST('garbage' AS BINARY))").collect()
+    }
+    val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.toLowerCase.contains("deserialize"), s"unexpected error: $msg")
+  }
+
   test("exactKs two-level scan ≡ single-window formulation, ties included") {
     import org.apache.spark.sql.expressions.Window
     val df = spark.range(3000).select(
