@@ -1705,6 +1705,24 @@ object SparkEntry {
         .orderBy("window_start_s")
     },
 
+    // -- incremental NEAR-dup dedup: the new batch (doc_id%5=0) banded
+    //    against the history corpus (rest) — the fuzzy face of q64's
+    //    exact incremental dedup. LSH equi-join into (storable) history
+    //    buckets, exact Jaccard verify on candidates; shared hot list
+    //    so both sides measure the same shingle universe ---------------
+    "q97_incremental_neardup" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.DedupOps.crossMinhashPairs(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", k = 3, threshold = 0.6,
+          knownHot = sharedHot(spark, dir))
+        .select(col("doc_a").as("batch_doc"), col("doc_b").as("history_doc"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("batch_doc", "history_doc")
+    },
+
     // -- snapshot profile drift: exact row/null counts per column are
     //    hash-checked; HLL distinct estimates band-checked against exact
     //    distincts (computed in-query, 3σ ≈ 5% at lgK=12); KLL KS
@@ -2906,6 +2924,24 @@ object SparkEntry {
         |         AS ks_exact_u,
         |       true AS ok
         |FROM c CROSS JOIN n""".stripMargin,
+
+    // brute-force cross-side shingle Jaccard (the q36 oracle with the
+    // self-join swapped for the batch × history split)
+    "q97_incremental_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+2], ' '))) s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS batch_doc, b.doc_id AS history_doc,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+        |SELECT batch_doc, history_doc, round(jaccard, 6) AS jaccard
+        |FROM pairs WHERE jaccard >= 0.6
+        |ORDER BY batch_doc, history_doc""".stripMargin,
 
     // exact per-column row/null counts; the sketch estimates are the
     // literal-true band columns

@@ -294,6 +294,62 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Cross-corpus MinHash+LSH near-dup pairs: every (left, right) pair
+    * with shingle-Jaccard ≥ threshold — the FUZZY face of incremental
+    * ingest dedup ([[IncrementalDedup]] is the exact face): band the NEW
+    * batch's signatures against the stored corpus's and drop/flag
+    * collisions. The history side's shingle sets, signatures, and band
+    * buckets are snapshot-stable artifacts a deployment materializes
+    * once per corpus version; the per-batch cost is then the batch's
+    * own signatures plus equi-joins into the stored relations — never a
+    * batch × history scan. Both sides are capped against ONE hot list
+    * (pass the corpus list via `knownHot`, or it is derived from the
+    * union) so Jaccard is measured over the same shingle universe. */
+  def crossMinhashPairs(left: DataFrame, right: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int, threshold: Double,
+                        numHashes: Int = 64, bands: Int = 16,
+                        maxShingleDF: Int = 1000,
+                        knownHot: Option[Array[Long]] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val lBase = shingleSets(left, idCol, textCol, k).cache()
+    val rBase = shingleSets(right, idCol, textCol, k).cache()
+    val hot = knownHot.getOrElse(
+      if (maxShingleDF <= 0) Array.empty[Long]
+      else hotShingles(lBase.unionByName(rBase), maxShingleDF))
+    def capped(s: DataFrame) = capSetsKnown(s, hot).filter(size(col("shset")) > 0)
+    val lSets = capped(lBase)
+    val rSets = capped(rBase)
+    def buckets(sets: DataFrame) = {
+      val sig = minhashSignatures(sets, numHashes)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bucket"))
+      }
+      sig.select(col("doc"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc"), col("bb.band"), col("bb.bucket"))
+    }
+    val cands = buckets(lSets).as("a")
+      .join(buckets(rSets).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    // exact verification on candidates only (see minhashLshPairs for why
+    // the candidate joins carry NO forced broadcast)
+    val withA = cands
+      .join(lSets.as("sa"), col("doc_a") === col("sa.doc"))
+      .select(col("doc_a"), col("doc_b"), col("sa.sz").as("sz_a"), col("sa.shset").as("set_a"))
+    withA
+      .join(rSets.as("sb"), col("doc_b") === col("sb.doc"))
+      .withColumn("common", size(array_intersect(col("set_a"), col("sb.shset"))))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sb.sz") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over tokens: bit j of the result is the sign of
     * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Delegates to the
     * native [[SimHash64]] expression (single byte-scan per row; see its

@@ -161,6 +161,22 @@ class DriftTfIdfSpec extends SparkTestBase {
     assert(r.forall { case (v, rk) => math.abs(rk - exact(v)) <= 2 * nre })
   }
 
+  test("crossMinhashPairs ≡ self-join pairs restricted to the split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cross = operators.DedupOps.crossMinhashPairs(
+        docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", k = 3, threshold = 0.6)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the within-corpus miner (a<b canonical), re-oriented
+    val self = operators.DedupOps.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.6)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter { case (a, b) => a % 5 == 0 && b % 5 != 0 }.toSet
+    assert(cross == self, s"cross=${cross.size} self=${self.size}")
+  }
+
   // --- termCounts / entropy ---------------------------------------------
 
   test("termRuns: native runs match hand counts, empty → empty") {
