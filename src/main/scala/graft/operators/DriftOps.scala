@@ -113,13 +113,18 @@ object DriftOps {
       .withColumn("w", (col("hi") - col("lo")) / bins)
     val splits = array((1 until bins).map(i => col("lo") + lit(i) * col("w")): _*)
     def clip(c: Column) = greatest(c, lit(1e-4))
+    val psi = aggregate(
+      zip_with(col("pa"), col("pb"), (p, q) =>
+        (clip(p) - clip(q)) * log(clip(p) / clip(q))),
+      lit(0.0d), (acc, x) => acc + x)
     sk.withColumn("splits", splits)
       .withColumn("pa", expr("datasketch_kll_pmf(sk_a, splits, false)"))
       .withColumn("pb", expr("datasketch_kll_pmf(sk_b, splits, false)"))
-      .select(aggregate(
-        zip_with(col("pa"), col("pb"), (p, q) =>
-          (clip(p) - clip(q)) * log(clip(p) / clip(q))),
-        lit(0.0d), (acc, x) => acc + x).as("psi_sketch"))
+      // constant column: every split point coincides (the PMF probe
+      // requires strictly increasing splits) — but a width-0 range means
+      // both slices hold one identical value, so PSI is exactly 0
+      .select(when(col("hi") === col("lo"), lit(0.0d))
+        .otherwise(psi).as("psi_sketch"))
   }
 
   /** One row: (psi_exact) — the exact PSI twin: equi-width bin counts

@@ -145,6 +145,10 @@ class DriftTfIdfSpec extends SparkTestBase {
     assert(e1 > 5.0)
     val s1 = DriftOps.sketchPsi(shifted, "v", col("is_a")).head().getDouble(0)
     assert(math.abs(s1 - e1) <= 0.5, s"sketch PSI $s1 vs exact $e1")
+    // constant column: all split points coincide — defined as PSI 0
+    val const = spark.range(100).select(lit(7.0).as("v"), (col("id") % 2 === 0).as("is_a"))
+    assert(DriftOps.sketchPsi(const, "v", col("is_a")).head().getDouble(0) == 0.0)
+    assert(DriftOps.exactPsi(const, "v", col("is_a")).head().getDouble(0) == 0.0)
   }
 
   test("rankTransform: ranks in (0,1], monotone with value, near-exact") {
