@@ -1705,6 +1705,56 @@ object SparkEntry {
         .orderBy("window_start_s")
     },
 
+    // -- STREAMING drift series: the q94 probe closed over the q81
+    //    sketch-table sink — replayed stream maintains per-window KLL
+    //    rows, drift is a lag probe over the rolled-up sink (sketch
+    //    idempotence absorbs update-mode duplicates; the sink IS the
+    //    cross-window state). Exact per-pair KS from the batch twin is
+    //    hash-checked; the streaming sketch KS is band-checked --------
+    "q98_streaming_drift" -> qd { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val slice = spark.table("events")
+        .filter(col("user_id") % 7 === 0)
+        .select(col("ts"), col("user_id").cast("long"), col("event_type"),
+          col("value").cast("double"))
+        .as[(java.sql.Timestamp, Long, String, Double)]
+        .collect().sortBy(_._1.getTime)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+      val dir = java.nio.file.Files.createTempDirectory("graft_q98").toString
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val query =
+        try streaming.StreamingSketches.sinkToSketchTable(
+          mem.toDF().toDF("ts", "user_id", "event_type", "value"), dir,
+          window = "1 hour", watermark = "2 hours")
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        val third = math.max(1, (slice.length + 2) / 3)
+        slice.grouped(third).foreach { batch =>
+          mem.addData(batch.toSeq); query.processAllAvailable()
+        }
+        val stream = streaming.StreamingSketches.driftFromSketchTable(spark, dir)
+          .select(col("window_start").cast("long").as("ws"),
+            col("ks").as("ks_stream"), col("eps"))
+        val exact = operators.DriftOps.ksSeries(
+            spark.table("events").filter(col("user_id") % 7 === 0), "ts", "value")
+          .select(col("h").cast("long").as("ws"), col("ks_exact"))
+        stream.join(exact, Seq("ws"))
+          .select(col("ws").as("window_start_s"),
+            floor(col("ks_exact") * 1e6).cast("long").as("ks_exact_u"),
+            (abs(col("ks_stream") - col("ks_exact")) <= col("eps")).as("ok"))
+          .orderBy("window_start_s")
+          .localCheckpoint(true)
+      } finally {
+        query.stop()
+        scala.reflect.io.Path(new java.io.File(dir)).deleteRecursively()
+        ()
+      }
+    },
+
     // -- incremental NEAR-dup dedup: the new batch (doc_id%5=0) banded
     //    against the history corpus (rest) — the fuzzy face of q64's
     //    exact incremental dedup. LSH equi-join into (storable) history
@@ -2924,6 +2974,31 @@ object SparkEntry {
         |         AS ks_exact_u,
         |       true AS ok
         |FROM c CROSS JOIN n""".stripMargin,
+
+    // the q94 exact per-pair KS restricted to the replayed slice; the
+    // streaming sketch KS is the literal-true band column
+    "q98_streaming_drift" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, value AS v FROM events
+        |           WHERE user_id % 7 = 0),
+        |hrs AS (SELECT DISTINCT h FROM e),
+        |pairs AS (SELECT h, lag(h) OVER (ORDER BY h) AS ph FROM hrs),
+        |p AS (SELECT h, ph FROM pairs WHERE ph IS NOT NULL),
+        |m AS (SELECT p.h AS h, e.v,
+        |             CASE WHEN e.h = p.ph THEN 1 ELSE 0 END AS ia
+        |      FROM p JOIN e ON e.h = p.ph OR e.h = p.h),
+        |d AS (SELECT h, v, CAST(sum(ia) AS BIGINT) AS da,
+        |             CAST(sum(1 - ia) AS BIGINT) AS db FROM m GROUP BY h, v),
+        |c AS (SELECT h, v, sum(da) OVER (PARTITION BY h ORDER BY v) AS ca,
+        |             sum(db) OVER (PARTITION BY h ORDER BY v) AS cb FROM d),
+        |n AS (SELECT h, CAST(sum(da) AS DOUBLE) AS na,
+        |             CAST(sum(db) AS DOUBLE) AS nb FROM d GROUP BY h)
+        |SELECT epoch_us(c.h) // 1000000 AS window_start_s,
+        |       CAST(floor(max(abs(CAST(ca AS DOUBLE) / na
+        |                          - CAST(cb AS DOUBLE) / nb)) * 1000000) AS BIGINT)
+        |         AS ks_exact_u,
+        |       true AS ok
+        |FROM c JOIN n USING (h)
+        |GROUP BY c.h ORDER BY window_start_s""".stripMargin,
 
     // brute-force cross-side shingle Jaccard (the q36 oracle with the
     // self-join swapped for the batch × history split)

@@ -43,7 +43,37 @@ object StreamingSketches {
         transform(slice(datasketch_frequent_items_get_frequent(col("type_sketch")), 1, 3),
           f => f.getField("item")).as("top_types"),
         // keep the mergeable state for downstream re-aggregation
-        col("users_sketch"))
+        col("users_sketch"), col("value_sketch"))
+  }
+
+  /** Streaming drift, closed over the sketch-table sink: roll up each
+    * window's KLL rows (duplicate update-mode rows merge away through
+    * sketch idempotence), then probe consecutive windows with
+    * `datasketch_kll_ks` — the q94 drift series over a CONTINUOUSLY
+    * maintained table. No new streaming state machinery is needed:
+    * mergeability makes the sink itself the cross-window state, and
+    * each drift refresh touches only the window-count-sized sketch
+    * table, never the event stream's history. Output per consecutive
+    * window pair: (window_start, ks, eps) with eps = the two sketches'
+    * summed normalized rank error + one combined ECDF step. */
+  def driftFromSketchTable(spark: org.apache.spark.sql.SparkSession,
+                           path: String, k: Int = 200): DataFrame = {
+    graft.Registration.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val rolled = spark.read.parquet(path)
+      .groupBy(col("window_start"))
+      .agg(call_function("datasketch_kll", lit(k), col("value_sketch")).as("sk"))
+    // one row per window — bounded like the two-level scans' P-row step
+    val w = Window.orderBy("window_start")
+    rolled
+      .withColumn("prev", lag(col("sk"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("window_start"),
+        call_function("datasketch_kll_ks", col("prev"), col("sk")).as("ks"),
+        (call_function("datasketch_kll_normalized_rank_error", col("prev"), lit(false))
+          + call_function("datasketch_kll_normalized_rank_error", col("sk"), lit(false))
+          + lit(1.0) / call_function("datasketch_kll_n", col("prev")).cast("double")
+          + lit(1.0) / call_function("datasketch_kll_n", col("sk")).cast("double")).as("eps"))
   }
 
   /** Continuous sketch-table maintenance: append each micro-batch's
