@@ -1705,6 +1705,39 @@ object SparkEntry {
         .orderBy("window_start_s")
     },
 
+    // -- audience-overlap matrix from STORED sketches: one theta blob
+    //    per event_type (5 rows), every pairwise overlap/Jaccard probed
+    //    via set algebra over the blobs — the segments × segments
+    //    question answered without touching events again. The pair join
+    //    is a self-join of a segment-count-sized relation (AQE
+    //    broadcast). Exact regime: ≤2k distinct users per type < K=4096,
+    //    so estimates hash-match exact counts. ------------------------
+    "q99_overlap_matrix" -> qd { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val segs = spark.table("events")
+        .groupBy(col("event_type").as("seg"))
+        .agg(expr("datasketch_theta(user_id)").as("sk"))
+      // bounded driver pull: the segment VOCABULARY (not the sketches) —
+      // the pair list is then a literal relation attached to the blobs by
+      // two plain equi-joins, so the sweep-visible plan has no
+      // inequality nested-loop join
+      val names = segs.select("seg").as[String].collect().sorted
+      val pairs = (for { x <- names; y <- names if x < y } yield (x, y))
+        .toSeq.toDF("seg_a", "seg_b")
+      pairs
+        .join(segs.select(col("seg").as("seg_a"), col("sk").as("sk_a")), Seq("seg_a"))
+        .join(segs.select(col("seg").as("seg_b"), col("sk").as("sk_b")), Seq("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          round(expr("datasketch_theta_estimate(datasketch_theta_intersect(sk_a, sk_b))"))
+            .cast("long").as("overlap_users"),
+          // jaccard returns the [lb, estimate, ub] triple; exact regime
+          // makes the middle element the exact ratio
+          floor(expr("datasketch_theta_jaccard(sk_a, sk_b)[1]") * 1e6)
+            .cast("long").as("jaccard_u"))
+        .orderBy("seg_a", "seg_b")
+    },
+
     // -- STREAMING drift series: the q94 probe closed over the q81
     //    sketch-table sink — replayed stream maintains per-window KLL
     //    rows, drift is a lag probe over the rolled-up sink (sketch
@@ -2974,6 +3007,26 @@ object SparkEntry {
         |         AS ks_exact_u,
         |       true AS ok
         |FROM c CROSS JOIN n""".stripMargin,
+
+    // exact pairwise intersection/Jaccard over distinct (segment, user)
+    // pairs; the theta estimates are exact in this regime so the values
+    // hash-match (zero-overlap pairs kept via the left join)
+    "q99_overlap_matrix" ->
+      """WITH su AS (SELECT DISTINCT event_type AS seg, user_id FROM events),
+        |c AS (SELECT seg, count(*) AS n FROM su GROUP BY seg),
+        |pairs0 AS (SELECT a.seg AS seg_a, a.n AS na, b.seg AS seg_b, b.n AS nb
+        |           FROM c a JOIN c b ON a.seg < b.seg),
+        |p AS (SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS inter
+        |      FROM su a JOIN su b ON a.user_id = b.user_id AND a.seg < b.seg
+        |      GROUP BY 1, 2)
+        |SELECT p0.seg_a, p0.seg_b,
+        |       CAST(coalesce(p.inter, 0) AS BIGINT) AS overlap_users,
+        |       CAST(floor(CAST(coalesce(p.inter, 0) AS DOUBLE)
+        |                  / (p0.na + p0.nb - coalesce(p.inter, 0)) * 1000000)
+        |            AS BIGINT) AS jaccard_u
+        |FROM pairs0 p0
+        |LEFT JOIN p ON p.seg_a = p0.seg_a AND p.seg_b = p0.seg_b
+        |ORDER BY p0.seg_a, p0.seg_b""".stripMargin,
 
     // the q94 exact per-pair KS restricted to the replayed slice; the
     // streaming sketch KS is the literal-true band column
