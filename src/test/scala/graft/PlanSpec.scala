@@ -442,4 +442,31 @@ class PlanSpec extends SparkTestBase {
         a.name == "text" || a.name == "g")),
       s"neither text nor gram strings may enter an exchange (hashes only):\n$plan")
   }
+
+  test("rank transform: 1-row model broadcast, pruned model scan, fused probe") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("value").isNotNull)
+    val df = operators.RangeBounds.rankTransform(ev, "value", "r", kllK = 400)
+      .select(col("event_id"), col("r"))
+    val plan = planOf(df)
+    // the model side is a 1-row identity broadcast, never a data-keyed join
+    assert(plan.contains("IdentityBroadcastMode"), s"model must broadcast as 1 row:\n$plan")
+    // the model-build scan reads ONLY the value column
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.exists(l => l.contains("value") && !l.contains("user_id")),
+      s"model scan must prune to the value column:\n${scans.mkString("\n")}")
+    // exactly one shuffle: the model aggregation's SinglePartition — the
+    // transform itself adds none
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"transform must not add data shuffles:\n$plan")
+  }
+
+  test("drift series: hourly sketch agg is partial before its exchange; pair windows are per-pair") {
+    val ev = normalizeEventTs(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val plan = planOf(operators.DriftOps.ksSeries(ev, "ts", "value"))
+    assert(plan.contains("partial_datasketch_kll"),
+      s"hourly sketches must partial-aggregate before the shuffle:\n$plan")
+    // no forced broadcasts: the hour-pair joins must stay AQE-decided
+    assert(!plan.contains("ResolvedHint"), s"no forced broadcast hints:\n$plan")
+  }
 }
