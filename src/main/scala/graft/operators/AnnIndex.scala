@@ -99,4 +99,43 @@ object AnnIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** [[build]] with a LEARNED coarse quantizer: k-means cells instead of
+    * hyperplane sign buckets. Cells adapt to the data distribution, so at
+    * the same probe count they capture more true neighbors than random
+    * hyperplanes (measured in the q102 recall oracle: nProbe=2 of k=8
+    * beats probeDepth=2 hyperplane probing on the same corpus). Returns
+    * the centroids — the probe side needs them (k·dim doubles, the same
+    * bounded driver artifact [[KMeansOps.fit]] maintains). */
+  def buildKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+                  path: String, k: Int = 8, iters: Int = 2): Array[Array[Double]] = {
+    val cent = KMeansOps.fit(corpus, idCol, vecCol, k, iters)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        SimilarityOps.norm(col(vecCol)).as("nrm"),
+        KMeansOps.nearestCentroid(col(vecCol), cent).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cent
+  }
+
+  /** Top-k query against a [[buildKMeans]] index: each query probes its
+    * `nProbe` nearest cells ([[NearestCentroids]]), the probe list joins
+    * the index on the PARTITION column so scans prune to the probed
+    * cells' files, and exact cosine re-ranks the candidates. */
+  def queryKMeans(spark: SparkSession, path: String, queries: DataFrame,
+                  idCol: String, vecCol: String, centroids: Array[Array[Double]],
+                  k: Int, nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        SimilarityOps.norm(col(vecCol)).as("qn"),
+        explode(KMeansOps.nearestCentroids(col(vecCol), centroids, nProbe)).as("cell"))
+    val index = spark.read.parquet(path)
+    val scored = index.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine",
+        SimilarityOps.dot(col("qv"), col("vec")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
 }

@@ -651,4 +651,84 @@ object GraftRuntime {
     b = replaceAll(b, scanPhones, PhoneTag)
     UTF8String.fromBytes(b)
   }
+
+  // ---- NearestCentroid ----------------------------------------------------
+
+  /** Index of the centroid minimizing squared Euclidean distance to `v`.
+    *
+    * `flat` is the row-major k×dim centroid matrix, `cc` the per-centroid
+    * self-inner-products (left-to-right fold, the same order DuckDB's
+    * `list_inner_product(cv, cv)` uses). Distance is compared through
+    * `cc(j) - 2·(v·c_j)` — the `v·v` term is constant across j, so it
+    * never moves the argmin. Strict `<` keeps the LOWEST index on an
+    * exact tie (mirroring the oracle's `ORDER BY dist, cl`). Null vector
+    * elements contribute 0.0 (the [[LshSignature]] sparse-null
+    * convention); a vector shorter than dim treats missing dims as 0. */
+  def nearestCentroid(v: ArrayData, flat: Array[Double], cc: Array[Double],
+                      dim: Int): Int = {
+    val k = cc.length
+    val n = math.min(dim, v.numElements())
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < k) {
+      val off = j * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) s += v.getFloat(i).toDouble * flat(off + i)
+        i += 1
+      }
+      val d = cc(j) - 2.0 * s
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** The `n` nearest centroid indices in ascending distance order (the
+    * IVF multi-probe list). Same distance contract as [[nearestCentroid]]
+    * — `cc(j) − 2·(v·c_j)`, null elements 0, strict `<` selection so an
+    * exact distance tie yields the LOWER index first. `n ≥ k` returns all
+    * k, still distance-ordered. */
+  def nearestCentroidsN(v: ArrayData, flat: Array[Double], cc: Array[Double],
+                        dim: Int, n: Int): ArrayData = {
+    val k = cc.length
+    val vd = math.min(dim, v.numElements())
+    val d = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val off = j * dim
+      var s = 0.0
+      var i = 0
+      while (i < vd) {
+        if (!v.isNullAt(i)) s += v.getFloat(i).toDouble * flat(off + i)
+        i += 1
+      }
+      d(j) = cc(j) - 2.0 * s
+      j += 1
+    }
+    val m = math.min(n, k)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](k)
+    var t = 0
+    while (t < m) {
+      var best = -1
+      var bd = Double.PositiveInfinity
+      var jj = 0
+      while (jj < k) {
+        if (!used(jj) && d(jj) < bd) { bd = d(jj); best = jj }
+        jj += 1
+      }
+      if (best < 0) { // all-NaN distances (NaN vector): lowest unused index
+        var p = 0
+        while (used(p)) p += 1
+        best = p
+      }
+      used(best) = true
+      out(t) = best
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
 }

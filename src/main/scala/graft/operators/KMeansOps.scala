@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native nearest-centroid assignment of a float vector against a fixed
+  * k×dim centroid matrix — the inner loop of Lloyd's k-means and of
+  * IVF-style coarse quantization.
+  *
+  * The matrix rides into generated code as a reference object (it is
+  * data-dependent, unlike [[LshSignature]]'s derivable plane matrix), so
+  * the per-row cost is one fused k·dim multiply-accumulate pass with no
+  * per-row allocation; whole-stage codegen spans stay unbroken. The
+  * argmin compares `‖c_j‖² − 2·v·c_j` (the shared `‖v‖²` term cannot move
+  * the argmin) with lowest-index tie-break — exactly the oracle's
+  * `ORDER BY dist, cluster` contract. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "nearest_centroid requires at least one centroid")
+  require(centroids.forall(_.length == centroids(0).length),
+    "nearest_centroid requires equal-dimension centroids")
+
+  private val dim = centroids(0).length
+
+  /** Row-major flattened matrix (recomputed per deserialized copy). */
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](centroids.length * dim)
+    var j = 0
+    while (j < centroids.length) {
+      System.arraycopy(centroids(j), 0, f, j * dim, dim)
+      j += 1
+    }
+    f
+  }
+
+  /** Per-centroid self-inner-products, left-to-right fold (the order
+    * DuckDB's `list_inner_product(cv, cv)` evaluates in). */
+  @transient private lazy val cc: Array[Double] = centroids.map { c =>
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid requires array<float>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.nearestCentroid(input.asInstanceOf[ArrayData], flat, cc, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("kmeansFlat", flat, "double[]")
+    val ccRef = ctx.addReferenceObj("kmeansCc", cc, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.operators.GraftRuntime.nearestCentroid($a, $flatRef, $ccRef, $dim)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The `n` nearest centroids of a float vector, ascending by distance —
+  * the IVF multi-probe list ([[NearestCentroids]] with n=1 ≡
+  * `array(`[[NearestCentroid]]`)`, pinned by a property test). Same
+  * distance/tie contract; same reference-object codegen. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+                            n: Int) extends UnaryExpression {
+
+  require(centroids.nonEmpty, "nearest_centroids requires at least one centroid")
+  require(centroids.forall(_.length == centroids(0).length),
+    "nearest_centroids requires equal-dimension centroids")
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  private val dim = centroids(0).length
+
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](centroids.length * dim)
+    var j = 0
+    while (j < centroids.length) {
+      System.arraycopy(centroids(j), 0, f, j * dim, dim)
+      j += 1
+    }
+    f
+  }
+
+  @transient private lazy val cc: Array[Double] = centroids.map { c =>
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  override def prettyName: String = "nearest_centroids"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids requires array<float>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.nearestCentroidsN(input.asInstanceOf[ArrayData], flat, cc, dim, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("kmeansFlat", flat, "double[]")
+    val ccRef = ctx.addReferenceObj("kmeansCc", cc, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.operators.GraftRuntime.nearestCentroidsN($a, $flatRef, $ccRef, $dim, $n)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distributed k-means (Lloyd's) and SemDeDup-style semantic dedup over
+  * an embedding column.
+  *
+  * Spark-first shape (the same one MLlib's KMeans uses, re-expressed on
+  * the DataFrame API):
+  *  - centroids live on the driver (k·dim doubles — a bounded, documented
+  *    pull; 1000 clusters × 1024 dims = 8 MB) and reach executors inside
+  *    the [[NearestCentroid]] expression, so assignment is one codegen'd
+  *    scan with no join and no shuffle of vectors;
+  *  - the update step shuffles only `partitions × k × dim` partially
+  *    aggregated (cluster, pos, sum, count) rows — never a vector — and
+  *    collects at most k·dim rows back to the driver per iteration.
+  *
+  * At 100 TB: per iteration = one corpus scan + one k·dim-bounded
+  * shuffle. k is the scale dial — SemDeDup-style pipelines raise k with
+  * corpus size (the paper uses ~11k clusters for 1B+ docs) so per-cluster
+  * pair work stays bounded; nothing here holds more than k·dim doubles in
+  * any single place.
+  *
+  * Determinism: init is the k vectors with the smallest ids, iteration
+  * count is fixed (no convergence test), ties take the lowest cluster
+  * index — so the whole run is reproducible and oracle-mirrorable in SQL. */
+object KMeansOps {
+
+  /** Nearest-centroid cluster index of `vec` (native [[NearestCentroid]];
+    * bit-identical to [[nearestCentroidRef]], pinned by a property test). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftShims.column(NearestCentroid(GraftShims.expression(vec), centroids))
+
+  /** The `n` nearest centroid indices, ascending by distance (the IVF
+    * multi-probe list; native [[NearestCentroids]]). */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    GraftShims.column(NearestCentroids(GraftShims.expression(vec), centroids, n))
+
+  /** Reference formulation of [[nearestCentroid]] (property-test pin): one
+    * interpreted `zip_with`/`aggregate` inner-product fold per centroid,
+    * argmin via lexicographic `array_sort` over (distance, index) structs. */
+  private[graft] def nearestCentroidRef(vec: Column,
+                                        centroids: Array[Array[Double]]): Column = {
+    val entries = centroids.zipWithIndex.map { case (c, j) =>
+      var ccj = 0.0
+      var i = 0
+      while (i < c.length) { ccj += c(i) * c(i); i += 1 }
+      val ip = aggregate(
+        zip_with(vec, typedLit(c.toSeq), (x, y) => coalesce(x.cast("double"), lit(0.0)) * y),
+        lit(0.0), (acc, v) => acc + v)
+      struct((lit(ccj) - lit(2.0) * ip).as("d"), lit(j).as("j"))
+    }
+    element_at(array_sort(array(entries: _*)), 1).getField("j")
+  }
+
+  /** Deterministic init: the k vectors with the smallest ids, as doubles
+    * (floats are exact in double). Bounded driver pull: k vectors. */
+  def initCentroids(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): Array[Array[Double]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rows = df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+    require(rows.length == k, s"k=$k exceeds the ${rows.length} input rows")
+    rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+  }
+
+  /** `iters` full Lloyd updates from [[initCentroids]]. A cluster that
+    * loses every member keeps its previous centroid (the oracle's data
+    * regime never produces one; the unit test pins the behavior). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+          iters: Int): Array[Array[Double]] = {
+    var cent = initCentroids(df, idCol, vecCol, k)
+    val dim = cent(0).length
+    val base = df.select(col(vecCol).as("vec"))
+    var it = 0
+    while (it < iters) {
+      // Partial aggregation bounds the shuffle at k·dim rows per task;
+      // the collect is ≤ k·dim rows (the documented bounded pull).
+      val sums = base
+        .select(nearestCentroid(col("vec"), cent).as("cluster"),
+          posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cent.map(_.clone())
+      sums.foreach { r =>
+        val cl = r.getInt(0)
+        next(cl)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      cent = next
+      it += 1
+    }
+    cent
+  }
+
+  /** The input plus a `cluster` column — one codegen'd scan, no shuffle. */
+  def assign(df: DataFrame, vecCol: String,
+             centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("cluster", nearestCentroid(col(vecCol), centroids))
+
+  /** Per-cluster profile after a [[fit]]: size, smallest member id, and
+    * the centroid norm (rounded for FP-stable comparison). The norm comes
+    * from the driver-held centroids via a literal lookup — no join. */
+  def clusterProfile(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     iters: Int): DataFrame = {
+    val cent = fit(df, idCol, vecCol, k, iters)
+    val norms = cent.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    assign(df, vecCol, cent)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), min(col(idCol)).as("min_member"))
+      .withColumn("centroid_norm",
+        round(element_at(typedLit(norms.toSeq), (col("cluster") + 1).cast("int")), 6))
+  }
+
+  /** SemDeDup-style semantic dedup: a row is dropped when some SAME-CLUSTER
+    * row with a smaller id has cosine ≥ `tau` to it. Clustering is what
+    * makes this scale — candidate pairs are an equi-join on `cluster`
+    * (Σ|c|² pair work, bounded by raising k with corpus size), never the
+    * all-pairs cross join. Output: (id, cluster, kept). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    val a = assign(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", centroids)
+      .withColumn("nrm", SimilarityOps.norm(col("vec")))
+    val dropped = a.as("b").join(a.as("a"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id") &&
+          SimilarityOps.dot(col("a.vec"), col("b.vec")) /
+            (col("a.nrm") * col("b.nrm")) >= tau,
+        "left_semi")
+      .select(col("id"), lit(true).as("is_dup"))
+    a.join(dropped, Seq("id"), "left_outer")
+      .select(col("id"), col("cluster"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+  }
+}
