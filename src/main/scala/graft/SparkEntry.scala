@@ -1929,6 +1929,23 @@ object SparkEntry {
       }
     },
 
+    // -- cross-batch semantic dedup: centroids fit on the CURATED corpus
+    //    only (the stored snapshot artifact), the new batch assigned to
+    //    them with no re-clustering; dropped vs same-cluster history (any
+    //    id) or smaller-id same-cluster batch rows --------------------
+    "q103_incremental_semdedup" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val history = emb.filter(col("vec_id") % 4 =!= 0)
+      val batch = emb.filter(col("vec_id") % 4 === 0)
+      val cent = operators.KMeansOps.fit(history, "vec_id", "embedding", k = 8, iters = 2)
+      operators.KMeansOps.incrementalSemDedup(history, batch, "vec_id",
+          "embedding", cent, tau = 0.35)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("kept"))
+        .orderBy("vec_id")
+    },
+
     // -- SemDeDup-style semantic dedup: k-means buckets the corpus, then
     //    near-dup candidates are an equi-join WITHIN clusters (Σ|c|² pair
     //    work, k the scale dial) — never the all-pairs cross join -------
@@ -3304,5 +3321,52 @@ object SparkEntry {
     // side's own brute-force truth, floor well under the measured 0.93
     "q102_ann_kmeans_ivf" ->
       "SELECT 'kmeans_ivf_probe2_recall_ge_0.7' AS metric, true AS ok",
+
+    // Lloyd's fit over the HISTORY slice only, batch rows assigned to the
+    // stored centroids, then the cross-batch keep rule: dropped by any
+    // same-cluster history row OR a smaller-id same-cluster batch row
+    // within τ (margins: fit ≥2.6e-5, assignment ≥3.8e-5, |cos−τ| ≥2.9e-5
+    // across SFs — all far above double-fold noise)
+    "q103_incremental_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |           WHERE vec_id % 4 <> 0),
+        |bt AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |       WHERE vec_id % 4 = 0),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c0 c),
+        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
+        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a2 AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c1 c),
+        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
+        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |hs AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c2 c),
+        |h AS (SELECT vec_id, v, cl FROM hs WHERE rn = 1),
+        |bs AS (SELECT bt.vec_id, bt.v, c.cl,
+        |              row_number() OVER (PARTITION BY bt.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(bt.v, c.cv), c.cl) rn
+        |       FROM bt, c2 c),
+        |b AS (SELECT vec_id, v, cl FROM bs WHERE rn = 1)
+        |SELECT s.vec_id, s.cl AS cluster,
+        |       NOT (EXISTS (SELECT 1 FROM h a
+        |                    WHERE a.cl = s.cl
+        |                      AND list_cosine_similarity(a.v, s.v) >= 0.35)
+        |            OR EXISTS (SELECT 1 FROM b a
+        |                       WHERE a.cl = s.cl AND a.vec_id < s.vec_id
+        |                         AND list_cosine_similarity(a.v, s.v) >= 0.35)) AS kept
+        |FROM b s ORDER BY vec_id""".stripMargin,
   )
 }

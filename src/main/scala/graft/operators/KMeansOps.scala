@@ -262,4 +262,38 @@ object KMeansOps {
       .select(col("id"), col("cluster"),
         coalesce(!col("is_dup"), lit(true)).as("kept"))
   }
+
+  /** Cross-batch [[semDedup]] against an already-curated corpus: the new
+    * batch is assigned to the STORED centroids (no re-clustering — the
+    * incremental-snapshot discipline of [[IncrementalDedup]] /
+    * `DedupOps.crossMinhashPairs`, applied to the semantic operator). A
+    * batch row is dropped when some same-cluster HISTORY row (history
+    * always precedes the batch) or some smaller-id same-cluster BATCH row
+    * sits within cosine `tau`. Per-batch cost = batch assignment + two
+    * cluster-keyed equi-joins — batch × |cluster slices touched|, never
+    * batch × full history all-pairs. Output over batch rows only:
+    * (id, cluster, kept). */
+  def incrementalSemDedup(history: DataFrame, batch: DataFrame, idCol: String,
+                          vecCol: String, centroids: Array[Array[Double]],
+                          tau: Double): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      assign(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", centroids)
+        .withColumn("nrm", SimilarityOps.norm(col("vec")))
+    val h = prep(history)
+    val b = prep(batch)
+    def cosAb: Column = SimilarityOps.dot(col("a.vec"), col("b.vec")) /
+      (col("a.nrm") * col("b.nrm"))
+    val droppedByHistory = b.as("b").join(h.as("a"),
+        col("a.cluster") === col("b.cluster") && cosAb >= tau, "left_semi")
+      .select(col("id"))
+    val droppedInBatch = b.as("b").join(b.as("a"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id") &&
+          cosAb >= tau, "left_semi")
+      .select(col("id"))
+    val dropped = droppedByHistory.union(droppedInBatch).distinct()
+      .withColumn("is_dup", lit(true))
+    b.join(dropped, Seq("id"), "left_outer")
+      .select(col("id"), col("cluster"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+  }
 }

@@ -158,6 +158,27 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalSemDedup: history wins at any id, batch self-dedup by id, cross-cluster ignored") {
+    // cluster 0 ≈ the (x/y/z ≤ 10) region, cluster 1 far out on x.
+    // batch 10 (x-ish) matches no history direction → kept;
+    // batch 11 ≈ batch 10 → dropped by the SMALLER-ID batch mate;
+    // batch 12 ∥ history 101 → dropped by HISTORY (id order irrelevant);
+    // batch 13 ∥ batch 10 but lands in cluster 1 → kept (cross-cluster
+    // similarity must not count, for the history and batch rules alike)
+    val history = spark.createDataFrame(Seq(
+        (100L, Array(0f, 10f, 0f)), (101L, Array(0f, 0f, 10f))))
+      .toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val batch = spark.createDataFrame(Seq(
+        (10L, Array(10f, 0.1f, 0f)), (11L, Array(10f, 0.2f, 0f)),
+        (12L, Array(0f, 0f, 9f)), (13L, Array(400f, 0f, 0f))))
+      .toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val cent = Array(Array(5.0, 0.0, 5.0), Array(400.0, 0.0, 0.0))
+    val got = KMeansOps.incrementalSemDedup(history, batch, "id", "vec", cent, tau = 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    assert(got == Seq((10L, true), (11L, false), (12L, false), (13L, true)))
+  }
+
   test("clusterProfile sizes sum to the corpus and norms are finite") {
     val prof = KMeansOps.clusterProfile(emb, "vec_id", "embedding", k = 4, iters = 1)
       .collect()
