@@ -1929,6 +1929,17 @@ object SparkEntry {
       }
     },
 
+    // -- TOKEN-budget quota per source (mixture recipes are written in
+    //    tokens, not rows): md5-rank order split into 4096 order-aligned
+    //    buckets; histogram pass + per-group 4096-row window classify
+    //    buckets, only the single boundary bucket pays a row window -----
+    "q104_token_quota" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.QuotaSample.tokenQuota(spark.table("documents"),
+          "source", "doc_id", "text", budget = 700L)
+        .orderBy("doc_id")
+    },
+
     // -- cross-batch semantic dedup: centroids fit on the CURATED corpus
     //    only (the stored snapshot artifact), the new batch assigned to
     //    them with no re-clustering; dropped vs same-cluster history (any
@@ -3368,5 +3379,21 @@ object SparkEntry {
         |                       WHERE a.cl = s.cl AND a.vec_id < s.vec_id
         |                         AND list_cosine_similarity(a.v, s.v) >= 0.35)) AS kept
         |FROM b s ORDER BY vec_id""".stripMargin,
+
+    // the NAIVE per-source running-token-sum selection down md5-rank
+    // order (integer token sums — exact); the Spark side reproduces it
+    // through the bucket-histogram path
+    "q104_token_quota" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS key
+        |           FROM documents),
+        |f AS (SELECT * FROM t WHERE n_tokens >= 1),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS cum,
+        |             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+        |      FROM f)
+        |SELECT doc_id, source, n_tokens, (cum <= 700 OR rn = 1) AS kept
+        |FROM w ORDER BY doc_id""".stripMargin,
   )
 }

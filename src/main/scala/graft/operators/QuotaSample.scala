@@ -53,4 +53,82 @@ object QuotaSample {
       .filter(col(rn) <= quota)
       .drop(rn, key)
   }
+
+  /** TOKEN-budget quota per group — the data-mixing primitive in its
+    * production currency. [[stratifiedQuota]] caps groups by ROW count;
+    * mixture recipes are written in tokens ("≤ B tokens of src17"), so
+    * the cap must be a running token sum down the same deterministic
+    * md5-rank order: a doc is kept while the group's cumulative token
+    * count (inclusive) stays ≤ `budget`; the group's first doc is always
+    * kept so a budget below one document still emits something.
+    *
+    * Scale shape — the naive form is one window over EVERY row of a
+    * group (a 10B-doc source = one straggler task). Instead the md5 rank
+    * order is split into 4096 order-aligned buckets (the first 3 hex
+    * digits of the key — hex-string order IS numeric order):
+    *   1. histogram pass: token sum per (group, bucket) — partial
+    *      aggregation bounds the shuffle at groups × 4096 rows;
+    *   2. a ≤4096-row window per group classifies each bucket as fully
+    *      kept (prefix + bucket ≤ B), fully dropped (prefix ≥ B), or THE
+    *      boundary bucket (at most one per group, prefix monotone);
+    *   3. only boundary-bucket rows (~1/4096 of a group) pay a row-level
+    *      window; everything else gets its verdict from an equi-join on
+    *      (group, bucket).
+    * No driver pull anywhere; the exact naive semantics are reproduced
+    * (parity-pinned in the spec, oracle-checked in q104).
+    *
+    * Zero-token rows (possible only from null/typed-down inputs — the
+    * whitespace tokenizer yields ≥1 for any string) are excluded: a
+    * 0-token doc at a bucket edge would make the bucket classification
+    * disagree with the strict naive ordering. Output: (idCol, groupCol,
+    * n_tokens, kept). */
+  def tokenQuota(df: DataFrame, groupCol: String, idCol: String,
+                 textCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val base = df.select(col(idCol).as("__tq_doc"), col(groupCol).as("__tq_grp"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("__tq_key"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("__tq_bkt", conv(substring(col("__tq_key"), 1, 3), 16, 10).cast("int"))
+    val wb = Window.partitionBy("__tq_grp").orderBy("__tq_bkt")
+    val cls = base.groupBy("__tq_grp", "__tq_bkt")
+      .agg(sum("n_tokens").as("__tq_btok"))
+      .withColumn("__tq_before", coalesce(
+        sum("__tq_btok").over(wb) - col("__tq_btok"), lit(0L)))
+      .withColumn("__tq_cls",
+        when(col("__tq_before") + col("__tq_btok") <= budget, lit(1))
+          .when(col("__tq_before") >= budget, lit(0))
+          .otherwise(lit(2)))
+      .select("__tq_grp", "__tq_bkt", "__tq_before", "__tq_cls")
+    val tagged = base.join(cls, Seq("__tq_grp", "__tq_bkt"))
+    val settled = tagged.filter(col("__tq_cls") =!= 2)
+      .withColumn("kept", col("__tq_cls") === 1)
+    val wRow = Window.partitionBy("__tq_grp").orderBy(col("__tq_key"), col("__tq_doc"))
+    // ≤ one boundary bucket per group; its rows are the only row-level window
+    val boundary = tagged.filter(col("__tq_cls") === 2)
+      .withColumn("__tq_cum", col("__tq_before") + sum("n_tokens").over(wRow))
+      .withColumn("kept", col("__tq_cum") <= budget ||
+        // the group's global first doc: only reachable in a bucket whose
+        // full-bucket prefix is 0 (every earlier bucket was empty)
+        (col("__tq_before") === 0 && row_number().over(wRow) === 1))
+    settled.select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept"))
+      .union(boundary.select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept")))
+      .withColumnRenamed("__tq_doc", idCol).withColumnRenamed("__tq_grp", groupCol)
+  }
+
+  /** Reference formulation of [[tokenQuota]] (parity pin): the naive
+    * single window per group over every row. */
+  private[graft] def tokenQuotaNaive(df: DataFrame, groupCol: String,
+                                     idCol: String, textCol: String,
+                                     budget: Long): DataFrame = {
+    val base = df.select(col(idCol).as("__tq_doc"), col(groupCol).as("__tq_grp"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("__tq_key"))
+      .filter(col("n_tokens") >= 1)
+    val w = Window.partitionBy("__tq_grp").orderBy(col("__tq_key"), col("__tq_doc"))
+    base.withColumn("kept",
+        sum("n_tokens").over(w) <= budget || row_number().over(w) === 1)
+      .select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept"))
+      .withColumnRenamed("__tq_doc", idCol).withColumnRenamed("__tq_grp", groupCol)
+  }
 }

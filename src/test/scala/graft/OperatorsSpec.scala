@@ -658,6 +658,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(all.schema == docs.schema)
   }
 
+  test("token quota: bucket-histogram path == naive window at every budget regime") {
+    for (b <- Seq(1L, 50L, 700L, 1000000L)) {
+      val fast = QuotaSample.tokenQuota(docs, "source", "doc_id", "text", b)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+      val naive = QuotaSample.tokenQuotaNaive(docs, "source", "doc_id", "text", b)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+      assert(fast == naive, s"budget=$b diverged from the naive window")
+    }
+    // budget below any doc: the first-doc rule keeps exactly one per source
+    val one = QuotaSample.tokenQuota(docs, "source", "doc_id", "text", 1L)
+      .filter(col("kept")).groupBy("source").count().collect()
+    assert(one.nonEmpty && one.forall(_.getLong(1) == 1L))
+    // kept token mass respects the budget (unless it's that single overshoot)
+    val m = QuotaSample.tokenQuota(docs, "source", "doc_id", "text", 700L)
+      .filter(col("kept")).groupBy("source")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("c")).collect()
+    assert(m.forall(r => r.getLong(1) <= 700L || r.getLong(2) == 1L))
+    // and a huge budget keeps everything
+    assert(QuotaSample.tokenQuota(docs, "source", "doc_id", "text", 1000000L)
+      .filter(!col("kept")).count() == 0)
+  }
+
   test("PII detection counts and redaction reach a clean fixpoint") {
     val rows = spark.sql(
       """SELECT * FROM VALUES
