@@ -1929,6 +1929,34 @@ object SparkEntry {
       }
     },
 
+    // -- quality-aware semantic dedup survivorship: keep the LONGEST
+    //    doc of each near-dup neighborhood (ties → smallest id), not
+    //    the earliest-crawled one; same cluster-keyed join shape -------
+    "q105_semdedup_priority" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val joined = emb.join(
+        spark.table("documents").select(col("doc_id").as("vec_id"), col("n_chars")),
+        Seq("vec_id"))
+      val cent = operators.KMeansOps.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      operators.KMeansOps.semDedupByPriority(joined, "vec_id", "embedding",
+          "n_chars", cent, tau = 0.35)
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("priority").as("n_chars"), col("kept"))
+        .orderBy("vec_id")
+    },
+
+    // -- sampled centroid training (the 100 TB regime: Lloyd's on a
+    //    deterministic 1/16 md5 sample, assignment over everything) ----
+    "q106_kmeans_sampled" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val cent = operators.KMeansOps.fitSampled(emb, "vec_id", "embedding",
+        k = 8, iters = 2, sampleHexPrefix = "0")
+      operators.KMeansOps.profile(emb, "vec_id", "embedding", cent)
+        .orderBy("cluster")
+    },
+
     // -- TOKEN-budget quota per source (mixture recipes are written in
     //    tokens, not rows): md5-rank order split into 4096 order-aligned
     //    buckets; histogram pass + per-group 4096-row window classify
@@ -3379,6 +3407,80 @@ object SparkEntry {
         |                       WHERE a.cl = s.cl AND a.vec_id < s.vec_id
         |                         AND list_cosine_similarity(a.v, s.v) >= 0.35)) AS kept
         |FROM b s ORDER BY vec_id""".stripMargin,
+
+    // same Lloyd's CTEs + the PRIORITY keep rule: dropped by any
+    // same-cluster mate with more chars (ties → smaller id) within τ;
+    // priority comparisons are integer-exact
+    "q105_semdedup_priority" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c0 c),
+        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
+        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a2 AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c1 c),
+        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
+        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a3 AS (SELECT e.vec_id, e.v, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c2 c),
+        |s3 AS (SELECT vec_id, v, cl FROM a3 WHERE rn = 1),
+        |d AS (SELECT s3.vec_id, s3.v, s3.cl, doc.n_chars
+        |      FROM s3 JOIN documents doc ON doc.doc_id = s3.vec_id)
+        |SELECT s.vec_id, s.cl AS cluster, s.n_chars,
+        |       NOT EXISTS (SELECT 1 FROM d a
+        |                   WHERE a.cl = s.cl
+        |                     AND (a.n_chars > s.n_chars
+        |                          OR (a.n_chars = s.n_chars AND a.vec_id < s.vec_id))
+        |                     AND list_cosine_similarity(a.v, s.v) >= 0.35) AS kept
+        |FROM d s ORDER BY vec_id""".stripMargin,
+
+    // Lloyd's fit restricted to the deterministic md5 1/16 sample (es),
+    // final assignment + profile over the FULL corpus (margins: fit
+    // ≥3.5e-4, full assignment ≥1.1e-5 across SFs)
+    "q106_kmeans_sampled" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |es AS (SELECT * FROM e
+        |       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM es ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT es.vec_id, es.v, c.cl,
+        |              row_number() OVER (PARTITION BY es.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(es.v, c.cv), c.cl) rn
+        |       FROM es, c0 c),
+        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
+        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a2 AS (SELECT es.vec_id, es.v, c.cl,
+        |              row_number() OVER (PARTITION BY es.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(es.v, c.cv), c.cl) rn
+        |       FROM es, c1 c),
+        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
+        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a3 AS (SELECT e.vec_id, c.cl,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c2 c),
+        |s3 AS (SELECT vec_id, cl FROM a3 WHERE rn = 1)
+        |SELECT s3.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(min(vec_id) AS BIGINT) AS min_member,
+        |       round(sqrt(list_inner_product(c2.cv, c2.cv)), 6) AS centroid_norm
+        |FROM s3 JOIN c2 ON s3.cl = c2.cl
+        |GROUP BY s3.cl, c2.cv ORDER BY cluster""".stripMargin,
 
     // the NAIVE per-source running-token-sum selection down md5-rank
     // order (integer token sums — exact); the Spark side reproduces it

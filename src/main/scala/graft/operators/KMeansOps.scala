@@ -224,24 +224,45 @@ object KMeansOps {
              centroids: Array[Array[Double]]): DataFrame =
     df.withColumn("cluster", nearestCentroid(col(vecCol), centroids))
 
-  /** Per-cluster profile after a [[fit]]: size, smallest member id, and
-    * the centroid norm (rounded for FP-stable comparison). The norm comes
-    * from the driver-held centroids via a literal lookup — no join. */
-  def clusterProfile(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                     iters: Int): DataFrame = {
-    val cent = fit(df, idCol, vecCol, k, iters)
-    val norms = cent.map { c =>
+  /** [[fit]] restricted to a deterministic md5 sample of the corpus — how
+    * centroid training actually runs at 100 TB: Lloyd's full-pass scans
+    * over the whole corpus are wasteful when a bounded sample pins the
+    * cell geometry just as well (IVF trainers sample; so does SemDeDup).
+    * The sample predicate (`md5(id)` starts with `sampleHexPrefix`) is
+    * engine-portable, so the sampled fit stays exactly oracle-replayable;
+    * assignment downstream is still full-corpus. Rate = 16^-len(prefix). */
+  def fitSampled(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 iters: Int, sampleHexPrefix: String = "0"): Array[Array[Double]] = {
+    require(sampleHexPrefix.nonEmpty &&
+      sampleHexPrefix.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"sampleHexPrefix must be lowercase hex, got '$sampleHexPrefix'")
+    fit(df.filter(substring(md5(col(idCol).cast("string")), 1,
+      sampleHexPrefix.length) === sampleHexPrefix), idCol, vecCol, k, iters)
+  }
+
+  /** Per-cluster profile of an assignment against given centroids: size,
+    * smallest member id, and the centroid norm (rounded for FP-stable
+    * comparison). The norm comes from the driver-held centroids via a
+    * literal lookup — no join. */
+  def profile(df: DataFrame, idCol: String, vecCol: String,
+              centroids: Array[Array[Double]]): DataFrame = {
+    val norms = centroids.map { c =>
       var s = 0.0
       var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       math.sqrt(s)
     }
-    assign(df, vecCol, cent)
+    assign(df, vecCol, centroids)
       .groupBy(col("cluster").cast("long").as("cluster"))
       .agg(count(lit(1)).as("n_members"), min(col(idCol)).as("min_member"))
       .withColumn("centroid_norm",
         round(element_at(typedLit(norms.toSeq), (col("cluster") + 1).cast("int")), 6))
   }
+
+  /** [[profile]] after a full [[fit]]. */
+  def clusterProfile(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     iters: Int): DataFrame =
+    profile(df, idCol, vecCol, fit(df, idCol, vecCol, k, iters))
 
   /** SemDeDup-style semantic dedup: a row is dropped when some SAME-CLUSTER
     * row with a smaller id has cosine ≥ `tau` to it. Clustering is what
@@ -260,6 +281,33 @@ object KMeansOps {
       .select(col("id"), lit(true).as("is_dup"))
     a.join(dropped, Seq("id"), "left_outer")
       .select(col("id"), col("cluster"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+  }
+
+  /** [[semDedup]] with QUALITY-AWARE survivorship: within a cluster, a
+    * row is dropped when some mate within cosine `tau` has HIGHER
+    * `priorityCol` (or equal priority and a smaller id — the exact
+    * deterministic tie-break). Production dedup keeps the best copy
+    * (longest, highest quality score), not the earliest-crawled one; the
+    * best mate of any dup neighborhood has no better neighbor, so every
+    * neighborhood keeps at least one row. Same cluster-keyed equi-join
+    * shape as [[semDedup]]. Output: (id, cluster, priority, kept). */
+  def semDedupByPriority(df: DataFrame, idCol: String, vecCol: String,
+                         priorityCol: String, centroids: Array[Array[Double]],
+                         tau: Double): DataFrame = {
+    val a = assign(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(priorityCol).as("priority")), "vec", centroids)
+      .withColumn("nrm", SimilarityOps.norm(col("vec")))
+    val dropped = a.as("b").join(a.as("a"),
+        col("a.cluster") === col("b.cluster") &&
+          (col("a.priority") > col("b.priority") ||
+            (col("a.priority") === col("b.priority") && col("a.id") < col("b.id"))) &&
+          SimilarityOps.dot(col("a.vec"), col("b.vec")) /
+            (col("a.nrm") * col("b.nrm")) >= tau,
+        "left_semi")
+      .select(col("id"), lit(true).as("is_dup"))
+    a.join(dropped, Seq("id"), "left_outer")
+      .select(col("id"), col("cluster"), col("priority"),
         coalesce(!col("is_dup"), lit(true)).as("kept"))
   }
 

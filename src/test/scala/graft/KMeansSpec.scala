@@ -179,6 +179,33 @@ class KMeansSpec extends SparkTestBase {
     assert(got == Seq((10L, true), (11L, false), (12L, false), (13L, true)))
   }
 
+  test("semDedupByPriority: highest priority survives, ties fall to smallest id") {
+    // three mutually-similar vectors in one cluster: priorities 5, 9, 9 —
+    // id 21 (first 9) survives; 22 loses the tie, 20 loses outright.
+    // Orthogonal low-priority vector survives (no similar better mate).
+    val df = spark.createDataFrame(Seq(
+        (20L, Array(10f, 0f, 0f), 5L), (21L, Array(10f, 0.1f, 0f), 9L),
+        (22L, Array(10f, 0.2f, 0f), 9L), (23L, Array(0f, 10f, 0f), 1L)))
+      .toDF("id", "vec", "prio").withColumn("vec", col("vec").cast("array<float>"))
+    val cent = Array(Array(5.0, 5.0, 0.0))
+    val got = KMeansOps.semDedupByPriority(df, "id", "vec", "prio", cent, tau = 0.9)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+    assert(got == Seq((20L, false), (21L, true), (22L, false), (23L, true)))
+  }
+
+  test("fitSampled trains on exactly the md5-prefixed slice") {
+    // fitSampled over the full table must equal fit over the pre-filtered
+    // slice — same centroids, element for element
+    val full = KMeansOps.fitSampled(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val slice = emb.filter(
+      substring(md5(col("vec_id").cast("string")), 1, 1) === "0")
+    val direct = KMeansOps.fit(slice, "vec_id", "embedding", k = 4, iters = 2)
+    assert(full.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+    assert(intercept[IllegalArgumentException] {
+      KMeansOps.fitSampled(emb, "vec_id", "embedding", 4, 1, "G")
+    }.getMessage.contains("hex"))
+  }
+
   test("clusterProfile sizes sum to the corpus and norms are finite") {
     val prof = KMeansOps.clusterProfile(emb, "vec_id", "embedding", k = 4, iters = 1)
       .collect()
