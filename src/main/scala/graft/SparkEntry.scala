@@ -1929,6 +1929,45 @@ object SparkEntry {
       }
     },
 
+    // -- STREAMING semantic dedup: 4-batch replay through the foreachBatch
+    //    kept-corpus store sink; pre-trained (sampled-fit) centroids; the
+    //    final verdicts must equal the sequential batch semantics --------
+    "q107_streaming_semdedup" -> qd { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val cent = operators.KMeansOps.fitSampled(emb, "vec_id", "embedding",
+        k = 8, iters = 2, sampleHexPrefix = "0")
+      val slice = emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val store = java.nio.file.Files.createTempDirectory("graft_ssd_store_").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_ssd_out_").toString
+      val query = streaming.StreamingDedup.semDedupSink(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cent, tau = 0.35, store, out)
+      try {
+        (0 until 4).foreach { b =>
+          mem.addData(slice.filter(_._1 % 4 == b).sortBy(_._1).toSeq)
+          query.processAllAvailable()
+        }
+        spark.read.parquet(out)
+          .select(col("id").as("vec_id"), col("batch_id").cast("long").as("batch"),
+            col("cluster").cast("long").as("cluster"), col("kept"))
+          .orderBy("vec_id")
+          // materialize before the temp dirs are deleted below
+          .localCheckpoint(true)
+      } finally {
+        query.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(store)); rm(new java.io.File(out))
+      }
+    },
+
     // -- quality-aware semantic dedup survivorship: keep the LONGEST
     //    doc of each near-dup neighborhood (ties → smallest id), not
     //    the earliest-crawled one; same cluster-keyed join shape -------
@@ -3407,6 +3446,73 @@ object SparkEntry {
         |                       WHERE a.cl = s.cl AND a.vec_id < s.vec_id
         |                         AND list_cosine_similarity(a.v, s.v) >= 0.35)) AS kept
         |FROM b s ORDER BY vec_id""".stripMargin,
+
+    // sampled-fit centroids, full-corpus assignment, then the sequential
+    // 4-batch kept-store semantics unrolled as chained CTEs: batch b is
+    // checked against the accumulated KEPT store (any id) and its own
+    // smaller-id rows (kept or not — the incremental in-batch rule)
+    "q107_streaming_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |es AS (SELECT * FROM e
+        |       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM es ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT es.vec_id, es.v, c.cl,
+        |              row_number() OVER (PARTITION BY es.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(es.v, c.cv), c.cl) rn
+        |       FROM es, c0 c),
+        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
+        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |a2 AS (SELECT es.vec_id, es.v, c.cl,
+        |              row_number() OVER (PARTITION BY es.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(es.v, c.cv), c.cl) rn
+        |       FROM es, c1 c),
+        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
+        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
+        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
+        |       GROUP BY cl),
+        |aa AS (SELECT e.vec_id, e.v, c.cl, e.vec_id % 4 AS b,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
+        |       FROM e, c2 c),
+        |asg AS (SELECT vec_id, v, cl, b FROM aa WHERE rn = 1),
+        |k0 AS (SELECT s.vec_id, s.v, s.cl, s.b,
+        |              NOT EXISTS (SELECT 1 FROM asg a
+        |                          WHERE a.b = 0 AND a.cl = s.cl AND a.vec_id < s.vec_id
+        |                            AND list_cosine_similarity(a.v, s.v) >= 0.35) AS kept
+        |       FROM asg s WHERE s.b = 0),
+        |t0 AS (SELECT vec_id, v, cl FROM k0 WHERE kept),
+        |k1 AS (SELECT s.vec_id, s.v, s.cl, s.b,
+        |              NOT (EXISTS (SELECT 1 FROM t0 a WHERE a.cl = s.cl
+        |                           AND list_cosine_similarity(a.v, s.v) >= 0.35)
+        |                   OR EXISTS (SELECT 1 FROM asg a
+        |                              WHERE a.b = 1 AND a.cl = s.cl AND a.vec_id < s.vec_id
+        |                                AND list_cosine_similarity(a.v, s.v) >= 0.35)) AS kept
+        |       FROM asg s WHERE s.b = 1),
+        |t1 AS (SELECT * FROM t0 UNION ALL SELECT vec_id, v, cl FROM k1 WHERE kept),
+        |k2 AS (SELECT s.vec_id, s.v, s.cl, s.b,
+        |              NOT (EXISTS (SELECT 1 FROM t1 a WHERE a.cl = s.cl
+        |                           AND list_cosine_similarity(a.v, s.v) >= 0.35)
+        |                   OR EXISTS (SELECT 1 FROM asg a
+        |                              WHERE a.b = 2 AND a.cl = s.cl AND a.vec_id < s.vec_id
+        |                                AND list_cosine_similarity(a.v, s.v) >= 0.35)) AS kept
+        |       FROM asg s WHERE s.b = 2),
+        |t2 AS (SELECT * FROM t1 UNION ALL SELECT vec_id, v, cl FROM k2 WHERE kept),
+        |k3 AS (SELECT s.vec_id, s.v, s.cl, s.b,
+        |              NOT (EXISTS (SELECT 1 FROM t2 a WHERE a.cl = s.cl
+        |                           AND list_cosine_similarity(a.v, s.v) >= 0.35)
+        |                   OR EXISTS (SELECT 1 FROM asg a
+        |                              WHERE a.b = 3 AND a.cl = s.cl AND a.vec_id < s.vec_id
+        |                                AND list_cosine_similarity(a.v, s.v) >= 0.35)) AS kept
+        |       FROM asg s WHERE s.b = 3),
+        |allk AS (SELECT vec_id, b, cl, kept FROM k0
+        |         UNION ALL SELECT vec_id, b, cl, kept FROM k1
+        |         UNION ALL SELECT vec_id, b, cl, kept FROM k2
+        |         UNION ALL SELECT vec_id, b, cl, kept FROM k3)
+        |SELECT vec_id, b AS batch, cl AS cluster, kept
+        |FROM allk ORDER BY vec_id""".stripMargin,
 
     // same Lloyd's CTEs + the PRIORITY keep rule: dropped by any
     // same-cluster mate with more chars (ties → smaller id) within τ;

@@ -242,4 +242,54 @@ object StreamingDedup {
           }
         })
   }
+
+  /** Streaming SEMANTIC dedup (`foreachBatch`) against an accumulating
+    * kept-corpus parquet store — the streaming face of
+    * [[graft.operators.KMeansOps.incrementalSemDedup]], closing the
+    * streaming loop on the semantic family the way bloom dedup closes it
+    * for exact content.
+    *
+    * Per micro-batch: read the store snapshot (kept vectors only), run
+    * the incremental keep rule (dropped by any same-cluster STORE row or
+    * a smaller-id same-cluster batch mate within `tau`), append verdicts
+    * to `verdictPath` and the batch's kept vectors to `storePath`. The
+    * kept rows are re-read from the just-written verdict parquet before
+    * the store append, so no plan ever reads and writes `storePath` in
+    * the same job. Centroids are the pre-trained model artifact
+    * ([[graft.operators.KMeansOps.fitSampled]] — at 100 TB you train the
+    * quantizer on a bounded sample before the stream starts).
+    *
+    * State is the store itself: kept vectors × (id + vec) — the curated
+    * corpus a production pipeline persists anyway, not engine state; the
+    * streaming query holds nothing between triggers. */
+  def semDedupSink(batches: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[Array[Double]], tau: Double,
+                   storePath: String, verdictPath: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    batches.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(idCol), col(vecCol))
+        if (!b.isEmpty) {
+          val hasStore = {
+            val d = new java.io.File(storePath)
+            d.exists() && Option(d.list()).exists(_.exists(!_.startsWith("_")))
+          }
+          val store =
+            if (hasStore) spark.read.parquet(storePath)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+          graft.operators.KMeansOps
+            .incrementalSemDedup(store, b, idCol, vecCol, centroids, tau)
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(verdictPath)
+          val keptIds = spark.read.parquet(verdictPath)
+            .filter(col("batch_id") === id && col("kept"))
+            .select(col("id").as(idCol))
+          b.join(keptIds, Seq(idCol)).write.mode("append").parquet(storePath)
+        }
+        ()
+      }
+      .start()
+  }
 }

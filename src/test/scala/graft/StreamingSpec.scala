@@ -135,6 +135,47 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming semantic dedup: kept-store semantics across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val cent = Array(Array(5.0, 0.0), Array(0.0, 5.0))
+    val store = java.nio.file.Files.createTempDirectory("graft_ssd_t_store_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ssd_t_out_").toString
+    val query = streaming.StreamingDedup.semDedupSink(
+      mem.toDF().toDF("id", "vec"), "id", "vec", cent, tau = 0.9, store, out)
+    try {
+      // batch 0: 1 kept; 2 ≈ 1 dropped (in-batch, smaller id wins)
+      mem.addData((1L, Array(10f, 0f)), (2L, Array(10f, 0.1f)))
+      query.processAllAvailable()
+      // batch 1: 3 ≈ the KEPT store row 1 → dropped even though its id is
+      //          smaller than nothing in this batch;
+      //          4 is similar ONLY to the DROPPED row 2's direction — same
+      //          direction as 1 too, so craft it orthogonal-to-1 instead:
+      //          4 ⊥ cluster-0 store → kept (lands in cluster 1)
+      mem.addData((3L, Array(10f, 0.2f)), (4L, Array(0f, 10f)))
+      query.processAllAvailable()
+      val verdicts = spark.read.parquet(out)
+        .select(col("id"), col("batch_id"), col("kept"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(verdicts == Set((1L, 0L, true), (2L, 0L, false),
+        (3L, 1L, false), (4L, 1L, true)), s"got $verdicts")
+      // the store holds exactly the kept vectors
+      val stored = spark.read.parquet(store).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(stored == Set(1L, 4L))
+    } finally {
+      query.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store)); rm(new java.io.File(out))
+    }
+  }
+
   test("autosized bloom dedup deduplicates across batches end-to-end") {
     val spark2 = spark
     import spark2.implicits._
