@@ -185,6 +185,7 @@ object KMeansOps {
                     k: Int): Array[Array[Double]] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val rows = df.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull) // NULL vectors carry no geometry
       .orderBy(col(idCol)).limit(k).collect()
     require(rows.length == k, s"k=$k exceeds the ${rows.length} input rows")
     rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -197,7 +198,10 @@ object KMeansOps {
           iters: Int): Array[Array[Double]] = {
     var cent = initCentroids(df, idCol, vecCol, k)
     val dim = cent(0).length
-    val base = df.select(col(vecCol).as("vec"))
+    // NULL vectors are skipped (they assign to a NULL cluster, which would
+    // NPE the driver-side centroid fold) — consistent with the aggregates'
+    // NULL-skip convention
+    val base = df.select(col(vecCol).as("vec")).filter(col("vec").isNotNull)
     var it = 0
     while (it < iters) {
       // Partial aggregation bounds the shuffle at k·dim rows per task;

@@ -73,6 +73,19 @@ class KMeansSpec extends SparkTestBase {
     assert(byBlob.values.map(_.head).toSet.size == 3, s"blobs merged: $byBlob")
   }
 
+  test("fit skips NULL vectors; assign propagates NULL cluster for them") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, CAST(array(1.0, 1.0) AS ARRAY<FLOAT>)),
+        |  (1L, CAST(array(3.0, 3.0) AS ARRAY<FLOAT>)),
+        |  (2L, CAST(NULL AS ARRAY<FLOAT>)) t(id, vec)""".stripMargin)
+    val cent = KMeansOps.fit(df, "id", "vec", k = 2, iters = 2)
+    assert(!cent.flatten.exists(_.isNaN))
+    val got = KMeansOps.assign(df, "vec", cent).orderBy("id")
+      .collect().map(r => if (r.isNullAt(2)) None else Some(r.getInt(2))).toSeq
+    assert(got(2).isEmpty && got(0).nonEmpty && got(1).nonEmpty)
+  }
+
   test("fit: an emptied cluster keeps its previous centroid") {
     // k=2 over two identical vectors: both assign to cluster 0 after the
     // first update, so cluster 1 receives no members — its centroid must

@@ -167,6 +167,23 @@ class StreamingSpec extends SparkTestBase {
       val stored = spark.read.parquet(store).select("id")
         .collect().map(_.getLong(0)).toSet
       assert(stored == Set(1L, 4L))
+      // RESTART durability: a fresh query over the SAME store must dedup
+      // against the persisted kept corpus (the store is the state — the
+      // engine holds nothing between query lifetimes)
+      query.stop()
+      val mem2 = MemoryStream[(Long, Array[Float])]
+      val query2 = streaming.StreamingDedup.semDedupSink(
+        mem2.toDF().toDF("id", "vec"), "id", "vec", cent, tau = 0.9, store, out)
+      try {
+        mem2.addData((5L, Array(10f, 0.3f)), (6L, Array(-7f, 0f)))
+        query2.processAllAvailable()
+        val afterRestart = spark.read.parquet(out)
+          .filter(col("id") >= 5L).select("id", "kept")
+          .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+        // 5 ≈ stored row 1 → dropped across the restart; 6 points the
+        // other way (cos ≈ −1) → kept
+        assert(afterRestart == Set((5L, false), (6L, true)), s"got $afterRestart")
+      } finally query2.stop()
     } finally {
       query.stop()
       def rm(f: java.io.File): Unit = {
