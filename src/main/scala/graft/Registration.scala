@@ -659,6 +659,15 @@ object Registration {
         arity("graft_term_runs", args, 1, 1)
         graft.operators.TermRuns(args.head)
       },
+      // bounded top-k-per-group aggregate (heap buffer, map-side combine)
+      // — the scalable replacement for `row_number() OVER (...) <= k`
+      "graft_topk_by" -> { (args: Seq[Expression]) =>
+        arity("graft_topk_by", args, 3, 3)
+        val k = foldInt(args.head, "graft_topk_by")
+        if (k < 1) bindErr(s"graft_topk_by: k must be >= 1, got $k")
+        graft.operators.TopKByAgg(k,
+          Cast(args(1), DoubleType), Cast(args(2), LongType))
+      },
       "graft_gram_hashes" -> { (args: Seq[Expression]) =>
         arity("graft_gram_hashes", args, 2, 2)
         graft.operators.GramHashes(args.head, foldInt(args(1), "graft_gram_hashes"))

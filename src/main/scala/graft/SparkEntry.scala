@@ -2007,6 +2007,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- bounded top-k per group as an AGGREGATE (k-heap buffer, map-side
+    //    combine): the shuffle carries <= partitions*k candidate rows per
+    //    group instead of the window formulation's full-data shuffle+sort.
+    //    The oracle IS that window formulation — same answer, worse plan --
+    "q108_topk_per_group" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.TopK.perGroup(spark.table("events"),
+          Seq("event_type"), "value", "event_id", k = 3)
+        .select(col("event_type"), col("rnk"), col("id").as("event_id"),
+          col("score").as("value"))
+        .orderBy("event_type", "rnk")
+    },
+
     // -- cross-batch semantic dedup: centroids fit on the CURATED corpus
     //    only (the stored snapshot artifact), the new batch assigned to
     //    them with no re-clustering; dropped vs same-cluster history (any
@@ -3603,5 +3616,15 @@ object SparkEntry {
         |      FROM f)
         |SELECT doc_id, source, n_tokens, (cum <= 700 OR rn = 1) AS kept
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the window formulation graft_topk_by replaces: row_number over a
+    // full partition sort, score DESC / id ASC tie-break
+    "q108_topk_per_group" ->
+      """WITH w AS (SELECT event_type, event_id, value,
+        |                  row_number() OVER (PARTITION BY event_type
+        |                    ORDER BY value DESC, event_id) AS rnk
+        |           FROM events)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value
+        |FROM w WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
   )
 }
