@@ -2007,6 +2007,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- point-in-interval RANGE JOIN as a bucketed equi-join: OSS Spark
+    //    plans a bare BETWEEN join as broadcast-nested-loop (O(P*I));
+    //    quantizing the time domain restores an equi-key, the BETWEEN
+    //    post-filter restores exactness, and each true pair is met once --
+    "q109_interval_join" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      // the testdata ship/order dates are day-granular midnights, so the
+      // join domain is epoch DAYS; bucket = 4 days over 7-day intervals
+      // (expansion factor 2-3 buckets per interval)
+      val pts = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          unix_date(col("l_shipdate").cast("date")).cast("long").as("t"))
+      val iv = spark.table("orders").filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + lit(6L)) // inclusive 7-day window
+      operators.RangeJoin.pointInInterval(pts, "t", iv, "lo", "hi",
+          bucketWidth = 4L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+
     // -- bounded top-k per group as an AGGREGATE (k-heap buffer, map-side
     //    combine): the shuffle carries <= partitions*k candidate rows per
     //    group instead of the window formulation's full-data shuffle+sort.
@@ -3626,5 +3649,16 @@ object SparkEntry {
         |           FROM events)
         |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value
         |FROM w WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    // the naive non-equi BETWEEN join the bucketed range join replaces
+    // (DuckDB's IEJoin handles this shape natively; OSS Spark does not)
+    "q109_interval_join" ->
+      """SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |       sum(l.l_quantity) AS sum_qty
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderkey % 199 = 0
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
   )
 }
