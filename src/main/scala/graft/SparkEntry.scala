@@ -2007,6 +2007,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- WEIGHTED (multiset/TF) Jaccard near-dup pairs: the set form
+    //    can't see repetition; the weighted form scores it honestly.
+    //    Same inverted-index + size-ratio-prune shape as q35 ------------
+    "q110_weighted_jaccard" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.DedupOps.weightedJaccardPairs(spark.table("documents"),
+          "doc_id", "text", threshold = 0.7)
+        .select(col("doc_a"), col("doc_b"), round(col("wjaccard"), 6).as("wjaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // -- point-in-interval RANGE JOIN as a bucketed equi-join: OSS Spark
     //    plans a bare BETWEEN join as broadcast-nested-loop (O(P*I));
     //    quantizing the time domain restores an equi-key, the BETWEEN
@@ -3660,5 +3671,26 @@ object SparkEntry {
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
         |WHERE o.o_orderkey % 199 = 0
         |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
+
+    // exact weighted Jaccard over word term frequencies, all-pairs (the
+    // naive truth the inverted-index + ratio-prune plan reproduces);
+    // df cap 1000 mirrors the Spark default (no term is that hot here)
+    "q110_weighted_jaccard" ->
+      """WITH t AS (SELECT doc_id AS doc,
+        |                  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |           FROM documents WHERE trim(text) <> ''),
+        |tf0 AS (SELECT doc, tok, CAST(count(*) AS BIGINT) AS tf
+        |        FROM t GROUP BY doc, tok),
+        |hot AS (SELECT tok FROM tf0 GROUP BY tok HAVING count(*) > 1000),
+        |tf AS (SELECT * FROM tf0 WHERE tok NOT IN (SELECT tok FROM hot)),
+        |tot AS (SELECT doc, sum(tf) AS tot FROM tf GROUP BY doc),
+        |p AS (SELECT a.doc AS da, b.doc AS db, sum(least(a.tf, b.tf)) AS ms
+        |      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc < b.doc
+        |      GROUP BY a.doc, b.doc)
+        |SELECT p.da AS doc_a, p.db AS doc_b,
+        |       round(CAST(ms AS DOUBLE) / (ta.tot + tb.tot - ms), 6) AS wjaccard
+        |FROM p JOIN tot ta ON ta.doc = p.da JOIN tot tb ON tb.doc = p.db
+        |WHERE CAST(ms AS DOUBLE) / (ta.tot + tb.tot - ms) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

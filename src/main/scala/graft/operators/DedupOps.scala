@@ -216,6 +216,63 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact WEIGHTED (multiset / TF) Jaccard similar pairs via the same
+    * inverted-index join as [[jaccardPairs]], over word term frequencies
+    * instead of distinct shingles:
+    *
+    *   J_w(A,B) = Σ_t min(tf_A(t), tf_B(t)) / Σ_t max(tf_A(t), tf_B(t))
+    *            = minsum / (tot_A + tot_B − minsum)
+    *
+    * The set form treats "spam spam spam" and "spam" as identical; the
+    * weighted form scores repetition-heavy boilerplate honestly, which is
+    * what containment-style curation rules want. Same scale shape as the
+    * set version: the join carries (doc, tot, term-hash, tf) rows — never
+    * text — cost Σ df(term)², with a document-frequency cap on hot terms
+    * (stopwords are exactly the terms the cap removes first). The
+    * size-ratio prune generalizes: minsum ≤ min(tot) and the denominator
+    * ≥ max(tot), so J_w ≤ min(tot)/max(tot) — mismatched-mass pairs drop
+    * before the pair aggregation.
+    *
+    * The hot-term removal is a plain left-anti equi-join (AQE broadcasts
+    * the hot relation while it is small; past broadcast size it stays a
+    * shuffle join — no driver-side pull in either regime).
+    */
+  def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, maxTermDF: Int = 1000): DataFrame = {
+    // (doc, term-hash, tf): tokenize once, hash terms so only 8-byte keys
+    // ever reach an exchange
+    val tf0 = df.select(col(idCol).cast("long").as("doc"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val tfs =
+      if (maxTermDF <= 0) tf0
+      else {
+        val hot = tf0.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxTermDF).select("term")
+        tf0.join(hot, Seq("term"), "left_anti")
+      }
+    // doc total mass rides along with every index row (one doc-keyed
+    // shuffle to assemble), so the pair pass is ONE equi-join + ONE
+    // aggregation with no doc-sized side table to reunite afterwards
+    val index = tfs.groupBy("doc")
+      .agg(sum("tf").as("tot"), collect_list(struct(col("term"), col("tf"))).as("bag"))
+      .select(col("doc"), col("tot"), explode(col("bag")).as("e"))
+      .select(col("doc"), col("tot"), col("e.term").as("term"), col("e.tf").as("tf"))
+    index.as("a")
+      .join(index.as("b"), col("a.term") === col("b.term") && col("a.doc") < col("b.doc") &&
+        col("a.tot") * lit(threshold) <= col("b.tot") &&
+        col("b.tot") * lit(threshold) <= col("a.tot"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(sum(least(col("a.tf"), col("b.tf"))).as("minsum"),
+        first(col("a.tot")).as("tot_a"), first(col("b.tot")).as("tot_b"))
+      .withColumn("wjaccard",
+        col("minsum").cast("double") /
+          (col("tot_a") + col("tot_b") - col("minsum")).cast("double"))
+      .filter(col("wjaccard") >= threshold)
+      .select("doc_a", "doc_b", "wjaccard")
+  }
+
   /** MinHash signatures from shingle SETS: for each of `numHashes` seeded
     * hash functions, the min over the doc's shingle hashes. Entirely
     * map-side, NO shuffle, one fused loop (native [[MinHashSig]]). */
