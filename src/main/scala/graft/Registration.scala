@@ -659,6 +659,13 @@ object Registration {
         arity("graft_term_runs", args, 1, 1)
         graft.operators.TermRuns(args.head)
       },
+      // Morton (z-order) key over 2-4 quantized BIGINT dims — the
+      // multi-dimensional clustered-layout sort key
+      "graft_zorder" -> { (args: Seq[Expression]) =>
+        arity("graft_zorder", args, 3, 1 + graft.operators.ZOrder.MaxDims)
+        val bits = foldInt(args.head, "graft_zorder")
+        graft.operators.ZOrderKey(args.tail.map(Cast(_, LongType)), bits)
+      },
       // bounded top-k-per-group aggregate (heap buffer, map-side combine)
       // — the scalable replacement for `row_number() OVER (...) <= k`
       "graft_topk_by" -> { (args: Seq[Expression]) =>

@@ -2007,6 +2007,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // -- Z-ORDER (Morton) clustering key: bit-interleave 2 quantized
+    //    dims so range-partition+sort co-locates rows close in BOTH dims
+    //    → parquet min/max prunes scans on EITHER dim. Native codegen'd
+    //    expression; the oracle recomputes the interleave arithmetically -
+    "q111_zorder_key" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val a = (col("user_id") % 256).cast("long")
+      val b = least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(255L))
+      spark.table("events").filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), operators.ZOrder.zorderKey(8, a, b).as("zkey"))
+        .orderBy("event_id")
+    },
+
     // -- WEIGHTED (multiset/TF) Jaccard near-dup pairs: the set form
     //    can't see repetition; the weighted form scores it honestly.
     //    Same inverted-index + size-ratio-prune shape as q35 ------------
@@ -3692,5 +3705,15 @@ object SparkEntry {
         |FROM p JOIN tot ta ON ta.doc = p.da JOIN tot tb ON tb.doc = p.db
         |WHERE CAST(ms AS DOUBLE) / (ta.tot + tb.tot - ms) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // arithmetic re-derivation of the Morton interleave: bit j of dim 0
+    // at key bit 2j, of dim 1 at 2j+1 (dim 0 least significant)
+    "q111_zorder_key" ->
+      """SELECT event_id,
+        |       CAST(list_sum(list_transform(range(0, 8), i ->
+        |         ((((user_id % 256) >> i) & 1) << (2*i)) |
+        |         (((least(greatest(CAST(floor(value) AS BIGINT), 0), 255) >> i) & 1) << (2*i + 1))
+        |       )) AS BIGINT) AS zkey
+        |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
   )
 }

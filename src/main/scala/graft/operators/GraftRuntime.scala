@@ -731,4 +731,22 @@ object GraftRuntime {
     }
     new GenericArrayData(out)
   }
+
+  /** Spread dimension `dim`'s value across the Morton key: bit j of `v`
+    * lands at key bit j*dims + dim. Out-of-range v throws — a silent
+    * clamp would corrupt z-locality invisibly (ZOrder.quantize clamps
+    * upstream, where clamping is the documented contract). */
+  def zorderSpread(v: Long, bits: Int, dims: Int, dim: Int): Long = {
+    if (v < 0L || v >= (1L << bits))
+      throw new IllegalArgumentException(
+        s"graft_zorder: dimension $dim value $v out of [0, ${1L << bits}) — " +
+          "quantize inputs to the declared bit width first")
+    var key = 0L
+    var j = 0
+    while (j < bits) {
+      key |= ((v >>> j) & 1L) << (j * dims + dim)
+      j += 1
+    }
+    key
+  }
 }
