@@ -3690,7 +3690,7 @@ object SparkEntry {
     // df cap 1000 mirrors the Spark default (no term is that hot here)
     "q110_weighted_jaccard" ->
       """WITH t AS (SELECT doc_id AS doc,
-        |                  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |           FROM documents WHERE trim(text) <> ''),
         |tf0 AS (SELECT doc, tok, CAST(count(*) AS BIGINT) AS tf
         |        FROM t GROUP BY doc, tok),

@@ -239,12 +239,22 @@ object DedupOps {
     */
   def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, maxTermDF: Int = 1000): DataFrame = {
-    // (doc, term-hash, tf): tokenize once, hash terms so only 8-byte keys
-    // ever reach an exchange
+    import org.apache.spark.sql.GraftShims
+    // (doc, term-hash, tf) straight from the native one-pass TermRuns
+    // scan — the tf aggregation happens INSIDE the row, so no token
+    // instance ever reaches an exchange (the r14 rewrite: the composed
+    // explode+groupBy formulation shuffled every token occurrence and
+    // floored 6× over baseline). Terms hash to 8-byte keys; note
+    // TermRuns lowercases, so similarity is case-insensitive.
+    // Cached at the most-derived-from point (the jaccardPairs precedent):
+    // the hot-term aggregation, the anti-join probe, the tot aggregation,
+    // and BOTH self-join sides all re-derive from these rows — uncached,
+    // each consumer re-runs the text scan (measured 3× the query floor).
     val tf0 = df.select(col(idCol).cast("long").as("doc"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
-      .select(col("doc"), xxhash64(col("tok")).as("term"))
-      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+        explode(GraftShims.column(
+          TermRuns(GraftShims.expression(col(textCol))))).as("e"))
+      .select(col("doc"), xxhash64(col("e.term")).as("term"), col("e.tf").as("tf"))
+      .cache()
     val tfs =
       if (maxTermDF <= 0) tf0
       else {
@@ -252,13 +262,12 @@ object DedupOps {
           .filter(col("df") > maxTermDF).select("term")
         tf0.join(hot, Seq("term"), "left_anti")
       }
-    // doc total mass rides along with every index row (one doc-keyed
-    // shuffle to assemble), so the pair pass is ONE equi-join + ONE
-    // aggregation with no doc-sized side table to reunite afterwards
-    val index = tfs.groupBy("doc")
-      .agg(sum("tf").as("tot"), collect_list(struct(col("term"), col("tf"))).as("bag"))
-      .select(col("doc"), col("tot"), explode(col("bag")).as("e"))
-      .select(col("doc"), col("tot"), col("e.term").as("term"), col("e.tf").as("tf"))
+    // per-doc mass over the capped universe, reunited by a doc-keyed
+    // join: AQE broadcasts the doc-sized tot relation while it fits and
+    // falls back to a shuffle join when it does not
+    val tots = tfs.groupBy("doc").agg(sum("tf").as("tot"))
+    val index = tfs.join(tots, "doc")
+      .select(col("doc"), col("tot"), col("term"), col("tf"))
     index.as("a")
       .join(index.as("b"), col("a.term") === col("b.term") && col("a.doc") < col("b.doc") &&
         col("a.tot") * lit(threshold) <= col("b.tot") &&

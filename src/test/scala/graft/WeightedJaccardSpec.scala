@@ -23,7 +23,7 @@ class WeightedJaccardSpec extends SparkTestBase {
   }
 
   private def toks(s: String): Seq[String] =
-    s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    s.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
 
   test("matches brute force over a random corpus (cap off)") {
     import spark.implicits._
