@@ -175,6 +175,24 @@ object DedupOps {
       }
     }
 
+  /** Cache lifecycle for the pair detectors (jaccardPairs /
+    * weightedJaccardPairs / minhashLshPairs): each caches its
+    * most-derived-from relation because 3-5 downstream consumers re-derive
+    * from it, and a LAZY result cannot know when its last action has run —
+    * so by default the cache stays pinned for the session (MEMORY_AND_DISK,
+    * memory-evictable under pressure; repeated calls compound). Callers
+    * that want clean teardown pass `eager = true`: the pair set — small by
+    * construction, only threshold survivors — is materialized via
+    * localCheckpoint and every input cache is released before returning. */
+  private def finishPairs(result: DataFrame, eager: Boolean,
+                          caches: DataFrame*): DataFrame =
+    if (!eager) result
+    else {
+      val out = result.localCheckpoint(eager = true)
+      caches.foreach(_.unpersist(blocking = false))
+      out
+    }
+
   /** Exact n-gram Jaccard similar pairs via inverted-index join.
     *
     * @param maxShingleDF drop shingles appearing in more than this many
@@ -183,10 +201,13 @@ object DedupOps {
     *        default is ON, because this cap is the only thing standing
     *        between the self-join and a quadratic blowup on boilerplate
     *        at 100 TB.
+    * @param eager materialize now and release input caches (see
+    *        [[finishPairs]]); default lazy.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, threshold: Double, maxShingleDF: Int = 1000,
-                   knownHot: Option[Array[Long]] = None): DataFrame = {
+                   knownHot: Option[Array[Long]] = None,
+                   eager: Boolean = false): DataFrame = {
     // Materialize the shingle sets once — the hot-shingle aggregation,
     // the capped index, and the self-join sides would otherwise each
     // recompute shingle generation (the expensive tokenize+hash
@@ -197,6 +218,7 @@ object DedupOps {
     val base = shingleSets(df, idCol, textCol, k).cache()
     val filtered = capSets(base, maxShingleDF, knownHot)
       .select(col("doc"), col("sz"), explode(col("shset")).as("shingle"))
+    val pairs =
     // Set sizes ride along with every index row, so the whole computation
     // is ONE equi-join + ONE aggregation — no doc-sized side table to
     // reunite with pair counts (that join can't broadcast at billion-doc
@@ -214,6 +236,7 @@ object DedupOps {
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    finishPairs(pairs, eager, base)
   }
 
   /** Exact WEIGHTED (multiset / TF) Jaccard similar pairs via the same
@@ -238,7 +261,8 @@ object DedupOps {
     * shuffle join — no driver-side pull in either regime).
     */
   def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                           threshold: Double, maxTermDF: Int = 1000): DataFrame = {
+                           threshold: Double, maxTermDF: Int = 1000,
+                           eager: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftShims
     // (doc, term-hash, tf) straight from the native one-pass TermRuns
     // scan — the tf aggregation happens INSIDE the row, so no token
@@ -268,7 +292,7 @@ object DedupOps {
     val tots = tfs.groupBy("doc").agg(sum("tf").as("tot"))
     val index = tfs.join(tots, "doc")
       .select(col("doc"), col("tot"), col("term"), col("tf"))
-    index.as("a")
+    val pairs = index.as("a")
       .join(index.as("b"), col("a.term") === col("b.term") && col("a.doc") < col("b.doc") &&
         col("a.tot") * lit(threshold) <= col("b.tot") &&
         col("b.tot") * lit(threshold) <= col("a.tot"))
@@ -280,6 +304,7 @@ object DedupOps {
           (col("tot_a") + col("tot_b") - col("minsum")).cast("double"))
       .filter(col("wjaccard") >= threshold)
       .select("doc_a", "doc_b", "wjaccard")
+    finishPairs(pairs, eager, tf0)
   }
 
   /** MinHash signatures from shingle SETS: for each of `numHashes` seeded
@@ -313,7 +338,8 @@ object DedupOps {
                       k: Int, threshold: Double,
                       numHashes: Int = 64, bands: Int = 16,
                       maxShingleDF: Int = 1000,
-                      knownHot: Option[Array[Long]] = None): DataFrame = {
+                      knownHot: Option[Array[Long]] = None,
+                      eager: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val base = shingleSets(df, idCol, textCol, k).cache()
@@ -350,7 +376,7 @@ object DedupOps {
     val withA = cands
       .join(sets.as("sa"), col("doc_a") === col("sa.doc"))
       .select(col("doc_a"), col("doc_b"), col("sa.sz").as("sz_a"), col("sa.shset").as("set_a"))
-    withA
+    val pairs = withA
       .join(sets.as("sb"), col("doc_b") === col("sb.doc"))
       .withColumn("common", size(array_intersect(col("set_a"), col("sb.shset"))))
       .withColumn("jaccard",
@@ -358,6 +384,7 @@ object DedupOps {
           (col("sz_a") + col("sb.sz") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    finishPairs(pairs, eager, base)
   }
 
   /** Cross-corpus MinHash+LSH near-dup pairs: every (left, right) pair

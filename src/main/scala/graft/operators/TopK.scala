@@ -111,9 +111,15 @@ object TopKByAgg {
     val ids = new Array[Long](k)
     var size = 0
 
-    /** a=(s1,i1) ranks strictly better than b=(s2,i2)? */
-    @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    /** a=(s1,i1) ranks strictly better than b=(s2,i2)? Total order via
+      * Double.compare — NaN ranks greatest, exactly like Spark's
+      * DoubleType sort — so a NaN score can always be evicted/compared
+      * (IEEE `>` is false in BOTH directions for NaN, which would wedge
+      * a NaN at the root forever). */
+    @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
 
     def offer(s: Double, i: Long): Unit = {
       if (size < k) {

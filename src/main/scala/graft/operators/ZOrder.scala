@@ -33,15 +33,19 @@ object ZOrder {
   /** Quantize a numeric column to the [0, 2^bits) lane expected by
     * [[zorderKey]], given fixed bounds (from table stats / RangeBounds).
     * Out-of-bounds values clamp to the edge cells — layout quality for
-    * stragglers, never an error on the write path. */
+    * stragglers, never an error on the write path. NULL and NaN inputs
+    * propagate as NULL (matching [[ZOrderKey]], which nulls the whole key
+    * on a null dimension) rather than silently piling into cell 0. */
   def quantize(c: Column, min: Double, max: Double, bits: Int): Column = {
     require(bits >= 1 && bits <= 15, s"bits must be in [1,15], got $bits")
     require(max > min, s"need max > min, got [$min, $max]")
     val cells = (1L << bits).toDouble
-    least(greatest(
-        floor((c.cast("double") - lit(min)) / lit(max - min) * lit(cells)).cast("long"),
+    val d = c.cast("double")
+    val clamped = least(greatest(
+        floor((d - lit(min)) / lit(max - min) * lit(cells)).cast("long"),
         lit(0L)),
       lit((1L << bits) - 1))
+    when(d.isNull || isnan(d), lit(null).cast("long")).otherwise(clamped)
   }
 
   /** The Morton key column: bit j of dimension i lands at position

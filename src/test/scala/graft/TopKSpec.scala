@@ -45,6 +45,23 @@ class TopKSpec extends SparkTestBase {
     }
   }
 
+  test("NaN scores rank greatest (Spark DESC sort order) and never wedge the heap") {
+    // IEEE `>` is false in both directions for NaN: a naive comparator
+    // admits a NaN while the heap is underfull and then can never evict
+    // it. The total order (Double.compare) ranks NaN above every finite
+    // score — matching row_number() OVER (ORDER BY s DESC) in Spark —
+    // and keeps eviction live after a NaN lands at the root.
+    val h = new TopKByAgg.Heap(2)
+    Seq((Double.NaN, 5L), (1.0, 1L), (2.0, 2L), (3.0, 3L)).foreach { case (s, i) => h.offer(s, i) }
+    val (ss, ii) = h.sortedBestFirst()
+    assert(ss(0).isNaN && ii(0) == 5L && ss(1) == 3.0 && ii(1) == 3L, s"${ss.toSeq} ${ii.toSeq}")
+    // all-NaN then better finite values still evict down to the finite top-k
+    val h2 = new TopKByAgg.Heap(2)
+    Seq((Double.NaN, 1L), (Double.NaN, 2L), (Double.NaN, 3L)).foreach { case (s, i) => h2.offer(s, i) }
+    val (_, ii2) = h2.sortedBestFirst()
+    assert(ii2.toSeq == Seq(1L, 2L), s"NaN ties break by id: ${ii2.toSeq}")
+  }
+
   test("ties broken by smaller id; duplicates kept distinct") {
     val h = new TopKByAgg.Heap(2)
     Seq((1.0, 9L), (1.0, 3L), (1.0, 7L), (0.5, 1L)).foreach { case (s, i) => h.offer(s, i) }

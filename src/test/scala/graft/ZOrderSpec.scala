@@ -74,6 +74,14 @@ class ZOrderSpec extends SparkTestBase {
     assert(q == Seq(0L, 0L, 1L, 2L, 3L, 3L, 3L))
   }
 
+  test("quantize propagates NULL and NaN (consistent with ZOrderKey), not cell 0") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](null, Double.NaN, 0.25).toDF("x")
+    val q = df.select(ZOrder.quantize(col("x"), 0.0, 1.0, 2).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(q == Seq(None, None, Some(1L)), q.toString)
+  }
+
   test("layoutBy partitions are narrow in BOTH dims; single-sort is not") {
     import spark.implicits._
     val n = 20000
