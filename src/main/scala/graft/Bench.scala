@@ -117,7 +117,7 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
 
-    def report(): (String, String, Double) = {
+    def report(): (String, String, Double, Double, Double) = {
       val results = names.map { case (name, _) =>
         val ts = samples(name)
         name -> (if (ts.nonEmpty) ts else Vector(-1.0))
@@ -126,7 +126,12 @@ object Bench {
         .map { case (k, ts) => "\"" + k + "\":" + f"${if (ts.head < 0) -1.0 else f(ts)}%.3f" }
         .mkString("{", ",", "}")
       val total = results.collect { case (_, ts) if ts.head >= 0 => median(ts) }.sum
-      (fmt(median), fmt(_.min), total)
+      // harness/operator split (r14 verdict #4): replay/index-lifecycle
+      // fixed cost reported separately so operator movement stays legible
+      val harness = results.collect {
+        case (n, ts) if ts.head >= 0 && SparkEntry.harnessQueries(n) => median(ts)
+      }.sum
+      (fmt(median), fmt(_.min), total, total - harness, harness)
     }
     // true when the budget tripped inside a sweep: samples from the
     // aborted sweep are KEPT (they're real measurements), so per-query
@@ -139,8 +144,8 @@ object Bench {
     val filterJson = only
       .map(o => "\"" + o.toSeq.sorted.mkString(",") + "\"").getOrElse("null")
     def fullJson(sweepsDone: Int): String = {
-      val (qs, qmin, total) = report()
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"sf":"$sfDir"}"""
+      val (qs, qmin, total, opTotal, harnessTotal) = report()
+      f"""{"metric":"total","value":$total%.3f,"value_operator":$opTotal%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"sf":"$sfDir"}"""
     }
     // Persist the running result after EVERY completed sweep (atomic
     // tmp+rename): the r10 crash at sweep ~5 of 6 lost 41 minutes of
@@ -193,8 +198,8 @@ object Bench {
     if (full.length <= 1500) println(full)
     else {
       println(full)
-      val (_, _, total) = report()
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"n_queries":${names.size},"bench_file":"bench_last.json","sf":"$sfDir"}""")
+      val (_, _, total, opTotal, harnessTotal) = report()
+      println(f"""{"metric":"total","value":$total%.3f,"value_operator":$opTotal%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"n_queries":${names.size},"bench_file":"bench_last.json","sf":"$sfDir"}""")
     }
     System.out.flush()
   }

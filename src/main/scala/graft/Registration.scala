@@ -75,7 +75,7 @@ object Registration {
     case _ => None
   }
 
-  private val elemTags = Set("long", "float", "double")
+  private val elemTags = Set("long", "float", "double", "ulong")
 
   /** Narrow integral SQL type names → Spark output type. The reference's
     * alias types return the INPUT type from element-typed probes
@@ -89,7 +89,8 @@ object Registration {
   private val elemTagMap: Map[String, (ElemType, Option[DataType])] =
     Map[String, (ElemType, Option[DataType])](
       "long" -> ((ElemType.Lng, None)), "bigint" -> ((ElemType.Lng, None)),
-      "float" -> ((ElemType.Flt, None)), "double" -> ((ElemType.Dbl, None))) ++
+      "float" -> ((ElemType.Flt, None)), "double" -> ((ElemType.Dbl, None)),
+      "ulong" -> ((ElemType.ULng, None)), "ubigint" -> ((ElemType.ULng, None))) ++
       narrowTypes.map { case (t, dt) => t -> ((ElemType.Lng, Some(dt))) }
 
   /** Strip a trailing explicit element-type tag literal, if present.
@@ -236,11 +237,16 @@ object Registration {
       val elem =
         if (isMerge) tag.getOrElse(elemOf(child, ElemType.Dbl))
         else elemOfInput(fname, child.dataType)
+      // REQ is float-native, TDigest double-native here: a DECIMAL(20,0)
+      // ubigint input widens at bind time (same documented precision
+      // caveat as the other non-float numerics, SURVEY §7.3 item 2)
+      def widened(to: DataType): Expression =
+        if (!isMerge && child.dataType.isInstanceOf[DecimalType]) Cast(child, to) else child
       family match {
         case "quantiles" => QuantilesAgg(k, child, elem)
         case "kll"     => KllAgg(k, child, elem)
-        case "req"     => ReqAgg(k, child)
-        case "tdigest" => TDigestAgg(k, child)
+        case "req"     => ReqAgg(k, widened(FloatType))
+        case "tdigest" => TDigestAgg(k, widened(DoubleType))
       }
     }
   }
@@ -389,7 +395,7 @@ object Registration {
         if (family == "quantiles" && elem != ElemType.Dbl)
           bindErr(s"$fname: KS is defined for the double lane of the classic quantiles " +
             s"sketch; got '${elem.tag}' — build the sketches over DOUBLE values")
-        if (family == "kll" && elem == ElemType.Lng)
+        if (family == "kll" && (elem == ElemType.Lng || elem == ElemType.ULng))
           bindErr(s"$fname: KS is defined for the double and float KLL lanes; " +
             "build the sketches over DOUBLE (cast integer inputs) to compare them")
         if (family == "req" && fn == "test")

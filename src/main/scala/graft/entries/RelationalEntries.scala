@@ -1,0 +1,332 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational/pipeline operator queries: media decode/resize/frame-sample,
+  * as-of join, bloom prune, range bounds, join stats, profiler, top-k per
+  * group, interval join, z-order layout.
+  *
+  * Split from SparkEntry (r15): entries and oracle SQL verbatim, combined
+  * by [[SparkEntry.queries]] / [[SparkEntry.oracleSql]]. */
+private[graft] trait RelationalEntries extends EntryInfra {
+
+  protected def relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- multimodal columns -------------------------------------------------
+    "q40_media_meta" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.MediaOps.registerViews(spark)
+      spark.table("media")
+        .groupBy(col("meta.format").as("format"))
+        .agg(count("*").as("cnt"), sum(col("meta.width")).as("total_width"),
+          sum(length(col("content"))).as("total_bytes"))
+        .orderBy("format")
+    },
+
+    "q41_frame_sample" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.MediaOps.registerViews(spark)
+      operators.MediaOps.frameSample(spark.table("media"), stepMs = 500)
+        .groupBy("format").agg(count("*").as("frames"))
+        .orderBy("format")
+    },
+
+    // REAL codec round-trip: deterministic grayscale PNGs encoded then
+    // decoded with javax.imageio, both partition-parallel. The oracle
+    // predicts decoded width/height/pixel-checksum in closed form (the
+    // test image's gradient is wrap-free — see MediaOps.testPngBytes), so
+    // this green means actual PNG decode, not header parsing.
+    "q42_media_decode" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val pngs = operators.MediaOps.pngTable(
+        spark.table("documents").filter(col("doc_id") < 10))
+      operators.MediaOps.decodeImages(pngs)
+        .select(col("doc_id"), col("width"), col("height"), col("checksum"))
+        .orderBy("doc_id")
+    },
+
+    // -- as-of join (union+window: ONE shuffle, no range-join explosion) ----
+    "q47_asof_join" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val ev = spark.table("events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      operators.AsOfJoin.asofJoin(clicks, views, "user_id", "ts", Seq("value"))
+        .filter(col("event_id") % 20 === 0)
+        .select(col("event_id"), col("value").as("view_value"))
+        .orderBy("event_id")
+    },
+
+    // -- bloom join pruning (pre-shuffle fact filter; bloom has no false
+    //    negatives, so pruned-join ≡ plain join exactly) --------------------
+    "q48_bloom_prune" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val dim = spark.table("supplier").filter(col("s_nationkey") === 3)
+      operators.BloomPrune.bloomPrunedJoin(
+          spark.table("lineitem"), "l_suppkey", dim, "s_suppkey",
+          maxDistinct = 1 << 16, fpp = 0.01)
+        .agg(count("*").as("matched_rows"),
+          sum("l_quantity").cast("long").as("total_qty"),
+          countDistinct("l_suppkey").as("suppliers"))
+    },
+
+    // -- KLL-driven range partitioning (exact regime: n ≤ K → cut points
+    //    are exact order statistics → bucket histogram is oracle-exact) ----
+    "q49_range_bounds" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val src = spark.table("lineitem").filter(col("l_partkey") % 16 === 0)
+      val bounds = operators.RangeBounds.fromColumn(src, "l_extendedprice", 4, kllK = 8192)
+      src.select(operators.RangeBounds.bucket(col("l_extendedprice"), bounds.toSeq).as("bucket"))
+        .groupBy("bucket").agg(count("*").as("cnt"))
+        .orderBy("bucket")
+    },
+
+    // -- join-key overlap profiling (theta set algebra; exact regime at
+    //    sf0.01: both key sets fit lg_k=14 exact mode) ----------------------
+    "q52_join_stats" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.JoinStats.keyOverlap(
+          spark.table("orders").filter(col("o_orderkey") % 3 === 0), "o_custkey",
+          spark.table("customer").filter(col("c_nationkey") < 13), "c_custkey",
+          lgK = 14)
+        .select(
+          round(col("distinct_a")).cast("long").as("distinct_a"),
+          round(col("distinct_b")).cast("long").as("distinct_b"),
+          round(col("overlap")).cast("long").as("overlap"),
+          round(col("union_keys")).cast("long").as("union_keys"),
+          round(col("containment_a"), 6).as("containment_a"))
+    },
+
+    // -- one-pass column profiler (exact regime: n=922 ≤ kllK) --------------
+    "q43_profiler" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.Profiler.profile(
+          spark.table("lineitem").filter(col("l_partkey") % 64 === 0),
+          Seq("l_quantity", "l_suppkey", "l_returnflag"), kllK = 1024)
+        .select(col("column"), col("approx_distinct"), col("n"),
+          col("min"), col("max"), col("p50"), col("p95"))
+        .orderBy("column")
+    },
+
+    // -- decode → resize chain (media pipeline stage 2): integer-factor
+    //    area-average downscale over the REAL decoded raster. Closed form
+    //    on the wrap-free gradient at factor 2: pixel2(x2) = base + 2*x2,
+    //    so checksum2 = h2 * (w2*base + w2*(w2-1)). ----------------------
+    "q72_media_resize" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val pngs = operators.MediaOps.pngTable(
+        spark.table("documents").filter(col("doc_id") < 10))
+      operators.MediaOps.resizeImages(pngs, factor = 2)
+        .select(col("doc_id"), col("width"), col("height"), col("checksum"))
+        .orderBy("doc_id")
+    },
+
+    // -- REAL audio decode (javax.sound.sampled WAV parsing): hand-built
+    //    canonical RIFF containers decoded distributed; oracle predicts
+    //    rate / sample count / sample checksum in closed form. -----------
+    "q73_audio_decode" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val wavs = operators.MediaOps.wavTable(
+        spark.table("documents").filter(col("doc_id") < 10))
+      operators.MediaOps.decodeAudio(wavs)
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("checksum"))
+        .orderBy("doc_id")
+    },
+
+    // -- Z-ORDER (Morton) clustering key: bit-interleave 2 quantized
+    //    dims so range-partition+sort co-locates rows close in BOTH dims
+    //    → parquet min/max prunes scans on EITHER dim. Native codegen'd
+    //    expression; the oracle recomputes the interleave arithmetically -
+    "q111_zorder_key" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val a = (col("user_id") % 256).cast("long")
+      val b = least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(255L))
+      spark.table("events").filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), operators.ZOrder.zorderKey(8, a, b).as("zkey"))
+        .orderBy("event_id")
+    },
+
+    // -- point-in-interval RANGE JOIN as a bucketed equi-join: OSS Spark
+    //    plans a bare BETWEEN join as broadcast-nested-loop (O(P*I));
+    //    quantizing the time domain restores an equi-key, the BETWEEN
+    //    post-filter restores exactness, and each true pair is met once --
+    "q109_interval_join" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      // the testdata ship/order dates are day-granular midnights, so the
+      // join domain is epoch DAYS; bucket = 4 days over 7-day intervals
+      // (expansion factor 2-3 buckets per interval)
+      val pts = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          unix_date(col("l_shipdate").cast("date")).cast("long").as("t"))
+      val iv = spark.table("orders").filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + lit(6L)) // inclusive 7-day window
+      operators.RangeJoin.pointInInterval(pts, "t", iv, "lo", "hi",
+          bucketWidth = 4L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    // -- bounded top-k per group as an AGGREGATE (k-heap buffer, map-side
+    //    combine): the shuffle carries <= partitions*k candidate rows per
+    //    group instead of the window formulation's full-data shuffle+sort.
+    //    The oracle IS that window formulation — same answer, worse plan --
+    "q108_topk_per_group" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.TopK.perGroup(spark.table("events"),
+          Seq("event_type"), "value", "event_id", k = 3)
+        .select(col("event_type"), col("rnk"), col("id").as("event_id"),
+          col("score").as("value"))
+        .orderBy("event_type", "rnk")
+    },
+  )
+
+  protected def relationalOracle: Map[String, String] = Map(
+    "q40_media_meta" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        |       count(*) AS cnt,
+        |       CAST(sum(320 + (doc_id % 8) * 160) AS BIGINT) AS total_width,
+        |       CAST(sum(16 + octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
+
+    "q41_frame_sample" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        |       CAST(sum(CAST(floor((1000 + (doc_id % 60) * 500 - 1) / 500) AS BIGINT) + 1) AS BIGINT) AS frames
+        |FROM documents GROUP BY 1 ORDER BY format""".stripMargin,
+
+    // decoded width/height and the pixel checksum of the wrap-free
+    // gradient: h * (w*base + w*(w-1)/2) with base = doc_id % 200
+    "q42_media_decode" ->
+      """SELECT doc_id,
+        |       CAST(16 + doc_id % 8 AS INT) AS width,
+        |       CAST(12 + doc_id % 5 AS INT) AS height,
+        |       CAST((12 + doc_id % 5) *
+        |            ((16 + doc_id % 8) * (doc_id % 200) +
+        |             (16 + doc_id % 8) * (16 + doc_id % 8 - 1) / 2) AS BIGINT)
+        |         AS checksum
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+
+    "q47_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT l.event_id, r.value AS view_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |WHERE l.event_id % 20 = 0 ORDER BY event_id""".stripMargin,
+
+    "q48_bloom_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS matched_rows,
+        |       CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+        |       count(DISTINCT l_suppkey) AS suppliers
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3""".stripMargin,
+
+    "q49_range_bounds" ->
+      """WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) v FROM lineitem
+        |             WHERE l_partkey % 16 = 0),
+        |ranked AS (SELECT v, cume_dist() OVER (ORDER BY v) cd FROM src),
+        |b AS (SELECT (SELECT min(v) FROM ranked WHERE cd >= 0.25) b1,
+        |             (SELECT min(v) FROM ranked WHERE cd >= 0.5)  b2,
+        |             (SELECT min(v) FROM ranked WHERE cd >= 0.75) b3)
+        |SELECT bucket, count(*) AS cnt FROM (
+        |  SELECT CASE WHEN v > b3 THEN 3 WHEN v > b2 THEN 2
+        |              WHEN v > b1 THEN 1 ELSE 0 END AS bucket
+        |  FROM src, b)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q52_join_stats" ->
+      """WITH a AS (SELECT DISTINCT o_custkey k FROM orders WHERE o_orderkey % 3 = 0),
+        |     b AS (SELECT DISTINCT c_custkey k FROM customer WHERE c_nationkey < 13),
+        |     s AS (SELECT (SELECT count(*) FROM a) AS da,
+        |                  (SELECT count(*) FROM b) AS db,
+        |                  (SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS ov,
+        |                  (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS un)
+        |SELECT da AS distinct_a, db AS distinct_b, ov AS overlap, un AS union_keys,
+        |       round(CAST(ov AS DOUBLE) / CAST(da AS DOUBLE), 6) AS containment_a
+        |FROM s""".stripMargin,
+
+    "q43_profiler" ->
+      """WITH src AS (SELECT * FROM lineitem WHERE l_partkey % 64 = 0),
+        |q AS (SELECT v, cume_dist() OVER (ORDER BY v) cd
+        |      FROM (SELECT l_quantity v FROM src)),
+        |s AS (SELECT v, cume_dist() OVER (ORDER BY v) cd
+        |      FROM (SELECT CAST(l_suppkey AS DOUBLE) v FROM src))
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS "column",
+        |         CAST((SELECT count(DISTINCT l_quantity) FROM src) AS DOUBLE) AS approx_distinct,
+        |         (SELECT count(*) FROM src) AS n,
+        |         (SELECT min(l_quantity) FROM src) AS min,
+        |         (SELECT max(l_quantity) FROM src) AS max,
+        |         (SELECT min(v) FROM q WHERE cd >= 0.5) AS p50,
+        |         (SELECT min(v) FROM q WHERE cd >= 0.95) AS p95
+        |  UNION ALL
+        |  SELECT 'l_suppkey',
+        |         CAST((SELECT count(DISTINCT l_suppkey) FROM src) AS DOUBLE),
+        |         (SELECT count(*) FROM src),
+        |         (SELECT min(CAST(l_suppkey AS DOUBLE)) FROM src),
+        |         (SELECT max(CAST(l_suppkey AS DOUBLE)) FROM src),
+        |         (SELECT min(v) FROM s WHERE cd >= 0.5),
+        |         (SELECT min(v) FROM s WHERE cd >= 0.95)
+        |  UNION ALL
+        |  SELECT 'l_returnflag',
+        |         CAST((SELECT count(DISTINCT l_returnflag) FROM src) AS DOUBLE),
+        |         NULL, NULL, NULL, NULL, NULL)
+        |ORDER BY "column"""".stripMargin,
+
+    // resized dims + checksum of the area-averaged wrap-free gradient
+    "q72_media_resize" ->
+      """WITH g AS (SELECT doc_id,
+        |                  CAST(floor((16 + doc_id % 8) / 2) AS INT) AS w2,
+        |                  CAST(floor((12 + doc_id % 5) / 2) AS INT) AS h2,
+        |                  doc_id % 200 AS base
+        |           FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, w2 AS width, h2 AS height,
+        |       CAST(h2 * (w2 * base + w2 * (w2 - 1)) AS BIGINT) AS checksum
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // decoded WAV facts: sample(i) = base + i%50 over n samples →
+    // checksum = k(50·base + 1225) + r·base + r(r−1)/2, k = n/50, r = n%50
+    "q73_audio_decode" ->
+      """WITH g AS (SELECT doc_id,
+        |                  400 + doc_id % 100 AS n,
+        |                  doc_id % 200 AS base
+        |           FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, 8000 AS sample_rate, CAST(n AS INT) AS n_samples,
+        |       CAST((n // 50) * (50 * base + 1225) + (n % 50) * base
+        |            + (n % 50) * (n % 50 - 1) / 2 AS BIGINT) AS checksum
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the window formulation graft_topk_by replaces: row_number over a
+    // full partition sort, score DESC / id ASC tie-break
+    "q108_topk_per_group" ->
+      """WITH w AS (SELECT event_type, event_id, value,
+        |                  row_number() OVER (PARTITION BY event_type
+        |                    ORDER BY value DESC, event_id) AS rnk
+        |           FROM events)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value
+        |FROM w WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    // the naive non-equi BETWEEN join the bucketed range join replaces
+    // (DuckDB's IEJoin handles this shape natively; OSS Spark does not)
+    "q109_interval_join" ->
+      """SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |       sum(l.l_quantity) AS sum_qty
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |WHERE o.o_orderkey % 199 = 0
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin,
+
+    // arithmetic re-derivation of the Morton interleave: bit j of dim 0
+    // at key bit 2j, of dim 1 at 2j+1 (dim 0 least significant)
+    "q111_zorder_key" ->
+      """SELECT event_id,
+        |       CAST(list_sum(list_transform(range(0, 8), i ->
+        |         ((((user_id % 256) >> i) & 1) << (2*i)) |
+        |         (((least(greatest(CAST(floor(value) AS BIGINT), 0), 255) >> i) & 1) << (2*i + 1))
+        |       )) AS BIGINT) AS zkey
+        |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+  )
+}

@@ -66,4 +66,95 @@ object Pipeline {
           .otherwise("kept"))
       .drop("__exact_drop", "__near_drop")
   }
+
+  /** The FULL curation pipeline at the r14 operator grain, stages chained
+    * so each consumes the previous stage's survivors:
+    *
+    *   1. exact dedup (normalized fingerprint; lowest id survives),
+    *   2. duplicated-SPAN removal — survivor text is REWRITTEN (cleaned),
+    *      and a doc cleaned down to nothing is `empty`,
+    *   3. near dedup over the CLEANED text (exact n-gram Jaccard ≥
+    *      `nearDupThreshold`; higher id of each pair drops),
+    *   4. semantic dedup over the survivors' embeddings (k-means
+    *      bucketed, SemDeDup keep rule at cosine `semTau`),
+    *   5. per-source token quota over cleaned token counts.
+    *
+    * One row out per input document: (id, source, decision,
+    * removed_tokens, n_tokens, final_md5), decision ∈ {exact_dup, empty,
+    * near_dup, sem_dup, over_quota, kept}; n_tokens/final_md5 are
+    * non-null for kept rows only, so the result IS the survivor corpus
+    * fingerprint and the per-stage decision counts in one relation.
+    *
+    * Scale shape: every stage emits a DROP SET (O(duplicates) id rows,
+    * AQE-broadcastable when small, shuffle-joinable when not — never
+    * forced), chained by left-anti joins; text crosses an exchange only
+    * inside span removal's bounded reassembly join. Centroids are k×dim
+    * driver values (the [[KMeansOps.fit]] contract). The final assembly
+    * is the docs scan plus five id-keyed left joins. */
+  def curateFull(docs: DataFrame, embeddings: DataFrame,
+                 idCol: String, textCol: String, sourceCol: String,
+                 vecIdCol: String = "vec_id", vecCol: String = "embedding",
+                 nearDupThreshold: Double = 0.9, shingleK: Int = 3,
+                 maxShingleDF: Int = 1000,
+                 spanK: Int = 8, minSpan: Int = 20, maxGramOccurrences: Int = 1000,
+                 semK: Int = 8, semIters: Int = 2, semTau: Double = 0.35,
+                 tokenBudget: Long = 700L): DataFrame = {
+    val id = col(idCol)
+
+    // 1. exact dedup
+    val exactDrops = DedupOps.dupIds(docs, idCol, textCol)
+      .select(col("__dup_id").as("__exact_drop"))
+    val s1 = docs.join(exactDrops, id === col("__exact_drop"), "left_anti")
+
+    // 2. span removal over exact survivors (blank docs fall out here and
+    //    are decided `empty` in the assembly, matching removeDuplicatedSpans'
+    //    non-blank output contract); a doc whose every token sat in a
+    //    duplicated span is `empty` too
+    val cleaned = SpanDedup.removeDuplicatedSpans(s1, idCol, textCol,
+      spanK, minSpan, maxGramOccurrences)
+    val s2 = cleaned.filter(col("kept_tokens") > 0)
+
+    // 3. near dedup on the cleaned text — the text duplicates must be
+    //    judged on what stage 2 kept, not the raw crawl
+    val nearDrops = DedupOps.jaccardPairs(s2, idCol, "cleaned_text",
+        shingleK, nearDupThreshold, maxShingleDF)
+      .select(col("doc_b").as("__near_drop")).distinct()
+    val s3 = s2.join(nearDrops, id === col("__near_drop"), "left_anti")
+
+    // 4. semantic dedup over the surviving docs' embeddings (centroids
+    //    fit on the survivor slice — the corpus the stage actually sees)
+    val emb3 = embeddings.join(s3.select(id.as("__sid")),
+      col(vecIdCol) === col("__sid"), "left_semi")
+    val cent = KMeansOps.fit(emb3, vecIdCol, vecCol, semK, semIters)
+    val semDrops = KMeansOps.semDedup(emb3, vecIdCol, vecCol, cent, semTau)
+      .filter(!col("kept")).select(col("id").as("__sem_drop"))
+    val s4 = s3.join(semDrops, id === col("__sem_drop"), "left_anti")
+
+    // 5. per-source token quota over cleaned token counts
+    val s4src = s4.join(docs.select(id, col(sourceCol)), Seq(idCol))
+    val quotaDrops = QuotaSample.tokenQuota(s4src, sourceCol, idCol,
+        "cleaned_text", tokenBudget)
+      .filter(!col("kept")).select(id.as("__quota_drop"))
+
+    // assembly: every input doc, one decision, survivor fingerprint
+    docs.select(id, col(sourceCol))
+      .join(exactDrops, id === col("__exact_drop"), "left")
+      .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
+        col("cleaned_text")), Seq(idCol), "left")
+      .join(nearDrops, id === col("__near_drop"), "left")
+      .join(semDrops, id === col("__sem_drop"), "left")
+      .join(quotaDrops, id === col("__quota_drop"), "left")
+      .withColumn("decision",
+        when(col("__exact_drop").isNotNull, "exact_dup")
+          .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
+          .when(col("__near_drop").isNotNull, "near_dup")
+          .when(col("__sem_drop").isNotNull, "sem_dup")
+          .when(col("__quota_drop").isNotNull, "over_quota")
+          .otherwise("kept"))
+      .select(id, col(sourceCol), col("decision"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        when(col("decision") === "kept", col("kept_tokens")).as("n_tokens"),
+        when(col("decision") === "kept", md5(col("cleaned_text").cast("binary")))
+          .as("final_md5"))
+  }
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent corpus-snapshot artifact store — the "build once per
+  * snapshot, probe forever" lifecycle as an API.
+  *
+  * A large-scale deployment derives expensive corpus-level artifacts once
+  * per admitted snapshot and reuses them across every job that touches
+  * that snapshot: hot-shingle stop lists (the dedup cap), history bloom
+  * filters (incremental ingest), sampled k-means centroids (semantic
+  * dedup / IVF cells), LSH band buckets, verified pair evidence, sketch
+  * tables. Until r15 each was memoized ad hoc (JVM session maps,
+  * caller-passed arrays) — correct, but process-lifetime only. This store
+  * gives them one durable layout:
+  *
+  *   <root>/<name>-<pathHash>-m<mtime>/<artifact>   (parquet)
+  *
+  * Staleness is carried IN THE PATH — the same convention the widened-
+  * parquet rewrite and the `memoRows` memos already use: the key embeds
+  * the corpus's absolute-path hash and newest mtime, so a regenerated
+  * corpus can never silently serve stale artifacts (a new snapshot simply
+  * misses and rebuilds), and two corpora sharing a basename cannot
+  * collide. `root` may be any Hadoop-compatible URI (HDFS/S3/local) —
+  * everything is stored as parquet, so artifacts are shareable across
+  * clusters and readable by any engine.
+  *
+  * Scale shape: `getOrBuildDf` leaves big artifacts (pair evidence, band
+  * buckets, IVF indexes) distributed — load is a parquet scan, never a
+  * driver pull. The typed helpers (`longs`, `vectors`, `bytes`) are for
+  * the driver-bounded artifacts ONLY (hot lists bounded by mass/cap,
+  * k×dim centroids, a single bloom blob) — the same bounds the memo
+  * layer documents at each build site.
+  */
+final class SnapshotStore(spark: SparkSession, root: String) {
+
+  /** Artifact directory for one (corpus, artifact-name) pair; the
+    * snapshot identity (path hash + newest mtime) is part of the path. */
+  def artifactPath(corpusPath: String, name: String): String = {
+    val f = new java.io.File(corpusPath)
+    val abs = f.getAbsolutePath
+    val mtime = SnapshotStore.newestMtime(f)
+    val tag = f"${f.getName}-${abs.hashCode & 0x7fffffff}%08x-m$mtime"
+    s"$root/$tag/$name"
+  }
+
+  private def exists(path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(
+      new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+  }
+
+  // ---- distributed artifacts (stay parquet-resident, any size) -----------
+
+  /** Load the artifact if this snapshot already has it, else build, save,
+    * and return the SAVED copy (so every consumer reads the same
+    * materialized bytes — no accidental recompute through lineage). */
+  def getOrBuildDf(corpusPath: String, name: String)(build: => DataFrame): DataFrame = {
+    val p = artifactPath(corpusPath, name)
+    if (!exists(p)) build.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  def loadDf(corpusPath: String, name: String): Option[DataFrame] = {
+    val p = artifactPath(corpusPath, name)
+    if (exists(p)) Some(spark.read.parquet(p)) else None
+  }
+
+  // ---- driver-bounded artifacts (arrays / blobs; KB–MB by contract) ------
+
+  /** Long-array artifact (hot-shingle stop lists). */
+  def getOrBuildLongs(corpusPath: String, name: String)(build: => Array[Long]): Array[Long] = {
+    import spark.implicits._
+    val df = getOrBuildDf(corpusPath, name)(build.toSeq.toDF("v"))
+    df.select("v").as[Long].collect()
+  }
+
+  /** Vector-array artifact (k-means centroids, PQ codebooks). Row order
+    * is the centroid index — preserved via an explicit idx column. */
+  def getOrBuildVectors(corpusPath: String, name: String)
+                       (build: => Array[Array[Double]]): Array[Array[Double]] = {
+    import spark.implicits._
+    val df = getOrBuildDf(corpusPath, name) {
+      build.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }.toDF("idx", "v")
+    }
+    df.orderBy("idx").select("v").as[Seq[Double]].collect().map(_.toArray)
+  }
+
+  /** Binary-blob artifact (history bloom filters, serialized sketches). */
+  def getOrBuildBytes(corpusPath: String, name: String)(build: => Array[Byte]): Array[Byte] = {
+    import spark.implicits._
+    val df = getOrBuildDf(corpusPath, name)(Seq(Tuple1(build)).toDF("v"))
+    df.select("v").as[Array[Byte]].head()
+  }
+
+  /** Remove artifacts of STALE snapshots of `corpusPath` (same path hash,
+    * different mtime) — the retention hook a deployment calls after
+    * admitting a new snapshot. Returns the number of stale snapshot
+    * directories removed. */
+  def sweepStale(corpusPath: String): Int = {
+    val f = new java.io.File(corpusPath)
+    val abs = f.getAbsolutePath
+    val prefix = f"${f.getName}-${abs.hashCode & 0x7fffffff}%08x-m"
+    val live = prefix + SnapshotStore.newestMtime(f)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    val stale = fs.listStatus(rootPath).filter { st =>
+      val n = st.getPath.getName
+      n.startsWith(prefix) && n != live
+    }
+    stale.foreach(st => fs.delete(st.getPath, true))
+    stale.length
+  }
+}
+
+object SnapshotStore {
+  /** Newest mtime under a parquet path (file or directory of part files)
+    * — the staleness component of every artifact key. */
+  def newestMtime(f: java.io.File): Long =
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foldLeft(f.lastModified)((m, c) => math.max(m, c.lastModified))
+}

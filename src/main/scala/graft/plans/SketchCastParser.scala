@@ -37,7 +37,9 @@ object SketchCastRewrite {
     * the metadata triple [[graft.Registration]] dispatches on. Lanes
     * follow SURVEY §1.4: narrow ints ride the long lane with a cast-back
     * tag; unsigned widen to the next signed type (utinyint→smallint,
-    * usmallint→int, uinteger/ubigint→long); REQ is float-native and
+    * usmallint→int, uinteger→long), except UBIGINT which rides the
+    * dedicated unsigned lane (raw uint64 bits under an unsigned
+    * comparator, Decimal(20,0) at the surface); REQ is float-native and
     * TDigest double-native, so their alias types carry no lane tag
     * (probes normalize, q76 pins the REQ deviation). */
   val aliasTypes: Map[String, (String, Option[String], Option[String])] = {
@@ -51,7 +53,7 @@ object SketchCastRewrite {
       "utinyint" -> ((Some("long"), Some("smallint"))),
       "usmallint" -> ((Some("long"), Some("int"))),
       "uinteger" -> ((Some("long"), None)),
-      "ubigint" -> ((Some("long"), None)))
+      "ubigint" -> ((Some("ulong"), None)))
     val quantile = for {
       fam <- Seq("quantiles", "kll")
       (suf, (lane, narrow)) <- elemSuffixes

@@ -294,21 +294,25 @@ case class KllAgg(
 
   override def prettyName: String = "datasketch_kll"
   override def createAggregationBuffer(): KllSketch = elem match {
-    case ElemType.Dbl => KllDoublesSketch.newHeapInstance(k)
-    case ElemType.Flt => KllFloatsSketch.newHeapInstance(k)
-    case ElemType.Lng => KllLongsSketch.newHeapInstance(k)
+    case ElemType.Dbl  => KllDoublesSketch.newHeapInstance(k)
+    case ElemType.Flt  => KllFloatsSketch.newHeapInstance(k)
+    case ElemType.Lng  => KllLongsSketch.newHeapInstance(k)
+    case ElemType.ULng => KllItemsSketch.newHeapInstance[java.lang.Long](k, ulongCmp, longsSerDe)
   }
 
   private def heapify(b: Array[Byte]): KllSketch = deser("KLL", b)(elem match {
-    case ElemType.Dbl => KllDoublesSketch.heapify(mem(b))
-    case ElemType.Flt => KllFloatsSketch.heapify(mem(b))
-    case ElemType.Lng => KllLongsSketch.heapify(mem(b))
+    case ElemType.Dbl  => KllDoublesSketch.heapify(mem(b))
+    case ElemType.Flt  => KllFloatsSketch.heapify(mem(b))
+    case ElemType.Lng  => KllLongsSketch.heapify(mem(b))
+    case ElemType.ULng => KllItemsSketch.heapify(mem(b), ulongCmp, longsSerDe)
   })
 
   private def mergeInto(buf: KllSketch, other: KllSketch): Unit = (buf, other) match {
     case (a: KllDoublesSketch, b: KllDoublesSketch) => a.merge(b)
     case (a: KllFloatsSketch, b: KllFloatsSketch)   => a.merge(b)
     case (a: KllLongsSketch, b: KllLongsSketch)     => a.merge(b)
+    case (a: KllItemsSketch[_], b: KllItemsSketch[_]) =>
+      a.asInstanceOf[KllItemsSketch[java.lang.Long]].merge(b)
     case _ => throw new IllegalStateException("KLL element type mismatch in merge")
   }
 
@@ -320,6 +324,10 @@ case class KllAgg(
         case s: KllDoublesSketch => dispatch(v)(l => s.update(l.toDouble), s.update, _ => unsup(), _ => unsup())
         case s: KllFloatsSketch  => dispatch(v)(l => s.update(l.toFloat), d => s.update(d.toFloat), _ => unsup(), _ => unsup())
         case s: KllLongsSketch   => dispatch(v)(s.update, d => s.update(d.toLong), _ => unsup(), _ => unsup())
+        case s: KllItemsSketch[_] =>
+          // ulong lane: DECIMAL(20,0) input, raw uint64 bits inside
+          s.asInstanceOf[KllItemsSketch[java.lang.Long]].update(
+            java.lang.Long.valueOf(ulongBits(v.asInstanceOf[org.apache.spark.sql.types.Decimal])))
         case other => throw new IllegalStateException(s"unexpected KLL buffer ${other.getClass}")
       }
     }
@@ -328,9 +336,10 @@ case class KllAgg(
   override def merge(buf: KllSketch, other: KllSketch): KllSketch = { mergeInto(buf, other); buf }
   override def eval(buf: KllSketch): Any = if (buf.isEmpty) null else serialize(buf)
   override def serialize(buf: KllSketch): Array[Byte] = buf match {
-    case s: KllDoublesSketch => s.toByteArray
-    case s: KllFloatsSketch  => s.toByteArray
-    case s: KllLongsSketch   => s.toByteArray
+    case s: KllDoublesSketch  => s.toByteArray
+    case s: KllFloatsSketch   => s.toByteArray
+    case s: KllLongsSketch    => s.toByteArray
+    case s: KllItemsSketch[_] => s.toByteArray
   }
   override def deserialize(bytes: Array[Byte]): KllSketch = heapify(bytes)
   override def withNewMutableAggBufferOffset(o: Int): KllAgg = copy(mutableAggBufferOffset = o)
@@ -359,10 +368,15 @@ case class QuantilesAgg(
 
   private val isMerge = child.dataType == BinaryType
 
+  /** Comparator of the long-items lane: unsigned for the ulong lane, the
+    * natural order otherwise — everything else about the lane is shared. */
+  private def lngCmp = if (elem == ElemType.ULng) ulongCmp else longCmp
+  private val isULong = elem == ElemType.ULng
+
   override def prettyName: String = "datasketch_quantiles"
   override def createAggregationBuffer(): QuantilesBuf = elem match {
-    case ElemType.Lng =>
-      new QuantilesBuf(null, ClassicItemsUnion.getInstance(classOf[java.lang.Long], k, longCmp), null)
+    case ElemType.Lng | ElemType.ULng =>
+      new QuantilesBuf(null, ClassicItemsUnion.getInstance(classOf[java.lang.Long], k, lngCmp), null)
     case ElemType.Flt =>
       new QuantilesBuf(null, null, ClassicItemsUnion.getInstance(classOf[java.lang.Float], k, floatCmp))
     case _ =>
@@ -376,13 +390,15 @@ case class QuantilesAgg(
         val b = v.asInstanceOf[Array[Byte]]
         if (buf.du != null) deser("Quantiles", b)(buf.du.union(mem(b)))
         else if (buf.lu != null) buf.lu.union(deser("Quantiles", b)(
-          ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(b), longCmp, longsSerDe)))
+          ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(b), lngCmp, longsSerDe)))
         else buf.fu.union(deser("Quantiles", b)(
           ClassicItemsSketch.getInstance(classOf[java.lang.Float], mem(b), floatCmp, floatsSerDe)))
       } else if (buf.du != null) {
         dispatch(v)(l => buf.du.update(l.toDouble), buf.du.update, _ => unsup(), _ => unsup())
       } else if (buf.lu != null) {
-        dispatch(v)(l => buf.lu.update(l), d => buf.lu.update(d.toLong), _ => unsup(), _ => unsup())
+        if (isULong) buf.lu.update(java.lang.Long.valueOf(
+          ulongBits(v.asInstanceOf[org.apache.spark.sql.types.Decimal])))
+        else dispatch(v)(l => buf.lu.update(l), d => buf.lu.update(d.toLong), _ => unsup(), _ => unsup())
       } else {
         dispatch(v)(l => buf.fu.update(l.toFloat), d => buf.fu.update(d.toFloat), _ => unsup(), _ => unsup())
       }
@@ -395,27 +411,33 @@ case class QuantilesAgg(
     else buf.fu.union(other.fu.getResult)
     buf
   }
+  // Items-lane blobs are written ORDERED compact (`toByteArray(true, _)`):
+  // the single-arg overload writes unordered compact, which
+  // `ItemsSketch.getInstance` REJECTS on read ("must be v2, empty, or
+  // compact and ordered") — so the un-ordered form broke every long/float
+  // lane blob re-merge (latent until q113 exercised one). Ordered compact
+  // is also what the C++ quantiles sketch writes.
   override def eval(buf: QuantilesBuf): Any = {
     if (buf.du != null) {
       val r = buf.du.getResult
       if (r.isEmpty) null else r.toByteArray(false)
     } else if (buf.lu != null) {
       val r = buf.lu.getResult
-      if (r.isEmpty) null else r.toByteArray(longsSerDe)
+      if (r.isEmpty) null else r.toByteArray(true, longsSerDe)
     } else {
       val r = buf.fu.getResult
-      if (r.isEmpty) null else r.toByteArray(floatsSerDe)
+      if (r.isEmpty) null else r.toByteArray(true, floatsSerDe)
     }
   }
   override def serialize(buf: QuantilesBuf): Array[Byte] =
     if (buf.du != null) buf.du.getResult.toByteArray(false)
-    else if (buf.lu != null) buf.lu.getResult.toByteArray(longsSerDe)
-    else buf.fu.getResult.toByteArray(floatsSerDe)
+    else if (buf.lu != null) buf.lu.getResult.toByteArray(true, longsSerDe)
+    else buf.fu.getResult.toByteArray(true, floatsSerDe)
   override def deserialize(bytes: Array[Byte]): QuantilesBuf = {
     val buf = createAggregationBuffer()
     if (buf.du != null) buf.du.union(mem(bytes))
     else if (buf.lu != null)
-      buf.lu.union(ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(bytes), longCmp, longsSerDe))
+      buf.lu.union(ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(bytes), lngCmp, longsSerDe))
     else
       buf.fu.union(ClassicItemsSketch.getInstance(classOf[java.lang.Float], mem(bytes), floatCmp, floatsSerDe))
     buf

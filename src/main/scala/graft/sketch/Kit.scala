@@ -28,20 +28,69 @@ object Kit {
     case object Lng extends ElemType("long", LongType)
     case object Flt extends ElemType("float", FloatType)
     case object Dbl extends ElemType("double", DoubleType)
+    /** UBIGINT lane (reference `codegen/generator.py:49-60` ubigint):
+      * DECIMAL(20,0) at the Spark surface (the only Spark type that holds
+      * [0, 2^64)), raw uint64 bit patterns inside the sketch, ordered by
+      * `Long.compareUnsigned` — TRUE unsigned quantile semantics, closing
+      * the "widened to signed LONG" deviation for values > 2^63−1. */
+    case object ULng extends ElemType("ulong", DecimalType(20, 0))
 
     def fromTag(s: String): ElemType = s match {
       case "long"   => Lng
       case "float"  => Flt
       case "double" => Dbl
+      case "ulong"  => ULng
       case other    => throw new IllegalArgumentException(s"unknown sketch element type '$other'")
     }
 
-    /** Bind-time mapping from a raw Spark input type (create-aggregate path). */
+    /** Bind-time mapping from a raw Spark input type (create-aggregate path).
+      * DECIMAL(20,0) is the UBIGINT convention; other decimals stay
+      * unsupported (the reference has no DECIMAL element type). */
     def ofInput(dt: DataType): Option[ElemType] = dt match {
       case ByteType | ShortType | IntegerType | LongType => Some(Lng)
       case FloatType                                     => Some(Flt)
       case DoubleType                                    => Some(Dbl)
+      case d: DecimalType if d.precision == 20 && d.scale == 0 => Some(ULng)
       case _                                             => None
+    }
+  }
+
+  // ---- UBIGINT (ulong lane) helpers ---------------------------------------
+
+  private val TWO64 = java.math.BigInteger.ONE.shiftLeft(64)
+
+  /** Unsigned 64-bit order — the comparator of the ulong quantile lanes. */
+  val ulongCmp: Comparator[java.lang.Long] =
+    (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b)
+
+  /** DECIMAL(20,0) UBIGINT value → raw uint64 bit pattern (range-checked,
+    * mirroring DuckDB's UBIGINT domain error on out-of-range casts). */
+  def ulongBits(d: org.apache.spark.sql.types.Decimal): Long = {
+    val bi = d.toJavaBigDecimal.toBigIntegerExact
+    if (bi.signum < 0 || bi.compareTo(TWO64) >= 0)
+      throw new IllegalArgumentException(
+        s"ubigint lane: value $bi out of UBIGINT range [0, 2^64)")
+    bi.longValue()
+  }
+
+  /** Raw uint64 bits → Spark Decimal(20,0). */
+  def ulongDecimal(l: Long): org.apache.spark.sql.types.Decimal = {
+    val bi =
+      if (l >= 0) java.math.BigInteger.valueOf(l)
+      else java.math.BigInteger.valueOf(l).add(TWO64)
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(bi), 20, 0)
+  }
+
+  /** Probe argument (double-cast by the registration layer, like every
+    * quantile-lane probe) → raw uint64 bits; clamped to the domain edges
+    * (exact below 2^53 — the same double-pathway precision caveat as the
+    * signed long lane's rank/cdf/pmf probes). */
+  def ulongBitsOfDouble(d: Double): Long = {
+    if (d.isNaN || d <= 0.0) 0L
+    else {
+      val bi = new java.math.BigDecimal(d).toBigInteger
+      if (bi.compareTo(TWO64) >= 0) -1L // all ones = 2^64 - 1
+      else bi.longValue()
     }
   }
 

@@ -4,7 +4,7 @@ import org.apache.datasketches.cpc.CpcSketch
 import org.apache.datasketches.frequencies
 import org.apache.datasketches.frequencies.ErrorType
 import org.apache.datasketches.hll.HllSketch
-import org.apache.datasketches.kll.{KllDoublesSketch, KllFloatsSketch, KllLongsSketch}
+import org.apache.datasketches.kll.{KllDoublesSketch, KllFloatsSketch, KllItemsSketch, KllLongsSketch}
 import org.apache.datasketches.quantiles.{DoublesSketch, ItemsSketch => ClassicItemsSketch}
 import org.apache.datasketches.req.ReqSketch
 import org.apache.datasketches.tdigest.TDigestDouble
@@ -199,6 +199,38 @@ object QuantWrap {
     def nre(isPmf: Boolean): Double = s.getNormalizedRankError(isPmf)
     def describe(a: Boolean, b: Boolean): String = s.toString(a, b)
   }
+  /** Classic quantiles, UBIGINT lane: items are raw uint64 bit patterns
+    * under the unsigned comparator; element-typed results surface as
+    * Spark Decimal(20,0); double-cast probe args map through
+    * [[Kit.ulongBitsOfDouble]] (precision caveat shared with the signed
+    * long lane's probe pathway). */
+  final class QULng(s: ClassicItemsSketch[java.lang.Long]) extends QuantWrap {
+    private def ju(d: Double): java.lang.Long = java.lang.Long.valueOf(ulongBitsOfDouble(d))
+    def quantile(r: Double, incl: Boolean): Any = ulongDecimal(s.getQuantile(r, criteria(incl)).longValue())
+    def rank(item: Double, incl: Boolean): Double = s.getRank(ju(item), criteria(incl))
+    def cdf(sp: Array[Double], incl: Boolean): Array[Double] = s.getCDF(sp.map(ju), criteria(incl))
+    def pmf(sp: Array[Double], incl: Boolean): Array[Double] = s.getPMF(sp.map(ju), criteria(incl))
+    def k: Int = s.getK; def isEmpty: Boolean = s.isEmpty; def n: Long = s.getN
+    def isEstimationMode: Boolean = s.isEstimationMode; def numRetained: Long = s.getNumRetained
+    def minItem: Any = ulongDecimal(s.getMinItem.longValue())
+    def maxItem: Any = ulongDecimal(s.getMaxItem.longValue())
+    def nre(isPmf: Boolean): Double = s.getNormalizedRankError(isPmf)
+    def describe(a: Boolean, b: Boolean): String = s.toString(a, b)
+  }
+  /** KLL, UBIGINT lane (same conventions as [[QULng]]). */
+  final class KULng(s: KllItemsSketch[java.lang.Long]) extends QuantWrap {
+    private def ju(d: Double): java.lang.Long = java.lang.Long.valueOf(ulongBitsOfDouble(d))
+    def quantile(r: Double, incl: Boolean): Any = ulongDecimal(s.getQuantile(r, criteria(incl)).longValue())
+    def rank(item: Double, incl: Boolean): Double = s.getRank(ju(item), criteria(incl))
+    def cdf(sp: Array[Double], incl: Boolean): Array[Double] = s.getCDF(sp.map(ju), criteria(incl))
+    def pmf(sp: Array[Double], incl: Boolean): Array[Double] = s.getPMF(sp.map(ju), criteria(incl))
+    def k: Int = s.getK; def isEmpty: Boolean = s.isEmpty; def n: Long = s.getN
+    def isEstimationMode: Boolean = s.isEstimationMode; def numRetained: Long = s.getNumRetained
+    def minItem: Any = ulongDecimal(s.getMinItem.longValue())
+    def maxItem: Any = ulongDecimal(s.getMaxItem.longValue())
+    def nre(isPmf: Boolean): Double = s.getNormalizedRankError(isPmf)
+    def describe(a: Boolean, b: Boolean): String = s.toString(a, b)
+  }
   final class QReq(s: ReqSketch) extends QuantWrap {
     def quantile(r: Double, incl: Boolean): Any = s.getQuantile(r, criteria(incl))
     def rank(item: Double, incl: Boolean): Double = s.getRank(item.toFloat, criteria(incl))
@@ -237,14 +269,16 @@ object QuantWrap {
 
   private def ofUncached(family: String, elem: ElemType, bytes: Array[Byte]): QuantWrap = family match {
     case "quantiles" => deser("Quantiles", bytes)(elem match {
-      case ElemType.Lng => new QLng(ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(bytes), longCmp, longsSerDe))
-      case ElemType.Flt => new QFlt(ClassicItemsSketch.getInstance(classOf[java.lang.Float], mem(bytes), floatCmp, floatsSerDe))
-      case _            => new QDbl(DoublesSketch.heapify(mem(bytes)))
+      case ElemType.Lng  => new QLng(ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(bytes), longCmp, longsSerDe))
+      case ElemType.ULng => new QULng(ClassicItemsSketch.getInstance(classOf[java.lang.Long], mem(bytes), ulongCmp, longsSerDe))
+      case ElemType.Flt  => new QFlt(ClassicItemsSketch.getInstance(classOf[java.lang.Float], mem(bytes), floatCmp, floatsSerDe))
+      case _             => new QDbl(DoublesSketch.heapify(mem(bytes)))
     })
     case "kll" => deser("KLL", bytes)(elem match {
-      case ElemType.Dbl => new KDbl(KllDoublesSketch.heapify(mem(bytes)))
-      case ElemType.Flt => new KFlt(KllFloatsSketch.heapify(mem(bytes)))
-      case ElemType.Lng => new KLng(KllLongsSketch.heapify(mem(bytes)))
+      case ElemType.Dbl  => new KDbl(KllDoublesSketch.heapify(mem(bytes)))
+      case ElemType.Flt  => new KFlt(KllFloatsSketch.heapify(mem(bytes)))
+      case ElemType.Lng  => new KLng(KllLongsSketch.heapify(mem(bytes)))
+      case ElemType.ULng => new KULng(KllItemsSketch.heapify(mem(bytes), ulongCmp, longsSerDe))
     })
     case "req"     => deser("REQ", bytes)(new QReq(ReqSketch.heapify(mem(bytes))))
     case "tdigest" =>

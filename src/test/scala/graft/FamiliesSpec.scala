@@ -432,6 +432,50 @@ class FamiliesSpec extends SparkTestBase {
     assert(total == 4L)
   }
 
+  test("ubigint lane: true unsigned order across 2^63, exact values back as DECIMAL(20,0)") {
+    // values straddling the signed-long boundary: unsigned order is
+    // 1 < 2^63-1 < 2^63 < 2^64-1 — a signed lane would sort the top two
+    // BELOW the bottom two (the pre-r15 widening deviation)
+    val r = sql(
+      """WITH v AS (SELECT CAST(u AS DECIMAL(20,0)) AS u FROM VALUES
+        |  ('18446744073709551615'), ('9223372036854775808'),
+        |  ('9223372036854775807'), ('1') AS t(u))
+        |SELECT CAST(datasketch_kll_min_item(datasketch_kll(200, u)) AS STRING),
+        |       CAST(datasketch_kll_max_item(datasketch_kll(200, u)) AS STRING),
+        |       CAST(datasketch_kll_quantile(datasketch_kll(200, u), 0.5, true) AS STRING),
+        |       CAST(datasketch_quantiles_max_item(datasketch_quantiles(128, u)) AS STRING)
+        |FROM v""".stripMargin).head()
+    assert(r.getString(0) == "1")
+    assert(r.getString(1) == "18446744073709551615")
+    assert(r.getString(2) == "9223372036854775807") // inclusive median of 4
+    assert(r.getString(3) == "18446744073709551615")
+  }
+
+  test("ubigint lane: out-of-range values fail with the range in the error") {
+    val e = intercept[Exception] {
+      sql("""SELECT datasketch_kll(200, CAST(-1 AS DECIMAL(20,0)))""").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("UBIGINT range"))), e.getMessage)
+  }
+
+  test("items-lane quantiles blobs re-merge (ordered-compact serialization, r15 fix)") {
+    // long and float classic-quantiles lanes: two-level GROUP BY merge used
+    // to fail at deserialization because blobs were written unordered
+    spark.range(100).createOrReplaceTempView("r100")
+    val r = sql(
+      """WITH g AS (SELECT id % 4 AS grp, datasketch_quantiles(128, id) AS lk,
+        |                  datasketch_quantiles(128, CAST(id AS FLOAT)) AS fk
+        |           FROM r100 GROUP BY id % 4)
+        |SELECT datasketch_quantiles_n(datasketch_quantiles(128, lk, 'long')) AS ln,
+        |       datasketch_quantiles_max_item(datasketch_quantiles(128, lk, 'long'), 'long') AS lmx,
+        |       datasketch_quantiles_n(datasketch_quantiles(128, fk, 'float')) AS fn
+        |FROM g""".stripMargin).head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 99L && r.getLong(2) == 100L)
+  }
+
   test("quantiles golden single-value bytes (quantiles.test:14-17 analog)") {
     // single-value sketches are deterministic; pin the round-trip instead of
     // raw bytes (Java classic-quantiles layout legally differs from C++)
