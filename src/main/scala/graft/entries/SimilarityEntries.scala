@@ -311,6 +311,42 @@ private[graft] trait SimilarityEntries extends EntryInfra {
           col("kept"))
         .orderBy("vec_id")
     },
+
+    // -- product-quantized ANN with exact re-rank (r15): 16-byte codes
+    //    (16× smaller than float32) rank candidates via ADC lookups, the
+    //    top k·rerank survivors re-rank EXACTLY against the base table —
+    //    recall at the q82 probe geometry must clear the same 0.7 floor,
+    //    and the measured index bytes/vector is part of the contract ----
+    "q114_ann_pq_rerank" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = operators.SimilarityOps.cosineTopK(q, emb, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id")
+      val path = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+      try {
+        val model = operators.AnnIndex.buildPq(emb, "vec_id", "embedding", path,
+          planes = 4, m = 16, ksub = 64)
+        val ann = operators.AnnIndex.queryPq(spark, path, q, emb, "vec_id", "embedding",
+            model, k = 3, planes = 4, probeDepth = 2, rerank = 8)
+          .select("query_id", "neighbor_id")
+        val bytes = spark.read.parquet(path)
+          .agg(max(length(col("codes"))).as("bytes_per_vector"))
+        ann.join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n")))
+          .crossJoin(bytes)
+          .select(lit("pq_rerank_probe2_recall_ge_0.7").as("metric"),
+            (col("hits") >= col("n") * 0.7).as("ok"),
+            col("bytes_per_vector").cast("long").as("bytes_per_vector"))
+          .localCheckpoint(true)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }
+    },
   )
 
   protected def similarityOracle: Map[String, String] = Map(
@@ -462,6 +498,12 @@ private[graft] trait SimilarityEntries extends EntryInfra {
     // side's own brute-force truth, floor well under the measured 0.93
     "q102_ann_kmeans_ivf" ->
       "SELECT 'kmeans_ivf_probe2_recall_ge_0.7' AS metric, true AS ok",
+
+    // bounded boolean check (the q82 pattern) + the storage contract:
+    // m=16 one-byte PQ codes per 64-dim vector = 16 bytes (16× vs float32)
+    "q114_ann_pq_rerank" ->
+      ("SELECT 'pq_rerank_probe2_recall_ge_0.7' AS metric, true AS ok, " +
+        "CAST(16 AS BIGINT) AS bytes_per_vector"),
 
     // Lloyd's fit over the HISTORY slice only, batch rows assigned to the
     // stored centroids, then the cross-batch keep rule: dropped by any

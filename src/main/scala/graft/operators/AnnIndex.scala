@@ -100,6 +100,76 @@ object AnnIndex {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** [[build]] with PRODUCT-QUANTIZED storage ([[ProductQuantizer]]): the
+    * index holds (id, nrm, m-byte codes) — for 64-dim float32 embeddings
+    * at m=16 that is 16 bytes of codes + 8 of norm per vector vs 256 of
+    * floats, so each probed bucket reads ~10× fewer bytes than the float
+    * index and ~3× fewer than int8. Signatures hash the ORIGINAL floats
+    * (identical bucket routing to [[build]]/[[buildQuantized]]); the
+    * model is returned for the probe side (m·ksub·dsub doubles — the
+    * same bounded driver artifact as every centroid set; persist via
+    * [[SnapshotStore.getOrBuildVectors]] on [[ProductQuantizer.PqModel.toRows]]). */
+  def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
+              path: String, planes: Int = 8, m: Int = 16, ksub: Int = 16,
+              iters: Int = 2, dim: Int = 64,
+              sampleHexPrefix: Option[String] = None): ProductQuantizer.PqModel = {
+    val model = ProductQuantizer.train(corpus, idCol, vecCol, dim, m, ksub,
+      iters, sampleHexPrefix)
+    corpus.select(col(idCol).as("id"),
+        SimilarityOps.norm(col(vecCol)).as("nrm"),
+        ProductQuantizer.encode(col(vecCol), model).as("codes"),
+        SimilarityOps.lshSignature(col(vecCol), planes).as("sig"))
+      .write.mode("overwrite").partitionBy("sig").parquet(path)
+    model
+  }
+
+  /** Query a [[buildPq]] index: partition-filtered multi-probe (the q82
+    * geometry), ADC-approximate ranking over the codes, then EXACT
+    * cosine re-rank of the top `k·rerank` survivors against the original
+    * corpus vectors. The approximate stage uses the bounded-heap
+    * [[TopK]] aggregate (map-side combine, never a full-data window);
+    * the survivor set is queries×k×rerank rows — broadcast-bounded by
+    * construction — so the exact stage is one broadcast join into the
+    * base table. PQ error only affects WHICH candidates reach the exact
+    * stage; `rerank` is the recall dial. */
+  def queryPq(spark: SparkSession, path: String, queries: DataFrame,
+              corpus: DataFrame, idCol: String, vecCol: String,
+              model: ProductQuantizer.PqModel, k: Int, planes: Int = 8,
+              probeDepth: Int = 1, rerank: Int = 4): DataFrame = {
+    require(probeDepth >= 0 && probeDepth <= planes,
+      s"probeDepth must be in [0, planes=$planes], got $probeDepth")
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      SimilarityOps.norm(col(vecCol)).as("qn"),
+      ProductQuantizer.lut(col(vecCol), model).as("lut"),
+      SimilarityOps.lshSignature(col(vecCol), planes).as("sig0"))
+    val probeSigs = array(SimilarityOps.probeMasks(planes, probeDepth).map(mk =>
+      col("sig0").bitwiseXOR(lit(mk))): _*)
+    val q = q0.select(col("query_id"), col("lut"), col("qn"),
+      explode(probeSigs).as("sig"))
+    val index = spark.read.parquet(path)
+    val approx = index.join(broadcast(q), Seq("sig"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("approx",
+        ProductQuantizer.adc(col("lut"), col("codes"), model.ksub) /
+          (col("qn") * col("nrm")))
+      .dropDuplicates("query_id", "id")
+    val survivors = TopK.perGroup(approx, Seq("query_id"), "approx", "id", k * rerank)
+      .select(col("query_id"), col("id"))
+    // exact re-rank: original vectors for the survivor set only
+    val qv = q0.select(col("query_id"), col("qv"), col("qn"))
+    val exact = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        SimilarityOps.norm(col(vecCol)).as("nrm"))
+      .join(broadcast(survivors), Seq("id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine",
+        SimilarityOps.dot(col("qv"), col("vec")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** [[build]] with a LEARNED coarse quantizer: k-means cells instead of
     * hyperplane sign buckets. Cells adapt to the data distribution, so at
     * the same probe count they capture more true neighbors than random

@@ -732,6 +732,83 @@ object GraftRuntime {
     new GenericArrayData(out)
   }
 
+  // ---- product quantization (PQ) -----------------------------------------
+  // Codebook layout: flat(((mi*ksub)+j)*dsub + d) = codebooks[mi][j][d];
+  // cc(mi*ksub+j) = |c_mij|² (left-to-right fold). Vectors are float
+  // arrays; null elements contribute 0.0 (the sparse-null convention of
+  // nearestCentroid/dot above).
+
+  /** Encode a vector into m one-byte codes: per subvector mi, the argmin-
+    * distance codebook entry via the cc − 2·dot trick (strict `<` keeps
+    * the lowest index on ties — the nearestCentroid contract). */
+  def pqEncode(v: ArrayData, flat: Array[Double], cc: Array[Double],
+               m: Int, dsub: Int, ksub: Int): Array[Byte] = {
+    val out = new Array[Byte](m)
+    val vn = v.numElements()
+    var mi = 0
+    while (mi < m) {
+      val base = mi * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < ksub) {
+        val off = ((mi * ksub) + j) * dsub
+        var s = 0.0
+        var d = 0
+        while (d < dsub) {
+          val idx = base + d
+          if (idx < vn && !v.isNullAt(idx)) s += v.getFloat(idx).toDouble * flat(off + d)
+          d += 1
+        }
+        val dist = cc(mi * ksub + j) - 2.0 * s
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    out
+  }
+
+  /** ADC lookup table for one query vector: lut(mi*ksub + j) = q_mi · c_mij.
+    * Computed once per query; every candidate's approximate dot is then
+    * m table lookups ([[pqAdc]]) instead of a dim-length float loop. */
+  def pqLut(v: ArrayData, flat: Array[Double], m: Int, dsub: Int, ksub: Int): ArrayData = {
+    val out = new Array[Double](m * ksub)
+    val vn = v.numElements()
+    var mi = 0
+    while (mi < m) {
+      val base = mi * dsub
+      var j = 0
+      while (j < ksub) {
+        val off = ((mi * ksub) + j) * dsub
+        var s = 0.0
+        var d = 0
+        while (d < dsub) {
+          val idx = base + d
+          if (idx < vn && !v.isNullAt(idx)) s += v.getFloat(idx).toDouble * flat(off + d)
+          d += 1
+        }
+        out(mi * ksub + j) = s
+        j += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric distance computation: approximate q·x from the query's
+    * LUT and the candidate's codes — Σ_mi lut(mi*ksub + code_mi). */
+  def pqAdc(lut: ArrayData, codes: Array[Byte], ksub: Int): Double = {
+    var s = 0.0
+    var mi = 0
+    while (mi < codes.length) {
+      s += lut.getDouble(mi * ksub + (codes(mi) & 0xff))
+      mi += 1
+    }
+    s
+  }
+
   /** Spread dimension `dim`'s value across the Morton key: bit j of `v`
     * lands at key bit j*dims + dim. Out-of-range v throws — a silent
     * clamp would corrupt z-locality invisibly (ZOrder.quantize clamps

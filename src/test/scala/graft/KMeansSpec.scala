@@ -226,4 +226,48 @@ class KMeansSpec extends SparkTestBase {
     assert(prof.forall(r => !r.getDouble(3).isNaN && r.getDouble(3) > 0))
     assert(prof.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
   }
+
+  test("PQ codebooks: round-trip via toRows/fromRows and SnapshotStore; ADC tracks true dot") {
+    val model = ProductQuantizer.train(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 16, iters = 2)
+    // serialization round-trip: rows -> model reproduces identical encodings
+    val rebuilt = ProductQuantizer.fromRows(16, 4, 16, model.toRows)
+    val codesA = emb.select(col("vec_id"),
+        ProductQuantizer.encode(col("embedding"), model).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val codesB = emb.select(col("vec_id"),
+        ProductQuantizer.encode(col("embedding"), rebuilt).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codesA == codesB)
+    assert(codesA.values.forall(_.length == 16), "16 one-byte codes per 64-dim vector")
+
+    // SnapshotStore persistence: the model survives a cold reload
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-store").toString
+    val store = new SnapshotStore(spark, root)
+    val corpus = "/root/testdata/sf0.001/embeddings.parquet"
+    store.getOrBuildVectors(corpus, "pq-books")(model.toRows)
+    val coldRows = new SnapshotStore(spark, root).getOrBuildVectors(corpus, "pq-books")(
+      sys.error("must not rebuild"))
+    val cold = ProductQuantizer.fromRows(16, 4, 16, coldRows)
+    assert(cold.toRows.zip(model.toRows).forall { case (a, b) => a.sameElements(b) })
+
+    // ADC approximates the true inner product, and finer codebooks improve it
+    val big = ProductQuantizer.train(emb, "vec_id", "embedding", 64, 16, 64, 2)
+    val q3 = emb.limit(3).select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      ProductQuantizer.lut(col("embedding"), model).as("lut"),
+      ProductQuantizer.lut(col("embedding"), big).as("lutb"))
+    val joined = emb.select(col("vec_id").as("cid"), col("embedding").as("vec"),
+        ProductQuantizer.encode(col("embedding"), model).as("codes"),
+        ProductQuantizer.encode(col("embedding"), big).as("codesb"))
+      .crossJoin(broadcast(q3))
+      .withColumn("t", SimilarityOps.dot(col("qv"), col("vec")))
+      .withColumn("a", ProductQuantizer.adc(col("lut"), col("codes"), model.ksub))
+      .withColumn("ab", ProductQuantizer.adc(col("lutb"), col("codesb"), big.ksub))
+      .agg(avg(abs(col("a") - col("t"))).as("mae16"),
+        avg(abs(col("ab") - col("t"))).as("mae64"))
+      .head()
+    val (mae16, mae64) = (joined.getDouble(0), joined.getDouble(1))
+    assert(mae16 < 0.5, s"ADC should track true dot, mae=$mae16")
+    assert(mae64 < mae16, s"finer codebooks must reduce ADC error: $mae64 !< $mae16")
+  }
 }
