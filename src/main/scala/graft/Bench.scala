@@ -151,10 +151,15 @@ object Bench {
     // tmp+rename): the r10 crash at sweep ~5 of 6 lost 41 minutes of
     // samples because results lived only in memory until the final print.
     // A crash now retains the medians of all completed sweeps.
+    // A BENCH_ONLY-filtered run persists to a SCRATCH file: overwriting
+    // bench_last.json with a 2-query snapshot made its headline total read
+    // like a 25× whole-suite speedup (r14 advice) — only full sweeps may
+    // replace the full-suite snapshot.
+    val persistFile = if (only.isDefined) "bench_only.json" else "bench_last.json"
     def persist(sweepsDone: Int): Unit = try {
-      val tmp = java.nio.file.Paths.get("bench_last.json.tmp")
+      val tmp = java.nio.file.Paths.get(persistFile + ".tmp")
       java.nio.file.Files.write(tmp, (fullJson(sweepsDone) + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("bench_last.json"),
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(persistFile),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case _: Throwable => () }
@@ -199,7 +204,7 @@ object Bench {
     else {
       println(full)
       val (_, _, total, opTotal, harnessTotal) = report()
-      println(f"""{"metric":"total","value":$total%.3f,"value_operator":$opTotal%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"n_queries":${names.size},"bench_file":"bench_last.json","sf":"$sfDir"}""")
+      println(f"""{"metric":"total","value":$total%.3f,"value_operator":$opTotal%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"n_queries":${names.size},"bench_file":"$persistFile","sf":"$sfDir"}""")
     }
     System.out.flush()
   }
