@@ -851,4 +851,53 @@ class OperatorsSpec extends SparkTestBase {
     assert(p1.contains("-m") && p1.startsWith(root))
     ()
   }
+
+  test("curateFull: every decision class lands on the constructed doc, stages in order") {
+    import spark.implicits._
+    val span = (1 to 30).map(i => s"shared$i").mkString(" ") // >= minSpan=20 verbatim run
+    val near = (1 to 15).map(i => s"common$i").mkString(" ") // < minSpan: survives span stage
+    val corpus = Seq(
+      (0L, "s0", "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "s1", "  alpha beta   gamma delta epsilon zeta eta theta "), // exact dup of 0 (normalized)
+      (2L, "s2", "   "),                                                // blank -> empty
+      (3L, "s3", s"prefix3a prefix3b $span suffix3a suffix3b"),
+      (4L, "s4", s"other4a other4b other4c $span tail4a tail4b tail4c"), // loses the span, stays kept
+      (5L, "s5", s"$near ending5"),
+      (6L, "s6", s"$near ending6"),                                     // near-dup of 5 -> dropped
+      (7L, "s7", "doc seven body words here now"),
+      (8L, "s8", "doc eight body words here now two"),                  // sem-dup of 7 via embeddings
+      (9L, "s9", "nine one two three four five six seven"),
+      (10L, "s9", "ten one two three four five six eight")              // same source: one over_quota
+    ).toDF("doc_id", "source", "text")
+    // embeddings: 7 and 8 identical (cos 1 >= tau); everyone else far apart
+    val embRows = Seq(
+      7L -> Array(1f, 0f, 0f, 0f), 8L -> Array(1f, 0f, 0f, 0f),
+      0L -> Array(0f, 1f, 0f, 0f), 3L -> Array(0f, 0f, 1f, 0f),
+      4L -> Array(0f, 0f, 0f, 1f), 5L -> Array(0f, -1f, 0f, 0f),
+      9L -> Array(0f, 0f, -1f, 0f), 10L -> Array(0f, 0f, 0f, -1f))
+    val embs = embRows.toDF("vec_id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    // threshold 0.8: at the 0.9 default a 3-gram near-dup needs a shared
+    // verbatim run past minSpan=20, which the span stage correctly eats
+    // first — the 15-token overlap here is a J=0.867 near-dup that only
+    // the near-dup stage can catch
+    val out = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb",
+        nearDupThreshold = 0.8, semK = 4, tokenBudget = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out(0L)._1 == "kept")
+    assert(out(1L)._1 == "exact_dup")
+    assert(out(2L)._1 == "empty")
+    assert(out(3L)._1 == "kept" && out(3L)._2 == 0L, s"doc3: ${out(3L)}")
+    // doc 4 loses the 30-token span (higher id), but survives near-dup
+    // BECAUSE the similarity is judged on the CLEANED text
+    assert(out(4L)._1 == "kept" && out(4L)._2 == 30L, s"doc4: ${out(4L)}")
+    assert(out(5L)._1 == "kept")
+    assert(out(6L)._1 == "near_dup")
+    assert(out(7L)._1 == "kept")
+    assert(out(8L)._1 == "sem_dup")
+    // same-source pair over a 10-token budget: exactly one survives
+    val s9 = Seq(out(9L)._1, out(10L)._1).sorted
+    assert(s9 == Seq("kept", "over_quota"), s"s9 pair: $s9")
+  }
 }
