@@ -113,7 +113,10 @@ object AnnIndex {
               path: String, planes: Int = 8, m: Int = 16, ksub: Int = 16,
               iters: Int = 2, dim: Int = 64,
               sampleHexPrefix: Option[String] = None): ProductQuantizer.PqModel = {
-    val model = ProductQuantizer.train(corpus, idCol, vecCol, dim, m, ksub,
+    // one-collect sampled trainer: the m-separate-fits path costs ~6·m
+    // Spark jobs of pure scheduler overhead per build (measured 12 s vs
+    // ~2 s at sf0.1); at scale pass sampleHexPrefix to bound the pull
+    val model = ProductQuantizer.trainOnSample(corpus, idCol, vecCol, dim, m, ksub,
       iters, sampleHexPrefix)
     corpus.select(col(idCol).as("id"),
         SimilarityOps.norm(col(vecCol)).as("nrm"),

@@ -101,9 +101,21 @@ object Pipeline {
                  tokenBudget: Long = 700L): DataFrame = {
     val id = col(idCol)
 
+    // Each stage output is EAGERLY localCheckpoint'ed — the Components
+    // precedent, for the same reason: every stage both feeds the next
+    // stage AND the final assembly, and several stages iterate (k-means)
+    // or self-join (near-dup) over the previous one, so an unbroken
+    // lineage makes the final plan tree grow EXPONENTIALLY in stage count
+    // (measured: the composed query spent ~18 s in Catalyst
+    // analysis/optimization alone at sf0.1 with all data cached — 4× the
+    // actual compute). Checkpointing makes each stage a leaf: compute
+    // runs exactly once, downstream plans stay O(stage). Blocks free
+    // with the session (or an explicit unpersist sweep); a deployment
+    // persists stage outputs as tables — same lifecycle, durable.
+
     // 1. exact dedup
     val exactDrops = DedupOps.dupIds(docs, idCol, textCol)
-      .select(col("__dup_id").as("__exact_drop"))
+      .select(col("__dup_id").as("__exact_drop")).localCheckpoint(eager = true)
     val s1 = docs.join(exactDrops, id === col("__exact_drop"), "left_anti")
 
     // 2. span removal over exact survivors (blank docs fall out here and
@@ -111,23 +123,27 @@ object Pipeline {
     //    non-blank output contract); a doc whose every token sat in a
     //    duplicated span is `empty` too
     val cleaned = SpanDedup.removeDuplicatedSpans(s1, idCol, textCol,
-      spanK, minSpan, maxGramOccurrences)
+      spanK, minSpan, maxGramOccurrences).localCheckpoint(eager = true)
     val s2 = cleaned.filter(col("kept_tokens") > 0)
 
     // 3. near dedup on the cleaned text — the text duplicates must be
     //    judged on what stage 2 kept, not the raw crawl
     val nearDrops = DedupOps.jaccardPairs(s2, idCol, "cleaned_text",
         shingleK, nearDupThreshold, maxShingleDF)
-      .select(col("doc_b").as("__near_drop")).distinct()
+      .select(col("doc_b").as("__near_drop")).distinct().localCheckpoint(eager = true)
     val s3 = s2.join(nearDrops, id === col("__near_drop"), "left_anti")
 
     // 4. semantic dedup over the surviving docs' embeddings (centroids
     //    fit on the survivor slice — the corpus the stage actually sees)
+    // checkpointed too: fit's init + per-iteration passes and semDedup's
+    // self-join sides otherwise re-run the survivor semi-join 5×
     val emb3 = embeddings.join(s3.select(id.as("__sid")),
-      col(vecIdCol) === col("__sid"), "left_semi")
+        col(vecIdCol) === col("__sid"), "left_semi")
+      .localCheckpoint(eager = true)
     val cent = KMeansOps.fit(emb3, vecIdCol, vecCol, semK, semIters)
     val semDrops = KMeansOps.semDedup(emb3, vecIdCol, vecCol, cent, semTau)
       .filter(!col("kept")).select(col("id").as("__sem_drop"))
+      .localCheckpoint(eager = true)
     val s4 = s3.join(semDrops, id === col("__sem_drop"), "left_anti")
 
     // 5. per-source token quota over cleaned token counts
@@ -135,6 +151,7 @@ object Pipeline {
     val quotaDrops = QuotaSample.tokenQuota(s4src, sourceCol, idCol,
         "cleaned_text", tokenBudget)
       .filter(!col("kept")).select(id.as("__quota_drop"))
+      .localCheckpoint(eager = true)
 
     // assembly: every input doc, one decision, survivor fingerprint
     docs.select(id, col(sourceCol))

@@ -101,6 +101,87 @@ object ProductQuantizer {
     PqModel(m, dsub, ksub, books)
   }
 
+  /** [[train]] with ONE bounded sample collect and driver-side Lloyd's
+    * per subvector — the job-count-efficient trainer. The distributed
+    * [[train]] runs m separate fits (each: init collect + iters
+    * aggregation jobs — ~6·m Spark jobs), which is pure scheduler
+    * overhead when PQ training data is a bounded sample ANYWAY (the
+    * standard PQ regime: faiss-style trainers sample into memory). This
+    * path pays one job: collect the (md5-prefix) sample — bound enforced
+    * by `maxSample`, exceeding it errors with the fix (pass a longer
+    * prefix) — then runs all m Lloyd's loops on the driver: m·ksub·dsub·
+    * n·iters flops, milliseconds at any sane geometry. Same algorithm as
+    * [[KMeansOps.fit]] (init = first ksub sample rows by id; cc − 2·dot
+    * argmin with strict-< lowest-index ties; empty cluster keeps its
+    * previous centroid; NULL vectors skipped). */
+  def trainOnSample(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    m: Int, ksub: Int, iters: Int = 2,
+                    sampleHexPrefix: Option[String] = None,
+                    maxSample: Int = 1 << 17): PqModel = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
+    val dsub = dim / m
+    val src = sampleHexPrefix match {
+      case Some(p) =>
+        df.filter(substring(md5(col(idCol).cast("string")), 1, p.length) === p)
+      case None => df
+    }
+    val rows = src.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(vecCol).isNotNull).collect()
+    require(rows.length <= maxSample,
+      s"PQ training sample ${rows.length} exceeds maxSample=$maxSample — " +
+        "pass a (longer) sampleHexPrefix to bound the driver pull")
+    require(rows.length >= ksub,
+      s"PQ training needs >= ksub=$ksub sample vectors, got ${rows.length}")
+    val vecs = rows.sortBy(_.getLong(0)).map { r =>
+      val s = r.getSeq[Float](1)
+      Array.tabulate(dim)(i => if (i < s.length && s(i) != null) s(i).toDouble else 0.0)
+    }
+    val books = Array.tabulate(m) { mi =>
+      val subs = vecs.map(v => java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+      lloydDriver(subs, ksub, iters)
+    }
+    PqModel(m, dsub, ksub, books)
+  }
+
+  /** Driver Lloyd's with [[KMeansOps.fit]]'s exact conventions. */
+  private def lloydDriver(xs: Array[Array[Double]], k: Int,
+                          iters: Int): Array[Array[Double]] = {
+    val dsub = xs(0).length
+    var cent = xs.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dsub))
+      val cnt = new Array[Long](k)
+      val cc = cent.map { c =>
+        var s = 0.0; var i = 0
+        while (i < dsub) { s += c(i) * c(i); i += 1 }
+        s
+      }
+      xs.foreach { x =>
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < k) {
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += x(i) * cent(j)(i); i += 1 }
+          val d = cc(j) - 2.0 * s
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dsub) { sums(best)(i) += x(i); i += 1 }
+        cnt(best) += 1
+      }
+      cent = Array.tabulate(k) { j =>
+        if (cnt(j) == 0) cent(j)
+        else Array.tabulate(dsub)(i => sums(j)(i) / cnt(j))
+      }
+      it += 1
+    }
+    cent
+  }
+
   def encode(vec: Column, model: PqModel): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(PqEncode(GraftShims.expression(vec), model))
