@@ -900,4 +900,23 @@ class OperatorsSpec extends SparkTestBase {
     val s9 = Seq(out(9L)._1, out(10L)._1).sorted
     assert(s9 == Seq("kept", "over_quota"), s"s9 pair: $s9")
   }
+
+  test("pair detectors' eager mode: identical pairs, base cache released, leaf plan") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lazyPairs = pairsOf(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6))
+    spark.catalog.clearCache()
+    docs.cache().count() // restore the suite's docs cache
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val eagerDf = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6, eager = true)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // +1 = the localCheckpoint block only; the shingle-set base cache was
+    // released (without the release this is +2)
+    assert(after == before + 1, s"cache leak: $before -> $after persistent RDDs")
+    assert(pairsOf(eagerDf) == lazyPairs)
+    // materialized result: the plan is a leaf, no recompute through lineage
+    assert(eagerDf.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.getClass.getSimpleName.contains("LogicalRDD")),
+      eagerDf.queryExecution.optimizedPlan.toString)
+  }
 }
