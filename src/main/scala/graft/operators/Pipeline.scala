@@ -174,4 +174,98 @@ object Pipeline {
         when(col("decision") === "kept", md5(col("cleaned_text").cast("binary")))
           .as("final_md5"))
   }
+
+  /** INCREMENTAL curation — [[curateFull]]'s ingest-time twin: a new
+    * crawl batch judged against the ADMITTED corpus, stage by stage with
+    * the cross/incremental operator variants (history is immutable —
+    * only batch rows are decided):
+    *
+    *   1. exact-vs-history ([[IncrementalDedup.dedupAgainstHistory]]:
+    *      bloom-probe + exact verify — exactly the anti-join),
+    *   2. cross-span CONTAMINATION removal ([[SpanDedup.removeCrossSpans]]:
+    *      batch copies of ≥ minSpan verbatim history runs are cut; a
+    *      batch doc cleaned to nothing is `empty`),
+    *   3. cross near-dup on the CLEANED batch text vs history
+    *      ([[DedupOps.crossMinhashPairs]]),
+    *   4. cross semantic dedup ([[KMeansOps.incrementalSemDedup]] against
+    *      centroids fit on — or passed in from — the history snapshot).
+    *
+    * One row per BATCH document: (id, decision ∈ {exact_dup, empty,
+    * near_dup, sem_dup, kept}, removed_tokens, n_tokens, final_md5).
+    * Intra-batch dedup and quotas are deliberately out of scope — run
+    * [[curateFull]] over the admitted batch for those; this operator is
+    * the contamination gate against history.
+    *
+    * Snapshot artifacts: `historyBloom` (the q64 lifecycle) and
+    * `centroids` (the q101/q103 lifecycle) are per-snapshot builds a
+    * deployment loads from [[SnapshotStore]]; None builds them inline.
+    * Per-batch cost = batch passes + equi-joins into history relations —
+    * never batch × history. Stage outputs are eagerly checkpointed (the
+    * [[curateFull]] plan-growth rationale). */
+  def curateIncremental(history: DataFrame, batch: DataFrame,
+                        embeddings: DataFrame,
+                        idCol: String, textCol: String,
+                        vecIdCol: String = "vec_id", vecCol: String = "embedding",
+                        nearDupThreshold: Double = 0.9, shingleK: Int = 3,
+                        maxShingleDF: Int = 1000,
+                        spanK: Int = 8, minSpan: Int = 20,
+                        maxGramOccurrences: Int = 1000,
+                        semK: Int = 8, semIters: Int = 2, semTau: Double = 0.35,
+                        historyBloom: Option[Array[Byte]] = None,
+                        centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val id = col(idCol)
+
+    // 1. exact vs history (bloom candidates + exact verify = the anti-join)
+    val s1 = IncrementalDedup.dedupAgainstHistory(batch, history, idCol, textCol,
+        historyBlob = historyBloom)
+      .localCheckpoint(eager = true)
+
+    // 2. cross-span contamination removal vs history
+    val cleaned = SpanDedup.removeCrossSpans(history, s1, idCol, textCol,
+      spanK, minSpan, maxGramOccurrences).localCheckpoint(eager = true)
+    val s2 = cleaned.filter(col("kept_tokens") > 0)
+
+    // 3. cross near-dup: history's raw text vs the batch's CLEANED text
+    //    (both sides under crossMinhashPairs' shared union hot list)
+    val nearDrops = DedupOps.crossMinhashPairs(
+        history.select(id, col(textCol)),
+        s2.select(id, col("cleaned_text").as(textCol)),
+        idCol, textCol, shingleK, nearDupThreshold, maxShingleDF = maxShingleDF)
+      .select(col("doc_b").as("__near_drop")).distinct()
+      .localCheckpoint(eager = true)
+    val s3 = s2.join(nearDrops, id === col("__near_drop"), "left_anti")
+
+    // 4. cross semantic dedup: batch survivors' embeddings vs the history
+    //    snapshot's (centroids fit on history — the stored-artifact side)
+    val embHist = embeddings.join(history.select(id.as("__hid")),
+        col(vecIdCol) === col("__hid"), "left_semi")
+      .localCheckpoint(eager = true)
+    val embBatch = embeddings.join(s3.select(id.as("__sid")),
+        col(vecIdCol) === col("__sid"), "left_semi")
+      .localCheckpoint(eager = true)
+    val cent = centroids.getOrElse(KMeansOps.fit(embHist, vecIdCol, vecCol, semK, semIters))
+    val semDrops = KMeansOps.incrementalSemDedup(embHist, embBatch,
+        vecIdCol, vecCol, cent, semTau)
+      .filter(!col("kept")).select(col("id").as("__sem_drop"))
+      .localCheckpoint(eager = true)
+
+    // assembly over the batch
+    batch.select(id)
+      .join(s1.select(id.as("__adm")), id === col("__adm"), "left")
+      .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
+        col("cleaned_text")), Seq(idCol), "left")
+      .join(nearDrops, id === col("__near_drop"), "left")
+      .join(semDrops, id === col("__sem_drop"), "left")
+      .withColumn("decision",
+        when(col("__adm").isNull, "exact_dup")
+          .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
+          .when(col("__near_drop").isNotNull, "near_dup")
+          .when(col("__sem_drop").isNotNull, "sem_dup")
+          .otherwise("kept"))
+      .select(id, col("decision"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        when(col("decision") === "kept", col("kept_tokens")).as("n_tokens"),
+        when(col("decision") === "kept", md5(col("cleaned_text").cast("binary")))
+          .as("final_md5"))
+  }
 }

@@ -151,8 +151,37 @@ object SpanDedup {
     * rebuilt map-side over the scan with an `exists` over intervals. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, minSpan: Int = 20,
-                            maxGramOccurrences: Int = 1000): DataFrame = {
-    val cuts = duplicatedSpans(df, idCol, textCol, k, minSpan, maxGramOccurrences)
+                            maxGramOccurrences: Int = 1000): DataFrame =
+    applyCuts(df, idCol, textCol,
+      duplicatedSpans(df, idCol, textCol, k, minSpan, maxGramOccurrences)
+        .select(col("doc_b"), col("b_start"), col("span_tokens")))
+
+  /** CROSS-corpus span removal — the ingest-contamination form of
+    * [[removeDuplicatedSpans]]: every ≥ `minSpan`-token run a `batch`
+    * document shares verbatim with ANY `history` document is cut from
+    * the batch copy (history is immutable — the admitted corpus keeps
+    * its text). Returns the [[removeDuplicatedSpans]] shape over batch
+    * rows. Same scale shape as [[crossSpans]]: per-batch cost = batch
+    * grams + equi-joins into history's gram relation, cap over the
+    * union. */
+  def removeCrossSpans(history: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 8, minSpan: Int = 20,
+                       maxGramOccurrences: Int = 1000): DataFrame =
+    applyCuts(batch, idCol, textCol,
+      crossSpans(history, batch, idCol, textCol, k, minSpan, maxGramOccurrences)
+        .select(col("right_id").as("doc_b"), col("right_start").as("b_start"),
+          col("span_tokens")))
+
+  /** Shared reassembly: cut `spans` (doc_b, b_start, span_tokens) out of
+    * `df` and re-emit (idCol, kept_tokens, removed_tokens, cleaned_text),
+    * one row per non-blank document. The cut list groups to one
+    * interval-array row per AFFECTED document (bounded by doc length /
+    * minSpan), so the join is losers-only and the text rebuild is
+    * map-side over the scan. */
+  private def applyCuts(df: DataFrame, idCol: String, textCol: String,
+                        spans: DataFrame): DataFrame = {
+    val cuts = spans
       .groupBy(col("doc_b").as("doc"))
       .agg(collect_list(struct(col("b_start"), col("span_tokens"))).as("cuts"))
     val base = df.filter(trim(col(textCol)) =!= "")

@@ -918,4 +918,40 @@ class OperatorsSpec extends SparkTestBase {
       _.getClass.getSimpleName.contains("LogicalRDD")),
       eagerDf.queryExecution.optimizedPlan.toString)
   }
+
+  test("curateIncremental: each cross-stage decision lands on the constructed batch doc") {
+    import spark.implicits._
+    val span = (1 to 30).map(i => s"hshared$i").mkString(" ")
+    val near = (1 to 15).map(i => s"hcommon$i").mkString(" ")
+    val history = Seq(
+      (0L, "history alpha beta gamma delta epsilon"),
+      (2L, s"hpre1 hpre2 $span hpost1 hpost2"),
+      (4L, s"$near hending4"),
+      (6L, "history six body words here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "  history alpha beta   gamma delta epsilon "), // exact dup of 0 (normalized)
+      (3L, s"bpre1 bpre2 bpre3 $span btail1 btail2"),      // contaminated: span cut, then kept
+      (5L, s"$near hending5"),                             // cross near-dup of 4 (J=0.867 @ 0.8)
+      (7L, "batch seven body words here now"),             // sem-dup of 6 via embeddings
+      (9L, "fresh batch content nothing shared at all")    // kept untouched
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      6L -> Array(1f, 0f, 0f, 0f), 7L -> Array(1f, 0f, 0f, 0f),
+      0L -> Array(0f, 1f, 0f, 0f), 2L -> Array(0f, 0f, 1f, 0f),
+      4L -> Array(0f, 0f, 0f, 1f), 3L -> Array(0f, -1f, 0f, 0f),
+      5L -> Array(0f, 0f, -1f, 0f), 9L -> Array(0f, 0f, 0f, -1f),
+      1L -> Array(0f, 0.5f, 0.5f, 0f)
+    ).toDF("vec_id", "emb").withColumn("emb", col("emb").cast("array<float>"))
+    val out = Pipeline.curateIncremental(history, batch, embs, "doc_id", "text",
+        vecIdCol = "vec_id", vecCol = "emb",
+        nearDupThreshold = 0.8, semK = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L, 7L, 9L), "batch rows only")
+    assert(out(1L)._1 == "exact_dup")
+    assert(out(3L)._1 == "kept" && out(3L)._2 == 30L, s"doc3: ${out(3L)}")
+    assert(out(5L)._1 == "near_dup")
+    assert(out(7L)._1 == "sem_dup")
+    assert(out(9L)._1 == "kept" && out(9L)._2 == 0L)
+  }
 }
