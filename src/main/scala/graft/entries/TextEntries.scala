@@ -421,6 +421,16 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- temperature-weighted mixture sampling (the LLM data-recipe
+    //    operator): per-source budgets = B·mass^α/Σ mass^α (α=0.5 via
+    //    sqrt — correctly rounded, engine-portable; weights summed
+    //    left-to-right over name-sorted sources), then the deterministic
+    //    per-source token quota ------------------------------------------
+    "q116_temperature_mixture" -> qd { spark =>
+      operators.QuotaSample.temperatureMixture(spark.table("documents"),
+          "source", "doc_id", "text", alpha = 0.5, totalBudget = 3000L)
+        .orderBy("doc_id")
+    },
   )
 
   protected def textOracle: Map[String, String] = Map(
@@ -1221,5 +1231,28 @@ private[graft] trait TextEntries extends EntryInfra {
         |       CASE WHEN decision = 'kept' THEN kept_tokens END AS n_tokens,
         |       CASE WHEN decision = 'kept' THEN md5(cleaned_text) END AS final_md5
         |FROM ann ORDER BY doc_id""".stripMargin,
+
+    // same budgets re-derived in SQL: sqrt weights accumulated in
+    // name-sorted list order (list_sum fixes the fold order), floored
+    // per-source budgets, then the q104 quota selection
+    "q116_temperature_mixture" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS key
+        |           FROM documents),
+        |f AS (SELECT * FROM t WHERE n_tokens >= 1),
+        |mass AS (SELECT source, sum(n_tokens) AS mass FROM t GROUP BY source),
+        |wsum AS (SELECT list_sum(list(sqrt(CAST(mass AS DOUBLE)) ORDER BY source)) AS s
+        |         FROM mass),
+        |bud AS (SELECT source,
+        |               greatest(1, CAST(floor(3000 * sqrt(CAST(mass AS DOUBLE)) / (SELECT s FROM wsum)) AS BIGINT)) AS budget
+        |        FROM mass),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS cum,
+        |             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+        |      FROM f)
+        |SELECT w.doc_id, w.source, w.n_tokens, b.budget,
+        |       (w.cum <= b.budget OR w.rn = 1) AS kept
+        |FROM w JOIN bud b ON w.source = b.source ORDER BY w.doc_id""".stripMargin,
   )
 }

@@ -116,6 +116,87 @@ object QuotaSample {
       .withColumnRenamed("__tq_doc", idCol).withColumnRenamed("__tq_grp", groupCol)
   }
 
+  /** [[tokenQuota]] with PER-GROUP budgets: `budgets` is a (groupCol,
+    * budget BIGINT) relation — #groups rows, AQE-broadcast into the
+    * bucket-histogram join. Same deterministic md5-rank selection, same
+    * first-doc guarantee, same 4096-bucket scale shape; the only change
+    * is that every budget comparison reads the group's own row. */
+  def tokenQuotaBudgets(df: DataFrame, groupCol: String, idCol: String,
+                        textCol: String, budgets: DataFrame): DataFrame = {
+    val bud = budgets.select(col(groupCol).as("__tq_grp"),
+      col("budget").cast("long").as("__tq_bud"))
+    val base = df.select(col(idCol).as("__tq_doc"), col(groupCol).as("__tq_grp"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("__tq_key"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("__tq_bkt", conv(substring(col("__tq_key"), 1, 3), 16, 10).cast("int"))
+    val wb = Window.partitionBy("__tq_grp").orderBy("__tq_bkt")
+    val cls = base.groupBy("__tq_grp", "__tq_bkt")
+      .agg(sum("n_tokens").as("__tq_btok"))
+      .join(bud, Seq("__tq_grp"))
+      .withColumn("__tq_before", coalesce(
+        sum("__tq_btok").over(wb) - col("__tq_btok"), lit(0L)))
+      .withColumn("__tq_cls",
+        when(col("__tq_before") + col("__tq_btok") <= col("__tq_bud"), lit(1))
+          .when(col("__tq_before") >= col("__tq_bud"), lit(0))
+          .otherwise(lit(2)))
+      .select("__tq_grp", "__tq_bkt", "__tq_before", "__tq_bud", "__tq_cls")
+    val tagged = base.join(cls, Seq("__tq_grp", "__tq_bkt"))
+    val settled = tagged.filter(col("__tq_cls") =!= 2)
+      .withColumn("kept", col("__tq_cls") === 1)
+    val wRow = Window.partitionBy("__tq_grp").orderBy(col("__tq_key"), col("__tq_doc"))
+    val boundary = tagged.filter(col("__tq_cls") === 2)
+      .withColumn("__tq_cum", col("__tq_before") + sum("n_tokens").over(wRow))
+      .withColumn("kept", col("__tq_cum") <= col("__tq_bud") ||
+        (col("__tq_before") === 0 && row_number().over(wRow) === 1))
+    settled.select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept"))
+      .union(boundary.select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept")))
+      .withColumnRenamed("__tq_doc", idCol).withColumnRenamed("__tq_grp", groupCol)
+  }
+
+  /** Temperature-weighted mixture sampling — the training-data RECIPE
+    * operator: given sampling temperature `alpha`, each source's token
+    * budget is `totalBudget · mass_s^alpha / Σ_t mass_t^alpha` (floored,
+    * min 1), then the deterministic per-source token quota selects the
+    * docs. alpha = 1 reproduces natural proportions; alpha = 0 splits the
+    * budget evenly; the 0 < alpha < 1 range up-samples small sources the
+    * way LLM mixture recipes do.
+    *
+    * Determinism contract (oracle-portable): per-source masses come from
+    * one bounded aggregation (#sources rows — the documented driver
+    * pull); weights accumulate LEFT-TO-RIGHT over sources sorted by
+    * name, and alpha = 0.5 uses `sqrt` (correctly rounded in every IEEE
+    * engine, unlike `pow`'s platform-dependent last ulp) — so an
+    * external engine replays the identical budgets. Output:
+    * (idCol, sourceCol, n_tokens, budget, kept). */
+  def temperatureMixture(df: DataFrame, sourceCol: String, idCol: String,
+                         textCol: String, alpha: Double,
+                         totalBudget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(totalBudget >= 1, s"totalBudget must be >= 1, got $totalBudget")
+    def weight(mass: Double): Double =
+      if (alpha == 0.5) math.sqrt(mass) else math.pow(mass, alpha)
+    val masses = df.groupBy(col(sourceCol))
+      .agg(sum(TextOps.tokenCount(col(textCol)).cast("long")).as("mass"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1)))
+      .sortBy(_._1.toString)
+    val wsum = masses.foldLeft(0.0)((acc, m) => acc + weight(m._2.toDouble))
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val budRows = masses.map { case (s, mass) =>
+      org.apache.spark.sql.Row(s,
+        math.max(1L, math.floor(totalBudget * weight(mass.toDouble) / wsum).toLong))
+    }
+    val budgets = spark.createDataFrame(budRows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(sourceCol).copy(name = sourceCol),
+        org.apache.spark.sql.types.StructField("budget",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    tokenQuotaBudgets(df, sourceCol, idCol, textCol, budgets)
+      .join(budgets, Seq(sourceCol))
+  }
+
   /** Reference formulation of [[tokenQuota]] (parity pin): the naive
     * single window per group over every row. */
   private[graft] def tokenQuotaNaive(df: DataFrame, groupCol: String,

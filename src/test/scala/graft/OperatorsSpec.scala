@@ -954,4 +954,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(7L)._1 == "sem_dup")
     assert(out(9L)._1 == "kept" && out(9L)._2 == 0L)
   }
+
+  test("temperatureMixture: budgets follow mass^alpha; selection equals the scalar quota") {
+    import spark.implicits._
+    // source A: 10 docs x 10 tokens (mass 100); source B: 20 docs x 20 tokens (mass 400)
+    val rows = (0 until 10).map(i => (i.toLong, "A", (1 to 10).map(j => s"a$i$j").mkString(" "))) ++
+      (0 until 20).map(i => (100L + i, "B", (1 to 20).map(j => s"b$i$j").mkString(" ")))
+    val df = rows.toDF("doc_id", "source", "text")
+    // alpha=0.5: weights sqrt(100)=10, sqrt(400)=20 -> budgets floor(B/3), floor(2B/3)
+    val out = QuotaSample.temperatureMixture(df, "source", "doc_id", "text", 0.5, 300L)
+    val buds = out.select("source", "budget").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buds == Map("A" -> 100L, "B" -> 200L), buds.toString)
+    // per-source selection == the scalar tokenQuota at that source's budget
+    for ((src, b) <- buds) {
+      val mix = out.filter(col("source") === src).select("doc_id", "kept")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val scalar = QuotaSample.tokenQuota(df.filter(col("source") === src),
+          "source", "doc_id", "text", b)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      assert(mix == scalar, s"source $src diverges from scalar quota")
+    }
+    // alpha=0: even split; alpha=1: proportional to mass
+    val even = QuotaSample.temperatureMixture(df, "source", "doc_id", "text", 0.0, 300L)
+      .select("source", "budget").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(even == Map("A" -> 150L, "B" -> 150L), even.toString)
+    val nat = QuotaSample.temperatureMixture(df, "source", "doc_id", "text", 1.0, 300L)
+      .select("source", "budget").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat == Map("A" -> 60L, "B" -> 240L), nat.toString)
+  }
 }
