@@ -37,7 +37,7 @@ object ProductQuantizer {
     require(codebooks.length == m, s"expected $m codebooks, got ${codebooks.length}")
     require(codebooks.forall(_.length == ksub),
       "every codebook must have ksub entries")
-    private[operators] lazy val flat: Array[Double] = {
+    private[graft] lazy val flat: Array[Double] = {
       val f = new Array[Double](m * ksub * dsub)
       var mi = 0
       while (mi < m) {
@@ -50,7 +50,7 @@ object ProductQuantizer {
       }
       f
     }
-    private[operators] lazy val cc: Array[Double] = {
+    private[graft] lazy val cc: Array[Double] = {
       val c = new Array[Double](m * ksub)
       var mi = 0
       while (mi < m) {

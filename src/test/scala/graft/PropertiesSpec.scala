@@ -283,4 +283,65 @@ class PropertiesSpec extends SparkTestBase {
       assert(pairs == want, s"mismatch on ${t.map(_.toInt).mkString(",")}")
     }
   }
+
+  test("ulong lane bit mapping: ulongDecimal∘ulongBits is identity over [0, 2^64)") {
+    import graft.sketch.Kit
+    val TWO64 = java.math.BigInteger.ONE.shiftLeft(64)
+    val probes = Seq(
+      java.math.BigInteger.ZERO, java.math.BigInteger.ONE,
+      java.math.BigInteger.valueOf(Long.MaxValue),
+      java.math.BigInteger.valueOf(Long.MaxValue).add(java.math.BigInteger.ONE), // 2^63
+      TWO64.subtract(java.math.BigInteger.ONE)) ++
+      Seq.fill(200)(new java.math.BigInteger(64, new java.util.Random(rnd.nextLong())))
+    probes.foreach { bi =>
+      val dec = org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(bi), 20, 0)
+      val bits = Kit.ulongBits(dec)
+      assert(Kit.ulongDecimal(bits).toJavaBigDecimal.toBigIntegerExact == bi, bi.toString)
+    }
+    // unsigned comparator order == BigInteger order through the mapping
+    val sorted = probes.map(bi => (bi, Kit.ulongBits(
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(bi), 20, 0))))
+    val byBig = sorted.sortBy(_._1).map(_._2)
+    val byCmp = sorted.map(_._2).sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0)
+    assert(byBig == byCmp)
+    // out of range rejects
+    intercept[IllegalArgumentException](Kit.ulongBits(
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(TWO64), 20, 0)))
+    intercept[IllegalArgumentException](Kit.ulongBits(
+      org.apache.spark.sql.types.Decimal(-1L)))
+  }
+
+  test("PQ: adc(lut(q), encode(x)) == sum of chosen-centroid dots, for random models") {
+    import operators._
+    for (trial <- 0 until 20) {
+      val m = Seq(2, 4, 8)(trial % 3)
+      val dim = 16
+      val dsub = dim / m
+      val ksub = Seq(2, 5, 16)(trial % 3)
+      val books = Array.fill(m, ksub, dsub)(rnd.nextDouble() * 2 - 1)
+      val model = ProductQuantizer.PqModel(m, dsub, ksub, books)
+      val x = Array.fill(dim)(rnd.nextFloat())
+      val q = Array.fill(dim)(rnd.nextFloat())
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val codes = GraftRuntime.pqEncode(new GenericArrayData(x), model.flat, model.cc, m, dsub, ksub)
+      val lut = GraftRuntime.pqLut(new GenericArrayData(q), model.flat, m, dsub, ksub)
+      val adc = GraftRuntime.pqAdc(lut, codes, ksub)
+      // reference: per-sub brute-force argmin + dot of q_sub with the chosen centroid
+      var expect = 0.0
+      for (mi <- 0 until m) {
+        val xs = x.slice(mi * dsub, (mi + 1) * dsub).map(_.toDouble)
+        val qs = q.slice(mi * dsub, (mi + 1) * dsub).map(_.toDouble)
+        val best = (0 until ksub).minBy { j =>
+          val c = books(mi)(j)
+          // same cc - 2*dot discriminant and tie direction as the runtime
+          val cc = c.map(v => v * v).sum
+          val d = cc - 2.0 * c.zip(xs).map { case (a, b) => a * b }.sum
+          (d, j)
+        }
+        assert((codes(mi) & 0xff) == best, s"trial $trial sub $mi")
+        expect += books(mi)(best).zip(qs).map { case (a, b) => a * b }.sum
+      }
+      assert(math.abs(adc - expect) < 1e-9, s"trial $trial: $adc vs $expect")
+    }
+  }
 }
