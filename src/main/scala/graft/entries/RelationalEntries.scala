@@ -182,6 +182,20 @@ private[graft] trait RelationalEntries extends EntryInfra {
           col("score").as("value"))
         .orderBy("event_type", "rnk")
     },
+
+    // -- VIDEO modality: deterministic GVID container (magic + fps +
+    //    length-prefixed PNG frames) demuxed with REAL per-frame
+    //    javax.imageio decode through the pluggable codec; every=2
+    //    sampling decodes only the sampled frames (length-prefix seek
+    //    past the rest). Closed-form per-frame checksums = the q42
+    //    formulas at fid = 7·doc_id + frame_idx. -----------------------
+    "q117_video_frames" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val vids = operators.VideoOps.videoTable(
+        spark.table("documents").filter(col("doc_id") < 8))
+      operators.VideoOps.decodeFrames(vids, every = 2)
+        .orderBy("doc_id", "frame_idx")
+    },
   )
 
   protected def relationalOracle: Map[String, String] = Map(
@@ -328,5 +342,20 @@ private[graft] trait RelationalEntries extends EntryInfra {
         |         (((least(greatest(CAST(floor(value) AS BIGINT), 0), 255) >> i) & 1) << (2*i + 1))
         |       )) AS BIGINT) AS zkey
         |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+
+    // closed-form frame grid: 3 + id%4 frames at 10 fps, sampled every 2;
+    // per-frame dims/checksum are the q42 closed forms at fid = 7·id + f
+    "q117_video_frames" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 4, 2)) AS frame_idx
+        |           FROM documents WHERE doc_id < 8),
+        |x AS (SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |             7 * doc_id + frame_idx AS fid FROM f)
+        |SELECT doc_id, frame_idx,
+        |       CAST(frame_idx * 100 AS BIGINT) AS ts_ms,
+        |       CAST(16 + fid % 8 AS INT) AS width,
+        |       CAST(12 + fid % 5 AS INT) AS height,
+        |       CAST((12 + fid % 5) * ((16 + fid % 8) * (fid % 200) +
+        |            (16 + fid % 8) * (16 + fid % 8 - 1) / 2) AS BIGINT) AS checksum
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -985,4 +985,21 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(nat == Map("A" -> 60L, "B" -> 240L), nat.toString)
   }
+
+  test("GVID video container: mux/demux round-trip, sampled decode, corrupt drop") {
+    import spark.implicits._
+    val frames = (0 until 5).map(i => MediaOps.testPngBytes(i.toLong))
+    val bytes = VideoOps.GvidContainer.mux(10, frames)
+    val vs = VideoOps.GvidContainer.demux(bytes).get
+    assert(vs.fps == 10 && vs.frames.size == 5)
+    assert(vs.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    assert(VideoOps.GvidContainer.demux("not a video".getBytes("UTF-8")).isEmpty)
+    // every=2 over doc 3 (6 frames) decodes exactly frames 0, 2, 4, with
+    // per-frame ts and nonzero checksums from the REAL PNG decode
+    val media = Seq((3L, VideoOps.testGvidBytes(3L))).toDF("doc_id", "content")
+    val out = VideoOps.decodeFrames(media, every = 2).orderBy("frame_idx").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 200L, 400L))
+    assert(out.forall(_.getLong(5) > 0))
+  }
 }
