@@ -138,7 +138,7 @@ object SparkEntry
     "q70_streaming_bloom_dedup", "q74_sessionize", "q79_streaming_windowed",
     "q81_streaming_sketch_sink", "q98_streaming_drift", "q107_streaming_semdedup",
     "q75_ann_ivf_index", "q82_ann_ivf_quantized", "q102_ann_kmeans_ivf",
-    "q114_ann_pq_rerank")
+    "q114_ann_pq_rerank", "q118_streaming_curation")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -345,6 +345,54 @@ private[graft] trait StreamingEntries extends EntryInfra {
         rm(new java.io.File(store)); rm(new java.io.File(out))
       }
     },
+
+    // -- STREAMING ingest curation (q115 as a foreachBatch sink): two
+    //    micro-batches judged against seed + previously-ADMITTED docs
+    //    (admissions join history with their CLEANED text); centroids are
+    //    the fixed seed-snapshot artifact. Replay ≡ the chained batch
+    //    oracle. ------------------------------------------------------
+    "q118_streaming_curation" -> qd { spark =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // bounded replay slice (the q39 convention): every sf0.01 id is
+      // < 2000, so the correctness gate sees the full corpus; at bench
+      // SFs the harness replays a fixed-size ingest
+      val docs = spark.table("documents").filter(col("doc_id") < 2000)
+      val emb = spark.table("embeddings")
+      val seed = docs.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      val cent = operators.KMeansOps.fit(
+        emb.join(seed.select(col("doc_id").as("__sid")),
+          col("vec_id") === col("__sid"), "left_semi"),
+        "vec_id", "embedding", k = 8, iters = 2)
+      val slice = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val store = java.nio.file.Files.createTempDirectory("graft_cur_store_").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_cur_out_").toString
+      val query = streaming.StreamingDedup.curateSink(
+        mem.toDF().toDF("doc_id", "text"), seed, emb, "doc_id", "text",
+        cent, store, out)
+      try {
+        Seq(1, 3).foreach { b =>
+          mem.addData(slice.filter(_._1 % 4 == b).sortBy(_._1).toSeq)
+          query.processAllAvailable()
+        }
+        spark.read.parquet(out)
+          .select(col("doc_id"), col("batch_id").cast("long").as("batch"),
+            col("decision"), col("removed_tokens"), col("n_tokens"),
+            col("final_md5"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally {
+        query.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(store)); rm(new java.io.File(out))
+      }
+    },
   )
 
   protected def streamingOracle: Map[String, String] = Map(
@@ -496,5 +544,233 @@ private[graft] trait StreamingEntries extends EntryInfra {
         |         UNION ALL SELECT vec_id, b, cl, kept FROM k3)
         |SELECT vec_id, b AS batch, cl AS cluster, kept
         |FROM allk ORDER BY vec_id""".stripMargin,
+
+    // the q115 oracle chain applied twice: batch 0 vs the seed, batch 1
+    // vs seed + batch-0 admissions WITH THEIR CLEANED TEXT; centroids
+    // fit once on the seed embeddings (the fixed snapshot artifact)
+    "q118_streaming_curation" ->
+      """WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0 AND doc_id < 2000),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 2000),
+        |k0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |ka1 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, k0 c),
+        |ks1 AS (SELECT vec_id, v, cl FROM ka1 WHERE rn = 1),
+        |kc1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
+        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks1, range(1, 65) t(i) GROUP BY cl, i)
+        |        GROUP BY cl),
+        |ka2 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, kc1 c),
+        |ks2 AS (SELECT vec_id, v, cl FROM ka2 WHERE rn = 1),
+        |kc2 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
+        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks2, range(1, 65) t(i) GROUP BY cl, i)
+        |        GROUP BY cl),
+        |h0fp AS (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |        FROM seed),
+        |bat0 AS (SELECT doc_id, text,
+        |                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |          FROM documents WHERE doc_id % 4 = 1 AND doc_id < 2000),
+        |exact0 AS (SELECT doc_id FROM bat0 WHERE fp IN (SELECT fp FROM h0fp)),
+        |s1_0 AS (SELECT doc_id, text FROM bat0
+        |           WHERE doc_id NOT IN (SELECT doc_id FROM exact0)),
+        |toks0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |            FROM (SELECT doc_id, text FROM seed
+        |                  UNION ALL SELECT doc_id, text FROM s1_0)
+        |            WHERE trim(text) <> ''),
+        |g0_0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |                  unnest(list_transform(range(len(t) - 7),
+        |                         i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
+        |           FROM toks0 WHERE len(t) >= 8),
+        |g_0 AS (SELECT doc_id, pos, gr FROM g0_0
+        |          QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
+        |m_0 AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |                 a.pos - b.pos AS diag
+        |          FROM g_0 a JOIN g_0 b ON a.gr = b.gr
+        |          WHERE (a.doc_id % 4 = 0)
+        |            AND (b.doc_id % 4 = 1)),
+        |runs0 AS (SELECT da, db, diag, pa, pb,
+        |                   pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island
+        |            FROM m_0),
+        |spans0 AS (SELECT db AS doc_id, min(pb) AS b_start,
+        |                    max(pa) - min(pa) + 8 AS span_tokens
+        |             FROM runs0 GROUP BY da, db, diag, island),
+        |cutset0 AS (SELECT DISTINCT doc_id,
+        |                     unnest(range(b_start, b_start + span_tokens)) AS cut
+        |              FROM spans0 WHERE span_tokens >= 20),
+        |btoks0 AS (SELECT doc_id, t FROM toks0 WHERE doc_id % 4 = 1),
+        |btok0 AS (SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS w FROM btoks0),
+        |keptt0 AS (SELECT btok0.doc_id, btok0.pos, btok0.w
+        |             FROM btok0 LEFT JOIN cutset0
+        |               ON btok0.doc_id = cutset0.doc_id AND btok0.pos = cutset0.cut
+        |             WHERE cutset0.cut IS NULL),
+        |cleaned0 AS (SELECT btoks0.doc_id,
+        |                      CAST(count(keptt0.pos) AS BIGINT) AS kept_tokens,
+        |                      CAST(len(any_value(btoks0.t)) - count(keptt0.pos) AS BIGINT) AS removed_tokens,
+        |                      coalesce(string_agg(keptt0.w, ' ' ORDER BY keptt0.pos), '') AS cleaned_text
+        |               FROM btoks0 LEFT JOIN keptt0 ON btoks0.doc_id = keptt0.doc_id
+        |               GROUP BY btoks0.doc_id),
+        |s2_0 AS (SELECT * FROM cleaned0 WHERE kept_tokens > 0),
+        |hct0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ct
+        |           FROM seed WHERE trim(text) <> ''),
+        |bct0 AS (SELECT doc_id, string_split_regex(trim(cleaned_text), '\s+') AS ct FROM s2_0),
+        |hsh0 AS (SELECT doc_id,
+        |                  CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
+        |                       ELSE list_distinct(list_transform(range(1, len(ct) - 1),
+        |                         i -> array_to_string(ct[i:i+2], ' '))) END AS s
+        |           FROM hct0),
+        |bsh0 AS (SELECT doc_id,
+        |                  CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
+        |                       ELSE list_distinct(list_transform(range(1, len(ct) - 1),
+        |                         i -> array_to_string(ct[i:i+2], ' '))) END AS s
+        |           FROM bct0),
+        |near0 AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM hsh0 a JOIN bsh0 b
+        |    ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |s3_0 AS (SELECT * FROM s2_0 WHERE doc_id NOT IN (SELECT doc_id FROM near0)),
+        |ebt0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |           WHERE vec_id IN (SELECT doc_id FROM s3_0)),
+        |ehist0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |             WHERE vec_id IN (SELECT doc_id FROM seed)),
+        |kh0 AS (SELECT e.vec_id, e.v, c.cl,
+        |                 row_number() OVER (PARTITION BY e.vec_id
+        |                   ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |          FROM ehist0 e, kc2 c),
+        |khf0 AS (SELECT vec_id, v, cl FROM kh0 WHERE rn = 1),
+        |kb0 AS (SELECT e.vec_id, e.v, c.cl,
+        |                 row_number() OVER (PARTITION BY e.vec_id
+        |                   ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |          FROM ebt0 e, kc2 c),
+        |kbf0 AS (SELECT vec_id, v, cl FROM kb0 WHERE rn = 1),
+        |sem0 AS (
+        |  SELECT s.vec_id AS doc_id FROM kbf0 s
+        |  WHERE EXISTS (SELECT 1 FROM khf0 a
+        |                WHERE a.cl = s.cl AND list_cosine_similarity(a.v, s.v) >= 0.35)
+        |     OR EXISTS (SELECT 1 FROM kbf0 a
+        |                WHERE a.cl = s.cl AND a.vec_id < s.vec_id
+        |                  AND list_cosine_similarity(a.v, s.v) >= 0.35)),
+        |ann0 AS (
+        |  SELECT b.doc_id, c.kept_tokens,
+        |         CAST(coalesce(c.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+        |         c.cleaned_text,
+        |         CASE WHEN b.doc_id IN (SELECT doc_id FROM exact0) THEN 'exact_dup'
+        |              WHEN c.doc_id IS NULL OR c.kept_tokens = 0 THEN 'empty'
+        |              WHEN b.doc_id IN (SELECT doc_id FROM near0) THEN 'near_dup'
+        |              WHEN b.doc_id IN (SELECT doc_id FROM sem0) THEN 'sem_dup'
+        |              ELSE 'kept' END AS decision
+        |  FROM bat0 b LEFT JOIN cleaned0 c USING (doc_id)),
+        |admitted0 AS (SELECT a.doc_id, c.cleaned_text AS text
+        |              FROM ann0 a JOIN cleaned0 c USING (doc_id)
+        |              WHERE a.decision = 'kept'),
+        |hist1 AS (SELECT doc_id, text FROM seed UNION ALL SELECT doc_id, text FROM admitted0),
+        |h1fp AS (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |        FROM hist1),
+        |bat1 AS (SELECT doc_id, text,
+        |                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |          FROM documents WHERE doc_id % 4 = 3 AND doc_id < 2000),
+        |exact1 AS (SELECT doc_id FROM bat1 WHERE fp IN (SELECT fp FROM h1fp)),
+        |s1_1 AS (SELECT doc_id, text FROM bat1
+        |           WHERE doc_id NOT IN (SELECT doc_id FROM exact1)),
+        |toks1 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |            FROM (SELECT doc_id, text FROM hist1
+        |                  UNION ALL SELECT doc_id, text FROM s1_1)
+        |            WHERE trim(text) <> ''),
+        |g0_1 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |                  unnest(list_transform(range(len(t) - 7),
+        |                         i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
+        |           FROM toks1 WHERE len(t) >= 8),
+        |g_1 AS (SELECT doc_id, pos, gr FROM g0_1
+        |          QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
+        |m_1 AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |                 a.pos - b.pos AS diag
+        |          FROM g_1 a JOIN g_1 b ON a.gr = b.gr
+        |          WHERE (a.doc_id % 4 <> 3)
+        |            AND (b.doc_id % 4 = 3)),
+        |runs1 AS (SELECT da, db, diag, pa, pb,
+        |                   pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island
+        |            FROM m_1),
+        |spans1 AS (SELECT db AS doc_id, min(pb) AS b_start,
+        |                    max(pa) - min(pa) + 8 AS span_tokens
+        |             FROM runs1 GROUP BY da, db, diag, island),
+        |cutset1 AS (SELECT DISTINCT doc_id,
+        |                     unnest(range(b_start, b_start + span_tokens)) AS cut
+        |              FROM spans1 WHERE span_tokens >= 20),
+        |btoks1 AS (SELECT doc_id, t FROM toks1 WHERE doc_id % 4 = 3),
+        |btok1 AS (SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS w FROM btoks1),
+        |keptt1 AS (SELECT btok1.doc_id, btok1.pos, btok1.w
+        |             FROM btok1 LEFT JOIN cutset1
+        |               ON btok1.doc_id = cutset1.doc_id AND btok1.pos = cutset1.cut
+        |             WHERE cutset1.cut IS NULL),
+        |cleaned1 AS (SELECT btoks1.doc_id,
+        |                      CAST(count(keptt1.pos) AS BIGINT) AS kept_tokens,
+        |                      CAST(len(any_value(btoks1.t)) - count(keptt1.pos) AS BIGINT) AS removed_tokens,
+        |                      coalesce(string_agg(keptt1.w, ' ' ORDER BY keptt1.pos), '') AS cleaned_text
+        |               FROM btoks1 LEFT JOIN keptt1 ON btoks1.doc_id = keptt1.doc_id
+        |               GROUP BY btoks1.doc_id),
+        |s2_1 AS (SELECT * FROM cleaned1 WHERE kept_tokens > 0),
+        |hct1 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ct
+        |           FROM hist1 WHERE trim(text) <> ''),
+        |bct1 AS (SELECT doc_id, string_split_regex(trim(cleaned_text), '\s+') AS ct FROM s2_1),
+        |hsh1 AS (SELECT doc_id,
+        |                  CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
+        |                       ELSE list_distinct(list_transform(range(1, len(ct) - 1),
+        |                         i -> array_to_string(ct[i:i+2], ' '))) END AS s
+        |           FROM hct1),
+        |bsh1 AS (SELECT doc_id,
+        |                  CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
+        |                       ELSE list_distinct(list_transform(range(1, len(ct) - 1),
+        |                         i -> array_to_string(ct[i:i+2], ' '))) END AS s
+        |           FROM bct1),
+        |near1 AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM hsh1 a JOIN bsh1 b
+        |    ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |s3_1 AS (SELECT * FROM s2_1 WHERE doc_id NOT IN (SELECT doc_id FROM near1)),
+        |ebt1 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |           WHERE vec_id IN (SELECT doc_id FROM s3_1)),
+        |ehist1 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |             WHERE vec_id IN (SELECT doc_id FROM hist1)),
+        |kh1 AS (SELECT e.vec_id, e.v, c.cl,
+        |                 row_number() OVER (PARTITION BY e.vec_id
+        |                   ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |          FROM ehist1 e, kc2 c),
+        |khf1 AS (SELECT vec_id, v, cl FROM kh1 WHERE rn = 1),
+        |kb1 AS (SELECT e.vec_id, e.v, c.cl,
+        |                 row_number() OVER (PARTITION BY e.vec_id
+        |                   ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |          FROM ebt1 e, kc2 c),
+        |kbf1 AS (SELECT vec_id, v, cl FROM kb1 WHERE rn = 1),
+        |sem1 AS (
+        |  SELECT s.vec_id AS doc_id FROM kbf1 s
+        |  WHERE EXISTS (SELECT 1 FROM khf1 a
+        |                WHERE a.cl = s.cl AND list_cosine_similarity(a.v, s.v) >= 0.35)
+        |     OR EXISTS (SELECT 1 FROM kbf1 a
+        |                WHERE a.cl = s.cl AND a.vec_id < s.vec_id
+        |                  AND list_cosine_similarity(a.v, s.v) >= 0.35)),
+        |ann1 AS (
+        |  SELECT b.doc_id, c.kept_tokens,
+        |         CAST(coalesce(c.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+        |         c.cleaned_text,
+        |         CASE WHEN b.doc_id IN (SELECT doc_id FROM exact1) THEN 'exact_dup'
+        |              WHEN c.doc_id IS NULL OR c.kept_tokens = 0 THEN 'empty'
+        |              WHEN b.doc_id IN (SELECT doc_id FROM near1) THEN 'near_dup'
+        |              WHEN b.doc_id IN (SELECT doc_id FROM sem1) THEN 'sem_dup'
+        |              ELSE 'kept' END AS decision
+        |  FROM bat1 b LEFT JOIN cleaned1 c USING (doc_id))
+        |SELECT doc_id, batch, decision, removed_tokens,
+        |       CASE WHEN decision = 'kept' THEN kept_tokens END AS n_tokens,
+        |       CASE WHEN decision = 'kept' THEN md5(cleaned_text) END AS final_md5
+        |FROM (SELECT doc_id, CAST(0 AS BIGINT) AS batch, decision, removed_tokens,
+        |             kept_tokens, cleaned_text FROM ann0
+        |      UNION ALL
+        |      SELECT doc_id, CAST(1 AS BIGINT) AS batch, decision, removed_tokens,
+        |             kept_tokens, cleaned_text FROM ann1)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -212,7 +212,8 @@ object Pipeline {
                         maxGramOccurrences: Int = 1000,
                         semK: Int = 8, semIters: Int = 2, semTau: Double = 0.35,
                         historyBloom: Option[Array[Byte]] = None,
-                        centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+                        centroids: Option[Array[Array[Double]]] = None,
+                        keepCleanedText: Boolean = false): DataFrame = {
     val id = col(idCol)
 
     // 1. exact vs history (bloom candidates + exact verify = the anti-join)
@@ -249,8 +250,11 @@ object Pipeline {
       .filter(!col("kept")).select(col("id").as("__sem_drop"))
       .localCheckpoint(eager = true)
 
-    // assembly over the batch
-    batch.select(id)
+    // assembly over the batch. `keepCleanedText` adds the survivor text
+    // itself (kept rows only) — what an ingest sink APPENDS to the
+    // corpus store ([[graft.streaming.StreamingDedup.curateSink]]);
+    // the q115 oracle shape carries only its md5.
+    val ann = batch.select(id)
       .join(s1.select(id.as("__adm")), id === col("__adm"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
@@ -262,10 +266,14 @@ object Pipeline {
           .when(col("__near_drop").isNotNull, "near_dup")
           .when(col("__sem_drop").isNotNull, "sem_dup")
           .otherwise("kept"))
-      .select(id, col("decision"),
-        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
-        when(col("decision") === "kept", col("kept_tokens")).as("n_tokens"),
-        when(col("decision") === "kept", md5(col("cleaned_text").cast("binary")))
-          .as("final_md5"))
+    val base = ann.select(id, col("decision"),
+      coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+      when(col("decision") === "kept", col("kept_tokens")).as("n_tokens"),
+      when(col("decision") === "kept", md5(col("cleaned_text").cast("binary")))
+        .as("final_md5"))
+    if (!keepCleanedText) base
+    else base.join(
+      ann.filter(col("decision") === "kept").select(id, col("cleaned_text")),
+      Seq(idCol), "left")
   }
 }

@@ -262,6 +262,58 @@ object StreamingDedup {
     * State is the store itself: kept vectors × (id + vec) — the curated
     * corpus a production pipeline persists anyway, not engine state; the
     * streaming query holds nothing between triggers. */
+  /** STREAMING ingest curation — [[graft.operators.Pipeline.curateIncremental]]
+    * as a foreachBatch sink: every micro-batch is judged against the
+    * seed snapshot PLUS everything previously admitted, its decision
+    * rows land in `verdictPath`, and its kept docs join the corpus store
+    * WITH THEIR CLEANED TEXT (what curation admitted, not the raw
+    * crawl) — so batch N+1's exact/span/near/semantic stages see batch
+    * N's admissions as history. Centroids are the FIXED snapshot
+    * artifact (fit on the seed before the stream starts — the q103
+    * stored-geometry discipline), so cell assignment never drifts
+    * mid-stream. State is the corpus store itself; the streaming query
+    * holds nothing between triggers. */
+  def curateSink(batches: DataFrame, seedHistory: DataFrame,
+                 embeddings: DataFrame, idCol: String, textCol: String,
+                 centroids: Array[Array[Double]],
+                 storePath: String, verdictPath: String,
+                 vecIdCol: String = "vec_id", vecCol: String = "embedding",
+                 nearDupThreshold: Double = 0.9, semTau: Double = 0.35):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    batches.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(idCol), col(textCol))
+        if (!b.isEmpty) {
+          val hasStore = {
+            val d = new java.io.File(storePath)
+            d.exists() && Option(d.list()).exists(_.exists(!_.startsWith("_")))
+          }
+          val admitted =
+            if (hasStore) spark.read.parquet(storePath)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+          val history = seedHistory.select(col(idCol), col(textCol))
+            .unionByName(admitted)
+          val verdict = graft.operators.Pipeline.curateIncremental(
+            history, b, embeddings, idCol, textCol,
+            vecIdCol = vecIdCol, vecCol = vecCol,
+            nearDupThreshold = nearDupThreshold, semTau = semTau,
+            centroids = Some(centroids), keepCleanedText = true)
+          verdict.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(verdictPath)
+          // re-read the just-written verdict before appending the store,
+          // so no plan reads and writes storePath in one job
+          spark.read.parquet(verdictPath)
+            .filter(col("batch_id") === id && col("decision") === "kept")
+            .select(col(idCol), col("cleaned_text").as(textCol))
+            .write.mode("append").parquet(storePath)
+        }
+        ()
+      }
+      .start()
+  }
+
   def semDedupSink(batches: DataFrame, idCol: String, vecCol: String,
                    centroids: Array[Array[Double]], tau: Double,
                    storePath: String, verdictPath: String):
