@@ -20,7 +20,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry
   extends SketchEntries with TextEntries with SimilarityEntries
-    with RelationalEntries with StreamingEntries with DriftEntries {
+    with RelationalEntries with StreamingEntries with DriftEntries
+    with PipelineEntries {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -37,7 +38,7 @@ object SparkEntry
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sketchQueries ++ textQueries ++ similarityQueries ++ relationalQueries ++
-      streamingQueries ++ driftQueries
+      streamingQueries ++ driftQueries ++ pipelineQueries
 
   /** What the benchmark times: `queries`, with oracle-portability shims
     * swapped for the production path. q37's `queries` entry computes token
@@ -144,5 +145,5 @@ object SparkEntry
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     sketchOracle ++ textOracle ++ similarityOracle ++ relationalOracle ++
-      streamingOracle ++ driftOracle
+      streamingOracle ++ driftOracle ++ pipelineOracle
 }

@@ -388,49 +388,6 @@ private[graft] trait TextEntries extends EntryInfra {
         .select(col("doc_a"), col("doc_b"), round(col("wjaccard"), 6).as("wjaccard"))
         .orderBy("doc_a", "doc_b")
     },
-
-    // -- the END-TO-END curation pipeline: exact → span → near-dup →
-    //    semantic → quota, stages chained on survivors; one decision row
-    //    per input doc with the survivor text fingerprint, so the oracle
-    //    gate covers stage composition (counts AND final corpus), not
-    //    just each operator in isolation ------------------------------
-    "q112_curate_full" -> qd { spark =>
-      operators.Pipeline.curateFull(spark.table("documents"),
-          spark.table("embeddings"), "doc_id", "text", "source")
-        .orderBy("doc_id")
-    },
-
-    // -- the INCREMENTAL curation pipeline (q112's ingest-time twin):
-    //    batch (odd ids) judged against the admitted corpus (even ids)
-    //    with the cross/incremental operator variants — exact-vs-history
-    //    bloom+verify, cross-span contamination removal, cross near-dup
-    //    on CLEANED batch text, incremental semantic dedup against
-    //    history-fit centroids. One decision row per batch doc. --------
-    "q115_curate_incremental" -> qdd { (spark, dir) =>
-      import org.apache.spark.sql.functions._
-      val docs = spark.table("documents")
-      // the per-snapshot artifacts (history bloom, history centroids)
-      // come from the shared memos — the q64/q101 build-once lifecycle;
-      // the bench times the per-batch work, which is what recurs
-      operators.Pipeline.curateIncremental(
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 === 1),
-          spark.table("embeddings"), "doc_id", "text",
-          historyBloom = sharedHistoryBloom(spark, dir),
-          centroids = sharedHistoryCentroids(spark, dir))
-        .orderBy("doc_id")
-    },
-
-    // -- temperature-weighted mixture sampling (the LLM data-recipe
-    //    operator): per-source budgets = B·mass^α/Σ mass^α (α=0.5 via
-    //    sqrt — correctly rounded, engine-portable; weights summed
-    //    left-to-right over name-sorted sources), then the deterministic
-    //    per-source token quota ------------------------------------------
-    "q116_temperature_mixture" -> qd { spark =>
-      operators.QuotaSample.temperatureMixture(spark.table("documents"),
-          "source", "doc_id", "text", alpha = 0.5, totalBudget = 3000L)
-        .orderBy("doc_id")
-    },
   )
 
   protected def textOracle: Map[String, String] = Map(
@@ -992,267 +949,5 @@ private[graft] trait TextEntries extends EntryInfra {
         |FROM p JOIN tot ta ON ta.doc = p.da JOIN tot tb ON tb.doc = p.db
         |WHERE CAST(ms AS DOUBLE) / (ta.tot + tb.tot - ms) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
-
-    // the five stage oracles chained as CTEs on each other's
-    // survivors: q34's fingerprint dedup, q86's span removal, q35's
-    // exact-Jaccard pairs (threshold 0.9, over CLEANED text), q101's
-    // Lloyd's-replay SemDeDup (fit on the survivor slice), q104's
-    // per-source token quota — proving the operators compose, not
-    // just pass in isolation. Short-doc rule: a doc span-cleaned below k
-    // tokens shingles to the single fold of ALL its tokens (ShingleSet's
-    // documented semantics), replicated here as the whole-text 1-shingle
-    // CASE so identical span-remnants still pair at J=1.
-    "q112_curate_full" ->
-      """WITH norm AS (
-        |  SELECT doc_id, source, text,
-        |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-        |  FROM documents),
-        |exact_drop AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        |    FROM norm) WHERE rn > 1),
-        |s1 AS (SELECT * FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),
-        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |         FROM s1 WHERE trim(text) <> ''),
-        |g0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
-        |              unnest(list_transform(range(len(t) - 7),
-        |                     i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
-        |       FROM toks WHERE len(t) >= 8),
-        |g AS (SELECT doc_id, pos, gr FROM g0
-        |      QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
-        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
-        |             a.pos - b.pos AS diag
-        |      FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id),
-        |runs AS (SELECT da, db, diag, pa, pb,
-        |                pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island
-        |         FROM m),
-        |spans AS (SELECT db AS doc_id, min(pb) AS b_start,
-        |                 max(pa) - min(pa) + 8 AS span_tokens
-        |          FROM runs GROUP BY da, db, diag, island),
-        |cutset AS (SELECT DISTINCT doc_id,
-        |                  unnest(range(b_start, b_start + span_tokens)) AS cut
-        |           FROM spans WHERE span_tokens >= 20),
-        |tok AS (SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS w FROM toks),
-        |keptt AS (SELECT tok.doc_id, tok.pos, tok.w
-        |          FROM tok LEFT JOIN cutset
-        |            ON tok.doc_id = cutset.doc_id AND tok.pos = cutset.cut
-        |          WHERE cutset.cut IS NULL),
-        |cleaned AS (SELECT toks.doc_id,
-        |                   CAST(count(keptt.pos) AS BIGINT) AS kept_tokens,
-        |                   CAST(len(any_value(toks.t)) - count(keptt.pos) AS BIGINT) AS removed_tokens,
-        |                   coalesce(string_agg(keptt.w, ' ' ORDER BY keptt.pos), '') AS cleaned_text
-        |            FROM toks LEFT JOIN keptt ON toks.doc_id = keptt.doc_id
-        |            GROUP BY toks.doc_id),
-        |s2 AS (SELECT * FROM cleaned WHERE kept_tokens > 0),
-        |ctoks AS (SELECT doc_id, string_split_regex(trim(cleaned_text), '\s+') AS ct FROM s2),
-        |csh AS (SELECT doc_id,
-        |               CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
-        |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
-        |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
-        |        FROM ctoks),
-        |npairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-        |  FROM csh a JOIN csh b ON a.doc_id < b.doc_id),
-        |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM npairs WHERE j >= 0.9),
-        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |      WHERE vec_id IN (SELECT doc_id FROM s3)),
-        |k0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-        |       FROM e ORDER BY vec_id LIMIT 8),
-        |ka1 AS (SELECT e.vec_id, e.v, c.cl,
-        |               row_number() OVER (PARTITION BY e.vec_id
-        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
-        |        FROM e, k0 c),
-        |ks1 AS (SELECT vec_id, v, cl FROM ka1 WHERE rn = 1),
-        |kc1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
-        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks1, range(1, 65) t(i) GROUP BY cl, i)
-        |        GROUP BY cl),
-        |ka2 AS (SELECT e.vec_id, e.v, c.cl,
-        |               row_number() OVER (PARTITION BY e.vec_id
-        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
-        |        FROM e, kc1 c),
-        |ks2 AS (SELECT vec_id, v, cl FROM ka2 WHERE rn = 1),
-        |kc2 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
-        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks2, range(1, 65) t(i) GROUP BY cl, i)
-        |        GROUP BY cl),
-        |ka3 AS (SELECT e.vec_id, e.v, c.cl,
-        |               row_number() OVER (PARTITION BY e.vec_id
-        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
-        |        FROM e, kc2 c),
-        |ks3 AS (SELECT vec_id, v, cl FROM ka3 WHERE rn = 1),
-        |sem_drop AS (SELECT s.vec_id AS doc_id FROM ks3 s
-        |             WHERE EXISTS (SELECT 1 FROM ks3 a
-        |                           WHERE a.cl = s.cl AND a.vec_id < s.vec_id
-        |                             AND list_cosine_similarity(a.v, s.v) >= 0.35)),
-        |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)),
-        |qt AS (SELECT s4.doc_id, d.source, s4.kept_tokens AS n_tokens,
-        |              md5(CAST(s4.doc_id AS VARCHAR)) AS key
-        |       FROM s4 JOIN documents d USING (doc_id)),
-        |qw AS (SELECT doc_id, n_tokens,
-        |              sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS cum,
-        |              row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
-        |       FROM qt),
-        |quota_drop AS (SELECT doc_id FROM qw WHERE NOT (cum <= 700 OR rn = 1)),
-        |ann AS (
-        |  SELECT d.doc_id, d.source, c.kept_tokens,
-        |         CAST(coalesce(c.removed_tokens, 0) AS BIGINT) AS removed_tokens,
-        |         c.cleaned_text,
-        |         CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'
-        |              WHEN c.doc_id IS NULL OR c.kept_tokens = 0 THEN 'empty'
-        |              WHEN d.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
-        |              WHEN d.doc_id IN (SELECT doc_id FROM sem_drop) THEN 'sem_dup'
-        |              WHEN d.doc_id IN (SELECT doc_id FROM quota_drop) THEN 'over_quota'
-        |              ELSE 'kept' END AS decision
-        |  FROM documents d LEFT JOIN cleaned c USING (doc_id))
-        |SELECT doc_id, source, decision, removed_tokens,
-        |       CASE WHEN decision = 'kept' THEN kept_tokens END AS n_tokens,
-        |       CASE WHEN decision = 'kept' THEN md5(cleaned_text) END AS final_md5
-        |FROM ann ORDER BY doc_id""".stripMargin,
-
-    // the cross-stage oracles chained on each other's survivors:
-    // q64's history-membership dedup, q88's cross-span detection +
-    // q86's reassembly (batch side only), q97's cross jaccard (over
-    // CLEANED batch text, ShingleSet short-doc rule), q103's
-    // incremental-semdedup Lloyd's replay (fit on history)
-    "q115_curate_incremental" ->
-      """WITH norm AS (
-        |  SELECT doc_id, text,
-        |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-        |  FROM documents),
-        |hist AS (SELECT * FROM norm WHERE doc_id % 2 = 0),
-        |bat  AS (SELECT * FROM norm WHERE doc_id % 2 = 1),
-        |exact_drop AS (SELECT doc_id FROM bat WHERE fp IN (SELECT fp FROM hist)),
-        |s1 AS (SELECT * FROM bat WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),
-        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |         FROM (SELECT doc_id, text FROM hist UNION ALL SELECT doc_id, text FROM s1)
-        |         WHERE trim(text) <> ''),
-        |g0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
-        |              unnest(list_transform(range(len(t) - 7),
-        |                     i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
-        |       FROM toks WHERE len(t) >= 8),
-        |g AS (SELECT doc_id, pos, gr FROM g0
-        |      QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
-        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
-        |             a.pos - b.pos AS diag
-        |      FROM g a JOIN g b ON a.gr = b.gr
-        |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
-        |runs AS (SELECT da, db, diag, pa, pb,
-        |                pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island
-        |         FROM m),
-        |spans AS (SELECT db AS doc_id, min(pb) AS b_start,
-        |                 max(pa) - min(pa) + 8 AS span_tokens
-        |          FROM runs GROUP BY da, db, diag, island),
-        |cutset AS (SELECT DISTINCT doc_id,
-        |                  unnest(range(b_start, b_start + span_tokens)) AS cut
-        |           FROM spans WHERE span_tokens >= 20),
-        |btoks AS (SELECT doc_id, t FROM toks WHERE doc_id % 2 = 1),
-        |btok AS (SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS w FROM btoks),
-        |keptt AS (SELECT btok.doc_id, btok.pos, btok.w
-        |          FROM btok LEFT JOIN cutset
-        |            ON btok.doc_id = cutset.doc_id AND btok.pos = cutset.cut
-        |          WHERE cutset.cut IS NULL),
-        |cleaned AS (SELECT btoks.doc_id,
-        |                   CAST(count(keptt.pos) AS BIGINT) AS kept_tokens,
-        |                   CAST(len(any_value(btoks.t)) - count(keptt.pos) AS BIGINT) AS removed_tokens,
-        |                   coalesce(string_agg(keptt.w, ' ' ORDER BY keptt.pos), '') AS cleaned_text
-        |            FROM btoks LEFT JOIN keptt ON btoks.doc_id = keptt.doc_id
-        |            GROUP BY btoks.doc_id),
-        |s2 AS (SELECT * FROM cleaned WHERE kept_tokens > 0),
-        |hct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ct
-        |        FROM hist WHERE trim(text) <> ''),
-        |bct AS (SELECT doc_id, string_split_regex(trim(cleaned_text), '\s+') AS ct FROM s2),
-        |hsh AS (SELECT doc_id,
-        |               CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
-        |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
-        |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
-        |        FROM hct),
-        |bsh AS (SELECT doc_id,
-        |               CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
-        |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
-        |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
-        |        FROM bct),
-        |near_drop AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM hsh a JOIN bsh b
-        |    ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
-        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
-        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id % 2 = 0),
-        |bt AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
-        |       WHERE vec_id IN (SELECT doc_id FROM s3)),
-        |k0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-        |       FROM e ORDER BY vec_id LIMIT 8),
-        |ka1 AS (SELECT e.vec_id, e.v, c.cl,
-        |               row_number() OVER (PARTITION BY e.vec_id
-        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
-        |        FROM e, k0 c),
-        |ks1 AS (SELECT vec_id, v, cl FROM ka1 WHERE rn = 1),
-        |kc1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
-        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks1, range(1, 65) t(i) GROUP BY cl, i)
-        |        GROUP BY cl),
-        |ka2 AS (SELECT e.vec_id, e.v, c.cl,
-        |               row_number() OVER (PARTITION BY e.vec_id
-        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
-        |        FROM e, kc1 c),
-        |ks2 AS (SELECT vec_id, v, cl FROM ka2 WHERE rn = 1),
-        |kc2 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
-        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks2, range(1, 65) t(i) GROUP BY cl, i)
-        |        GROUP BY cl),
-        |khs AS (SELECT e.vec_id, e.v, c.cl,
-        |               row_number() OVER (PARTITION BY e.vec_id
-        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
-        |        FROM e, kc2 c),
-        |kh AS (SELECT vec_id, v, cl FROM khs WHERE rn = 1),
-        |kbs AS (SELECT bt.vec_id, bt.v, c.cl,
-        |               row_number() OVER (PARTITION BY bt.vec_id
-        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(bt.v, c.cv), c.cl) AS rn
-        |        FROM bt, kc2 c),
-        |kb AS (SELECT vec_id, v, cl FROM kbs WHERE rn = 1),
-        |sem_drop AS (
-        |  SELECT s.vec_id AS doc_id FROM kb s
-        |  WHERE EXISTS (SELECT 1 FROM kh a
-        |                WHERE a.cl = s.cl AND list_cosine_similarity(a.v, s.v) >= 0.35)
-        |     OR EXISTS (SELECT 1 FROM kb a
-        |                WHERE a.cl = s.cl AND a.vec_id < s.vec_id
-        |                  AND list_cosine_similarity(a.v, s.v) >= 0.35)),
-        |ann AS (
-        |  SELECT b.doc_id, c.kept_tokens,
-        |         CAST(coalesce(c.removed_tokens, 0) AS BIGINT) AS removed_tokens,
-        |         c.cleaned_text,
-        |         CASE WHEN b.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'
-        |              WHEN c.doc_id IS NULL OR c.kept_tokens = 0 THEN 'empty'
-        |              WHEN b.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
-        |              WHEN b.doc_id IN (SELECT doc_id FROM sem_drop) THEN 'sem_dup'
-        |              ELSE 'kept' END AS decision
-        |  FROM bat b LEFT JOIN cleaned c USING (doc_id))
-        |SELECT doc_id, decision, removed_tokens,
-        |       CASE WHEN decision = 'kept' THEN kept_tokens END AS n_tokens,
-        |       CASE WHEN decision = 'kept' THEN md5(cleaned_text) END AS final_md5
-        |FROM ann ORDER BY doc_id""".stripMargin,
-
-    // same budgets re-derived in SQL: sqrt weights accumulated in
-    // name-sorted list order (list_sum fixes the fold order), floored
-    // per-source budgets, then the q104 quota selection
-    "q116_temperature_mixture" ->
-      """WITH t AS (SELECT doc_id, source,
-        |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |                  md5(CAST(doc_id AS VARCHAR)) AS key
-        |           FROM documents),
-        |f AS (SELECT * FROM t WHERE n_tokens >= 1),
-        |mass AS (SELECT source, sum(n_tokens) AS mass FROM t GROUP BY source),
-        |wsum AS (SELECT list_sum(list(sqrt(CAST(mass AS DOUBLE)) ORDER BY source)) AS s
-        |         FROM mass),
-        |bud AS (SELECT source,
-        |               greatest(1, CAST(floor(3000 * sqrt(CAST(mass AS DOUBLE)) / (SELECT s FROM wsum)) AS BIGINT)) AS budget
-        |        FROM mass),
-        |w AS (SELECT doc_id, source, n_tokens,
-        |             sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS cum,
-        |             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
-        |      FROM f)
-        |SELECT w.doc_id, w.source, w.n_tokens, b.budget,
-        |       (w.cum <= b.budget OR w.rn = 1) AS kept
-        |FROM w JOIN bud b ON w.source = b.source ORDER BY w.doc_id""".stripMargin,
   )
 }
