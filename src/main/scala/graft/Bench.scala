@@ -79,6 +79,15 @@ object Bench {
     // names fail LOUDLY: a stale/typo'd name would otherwise produce an
     // empty sweep whose total=0.0 reads like a resolved regression.
     val allNames = SparkEntry.benchQueries.keySet
+    // Legibility guard (r15 verdict #7): every harness-tagged name must be
+    // a real bench entry — a renamed/retired query left in harnessQueries
+    // would silently shift its cost into the operator sum (or vice versa),
+    // and the headline number below is the harness-EXCLUDED operator sum.
+    locally {
+      val stale = SparkEntry.harnessQueries.diff(allNames)
+      require(stale.isEmpty,
+        s"harnessQueries names not in benchQueries: ${stale.toSeq.sorted.mkString(", ")}")
+    }
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { o =>
@@ -143,9 +152,13 @@ object Bench {
     // full-suite regression baseline (only the reduced key count hints).
     val filterJson = only
       .map(o => "\"" + o.toSeq.sorted.mkString(",") + "\"").getOrElse("null")
+    // The headline `value` is the OPERATOR sum (harness replay/index fixed
+    // cost excluded — r15 verdict #7: with harness at ~42% of the grand
+    // total, round-over-round comparability needs the operator sum first).
+    // `value_total` keeps the grand total; `value_harness` the difference.
     def fullJson(sweepsDone: Int): String = {
       val (qs, qmin, total, opTotal, harnessTotal) = report()
-      f"""{"metric":"total","value":$total%.3f,"value_operator":$opTotal%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total_operator","value":$opTotal%.3f,"value_total":$total%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"sf":"$sfDir"}"""
     }
     // Persist the running result after EVERY completed sweep (atomic
     // tmp+rename): the r10 crash at sweep ~5 of 6 lost 41 minutes of
@@ -204,7 +217,7 @@ object Bench {
     else {
       println(full)
       val (_, _, total, opTotal, harnessTotal) = report()
-      println(f"""{"metric":"total","value":$total%.3f,"value_operator":$opTotal%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"n_queries":${names.size},"bench_file":"$persistFile","sf":"$sfDir"}""")
+      println(f"""{"metric":"total_operator","value":$opTotal%.3f,"value_total":$total%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"n_queries":${names.size},"bench_file":"$persistFile","sf":"$sfDir"}""")
     }
     System.out.flush()
   }

@@ -27,13 +27,6 @@ private[graft] trait PipelineEntries extends EntryInfra {
     //    bloom+verify, cross-span contamination removal, cross near-dup
     //    on CLEANED batch text, incremental semantic dedup against
     //    history-fit centroids. One decision row per batch doc. --------
-
-    // -- the INCREMENTAL curation pipeline (q112's ingest-time twin):
-    //    batch (odd ids) judged against the admitted corpus (even ids)
-    //    with the cross/incremental operator variants — exact-vs-history
-    //    bloom+verify, cross-span contamination removal, cross near-dup
-    //    on CLEANED batch text, incremental semantic dedup against
-    //    history-fit centroids. One decision row per batch doc. --------
     "q115_curate_incremental" -> qdd { (spark, dir) =>
       import org.apache.spark.sql.functions._
       val docs = spark.table("documents")
@@ -48,12 +41,6 @@ private[graft] trait PipelineEntries extends EntryInfra {
           centroids = sharedHistoryCentroids(spark, dir))
         .orderBy("doc_id")
     },
-
-    // -- temperature-weighted mixture sampling (the LLM data-recipe
-    //    operator): per-source budgets = B·mass^α/Σ mass^α (α=0.5 via
-    //    sqrt — correctly rounded, engine-portable; weights summed
-    //    left-to-right over name-sorted sources), then the deterministic
-    //    per-source token quota ------------------------------------------
 
     // -- temperature-weighted mixture sampling (the LLM data-recipe
     //    operator): per-source budgets = B·mass^α/Σ mass^α (α=0.5 via
