@@ -52,6 +52,23 @@ private[graft] trait PipelineEntries extends EntryInfra {
           "source", "doc_id", "text", alpha = 0.5, totalBudget = 3000L)
         .orderBy("doc_id")
     },
+
+    // -- trained seed-vs-crawl quality classifier (CCNet/fastText-style
+    //    discriminative curation stage): multinomial NB over hashed word
+    //    uni+bigram features (4096 md5-prefix buckets), seed = curated
+    //    en slice (doc_id%4=0), crawl sample = doc_id%4=1, scored over
+    //    the FULL corpus. The model's per-bucket LLRs are µ-quantized
+    //    BIGINTs, so doc scores are exact integer sums — hash-identical
+    //    across engines regardless of summation order. ------------------
+    "q119_seed_classifier" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.TextOps.seedCrawlNbScores(
+          docs.filter(col("lang") === "en" && col("doc_id") % 4 === 0),
+          docs.filter(col("doc_id") % 4 === 1),
+          docs, buckets = 4096)
+        .orderBy("doc_id")
+    },
   )
 
   protected def pipelineOracle: Map[String, String] = Map(
@@ -303,10 +320,6 @@ private[graft] trait PipelineEntries extends EntryInfra {
     // same budgets re-derived in SQL: sqrt weights accumulated in
     // name-sorted list order (list_sum fixes the fold order), floored
     // per-source budgets, then the q104 quota selection
-
-    // same budgets re-derived in SQL: sqrt weights accumulated in
-    // name-sorted list order (list_sum fixes the fold order), floored
-    // per-source budgets, then the q104 quota selection
     "q116_temperature_mixture" ->
       """WITH t AS (SELECT doc_id, source,
         |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -326,5 +339,44 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |SELECT w.doc_id, w.source, w.n_tokens, b.budget,
         |       (w.cum <= b.budget OR w.rn = 1) AS kept
         |FROM w JOIN bud b ON w.source = b.source ORDER BY w.doc_id""".stripMargin,
+
+    // same NB model re-derived in SQL: identical normalization/uni+bigram
+    // features, md5-prefix buckets, add-one LLRs µ-quantized PER BUCKET
+    // (so doc scores are exact integer sums — engine-portable), doc-count
+    // prior. lrm derives every bucket the corpus produces; training-unseen
+    // buckets fall to the c=0 formula = Spark's coalesce default.
+    "q119_seed_classifier" ->
+      """WITH norm AS (SELECT doc_id, lang,
+        |                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |              FROM documents WHERE trim(text) <> ''),
+        |toks AS (SELECT doc_id, lang, string_split(t, ' ') AS w FROM norm),
+        |feats AS (SELECT doc_id, lang, unnest(w) AS g FROM toks
+        |          UNION ALL
+        |          SELECT doc_id, lang,
+        |                 unnest(list_transform(range(len(w) - 1),
+        |                        i -> w[i + 1] || ' ' || w[i + 2])) AS g
+        |          FROM toks WHERE len(w) >= 2),
+        |bk AS (SELECT doc_id, lang,
+        |              ('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096 AS b
+        |       FROM feats),
+        |sc AS (SELECT b, count(*) AS c FROM bk
+        |       WHERE lang = 'en' AND doc_id % 4 = 0 GROUP BY b),
+        |rc AS (SELECT b, count(*) AS c FROM bk WHERE doc_id % 4 = 1 GROUP BY b),
+        |sd AS (SELECT CAST(coalesce(sum(c), 0) + 4096 AS DOUBLE) AS d FROM sc),
+        |rd AS (SELECT CAST(coalesce(sum(c), 0) + 4096 AS DOUBLE) AS d FROM rc),
+        |pri AS (SELECT CAST(floor(ln(
+        |                 CAST((SELECT count(*) FROM norm WHERE lang = 'en' AND doc_id % 4 = 0) AS DOUBLE) /
+        |                 (SELECT count(*) FROM norm WHERE doc_id % 4 = 1)) * 1000000) AS BIGINT) AS p),
+        |lrm AS (SELECT ab.b,
+        |               CAST(floor((ln((coalesce(sc.c, 0) + 1.0) / sd.d) -
+        |                           ln((coalesce(rc.c, 0) + 1.0) / rd.d)) * 1000000) AS BIGINT) AS lr_u
+        |        FROM (SELECT DISTINCT b FROM bk) ab
+        |        CROSS JOIN sd CROSS JOIN rd
+        |        LEFT JOIN sc ON ab.b = sc.b LEFT JOIN rc ON ab.b = rc.b)
+        |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+        |       CAST(pri.p + sum(lrm.lr_u) AS BIGINT) AS nb_score_u,
+        |       (pri.p + sum(lrm.lr_u)) > 0 AS seed_like
+        |FROM bk JOIN lrm ON bk.b = lrm.b CROSS JOIN pri
+        |GROUP BY bk.doc_id, pri.p ORDER BY bk.doc_id""".stripMargin,
   )
 }

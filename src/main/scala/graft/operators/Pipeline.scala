@@ -73,6 +73,9 @@ object Pipeline {
     *   1. exact dedup (normalized fingerprint; lowest id survives),
     *   2. duplicated-SPAN removal — survivor text is REWRITTEN (cleaned),
     *      and a doc cleaned down to nothing is `empty`,
+    *   2.5. (optional, `seedFilter`) trained-quality gate: NB
+    *      seed-vs-crawl classifier scores the CLEANED text; integer
+    *      log-odds below `minNbScoreU` → `low_quality`,
     *   3. near dedup over the CLEANED text (exact n-gram Jaccard ≥
     *      `nearDupThreshold`; higher id of each pair drops),
     *   4. semantic dedup over the survivors' embeddings (k-means
@@ -81,7 +84,7 @@ object Pipeline {
     *
     * One row out per input document: (id, source, decision,
     * removed_tokens, n_tokens, final_md5), decision ∈ {exact_dup, empty,
-    * near_dup, sem_dup, over_quota, kept}; n_tokens/final_md5 are
+    * low_quality, near_dup, sem_dup, over_quota, kept}; n_tokens/final_md5 are
     * non-null for kept rows only, so the result IS the survivor corpus
     * fingerprint and the per-stage decision counts in one relation.
     *
@@ -98,7 +101,10 @@ object Pipeline {
                  maxShingleDF: Int = 1000,
                  spanK: Int = 8, minSpan: Int = 20, maxGramOccurrences: Int = 1000,
                  semK: Int = 8, semIters: Int = 2, semTau: Double = 0.35,
-                 tokenBudget: Long = 700L): DataFrame = {
+                 tokenBudget: Long = 700L,
+                 seedFilter: Option[org.apache.spark.sql.Column] = None,
+                 crawlFilter: Option[org.apache.spark.sql.Column] = None,
+                 nbBuckets: Int = 4096, minNbScoreU: Long = 0L): DataFrame = {
     val id = col(idCol)
 
     // Each stage output is EAGERLY localCheckpoint'ed — the Components
@@ -126,12 +132,30 @@ object Pipeline {
       spanK, minSpan, maxGramOccurrences).localCheckpoint(eager = true)
     val s2 = cleaned.filter(col("kept_tokens") > 0)
 
+    // 2.5 (optional, r16) trained-quality gate: the NB seed-vs-crawl
+    //     classifier ([[TextOps.seedCrawlNbScores]]) trained on raw doc
+    //     slices, scoring the span survivors' CLEANED text; docs whose
+    //     integer class log-odds fall below `minNbScoreU` drop as
+    //     `low_quality` BEFORE the pairwise stages — a per-row scan+
+    //     broadcast-join cut is the cheapest stage, so it runs first to
+    //     shrink the near-dup/semantic candidate sets. None → disabled:
+    //     the drop side is an empty relation and the decision class never
+    //     fires (q112's shape and output are byte-identical).
+    val qualityDrops = seedFilter.map { sf =>
+      val crawl = crawlFilter.getOrElse(!sf)
+      TextOps.seedCrawlNbScores(docs.filter(sf), docs.filter(crawl),
+          s2.select(id, col("cleaned_text").as(textCol)), idCol, textCol, nbBuckets)
+        .filter(col("nb_score_u") < minNbScoreU)
+        .select(id.as("__quality_drop")).localCheckpoint(eager = true)
+    }.getOrElse(docs.limit(0).select(id.as("__quality_drop")))
+    val s2q = s2.join(qualityDrops, id === col("__quality_drop"), "left_anti")
+
     // 3. near dedup on the cleaned text — the text duplicates must be
     //    judged on what stage 2 kept, not the raw crawl
-    val nearDrops = DedupOps.jaccardPairs(s2, idCol, "cleaned_text",
+    val nearDrops = DedupOps.jaccardPairs(s2q, idCol, "cleaned_text",
         shingleK, nearDupThreshold, maxShingleDF)
       .select(col("doc_b").as("__near_drop")).distinct().localCheckpoint(eager = true)
-    val s3 = s2.join(nearDrops, id === col("__near_drop"), "left_anti")
+    val s3 = s2q.join(nearDrops, id === col("__near_drop"), "left_anti")
 
     // 4. semantic dedup over the surviving docs' embeddings (centroids
     //    fit on the survivor slice — the corpus the stage actually sees)
@@ -158,12 +182,14 @@ object Pipeline {
       .join(exactDrops, id === col("__exact_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
+      .join(qualityDrops, id === col("__quality_drop"), "left")
       .join(nearDrops, id === col("__near_drop"), "left")
       .join(semDrops, id === col("__sem_drop"), "left")
       .join(quotaDrops, id === col("__quota_drop"), "left")
       .withColumn("decision",
         when(col("__exact_drop").isNotNull, "exact_dup")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
+          .when(col("__quality_drop").isNotNull, "low_quality")
           .when(col("__near_drop").isNotNull, "near_dup")
           .when(col("__sem_drop").isNotNull, "sem_dup")
           .when(col("__quota_drop").isNotNull, "over_quota")

@@ -219,4 +219,98 @@ object TextOps {
       .agg(count(lit(1)).as("n_tri"),
         floor(avg(col("lr")) * lit(1e6)).cast("long").as("dsir_weight_u"))
   }
+
+  /** Word-level features of the normalized text: unigrams ++ bigrams
+    * (space-joined). The discriminative-classifier counterpart of
+    * [[charTrigrams]] — word n-grams carry the topical/register signal a
+    * seed-vs-crawl classifier separates on, where char trigrams mostly
+    * carry orthography. */
+  private[graft] def wordFeatures(text: Column): Column = {
+    val toks = split(normText(text), " ")
+    val bi = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bi)
+  }
+
+  /** Engine-portable hashed feature bucket, computed IN the plan (codegen'd
+    * built-ins): first 8 md5 hex digits as a 32-bit value, mod `buckets`.
+    * DuckDB reproduces it as `('0x'||substr(md5(g),1,8))::UBIGINT % B` —
+    * the same definitional hash as [[triBucketLocal]], but evaluated
+    * distributed because word-ngram vocabularies (unlike charset³-bounded
+    * trigram sets) are NOT driver-collectable at corpus scale. */
+  private def featBucket(g: Column, buckets: Int): Column =
+    conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Trained seed-vs-crawl quality classifier (the CCNet/fastText-style
+    * discriminative curation stage): a multinomial Naive-Bayes model over
+    * hashed word uni+bigram features, trained on a curated SEED slice vs a
+    * raw-CRAWL sample, scoring every document by its class log-odds
+    *
+    *   score = ln(Nseed/Ncrawl) + Σ_g [ ln P(bucket(g)|seed) − ln P(bucket(g)|crawl) ]
+    *
+    * with add-one smoothing over the `buckets`-bucket feature space.
+    * `seed_like` (score > 0) is the classifier decision; the score itself
+    * is the filter/resampling signal (cf. CCNet's perplexity buckets).
+    *
+    * Determinism contract: the model's per-bucket log-likelihood ratios
+    * are published MICRO-QUANTIZED (`floor(lr·10⁶)` as BIGINT), so a doc
+    * score is prior_u + an exact INTEGER sum — hash-identical across
+    * engines and partition orders by construction. (q83/q87 average ~1e-13
+    * float noise away; a per-doc SUM of hundreds of doubles would amplify
+    * it past the µ-quantization boundary, so this operator quantizes the
+    * model, not the result.)
+    *
+    * Scale shape: each class model is a bucket-grain aggregate — ≤`buckets`
+    * rows by construction regardless of corpus size (feature hashing runs
+    * distributed inside the plan; no vocabulary is ever collected) —
+    * pulled once and re-broadcast as a LocalRelation keyed by the LONG
+    * bucket id. Scoring is one pass: explode features → hash → broadcast
+    * join → per-doc integer sum with map-side partials. Nothing but
+    * (doc, bucket) pairs ever shuffles.
+    *
+    * @return one row per non-blank doc in `docs`:
+    *         (idCol, n_feat, nb_score_u, seed_like) */
+  def seedCrawlNbScores(seed: DataFrame, crawl: DataFrame, docs: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        buckets: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def nonBlank(df: DataFrame): DataFrame = df.filter(trim(col(textCol)) =!= "")
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
+      nonBlank(df)
+        .select(explode(wordFeatures(col(textCol))).as("g"))
+        .groupBy(featBucket(col("g"), buckets).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sCounts = bucketCounts(seed)
+    val rCounts = bucketCounts(crawl)
+    val sDenom = (sCounts.values.sum + buckets).toDouble
+    val rDenom = (rCounts.values.sum + buckets).toDouble
+    // doc-count prior (blank docs carry no features and train nothing)
+    val nSeed = nonBlank(seed).count()
+    val nCrawl = nonBlank(crawl).count()
+    require(nSeed > 0 && nCrawl > 0,
+      s"both training slices must be non-empty (seed=$nSeed, crawl=$nCrawl)")
+    val priorU = math.floor(math.log(nSeed.toDouble / nCrawl) * 1e6).toLong
+    // the quantized model: lr_u per bucket seen in training; a bucket
+    // unseen in BOTH classes falls to the same formula at c=0 (coalesce
+    // default below) — identical to the oracle's all-buckets derivation
+    def lrU(sc: Long, rc: Long): Long =
+      math.floor((math.log((sc + 1.0) / sDenom) -
+        math.log((rc + 1.0) / rDenom)) * 1e6).toLong
+    val defaultU = lrU(0L, 0L)
+    val lrRows = (sCounts.keySet ++ rCounts.keySet).toSeq.sorted
+      .map(b => (b, lrU(sCounts.getOrElse(b, 0L), rCounts.getOrElse(b, 0L))))
+    val model = broadcast(lrRows.toDF("b", "lr_u"))
+    nonBlank(docs)
+      .select(col(idCol), explode(wordFeatures(col(textCol))).as("g"))
+      .select(col(idCol), featBucket(col("g"), buckets).as("b"))
+      .join(model, Seq("b"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feat"),
+        (lit(priorU) + sum(coalesce(col("lr_u"), lit(defaultU)))).as("nb_score_u"))
+      .withColumn("seed_like", col("nb_score_u") > 0L)
+  }
 }

@@ -901,6 +901,71 @@ class OperatorsSpec extends SparkTestBase {
     assert(s9 == Seq("kept", "over_quota"), s"s9 pair: $s9")
   }
 
+  test("seedCrawlNbScores: seed-vocabulary docs score above crawl-vocabulary docs") {
+    import spark.implicits._
+    val seedTxt = (0 until 8).map(i => (i.toLong,
+      s"the curated encyclopedia article number unique$i discusses science history and literature topics"))
+    val crawlTxt = (8 until 16).map(i => (i.toLong,
+      s"click here buy cheap pills now winner unique$i free casino bonus offer today"))
+    val all = (seedTxt ++ crawlTxt).toDF("doc_id", "text")
+    val seed = all.filter($"doc_id" < 8)
+    val crawl = all.filter($"doc_id" >= 8)
+    // held-out probes sharing vocabulary with one class each
+    val probes = Seq(
+      (100L, "a curated article about science history and literature"),
+      (101L, "buy cheap casino bonus click here now free")).toDF("doc_id", "text")
+    val p = TextOps.seedCrawlNbScores(seed, crawl, probes).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(p(100L)._1 > p(101L)._1, s"probe scores: $p")
+    assert(p(100L)._2 && !p(101L)._2, s"probe decisions: $p")
+    // the training docs themselves separate cleanly
+    val self = TextOps.seedCrawlNbScores(seed, crawl, all).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert((0L until 8L).forall(self(_)), s"seed docs must be seed_like: $self")
+    assert((8L until 16L).forall(id => !self(id)), s"crawl docs must not: $self")
+    // blank docs carry no features and emit no row
+    val blank = Seq((200L, "   ")).toDF("doc_id", "text")
+    assert(TextOps.seedCrawlNbScores(seed, crawl, blank).count() == 0)
+  }
+
+  test("curateFull quality gate: low_quality fires on crawl-like text, matches the scorer") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "s0", "the curated encyclopedia article discusses science history and literature alpha"),
+      (1L, "s1", "a curated reference article covers science literature and history beta"),
+      (2L, "s2", "curated encyclopedia reference text on history science literature gamma"),
+      (3L, "s3", "click here buy cheap pills now winner free casino bonus offer"),   // crawl-like
+      (4L, "s4", "free casino winner click buy now cheap bonus pills offer today"),  // crawl-like
+      (5L, "s5", "another curated article about science and history delta")
+    ).toDF("doc_id", "source", "text")
+    val embRows = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f),
+      2L -> Array(0f, 0f, 1f, 0f), 3L -> Array(0f, 0f, 0f, 1f),
+      4L -> Array(0f, -1f, 0f, 0f), 5L -> Array(-1f, 0f, 0f, 0f))
+    val embs = embRows.toDF("vec_id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    // seed = sources s0-s2+s5 (the curated slice); crawl sample = the rest
+    val seedF = col("source").isin("s0", "s1", "s2", "s5")
+    val out = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb",
+        semK = 4, tokenBudget = 1000L, seedFilter = Some(seedF))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(3L) == "low_quality" && out(4L) == "low_quality", s"decisions: $out")
+    assert(Seq(0L, 1L, 2L, 5L).forall(out(_) == "kept"), s"decisions: $out")
+    // the gate's drop set IS the standalone scorer's below-zero set (here
+    // span removal rewrites nothing, so cleaned text = raw text)
+    val scorerDrops = TextOps.seedCrawlNbScores(
+        corpus.filter(seedF), corpus.filter(!seedF), corpus)
+      .filter(col("nb_score_u") < 0L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(scorerDrops == out.filter(_._2 == "low_quality").keySet, s"$scorerDrops vs $out")
+    // hook off -> no low_quality class, everything else unchanged
+    val off = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 4, tokenBudget = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(off.values.forall(_ != "low_quality"), s"decisions with hook off: $off")
+  }
+
   test("pair detectors' eager mode: identical pairs, base cache released, leaf plan") {
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
