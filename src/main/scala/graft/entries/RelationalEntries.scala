@@ -196,6 +196,22 @@ private[graft] trait RelationalEntries extends EntryInfra {
       operators.VideoOps.decodeFrames(vids, every = 2)
         .orderBy("doc_id", "frame_idx")
     },
+
+    // -- REAL-container video: the same decodeFrames plan over genuine
+    //    RIFF/AVI files (in-repo spec-correct muxer, linear-walk
+    //    demuxer — the format MJPEG cameras/ffmpeg emit). Lossless PNG
+    //    payloads keep the closed-form checksums oracle-expressible at
+    //    fid = 11·doc_id + frame_idx; the true-MJPEG (JPEG-per-frame)
+    //    path is pinned in OperatorsSpec against an in-JVM reference
+    //    decode (lossy pixels have no ANSI closed form). --------------
+    "q120_avi_demux" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val vids = operators.AviContainer.aviTable(
+        spark.table("documents").filter(col("doc_id") < 8))
+      operators.VideoOps.decodeFrames(vids,
+          container = operators.AviContainer, every = 2)
+        .orderBy("doc_id", "frame_idx")
+    },
   )
 
   protected def relationalOracle: Map[String, String] = Map(
@@ -352,6 +368,22 @@ private[graft] trait RelationalEntries extends EntryInfra {
         |             7 * doc_id + frame_idx AS fid FROM f)
         |SELECT doc_id, frame_idx,
         |       CAST(frame_idx * 100 AS BIGINT) AS ts_ms,
+        |       CAST(16 + fid % 8 AS INT) AS width,
+        |       CAST(12 + fid % 5 AS INT) AS height,
+        |       CAST((12 + fid % 5) * ((16 + fid % 8) * (fid % 200) +
+        |            (16 + fid % 8) * (16 + fid % 8 - 1) / 2) AS BIGINT) AS checksum
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // closed-form frame grid through the REAL AVI container: 2 + id%4
+    // frames at 12 fps, sampled every 2; ts = floor(idx*1000/12); dims/
+    // checksum are the q42 closed forms at fid = 11·id + frame_idx
+    "q120_avi_demux" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 4, 2)) AS frame_idx
+        |           FROM documents WHERE doc_id < 8),
+        |x AS (SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |             11 * doc_id + frame_idx AS fid FROM f)
+        |SELECT doc_id, frame_idx,
+        |       CAST(floor(frame_idx * 1000 / 12) AS BIGINT) AS ts_ms,
         |       CAST(16 + fid % 8 AS INT) AS width,
         |       CAST(12 + fid % 5 AS INT) AS height,
         |       CAST((12 + fid % 5) * ((16 + fid % 8) * (fid % 200) +

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * the container is a deterministic in-repo format ([[GvidContainer]]:
   * magic + fps + length-prefixed PNG frames) whose per-frame payloads
   * decode through the SAME pluggable [[MediaOps.ImageCodec]] the image
-  * path uses (`javax.imageio`, a genuine codec). Swapping
-  * [[VideoContainer]] for an MP4/MKV demuxer (JNI or pure-JVM) changes
-  * nothing downstream — the plan shape, the per-frame decode loop, and
-  * the feature steps are container-agnostic.
+  * path uses (`javax.imageio`, a genuine codec). [[AviContainer]] (r16)
+  * is the real-format instance of the seam — a spec-correct RIFF/AVI
+  * (MJPEG-style) demuxer with no external deps; swapping in an MP4/MKV
+  * demuxer (JNI or pure-JVM) changes nothing downstream — the plan
+  * shape, the per-frame decode loop, and the feature steps are
+  * container-agnostic.
   *
   * Scale shape: decode is partition-parallel `mapPartitions` over the
   * binary column (the [[MediaOps.decodeImages]] precedent) — no shuffle;

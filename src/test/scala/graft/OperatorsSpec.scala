@@ -1067,4 +1067,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.map(_.getLong(2)).toSeq == Seq(0L, 200L, 400L))
     assert(out.forall(_.getLong(5) > 0))
   }
+
+  test("AVI container: RIFF mux/demux round-trip, odd-length padding, corrupt drop") {
+    // arbitrary payloads, odd and even lengths — byte-exact round-trip
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](9))
+    val bytes = AviContainer.mux(25, frames)
+    val vs = AviContainer.demux(bytes).get
+    assert(vs.fps == 25 && vs.frames.size == 3)
+    assert(vs.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // PNG payloads through the real container
+    val png = (0 until 4).map(i => MediaOps.testPngBytes(i.toLong))
+    val vp = AviContainer.demux(AviContainer.mux(12, png)).get
+    assert(vp.fps == 12 && vp.frames.zip(png).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // corrupt containers drop, not throw: garbage, truncation, wrong form
+    assert(AviContainer.demux("definitely not RIFF".getBytes("UTF-8")).isEmpty)
+    assert(AviContainer.demux(bytes.take(bytes.length / 2)).isEmpty)
+    val wav = bytes.clone(); System.arraycopy("WAVE".getBytes("US-ASCII"), 0, wav, 8, 4)
+    assert(AviContainer.demux(wav).isEmpty)
+  }
+
+  test("AVI real-MJPEG payloads: genuine JPEG-per-frame decode through the shared codec") {
+    import spark.implicits._
+    val media = Seq((3L, AviContainer.testMjpegBytes(3L))).toDF("doc_id", "content")
+    val out = VideoOps.decodeFrames(media, container = AviContainer)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 5, out.mkString(","))
+    // dimensions survive the lossy codec exactly: the q42 closed forms
+    // at fid = 11*3 + frame_idx
+    assert(out.forall { r =>
+      val fid = 33L + r.getInt(1)
+      r.getInt(3) == 16 + fid % 8 && r.getInt(4) == 12 + fid % 5
+    }, out.mkString(","))
+    // checksums match an in-JVM reference decode of the same JPEG bytes
+    val stream = AviContainer.demux(AviContainer.testMjpegBytes(3L)).get
+    val expect = stream.frames.map { f =>
+      val d = MediaOps.ImageIoCodec.decode(f).get
+      d.gray.foldLeft(0L)(_ + _)
+    }
+    assert(out.map(_.getLong(5)).toSeq == expect, s"${out.map(_.getLong(5)).toSeq} vs $expect")
+    // a corrupt frame inside an otherwise-good container drops just itself
+    val mixed = AviContainer.mux(12,
+      Seq(MediaOps.testPngBytes(1L), Array[Byte](0, 1, 2), MediaOps.testPngBytes(2L)))
+    val dec = VideoOps.decodeFrames(
+      Seq((9L, mixed)).toDF("doc_id", "content"), container = AviContainer).collect()
+    assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
+  }
 }
