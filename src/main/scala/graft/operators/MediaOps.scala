@@ -155,6 +155,81 @@ object MediaOps {
       }
   }
 
+  case class MediaStatus(doc_id: Long, ok: Boolean, width: Int, height: Int,
+                         checksum: Long, features: Array[Float])
+
+  /** [[decodeImages]] with decode FAILURES kept as `ok = false` rows
+    * instead of dropped — the one-pass shape a curation gate needs:
+    * failed/flagged/clean are all decided from this single decode
+    * relation, with no second scan of the (heavy, binary) media table
+    * and no anti-join to recover the failure set. Same partition-
+    * parallel `mapPartitions`, no shuffle. */
+  def decodeStatus(media: DataFrame, codec: ImageCodec = ImageIoCodec,
+                   grid: Int = 2): Dataset[MediaStatus] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          codec.decode(bytes) match {
+            case Some(d) =>
+              var sum = 0L
+              var i = 0
+              while (i < d.gray.length) { sum += d.gray(i); i += 1 }
+              MediaStatus(id, ok = true, d.width, d.height, sum, gridFeatures(d, grid))
+            case None =>
+              MediaStatus(id, ok = false, 0, 0, 0L, Array.empty[Float])
+          }
+        }
+      }
+  }
+
+  /** Constant-value grayscale PNG at `docId`'s [[testPngBytes]]
+    * dimensions — the "blank asset" fixture (uniform rasters are what a
+    * dead camera / placeholder image produce). */
+  def constPngBytes(docId: Long, value: Int): Array[Byte] = {
+    val w = 16 + (docId % 8).toInt
+    val h = 12 + (docId % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, value); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic curation-fixture asset for `docId`, closed-form bad
+    * classes by id arithmetic (so an ANSI oracle predicts exactly which
+    * docs a media gate drops):
+    *  - id % 7 == 3 → undecodable bytes        (decode-fail class),
+    *  - id % 7 == 5 → constant BLACK raster    (extreme-mean class),
+    *  - id % 7 == 6 → constant mid-gray raster (uniform/blank class),
+    *  - else        → the [[testPngBytes]] gradient (healthy; its mean
+    *    is base + (w−1)/2 ∈ [7.5, 210.5], inside any sane band). */
+  def testCuratedMediaBytes(docId: Long): Array[Byte] = (docId % 7) match {
+    case 3 => Array[Byte](0x42, 0x41, 0x44)
+    case 5 => constPngBytes(docId, 0)
+    case 6 => constPngBytes(docId, 100)
+    case _ => testPngBytes(docId)
+  }
+
+  /** (doc_id, content) table of [[testCuratedMediaBytes]] assets for the
+    * EVEN-id docs (odd ids stay text-only — a multimodal corpus is never
+    * fully image-bearing), encoded partition-parallel. */
+  def curatedMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id") % 2 === 0).as[Long]
+      .mapPartitions(it => it.map(id => (id, testCuratedMediaBytes(id))))
+      .toDF("doc_id", "content")
+  }
+
   /** A decoded audio clip: format facts plus unsigned 8-bit samples
     * (the common denominator for fingerprinting/feature steps here). */
   final case class DecodedAudio(sample_rate: Int, channels: Int,

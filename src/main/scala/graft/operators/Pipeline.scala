@@ -71,6 +71,9 @@ object Pipeline {
     * so each consumes the previous stage's survivors:
     *
     *   1. exact dedup (normalized fingerprint; lowest id survives),
+    *   1.5. (optional, `media`) media-integrity gate: an image-bearing
+    *      doc whose asset fails decode, or decodes blank/extreme →
+    *      `bad_media`,
     *   2. duplicated-SPAN removal — survivor text is REWRITTEN (cleaned),
     *      and a doc cleaned down to nothing is `empty`,
     *   2.5. (optional, `seedFilter`) trained-quality gate: NB
@@ -83,8 +86,9 @@ object Pipeline {
     *   5. per-source token quota over cleaned token counts.
     *
     * One row out per input document: (id, source, decision,
-    * removed_tokens, n_tokens, final_md5), decision ∈ {exact_dup, empty,
-    * low_quality, near_dup, sem_dup, over_quota, kept}; n_tokens/final_md5 are
+    * removed_tokens, n_tokens, final_md5), decision ∈ {exact_dup,
+    * bad_media, empty, low_quality, near_dup, sem_dup, over_quota,
+    * kept}; n_tokens/final_md5 are
     * non-null for kept rows only, so the result IS the survivor corpus
     * fingerprint and the per-stage decision counts in one relation.
     *
@@ -104,7 +108,11 @@ object Pipeline {
                  tokenBudget: Long = 700L,
                  seedFilter: Option[org.apache.spark.sql.Column] = None,
                  crawlFilter: Option[org.apache.spark.sql.Column] = None,
-                 nbBuckets: Int = 4096, minNbScoreU: Long = 0L): DataFrame = {
+                 nbBuckets: Int = 4096, minNbScoreU: Long = 0L,
+                 media: Option[DataFrame] = None,
+                 mediaCodec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
+                 mediaGrid: Int = 2,
+                 minMeanLum: Double = 5.0, maxMeanLum: Double = 250.0): DataFrame = {
     val id = col(idCol)
 
     // Each stage output is EAGERLY localCheckpoint'ed — the Components
@@ -124,11 +132,31 @@ object Pipeline {
       .select(col("__dup_id").as("__exact_drop")).localCheckpoint(eager = true)
     val s1 = docs.join(exactDrops, id === col("__exact_drop"), "left_anti")
 
+    // 1.5 (optional, r16) media-integrity gate: image-bearing exact
+    //     survivors whose asset fails to decode, or decodes to a
+    //     blank (uniform) or extreme-luminance raster, drop as
+    //     `bad_media` BEFORE the text stages — their text must not feed
+    //     gram statistics any more than their pixels feed training.
+    //     One decode pass ([[MediaOps.decodeStatus]]: failures kept as
+    //     ok=false rows, so no second scan of the binary column), per-
+    //     partition, no shuffle; docs without a media row are text-only
+    //     and pass untouched. None → empty drop set, q112 unchanged.
+    val mediaDrops = media.map { m =>
+      val mIn = m.select(col(idCol).as("doc_id"), col("content"))
+        .join(s1.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+      val mean = col("checksum").cast("double") / (col("width") * col("height"))
+      MediaOps.decodeStatus(mIn, mediaCodec, mediaGrid).toDF()
+        .filter(!col("ok") || mean < minMeanLum || mean > maxMeanLum ||
+          array_max(col("features")) === array_min(col("features")))
+        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
+    }.getOrElse(docs.limit(0).select(id.as("__media_drop")))
+    val s1m = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
+
     // 2. span removal over exact survivors (blank docs fall out here and
     //    are decided `empty` in the assembly, matching removeDuplicatedSpans'
     //    non-blank output contract); a doc whose every token sat in a
     //    duplicated span is `empty` too
-    val cleaned = SpanDedup.removeDuplicatedSpans(s1, idCol, textCol,
+    val cleaned = SpanDedup.removeDuplicatedSpans(s1m, idCol, textCol,
       spanK, minSpan, maxGramOccurrences).localCheckpoint(eager = true)
     val s2 = cleaned.filter(col("kept_tokens") > 0)
 
@@ -180,6 +208,7 @@ object Pipeline {
     // assembly: every input doc, one decision, survivor fingerprint
     docs.select(id, col(sourceCol))
       .join(exactDrops, id === col("__exact_drop"), "left")
+      .join(mediaDrops, id === col("__media_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
       .join(qualityDrops, id === col("__quality_drop"), "left")
@@ -188,6 +217,7 @@ object Pipeline {
       .join(quotaDrops, id === col("__quota_drop"), "left")
       .withColumn("decision",
         when(col("__exact_drop").isNotNull, "exact_dup")
+          .when(col("__media_drop").isNotNull, "bad_media")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__quality_drop").isNotNull, "low_quality")
           .when(col("__near_drop").isNotNull, "near_dup")

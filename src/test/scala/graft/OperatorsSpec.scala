@@ -1068,6 +1068,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.forall(_.getLong(5) > 0))
   }
 
+  test("media-integrity gate: each bad class flags, healthy and text-only docs pass") {
+    import spark.implicits._
+    // decodeStatus: one pass, failures kept as ok=false rows
+    val media = Seq(
+      (0L, MediaOps.testPngBytes(0L)),          // healthy gradient
+      (3L, Array[Byte](1, 2, 3)),               // undecodable
+      (5L, MediaOps.constPngBytes(5L, 0)),      // black -> extreme mean
+      (6L, MediaOps.constPngBytes(6L, 100))     // uniform mid-gray -> blank
+    ).toDF("doc_id", "content")
+    val st = MediaOps.decodeStatus(media).collect().map(m => m.doc_id -> m).toMap
+    assert(st(0L).ok && st(0L).checksum > 0)
+    assert(!st(3L).ok)
+    assert(st(5L).ok && st(5L).checksum == 0L)
+    assert(st(6L).ok)
+    // the curateFull gate: docs 3/5/6 drop as bad_media; 0 (healthy
+    // image) and 1 (text-only, no media row) pass through to kept
+    val corpus = Seq(
+      (0L, "s0", "doc zero healthy image body words"),
+      (1L, "s1", "doc one text only body words here"),
+      (3L, "s3", "doc three corrupt asset body words"),
+      (5L, "s5", "doc five black asset body words"),
+      (6L, "s6", "doc six uniform asset body words")
+    ).toDF("doc_id", "source", "text")
+    val embs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(0f, 0f, 1f, 0f), 5L -> Array(0f, 0f, 0f, 1f),
+      6L -> Array(0f, -1f, 0f, 0f)).toDF("vec_id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    val out = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 2, tokenBudget = 1000L,
+        media = Some(media))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(3L) == "bad_media" && out(5L) == "bad_media" && out(6L) == "bad_media", s"$out")
+    assert(out(0L) == "kept" && out(1L) == "kept", s"$out")
+  }
+
   test("AVI container: RIFF mux/demux round-trip, odd-length padding, corrupt drop") {
     // arbitrary payloads, odd and even lengths — byte-exact round-trip
     val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](9))
