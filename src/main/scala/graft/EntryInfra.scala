@@ -213,6 +213,30 @@ private[graft] trait EntryInfra {
     * DOUBLES (the Bench unpersist invariant — never a cached DataFrame). */
   protected val histCentMemo =
     scala.collection.mutable.Map.empty[(String, Int, Int, Long), Array[Array[Double]]]
+
+  /** q118's fixed streaming-quantizer artifact: centroids fit on the
+    * SEED slice's embeddings (vec_id % 4 = 0, capped at the replay
+    * slice's id bound) — the same build-once-per-snapshot lifecycle as
+    * [[sharedHistoryCentroids]], keyed separately because the training
+    * slice differs. The fit is deterministic, so the memoized value is
+    * identical to an inline fit; memoizing keeps the bench measuring
+    * per-trigger ingest work, not the once-per-snapshot model build. */
+  protected val seedCentMemo =
+    scala.collection.mutable.Map.empty[(String, Int, Int, Long), Array[Array[Double]]]
+  protected def sharedSeedCentroids(spark: SparkSession, dir: String,
+                                    k: Int = 8, iters: Int = 2): Array[Array[Double]] =
+    synchronized {
+      import org.apache.spark.sql.functions.col
+      val abs = new java.io.File(dir).getAbsolutePath
+      val mtime = srcMtime(new java.io.File(s"$dir/embeddings.parquet"))
+      seedCentMemo.getOrElseUpdate((abs, k, iters, mtime), {
+        val emb = widenedIfHeavy(spark, dir, "embeddings",
+          spark.read.parquet(s"$dir/embeddings.parquet"))
+        operators.KMeansOps.fit(
+          emb.filter(col("vec_id") % 4 === 0 && col("vec_id") < 2000),
+          "vec_id", "embedding", k, iters)
+      })
+    }
   protected def sharedHistoryCentroids(spark: SparkSession, dir: String,
                                        k: Int = 8, iters: Int = 2): Option[Array[Array[Double]]] =
     synchronized {

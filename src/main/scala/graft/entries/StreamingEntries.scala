@@ -351,7 +351,7 @@ private[graft] trait StreamingEntries extends EntryInfra {
     //    (admissions join history with their CLEANED text); centroids are
     //    the fixed seed-snapshot artifact. Replay ≡ the chained batch
     //    oracle. ------------------------------------------------------
-    "q118_streaming_curation" -> qd { spark =>
+    "q118_streaming_curation" -> qdd { (spark, dir) =>
       import spark.implicits._
       import org.apache.spark.sql.functions._
       // bounded replay slice (the q39 convention): every sf0.01 id is
@@ -360,26 +360,24 @@ private[graft] trait StreamingEntries extends EntryInfra {
       val docs = spark.table("documents").filter(col("doc_id") < 2000)
       val emb = spark.table("embeddings")
       val seed = docs.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
-      val cent = operators.KMeansOps.fit(
-        emb.join(seed.select(col("doc_id").as("__sid")),
-          col("vec_id") === col("__sid"), "left_semi"),
-        "vec_id", "embedding", k = 8, iters = 2)
+      // the fixed quantizer artifact, built once per corpus snapshot
+      // (sharedSeedCentroids memo = the fit on the seed slice's vectors)
+      val cent = sharedSeedCentroids(spark, dir)
       val slice = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("text")).as[(Long, String)].collect()
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val store = java.nio.file.Files.createTempDirectory("graft_cur_store_").toString
-      val out = java.nio.file.Files.createTempDirectory("graft_cur_out_").toString
       val query = streaming.StreamingDedup.curateSink(
         mem.toDF().toDF("doc_id", "text"), seed, emb, "doc_id", "text",
-        cent, store, out)
+        cent, store)
       try {
         Seq(1, 3).foreach { b =>
           mem.addData(slice.filter(_._1 % 4 == b).sortBy(_._1).toSeq)
           query.processAllAvailable()
         }
-        spark.read.parquet(out)
+        spark.read.parquet(store)
           .select(col("doc_id"), col("batch_id").cast("long").as("batch"),
             col("decision"), col("removed_tokens"), col("n_tokens"),
             col("final_md5"))
@@ -390,7 +388,7 @@ private[graft] trait StreamingEntries extends EntryInfra {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
-        rm(new java.io.File(store)); rm(new java.io.File(out))
+        rm(new java.io.File(store))
       }
     },
   )
