@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Standing sf0.1 correctness gate (r15 verdict #5).
+
+The driver's gate runs at sf0.01; composition regressions that only
+surface at 10x (pipeline stage interactions, cap behavior, partition
+geometry) were previously caught ad hoc. This tool makes the 10x check
+standing: run `graft.Verify` at sf0.1, then compare every query's dump
+against its DuckDB oracle with a per-query wall timeout, and emit a
+CORRECTNESS-style JSON report to commit per round.
+
+Three query classes are handled explicitly:
+  - ESTIMATION: sketch-estimation queries leave their exact-answer
+    regime above the gate SF (capacities are tuned to sf0.01 - see
+    SparkEntry's design note). They still RUN at sf0.1 (rows recorded);
+    hashes are compared but a mismatch is recorded as
+    "estimation_deviation", not failure. The r15 sf1 sweep bands
+    (BASELINE.md) govern those.
+  - SLOW_ORACLE: oracle formulations that are brute-force ground-truth
+    twins (all-pairs / quadratic) DuckDB cannot finish at 10x in
+    reasonable wall time. Skipped with reason; their operators are
+    exact-checked at sf0.01 by the driver gate.
+  - everything else: must match rows+schema+hash EXACTLY, like the
+    driver gate.
+
+Usage:
+    python3 tools/sf01_gate.py <verify_out> <sf_dir> [report.json]
+"""
+import json
+import math
+import multiprocessing as mp
+import os
+import sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# Sketch-estimation queries: exact only in the gate-SF regime (counts /
+# n / retained items exceed exact-mode capacity at 10x). Run, record,
+# band-check per BASELINE.md - do not hard-fail on hash.
+ESTIMATION = set()
+
+# Brute-force oracle twins: the ORACLE side is quadratic by design
+# (ground truth for recall/pair checks); DuckDB wall time explodes at
+# 10x while the Spark side finishes. Skipped here, sf0.01-gated by the
+# driver.
+SLOW_ORACLE = {}
+
+ORACLE_TIMEOUT_S = int(os.environ.get("SF01_GATE_TIMEOUT_S", "240"))
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def run_oracle(sfdir, sql, q):
+    """Subprocess body: run one oracle query, put (cols, rows) or error."""
+    try:
+        import duckdb
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        rel = con.sql(sql)
+        q.put((list(rel.columns), rel.fetchall(), None))
+    except Exception as e:  # pragma: no cover - error path
+        q.put((None, None, str(e)))
+
+
+def main(outdir, sfdir, report_path=None):
+    import duckdb
+    con = duckdb.connect()
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    report = {}
+    counts = {"ok": 0, "fail": 0, "estimation_deviation": 0,
+              "estimation_ok": 0, "skipped_slow_oracle": 0, "not_dumped": 0}
+    for name, sql in sorted(oracle.items()):
+        if name in SLOW_ORACLE:
+            report[name] = {"status": "skipped_slow_oracle",
+                            "reason": SLOW_ORACLE[name]}
+            counts["skipped_slow_oracle"] += 1
+            continue
+        if not os.path.isdir(f"{outdir}/{name}"):
+            report[name] = {"status": "not_dumped"}
+            counts["not_dumped"] += 1
+            continue
+        spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        spark_cols = [c.lower() for c in spark_rel.columns]
+        spark_rows = spark_rel.fetchall()
+
+        q = mp.Queue()
+        p = mp.Process(target=run_oracle, args=(sfdir, sql, q))
+        p.start()
+        p.join(ORACLE_TIMEOUT_S)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            report[name] = {"status": "fail",
+                            "err": f"oracle timeout > {ORACLE_TIMEOUT_S}s "
+                                   "(add to SLOW_ORACLE with a reason if quadratic by design)"}
+            counts["fail"] += 1
+            print(f"TIMEOUT {name}")
+            continue
+        duck_cols_raw, duck_rows, err = q.get()
+        if err is not None:
+            report[name] = {"status": "fail", "err": err}
+            counts["fail"] += 1
+            print(f"FAIL {name}: {err}")
+            continue
+        duck_cols = [c.lower() for c in duck_cols_raw]
+
+        schema_match = sorted(spark_cols) == sorted(duck_cols)
+        hash_match = schema_match and \
+            table_key(spark_rows, spark_cols) == table_key(duck_rows, duck_cols)
+        rows_match = len(spark_rows) == len(duck_rows)
+        entry = {"rows_match": rows_match, "schema_match": schema_match,
+                 "hash_match": hash_match, "spark_rows": len(spark_rows),
+                 "oracle_rows": len(duck_rows)}
+        if rows_match and schema_match and hash_match:
+            entry["status"] = "estimation_ok" if name in ESTIMATION else "ok"
+        elif name in ESTIMATION:
+            entry["status"] = "estimation_deviation"
+        else:
+            entry["status"] = "fail"
+        report[name] = entry
+        counts[entry["status"]] += 1
+        mark = {"ok": "OK  ", "estimation_ok": "OK~ ",
+                "estimation_deviation": "DEV~", "fail": "FAIL"}[entry["status"]]
+        print(f"{mark} {name} ({len(spark_rows)} rows)")
+
+    summary = {"sf_dir": sfdir, "oracle_timeout_s": ORACLE_TIMEOUT_S,
+               "counts": counts, "queries": report}
+    if report_path:
+        with open(report_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"\nreport -> {report_path}")
+    print(f"\n{counts}")
+    return 1 if counts["fail"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
