@@ -84,6 +84,25 @@ private[graft] trait PipelineEntries extends EntryInfra {
           media = Some(operators.MediaOps.curatedMediaTable(docs)))
         .orderBy("doc_id")
     },
+
+    // -- QUALITY-GATED curation (q112 + the trained NB classifier as
+    //    stage 2.5): the q119 model (seed = en doc_id%4=0, crawl =
+    //    doc_id%4=1, trained on RAW text) scores each span survivor's
+    //    CLEANED text; the WORST 20% by score drop as low_quality (rank
+    //    cut via two-level prefix scan - robust to the score
+    //    distribution shifting with corpus size), and the pairwise
+    //    stages run on the quality survivors. Proves the classifier
+    //    composes into the pipeline, not just in isolation. -----------
+    "q122_curate_quality" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.Pipeline.curateFull(docs, spark.table("embeddings"),
+          "doc_id", "text", "source",
+          seedFilter = Some(col("lang") === "en" && col("doc_id") % 4 === 0),
+          crawlFilter = Some(col("doc_id") % 4 === 1),
+          lowQualityFraction = 0.2)
+        .orderBy("doc_id")
+    },
   )
 
   protected def pipelineOracle: Map[String, String] = Map(
@@ -393,6 +412,164 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |       (pri.p + sum(lrm.lr_u)) > 0 AS seed_like
         |FROM bk JOIN lrm ON bk.b = lrm.b CROSS JOIN pri
         |GROUP BY bk.doc_id, pri.p ORDER BY bk.doc_id""".stripMargin,
+
+    // q112's chained stage oracle + the q119 NB model as stage 2.5:
+    // model trained on RAW documents slices, span survivors scored on
+    // CLEANED text (bucket union covers cleaned-only bigrams), integer
+    // log-odds < 0 drop as low_quality before the pairwise stages
+    "q122_curate_quality" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source, text,
+        |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |exact_drop AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM norm) WHERE rn > 1),
+        |s1 AS (SELECT * FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |         FROM s1 WHERE trim(text) <> ''),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |              unnest(list_transform(range(len(t) - 7),
+        |                     i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
+        |       FROM toks WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, pos, gr FROM g0
+        |      QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |             a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+        |runs AS (SELECT da, db, diag, pa, pb,
+        |                pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island
+        |         FROM m),
+        |spans AS (SELECT db AS doc_id, min(pb) AS b_start,
+        |                 max(pa) - min(pa) + 8 AS span_tokens
+        |          FROM runs GROUP BY da, db, diag, island),
+        |cutset AS (SELECT DISTINCT doc_id,
+        |                  unnest(range(b_start, b_start + span_tokens)) AS cut
+        |           FROM spans WHERE span_tokens >= 20),
+        |tok AS (SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS w FROM toks),
+        |keptt AS (SELECT tok.doc_id, tok.pos, tok.w
+        |          FROM tok LEFT JOIN cutset
+        |            ON tok.doc_id = cutset.doc_id AND tok.pos = cutset.cut
+        |          WHERE cutset.cut IS NULL),
+        |cleaned AS (SELECT toks.doc_id,
+        |                   CAST(count(keptt.pos) AS BIGINT) AS kept_tokens,
+        |                   CAST(len(any_value(toks.t)) - count(keptt.pos) AS BIGINT) AS removed_tokens,
+        |                   coalesce(string_agg(keptt.w, ' ' ORDER BY keptt.pos), '') AS cleaned_text
+        |            FROM toks LEFT JOIN keptt ON toks.doc_id = keptt.doc_id
+        |            GROUP BY toks.doc_id),
+        |s2 AS (SELECT * FROM cleaned WHERE kept_tokens > 0),
+        |tnorm AS (SELECT doc_id, lang,
+        |                 lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |          FROM documents WHERE trim(text) <> ''),
+        |ttok AS (SELECT doc_id, lang, string_split(t, ' ') AS w FROM tnorm),
+        |tfe AS (SELECT doc_id, lang, unnest(w) AS g FROM ttok
+        |        UNION ALL
+        |        SELECT doc_id, lang,
+        |               unnest(list_transform(range(len(w) - 1),
+        |                      i -> w[i + 1] || ' ' || w[i + 2])) AS g
+        |        FROM ttok WHERE len(w) >= 2),
+        |tbk AS (SELECT doc_id, lang,
+        |               ('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096 AS b FROM tfe),
+        |sc AS (SELECT b, count(*) AS c FROM tbk
+        |       WHERE lang = 'en' AND doc_id % 4 = 0 GROUP BY b),
+        |rc AS (SELECT b, count(*) AS c FROM tbk WHERE doc_id % 4 = 1 GROUP BY b),
+        |sdn AS (SELECT CAST(coalesce(sum(c), 0) + 4096 AS DOUBLE) AS d FROM sc),
+        |rdn AS (SELECT CAST(coalesce(sum(c), 0) + 4096 AS DOUBLE) AS d FROM rc),
+        |pri AS (SELECT CAST(floor(ln(
+        |          CAST((SELECT count(*) FROM tnorm WHERE lang = 'en' AND doc_id % 4 = 0) AS DOUBLE) /
+        |          (SELECT count(*) FROM tnorm WHERE doc_id % 4 = 1)) * 1000000) AS BIGINT) AS p),
+        |cw AS (SELECT doc_id,
+        |              string_split(lower(regexp_replace(trim(cleaned_text), '\s+', ' ', 'g')), ' ') AS w
+        |       FROM s2),
+        |cfe AS (SELECT doc_id, unnest(w) AS g FROM cw
+        |        UNION ALL
+        |        SELECT doc_id,
+        |               unnest(list_transform(range(len(w) - 1),
+        |                      i -> w[i + 1] || ' ' || w[i + 2])) AS g
+        |        FROM cw WHERE len(w) >= 2),
+        |cbk AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096 AS b FROM cfe),
+        |lrm AS (SELECT ab.b,
+        |               CAST(floor((ln((coalesce(sc.c, 0) + 1.0) / sdn.d) -
+        |                           ln((coalesce(rc.c, 0) + 1.0) / rdn.d)) * 1000000) AS BIGINT) AS lr_u
+        |        FROM (SELECT b FROM tbk UNION SELECT b FROM cbk) ab
+        |        CROSS JOIN sdn CROSS JOIN rdn
+        |        LEFT JOIN sc ON ab.b = sc.b LEFT JOIN rc ON ab.b = rc.b),
+        |qsc AS (SELECT cbk.doc_id, pri.p + sum(lrm.lr_u) AS sc2
+        |        FROM cbk JOIN lrm ON cbk.b = lrm.b CROSS JOIN pri
+        |        GROUP BY cbk.doc_id, pri.p),
+        |qual_drop AS (SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY sc2, doc_id) AS rn,
+        |           count(*) OVER () AS nq FROM qsc)
+        |    WHERE rn <= floor(0.2 * nq)),
+        |s2q AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM qual_drop)),
+        |ctoks AS (SELECT doc_id, string_split_regex(trim(cleaned_text), '\s+') AS ct FROM s2q),
+        |csh AS (SELECT doc_id,
+        |               CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
+        |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
+        |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
+        |        FROM ctoks),
+        |npairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM csh a JOIN csh b ON a.doc_id < b.doc_id),
+        |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM npairs WHERE j >= 0.9),
+        |s3 AS (SELECT * FROM s2q WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE vec_id IN (SELECT doc_id FROM s3)),
+        |k0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |ka1 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, k0 c),
+        |ks1 AS (SELECT vec_id, v, cl FROM ka1 WHERE rn = 1),
+        |kc1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
+        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks1, range(1, 65) t(i) GROUP BY cl, i)
+        |        GROUP BY cl),
+        |ka2 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, kc1 c),
+        |ks2 AS (SELECT vec_id, v, cl FROM ka2 WHERE rn = 1),
+        |kc2 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
+        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks2, range(1, 65) t(i) GROUP BY cl, i)
+        |        GROUP BY cl),
+        |ka3 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, kc2 c),
+        |ks3 AS (SELECT vec_id, v, cl FROM ka3 WHERE rn = 1),
+        |sem_drop AS (SELECT s.vec_id AS doc_id FROM ks3 s
+        |             WHERE EXISTS (SELECT 1 FROM ks3 a
+        |                           WHERE a.cl = s.cl AND a.vec_id < s.vec_id
+        |                             AND list_cosine_similarity(a.v, s.v) >= 0.35)),
+        |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)),
+        |qt AS (SELECT s4.doc_id, d.source, s4.kept_tokens AS n_tokens,
+        |              md5(CAST(s4.doc_id AS VARCHAR)) AS key
+        |       FROM s4 JOIN documents d USING (doc_id)),
+        |qw AS (SELECT doc_id, n_tokens,
+        |              sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS cum,
+        |              row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+        |       FROM qt),
+        |quota_drop AS (SELECT doc_id FROM qw WHERE NOT (cum <= 700 OR rn = 1)),
+        |ann AS (
+        |  SELECT d.doc_id, d.source, c.kept_tokens,
+        |         CAST(coalesce(c.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+        |         c.cleaned_text,
+        |         CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'
+        |              WHEN c.doc_id IS NULL OR c.kept_tokens = 0 THEN 'empty'
+        |              WHEN d.doc_id IN (SELECT doc_id FROM qual_drop) THEN 'low_quality'
+        |              WHEN d.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
+        |              WHEN d.doc_id IN (SELECT doc_id FROM sem_drop) THEN 'sem_dup'
+        |              WHEN d.doc_id IN (SELECT doc_id FROM quota_drop) THEN 'over_quota'
+        |              ELSE 'kept' END AS decision
+        |  FROM documents d LEFT JOIN cleaned c USING (doc_id))
+        |SELECT doc_id, source, decision, removed_tokens,
+        |       CASE WHEN decision = 'kept' THEN kept_tokens END AS n_tokens,
+        |       CASE WHEN decision = 'kept' THEN md5(cleaned_text) END AS final_md5
+        |FROM ann ORDER BY doc_id""".stripMargin,
 
     // q112's chained stage oracle + the media gate: bad ids are the
     // closed-form fixture classes (even id AND id%7 in (3,5,6)),

@@ -109,6 +109,7 @@ object Pipeline {
                  seedFilter: Option[org.apache.spark.sql.Column] = None,
                  crawlFilter: Option[org.apache.spark.sql.Column] = None,
                  nbBuckets: Int = 4096, minNbScoreU: Long = 0L,
+                 lowQualityFraction: Double = 0.0,
                  media: Option[DataFrame] = None,
                  mediaCodec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
                  mediaGrid: Int = 2,
@@ -169,12 +170,39 @@ object Pipeline {
     //     shrink the near-dup/semantic candidate sets. None → disabled:
     //     the drop side is an empty relation and the decision class never
     //     fires (q112's shape and output are byte-identical).
+    //     Two drop semantics: `lowQualityFraction > 0` drops the WORST
+    //     fraction by score (rank-based budgeting, the CCNet-style cut —
+    //     robust to the score distribution shifting with corpus size);
+    //     otherwise `minNbScoreU` is an absolute class-log-odds floor
+    //     (score > 0 = "more seed-like than crawl-like"). The rank is a
+    //     two-level prefix scan (the Sharding.tokenShards shape): range
+    //     partition on (score, id), local row_number, P-row offset
+    //     broadcast — never a global single-task window.
     val qualityDrops = seedFilter.map { sf =>
       val crawl = crawlFilter.getOrElse(!sf)
-      TextOps.seedCrawlNbScores(docs.filter(sf), docs.filter(crawl),
+      val scored = TextOps.seedCrawlNbScores(docs.filter(sf), docs.filter(crawl),
           s2.select(id, col("cleaned_text").as(textCol)), idCol, textCol, nbBuckets)
-        .filter(col("nb_score_u") < minNbScoreU)
-        .select(id.as("__quality_drop")).localCheckpoint(eager = true)
+        .select(id, col("nb_score_u"))
+      val drops =
+        if (lowQualityFraction > 0.0) {
+          val k = math.floor(lowQualityFraction * scored.count()).toLong
+          if (k <= 0L) scored.limit(0).select(id)
+          else {
+            val ranged = scored.repartitionByRange(col("nb_score_u"), id)
+              .withColumn("__pid", spark_partition_id())
+            val local = ranged.withColumn("__lrk", row_number().over(
+              Window.partitionBy("__pid").orderBy(col("nb_score_u"), id)))
+            val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__pn"))
+              .withColumn("__off", coalesce(
+                sum("__pn").over(Window.orderBy("__pid")
+                  .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+              .select("__pid", "__off")
+            local.join(broadcast(offsets), "__pid")
+              .filter(col("__lrk") + col("__off") <= k)
+              .select(id)
+          }
+        } else scored.filter(col("nb_score_u") < minNbScoreU).select(id)
+      drops.select(id.as("__quality_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__quality_drop")))
     val s2q = s2.join(qualityDrops, id === col("__quality_drop"), "left_anti")
 

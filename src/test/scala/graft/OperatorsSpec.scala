@@ -964,6 +964,14 @@ class OperatorsSpec extends SparkTestBase {
         vecIdCol = "vec_id", vecCol = "emb", semK = 4, tokenBudget = 1000L)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(off.values.forall(_ != "low_quality"), s"decisions with hook off: $off")
+    // rank-based mode: the worst floor(0.4 * 6) = 2 docs by score drop —
+    // exactly the two crawl-like docs (they score lowest), regardless of
+    // where the absolute threshold sits
+    val ranked = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 4, tokenBudget = 1000L,
+        seedFilter = Some(seedF), lowQualityFraction = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ranked.filter(_._2 == "low_quality").keySet == Set(3L, 4L), s"$ranked")
   }
 
   test("pair detectors' eager mode: identical pairs, base cache released, leaf plan") {
