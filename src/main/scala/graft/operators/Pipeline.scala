@@ -180,9 +180,11 @@ object Pipeline {
     //     broadcast — never a global single-task window.
     val qualityDrops = seedFilter.map { sf =>
       val crawl = crawlFilter.getOrElse(!sf)
+      // checkpointed so the rank path's count() and its rank plan read
+      // one materialized leaf instead of re-running the scoring pass
       val scored = TextOps.seedCrawlNbScores(docs.filter(sf), docs.filter(crawl),
           s2.select(id, col("cleaned_text").as(textCol)), idCol, textCol, nbBuckets)
-        .select(id, col("nb_score_u"))
+        .select(id, col("nb_score_u")).localCheckpoint(eager = true)
       val drops =
         if (lowQualityFraction > 0.0) {
           val k = math.floor(lowQualityFraction * scored.count()).toLong

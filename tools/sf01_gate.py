@@ -36,14 +36,38 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 # Sketch-estimation queries: exact only in the gate-SF regime (counts /
 # n / retained items exceed exact-mode capacity at 10x). Run, record,
-# band-check per BASELINE.md - do not hard-fail on hash.
-ESTIMATION = set()
+# band-check per BASELINE.md - do not hard-fail on hash. r16
+# classification run verified each deviation is in-band (HLL/CPC/theta
+# estimates within ~1%, quantile-sketch ranks off by <=2 positions,
+# join-size estimate 0.6% off exact, capacity-boundary
+# is_estimation_mode flips).
+ESTIMATION = {
+    "q02_hll_distinct", "q03_hll_union_two_level", "q04_hll_meta",
+    "q05_cpc_distinct", "q06_cpc_union_two_level", "q07_theta_distinct",
+    "q08_theta_setops", "q09_theta_grouped",
+    "q11_kll_quantiles", "q12_kll_rank_cdf", "q14_kll_long_elem",
+    "q15_quantiles_classic", "q16_req_quantile",
+    "q43_profiler", "q49_range_bounds", "q52_join_stats",
+    "q76_req_int_elem", "q77_unsigned_widened", "q113_kll_ubigint",
+}
 
 # Brute-force oracle twins: the ORACLE side is quadratic by design
-# (ground truth for recall/pair checks); DuckDB wall time explodes at
-# 10x while the Spark side finishes. Skipped here, sf0.01-gated by the
-# driver.
-SLOW_ORACLE = {}
+# (ground truth for recall/pair checks) or a multi-stage pipeline CTE
+# chain whose span/pair stages explode at 10x; DuckDB wall time (or
+# memory: q122 OOMs) explodes while the Spark side finishes. Skipped
+# here, sf0.01-gated by the driver.
+SLOW_ORACLE = {
+    "q35_jaccard_pairs": "all-pairs exact-Jaccard ground truth",
+    "q36_minhash_lsh_pairs": "all-pairs Jaccard referee for the LSH side",
+    "q46_curation": "inline all-pairs near-dup mining in the oracle",
+    "q60_dedup_clusters": "pair-closure clustering over the all-pairs source",
+    "q97_incremental_neardup": "cross-corpus brute-force Jaccard (179s at sf0.1, r15)",
+    "q112_curate_full": "5-stage pipeline CTE chain (>50min at sf0.1, r15)",
+    "q115_curate_incremental": "cross-corpus pipeline CTE chain",
+    "q118_streaming_curation": "replayed incremental-curation chain",
+    "q121_curate_multimodal": "q112 chain + media gate",
+    "q122_curate_quality": "q112 chain + NB scoring stage (OOM at sf0.1)",
+}
 
 ORACLE_TIMEOUT_S = int(os.environ.get("SF01_GATE_TIMEOUT_S", "240"))
 
@@ -97,24 +121,29 @@ def main(outdir, sfdir, report_path=None):
         spark_cols = [c.lower() for c in spark_rel.columns]
         spark_rows = spark_rel.fetchall()
 
+        # IMPORTANT: get() BEFORE join() - a child q.put of a large result
+        # blocks on the pipe until the parent drains it, so join-first
+        # deadlocks on any oracle output past the pipe buffer and reads
+        # as a false timeout.
         q = mp.Queue()
         p = mp.Process(target=run_oracle, args=(sfdir, sql, q))
         p.start()
-        p.join(ORACLE_TIMEOUT_S)
-        if p.is_alive():
+        try:
+            duck_cols_raw, duck_rows, err = q.get(timeout=ORACLE_TIMEOUT_S)
+            p.join(30)
+        except Exception:
             p.terminate()
             p.join()
             report[name] = {"status": "fail",
                             "err": f"oracle timeout > {ORACLE_TIMEOUT_S}s "
                                    "(add to SLOW_ORACLE with a reason if quadratic by design)"}
             counts["fail"] += 1
-            print(f"TIMEOUT {name}")
+            print(f"TIMEOUT {name}", flush=True)
             continue
-        duck_cols_raw, duck_rows, err = q.get()
         if err is not None:
             report[name] = {"status": "fail", "err": err}
             counts["fail"] += 1
-            print(f"FAIL {name}: {err}")
+            print(f"FAIL {name}: {err}", flush=True)
             continue
         duck_cols = [c.lower() for c in duck_cols_raw]
 
@@ -135,7 +164,7 @@ def main(outdir, sfdir, report_path=None):
         counts[entry["status"]] += 1
         mark = {"ok": "OK  ", "estimation_ok": "OK~ ",
                 "estimation_deviation": "DEV~", "fail": "FAIL"}[entry["status"]]
-        print(f"{mark} {name} ({len(spark_rows)} rows)")
+        print(f"{mark} {name} ({len(spark_rows)} rows)", flush=True)
 
     summary = {"sf_dir": sfdir, "oracle_timeout_s": ORACLE_TIMEOUT_S,
                "counts": counts, "queries": report}
