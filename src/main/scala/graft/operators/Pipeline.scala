@@ -271,13 +271,17 @@ object Pipeline {
     *   2. cross-span CONTAMINATION removal ([[SpanDedup.removeCrossSpans]]:
     *      batch copies of ≥ minSpan verbatim history runs are cut; a
     *      batch doc cleaned to nothing is `empty`),
+    *   2.5. (optional, `nbModel`) trained-quality gate against the
+    *      snapshot's stored NB model — batch docs scoring below
+    *      `minNbScoreU` on their CLEANED text → `low_quality`,
     *   3. cross near-dup on the CLEANED batch text vs history
     *      ([[DedupOps.crossMinhashPairs]]),
     *   4. cross semantic dedup ([[KMeansOps.incrementalSemDedup]] against
     *      centroids fit on — or passed in from — the history snapshot).
     *
     * One row per BATCH document: (id, decision ∈ {exact_dup, empty,
-    * near_dup, sem_dup, kept}, removed_tokens, n_tokens, final_md5).
+    * low_quality, near_dup, sem_dup, kept}, removed_tokens, n_tokens,
+    * final_md5).
     * Intra-batch dedup and quotas are deliberately out of scope — run
     * [[curateFull]] over the admitted batch for those; this operator is
     * the contamination gate against history.
@@ -299,7 +303,9 @@ object Pipeline {
                         semK: Int = 8, semIters: Int = 2, semTau: Double = 0.35,
                         historyBloom: Option[Array[Byte]] = None,
                         centroids: Option[Array[Array[Double]]] = None,
-                        keepCleanedText: Boolean = false): DataFrame = {
+                        keepCleanedText: Boolean = false,
+                        nbModel: Option[TextOps.NbModel] = None,
+                        minNbScoreU: Long = 0L): DataFrame = {
     val id = col(idCol)
 
     // 1. exact vs history (bloom candidates + exact verify = the anti-join)
@@ -312,15 +318,32 @@ object Pipeline {
       spanK, minSpan, maxGramOccurrences).localCheckpoint(eager = true)
     val s2 = cleaned.filter(col("kept_tokens") > 0)
 
+    // 2.5 (optional, r16) trained-quality gate against the SNAPSHOT
+    //     model: `nbModel` is the per-snapshot artifact (fit on the
+    //     admitted corpus's seed/crawl slices via
+    //     [[TextOps.seedCrawlNbFit]], stored/loaded through
+    //     [[SnapshotStore]] as long pairs) — the ingest stream scores
+    //     every batch against the SAME fixed model, so admission
+    //     decisions never drift with batch composition (the centroid
+    //     discipline, applied to quality). Absolute threshold here (not
+    //     the rank cut): a per-batch quantile would admit a different
+    //     quality floor per batch. None → disabled, q115 byte-identical.
+    val qualityDrops = nbModel.map { m =>
+      TextOps.nbScore(m, s2.select(id, col("cleaned_text").as(textCol)), idCol, textCol)
+        .filter(col("nb_score_u") < minNbScoreU)
+        .select(id.as("__quality_drop")).localCheckpoint(eager = true)
+    }.getOrElse(batch.limit(0).select(id.as("__quality_drop")))
+    val s2q = s2.join(qualityDrops, id === col("__quality_drop"), "left_anti")
+
     // 3. cross near-dup: history's raw text vs the batch's CLEANED text
     //    (both sides under crossMinhashPairs' shared union hot list)
     val nearDrops = DedupOps.crossMinhashPairs(
         history.select(id, col(textCol)),
-        s2.select(id, col("cleaned_text").as(textCol)),
+        s2q.select(id, col("cleaned_text").as(textCol)),
         idCol, textCol, shingleK, nearDupThreshold, maxShingleDF = maxShingleDF)
       .select(col("doc_b").as("__near_drop")).distinct()
       .localCheckpoint(eager = true)
-    val s3 = s2.join(nearDrops, id === col("__near_drop"), "left_anti")
+    val s3 = s2q.join(nearDrops, id === col("__near_drop"), "left_anti")
 
     // 4. cross semantic dedup: batch survivors' embeddings vs the history
     //    snapshot's (centroids fit on history — the stored-artifact side)
@@ -344,11 +367,13 @@ object Pipeline {
       .join(s1.select(id.as("__adm")), id === col("__adm"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
+      .join(qualityDrops, id === col("__quality_drop"), "left")
       .join(nearDrops, id === col("__near_drop"), "left")
       .join(semDrops, id === col("__sem_drop"), "left")
       .withColumn("decision",
         when(col("__adm").isNull, "exact_dup")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
+          .when(col("__quality_drop").isNotNull, "low_quality")
           .when(col("__near_drop").isNotNull, "near_dup")
           .when(col("__sem_drop").isNotNull, "sem_dup")
           .otherwise("kept"))

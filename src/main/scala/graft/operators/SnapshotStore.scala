@@ -87,6 +87,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     df.orderBy("idx").select("v").as[Seq[Double]].collect().map(_.toArray)
   }
 
+  /** Long-pair artifact (trained NB quality models via
+    * [[TextOps.nbModelToRows]]/[[TextOps.nbModelFromRows]], or any other
+    * KB-bounded (k, v) map). Stored as a 2-long-column parquet — engine-
+    * portable, and the same staleness-in-the-path lifecycle as every
+    * other snapshot artifact. */
+  def getOrBuildLongPairs(corpusPath: String, name: String)
+                         (build: => Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    import spark.implicits._
+    val df = getOrBuildDf(corpusPath, name)(build.toDF("k", "v"))
+    df.select("k", "v").as[(Long, Long)].collect().toSeq
+  }
+
   /** Binary-blob artifact (history bloom filters, serialized sketches). */
   def getOrBuildBytes(corpusPath: String, name: String)(build: => Array[Byte]): Array[Byte] = {
     import spark.implicits._

@@ -243,6 +243,87 @@ object TextOps {
   private def featBucket(g: Column, buckets: Int): Column =
     conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % buckets
 
+  /** A trained seed-vs-crawl NB model — µ-quantized per-bucket LLRs plus
+    * the doc-count prior and the unseen-bucket default, all BIGINTs.
+    * KB-sized (≤ `buckets` pairs) by construction: a corpus-snapshot
+    * artifact a deployment fits once ([[seedCrawlNbFit]]) and ships to
+    * every scoring job ([[nbScore]]) — the [[SnapshotStore]] lifecycle
+    * ([[nbModelToRows]]/[[nbModelFromRows]] give it a 2-long-column
+    * storage shape). */
+  final case class NbModel(buckets: Int, priorU: Long, defaultU: Long,
+                           lrU: Seq[(Long, Long)]) extends Serializable
+
+  /** Serialize an [[NbModel]] to (k, v) long pairs: reserved keys −1
+    * (priorU), −2 (defaultU), −3 (buckets) — bucket ids are ≥ 0, so the
+    * namespaces cannot collide. */
+  def nbModelToRows(m: NbModel): Seq[(Long, Long)] =
+    Seq((-1L, m.priorU), (-2L, m.defaultU), (-3L, m.buckets.toLong)) ++ m.lrU
+
+  def nbModelFromRows(rows: Seq[(Long, Long)]): NbModel = {
+    val meta = rows.filter(_._1 < 0).toMap
+    NbModel(meta(-3L).toInt, meta(-1L), meta(-2L),
+      rows.filter(_._1 >= 0).sortBy(_._1))
+  }
+
+  /** Fit the seed-vs-crawl Naive-Bayes model (see [[seedCrawlNbScores]]
+    * for the math and determinism contract). Each class model is a
+    * bucket-grain aggregate — ≤`buckets` rows regardless of corpus size
+    * (feature hashing runs distributed inside the plan; no vocabulary is
+    * ever collected) — pulled once. */
+  def seedCrawlNbFit(seed: DataFrame, crawl: DataFrame,
+                     textCol: String = "text", buckets: Int = 4096): NbModel = {
+    def nonBlank(df: DataFrame): DataFrame = df.filter(trim(col(textCol)) =!= "")
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
+      nonBlank(df)
+        .select(explode(wordFeatures(col(textCol))).as("g"))
+        .groupBy(featBucket(col("g"), buckets).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sCounts = bucketCounts(seed)
+    val rCounts = bucketCounts(crawl)
+    val sDenom = (sCounts.values.sum + buckets).toDouble
+    val rDenom = (rCounts.values.sum + buckets).toDouble
+    // doc-count prior (blank docs carry no features and train nothing)
+    val nSeed = nonBlank(seed).count()
+    val nCrawl = nonBlank(crawl).count()
+    require(nSeed > 0 && nCrawl > 0,
+      s"both training slices must be non-empty (seed=$nSeed, crawl=$nCrawl)")
+    val priorU = math.floor(math.log(nSeed.toDouble / nCrawl) * 1e6).toLong
+    // the quantized model: lr_u per bucket seen in training; a bucket
+    // unseen in BOTH classes falls to the same formula at c=0 (the
+    // scoring coalesce default) — identical to the oracle's all-buckets
+    // derivation
+    def lrU(sc: Long, rc: Long): Long =
+      math.floor((math.log((sc + 1.0) / sDenom) -
+        math.log((rc + 1.0) / rDenom)) * 1e6).toLong
+    NbModel(buckets, priorU, lrU(0L, 0L),
+      (sCounts.keySet ++ rCounts.keySet).toSeq.sorted
+        .map(b => (b, lrU(sCounts.getOrElse(b, 0L), rCounts.getOrElse(b, 0L)))))
+  }
+
+  /** Score documents with a trained [[NbModel]]: one pass — explode
+    * features → hash → broadcast join on the LONG bucket id → per-doc
+    * integer sum with map-side partials. Nothing but (doc, bucket) pairs
+    * ever shuffles.
+    *
+    * @return one row per non-blank doc: (idCol, n_feat, nb_score_u,
+    *         seed_like) */
+  def nbScore(model: NbModel, docs: DataFrame,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lr = broadcast(model.lrU.toDF("b", "lr_u"))
+    docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(wordFeatures(col(textCol))).as("g"))
+      .select(col(idCol), featBucket(col("g"), model.buckets).as("b"))
+      .join(lr, Seq("b"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feat"),
+        (lit(model.priorU) + sum(coalesce(col("lr_u"), lit(model.defaultU))))
+          .as("nb_score_u"))
+      .withColumn("seed_like", col("nb_score_u") > 0L)
+  }
+
   /** Trained seed-vs-crawl quality classifier (the CCNet/fastText-style
     * discriminative curation stage): a multinomial Naive-Bayes model over
     * hashed word uni+bigram features, trained on a curated SEED slice vs a
@@ -262,55 +343,12 @@ object TextOps {
     * it past the µ-quantization boundary, so this operator quantizes the
     * model, not the result.)
     *
-    * Scale shape: each class model is a bucket-grain aggregate — ≤`buckets`
-    * rows by construction regardless of corpus size (feature hashing runs
-    * distributed inside the plan; no vocabulary is ever collected) —
-    * pulled once and re-broadcast as a LocalRelation keyed by the LONG
-    * bucket id. Scoring is one pass: explode features → hash → broadcast
-    * join → per-doc integer sum with map-side partials. Nothing but
-    * (doc, bucket) pairs ever shuffles.
-    *
-    * @return one row per non-blank doc in `docs`:
-    *         (idCol, n_feat, nb_score_u, seed_like) */
+    * Fit-then-score convenience over [[seedCrawlNbFit]] + [[nbScore]];
+    * deployments that score many batches fit once and store the model
+    * (the [[SnapshotStore]] lifecycle, wired into
+    * [[Pipeline.curateIncremental]] via its `nbModel` parameter). */
   def seedCrawlNbScores(seed: DataFrame, crawl: DataFrame, docs: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
-                        buckets: Int = 4096): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    def nonBlank(df: DataFrame): DataFrame = df.filter(trim(col(textCol)) =!= "")
-    def bucketCounts(df: DataFrame): Map[Long, Long] =
-      nonBlank(df)
-        .select(explode(wordFeatures(col(textCol))).as("g"))
-        .groupBy(featBucket(col("g"), buckets).as("b"))
-        .agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val sCounts = bucketCounts(seed)
-    val rCounts = bucketCounts(crawl)
-    val sDenom = (sCounts.values.sum + buckets).toDouble
-    val rDenom = (rCounts.values.sum + buckets).toDouble
-    // doc-count prior (blank docs carry no features and train nothing)
-    val nSeed = nonBlank(seed).count()
-    val nCrawl = nonBlank(crawl).count()
-    require(nSeed > 0 && nCrawl > 0,
-      s"both training slices must be non-empty (seed=$nSeed, crawl=$nCrawl)")
-    val priorU = math.floor(math.log(nSeed.toDouble / nCrawl) * 1e6).toLong
-    // the quantized model: lr_u per bucket seen in training; a bucket
-    // unseen in BOTH classes falls to the same formula at c=0 (coalesce
-    // default below) — identical to the oracle's all-buckets derivation
-    def lrU(sc: Long, rc: Long): Long =
-      math.floor((math.log((sc + 1.0) / sDenom) -
-        math.log((rc + 1.0) / rDenom)) * 1e6).toLong
-    val defaultU = lrU(0L, 0L)
-    val lrRows = (sCounts.keySet ++ rCounts.keySet).toSeq.sorted
-      .map(b => (b, lrU(sCounts.getOrElse(b, 0L), rCounts.getOrElse(b, 0L))))
-    val model = broadcast(lrRows.toDF("b", "lr_u"))
-    nonBlank(docs)
-      .select(col(idCol), explode(wordFeatures(col(textCol))).as("g"))
-      .select(col(idCol), featBucket(col("g"), buckets).as("b"))
-      .join(model, Seq("b"), "left")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_feat"),
-        (lit(priorU) + sum(coalesce(col("lr_u"), lit(defaultU)))).as("nb_score_u"))
-      .withColumn("seed_like", col("nb_score_u") > 0L)
-  }
+                        buckets: Int = 4096): DataFrame =
+    nbScore(seedCrawlNbFit(seed, crawl, textCol, buckets), docs, idCol, textCol)
 }

@@ -277,16 +277,20 @@ object StreamingDedup {
     * checkpointed, so the append job's plan reads only checkpoint
     * leaves — never `path` itself.
     *
-    * Centroids are the FIXED snapshot artifact (fit on the seed before
-    * the stream starts — the q103 stored-geometry discipline), so cell
-    * assignment never drifts mid-stream. State is the store itself; the
+    * Centroids — and the optional NB quality model (`nbModel`, the
+    * [[graft.operators.TextOps.seedCrawlNbFit]] artifact) — are FIXED
+    * snapshot artifacts built before the stream starts (the q103
+    * stored-geometry discipline), so cell assignment and admission
+    * quality never drift mid-stream. State is the store itself; the
     * streaming query holds nothing between triggers. */
   def curateSink(batches: DataFrame, seedHistory: DataFrame,
                  embeddings: DataFrame, idCol: String, textCol: String,
                  centroids: Array[Array[Double]],
                  path: String,
                  vecIdCol: String = "vec_id", vecCol: String = "embedding",
-                 nearDupThreshold: Double = 0.9, semTau: Double = 0.35):
+                 nearDupThreshold: Double = 0.9, semTau: Double = 0.35,
+                 nbModel: Option[graft.operators.TextOps.NbModel] = None,
+                 minNbScoreU: Long = 0L):
       org.apache.spark.sql.streaming.StreamingQuery = {
     batches.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -309,7 +313,8 @@ object StreamingDedup {
               history, b, embeddings, idCol, textCol,
               vecIdCol = vecIdCol, vecCol = vecCol,
               nearDupThreshold = nearDupThreshold, semTau = semTau,
-              centroids = Some(centroids), keepCleanedText = true)
+              centroids = Some(centroids), keepCleanedText = true,
+              nbModel = nbModel, minNbScoreU = minNbScoreU)
             .withColumn("batch_id", lit(id))
             .write.mode("append").parquet(path)
         }

@@ -928,6 +928,54 @@ class OperatorsSpec extends SparkTestBase {
     assert(TextOps.seedCrawlNbScores(seed, crawl, blank).count() == 0)
   }
 
+  test("NB model is a snapshot artifact: store round-trip, incremental gate uses it fixed") {
+    import spark.implicits._
+    val history = Seq(
+      (0L, "the curated encyclopedia article discusses science history and literature alpha"),
+      (2L, "a curated reference article covers science literature and history beta"),
+      (4L, "curated encyclopedia reference text on history science literature gamma"),
+      (6L, "click here buy cheap pills now winner free casino bonus offer"),
+      (8L, "free casino winner click buy now cheap bonus pills offer today")
+    ).toDF("doc_id", "text")
+    // fit on the snapshot's seed/crawl split, round-trip through the store
+    val model = TextOps.seedCrawlNbFit(
+      history.filter($"doc_id" < 6), history.filter($"doc_id" >= 6))
+    val root = java.nio.file.Files.createTempDirectory("graft-nb-store").toString
+    val store = new SnapshotStore(spark, root)
+    val corpus = "/root/testdata/sf0.001/documents.parquet"
+    store.getOrBuildLongPairs(corpus, "nb-quality")(TextOps.nbModelToRows(model))
+    val cold = TextOps.nbModelFromRows(
+      new SnapshotStore(spark, root).getOrBuildLongPairs(corpus, "nb-quality")(
+        sys.error("must not rebuild")))
+    assert(cold == model)
+    // scoring with the reloaded model is identical to the fresh one
+    val batch = Seq(
+      (11L, "a curated article about science history and literature"),
+      (13L, "buy cheap casino bonus click here now free today")
+    ).toDF("doc_id", "text")
+    val a = TextOps.nbScore(model, batch).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = TextOps.nbScore(cold, batch).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a == b && a.size == 2)
+    // curateIncremental with the stored model: the crawl-like batch doc
+    // drops as low_quality, the seed-like one is kept
+    val embs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 2L -> Array(0f, 1f, 0f, 0f),
+      4L -> Array(0f, 0f, 1f, 0f), 6L -> Array(0f, 0f, 0f, 1f),
+      8L -> Array(-1f, 0f, 0f, 0f), 11L -> Array(0f, -1f, 0f, 0f),
+      13L -> Array(0f, 0f, -1f, 0f)).toDF("vec_id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    val out = Pipeline.curateIncremental(history, batch, embs, "doc_id", "text",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 2,
+        nbModel = Some(cold))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(13L) == "low_quality" && out(11L) == "kept", s"$out")
+    // hook off: no low_quality class (q115's path unchanged)
+    val off = Pipeline.curateIncremental(history, batch, embs, "doc_id", "text",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(off.values.forall(_ != "low_quality"), s"$off")
+  }
+
   test("curateFull quality gate: low_quality fires on crawl-like text, matches the scorer") {
     import spark.implicits._
     val corpus = Seq(
