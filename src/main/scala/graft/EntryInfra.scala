@@ -251,6 +251,31 @@ private[graft] trait EntryInfra {
       }))
     }
 
+  /** q123's fixed quality-model artifacts: the NB seed-vs-crawl model
+    * fit on the HISTORY slice (seed = lang='en', crawl = the rest) plus
+    * the history-calibrated admission threshold (the 0.2-quantile of the
+    * history corpus's own scores) — both deterministic snapshot builds
+    * ([[operators.TextOps.seedCrawlNbFit]] / `nbScoreQuantile`), memoized
+    * like every other per-snapshot artifact so the bench measures
+    * per-batch admission work, not the once-per-snapshot calibration. */
+  protected val nbArtifactMemo = scala.collection.mutable.Map.empty[
+    (String, Long), (operators.TextOps.NbModel, Long)]
+  protected def sharedNbArtifacts(spark: SparkSession, dir: String):
+      (operators.TextOps.NbModel, Long) =
+    synchronized {
+      import org.apache.spark.sql.functions.col
+      val abs = new java.io.File(dir).getAbsolutePath
+      val mtime = srcMtime(new java.io.File(s"$dir/documents.parquet"))
+      nbArtifactMemo.getOrElseUpdate((abs, mtime), {
+        val docs = widenedIfHeavy(spark, dir, "documents",
+          spark.read.parquet(s"$dir/documents.parquet"))
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val m = operators.TextOps.seedCrawlNbFit(
+          hist.filter(col("lang") === "en"), hist.filter(col("lang") =!= "en"))
+        (m, operators.TextOps.nbScoreQuantile(m, hist, 0.2))
+      })
+    }
+
   /** Verified near-dup pair evidence for the documents corpus, computed
     * once per (dir, k, threshold, mtime) per JVM — the third corpus-snapshot
     * memo (see [[hotMemo]]): a production pipeline materializes the pair

@@ -103,6 +103,27 @@ private[graft] trait PipelineEntries extends EntryInfra {
           lowQualityFraction = 0.2)
         .orderBy("doc_id")
     },
+
+    // -- QUALITY-GATED incremental curation (q115 + the stored NB model
+    //    as stage 2.5): model fit on the HISTORY slice (seed = en, crawl
+    //    = the rest), admission threshold = the 0.2-quantile of the
+    //    HISTORY corpus's own scores - both per-snapshot artifacts
+    //    (sharedNbArtifacts memo), so every batch is judged against the
+    //    SAME fixed bar and admission quality cannot drift with batch
+    //    composition. -----------------------------------------------
+    "q123_curate_incremental_quality" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val (model, thr) = sharedNbArtifacts(spark, dir)
+      operators.Pipeline.curateIncremental(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          spark.table("embeddings"), "doc_id", "text",
+          historyBloom = sharedHistoryBloom(spark, dir),
+          centroids = sharedHistoryCentroids(spark, dir),
+          nbModel = Some(model), minNbScoreU = thr)
+        .orderBy("doc_id")
+    },
   )
 
   protected def pipelineOracle: Map[String, String] = Map(
@@ -342,6 +363,175 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |         c.cleaned_text,
         |         CASE WHEN b.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'
         |              WHEN c.doc_id IS NULL OR c.kept_tokens = 0 THEN 'empty'
+        |              WHEN b.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
+        |              WHEN b.doc_id IN (SELECT doc_id FROM sem_drop) THEN 'sem_dup'
+        |              ELSE 'kept' END AS decision
+        |  FROM bat b LEFT JOIN cleaned c USING (doc_id))
+        |SELECT doc_id, decision, removed_tokens,
+        |       CASE WHEN decision = 'kept' THEN kept_tokens END AS n_tokens,
+        |       CASE WHEN decision = 'kept' THEN md5(cleaned_text) END AS final_md5
+        |FROM ann ORDER BY doc_id""".stripMargin,
+
+    // q115's cross-stage oracle + the stored NB model as stage 2.5:
+    // model fit on the HISTORY slice (en vs rest), threshold = the
+    // 0.2-quantile of the history corpus's own scores (rank over
+    // (score, doc_id) - exactly nbScoreQuantile's contract), batch
+    // span survivors scored on CLEANED text
+    "q123_curate_incremental_quality" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, text,
+        |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |hist AS (SELECT * FROM norm WHERE doc_id % 2 = 0),
+        |bat  AS (SELECT * FROM norm WHERE doc_id % 2 = 1),
+        |exact_drop AS (SELECT doc_id FROM bat WHERE fp IN (SELECT fp FROM hist)),
+        |s1 AS (SELECT * FROM bat WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |         FROM (SELECT doc_id, text FROM hist UNION ALL SELECT doc_id, text FROM s1)
+        |         WHERE trim(text) <> ''),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |              unnest(list_transform(range(len(t) - 7),
+        |                     i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
+        |       FROM toks WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, pos, gr FROM g0
+        |      QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |             a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gr = b.gr
+        |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        |runs AS (SELECT da, db, diag, pa, pb,
+        |                pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island
+        |         FROM m),
+        |spans AS (SELECT db AS doc_id, min(pb) AS b_start,
+        |                 max(pa) - min(pa) + 8 AS span_tokens
+        |          FROM runs GROUP BY da, db, diag, island),
+        |cutset AS (SELECT DISTINCT doc_id,
+        |                  unnest(range(b_start, b_start + span_tokens)) AS cut
+        |           FROM spans WHERE span_tokens >= 20),
+        |btoks AS (SELECT doc_id, t FROM toks WHERE doc_id % 2 = 1),
+        |btok AS (SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS w FROM btoks),
+        |keptt AS (SELECT btok.doc_id, btok.pos, btok.w
+        |          FROM btok LEFT JOIN cutset
+        |            ON btok.doc_id = cutset.doc_id AND btok.pos = cutset.cut
+        |          WHERE cutset.cut IS NULL),
+        |cleaned AS (SELECT btoks.doc_id,
+        |                   CAST(count(keptt.pos) AS BIGINT) AS kept_tokens,
+        |                   CAST(len(any_value(btoks.t)) - count(keptt.pos) AS BIGINT) AS removed_tokens,
+        |                   coalesce(string_agg(keptt.w, ' ' ORDER BY keptt.pos), '') AS cleaned_text
+        |            FROM btoks LEFT JOIN keptt ON btoks.doc_id = keptt.doc_id
+        |            GROUP BY btoks.doc_id),
+        |s2 AS (SELECT * FROM cleaned WHERE kept_tokens > 0),
+        |tnorm AS (SELECT doc_id, lang,
+        |                 lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |          FROM hist WHERE trim(text) <> ''),
+        |ttok AS (SELECT doc_id, lang, string_split(t, ' ') AS w FROM tnorm),
+        |tfe AS (SELECT doc_id, lang, unnest(w) AS g FROM ttok
+        |        UNION ALL
+        |        SELECT doc_id, lang,
+        |               unnest(list_transform(range(len(w) - 1),
+        |                      i -> w[i + 1] || ' ' || w[i + 2])) AS g
+        |        FROM ttok WHERE len(w) >= 2),
+        |tbk AS (SELECT doc_id, lang,
+        |               ('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096 AS b FROM tfe),
+        |sc AS (SELECT b, count(*) AS c FROM tbk WHERE lang = 'en' GROUP BY b),
+        |rc AS (SELECT b, count(*) AS c FROM tbk WHERE lang <> 'en' GROUP BY b),
+        |sdn AS (SELECT CAST(coalesce(sum(c), 0) + 4096 AS DOUBLE) AS d FROM sc),
+        |rdn AS (SELECT CAST(coalesce(sum(c), 0) + 4096 AS DOUBLE) AS d FROM rc),
+        |pri AS (SELECT CAST(floor(ln(
+        |          CAST((SELECT count(*) FROM tnorm WHERE lang = 'en') AS DOUBLE) /
+        |          (SELECT count(*) FROM tnorm WHERE lang <> 'en')) * 1000000) AS BIGINT) AS p),
+        |cw AS (SELECT doc_id,
+        |              string_split(lower(regexp_replace(trim(cleaned_text), '\s+', ' ', 'g')), ' ') AS w
+        |       FROM s2),
+        |cfe AS (SELECT doc_id, unnest(w) AS g FROM cw
+        |        UNION ALL
+        |        SELECT doc_id,
+        |               unnest(list_transform(range(len(w) - 1),
+        |                      i -> w[i + 1] || ' ' || w[i + 2])) AS g
+        |        FROM cw WHERE len(w) >= 2),
+        |cbk AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096 AS b FROM cfe),
+        |lrm AS (SELECT ab.b,
+        |               CAST(floor((ln((coalesce(sc.c, 0) + 1.0) / sdn.d) -
+        |                           ln((coalesce(rc.c, 0) + 1.0) / rdn.d)) * 1000000) AS BIGINT) AS lr_u
+        |        FROM (SELECT b FROM tbk UNION SELECT b FROM cbk) ab
+        |        CROSS JOIN sdn CROSS JOIN rdn
+        |        LEFT JOIN sc ON ab.b = sc.b LEFT JOIN rc ON ab.b = rc.b),
+        |hsc AS (SELECT tbk.doc_id, pri.p + sum(lrm.lr_u) AS sc2
+        |        FROM tbk JOIN lrm ON tbk.b = lrm.b CROSS JOIN pri
+        |        GROUP BY tbk.doc_id, pri.p),
+        |thr AS (SELECT sc2 AS v FROM (
+        |    SELECT sc2, doc_id, row_number() OVER (ORDER BY sc2, doc_id) AS rn,
+        |           count(*) OVER () AS nh FROM hsc)
+        |    WHERE rn = greatest(1, CAST(floor(0.2 * nh) AS BIGINT))),
+        |qsc AS (SELECT cbk.doc_id, pri.p + sum(lrm.lr_u) AS sc2
+        |        FROM cbk JOIN lrm ON cbk.b = lrm.b CROSS JOIN pri
+        |        GROUP BY cbk.doc_id, pri.p),
+        |qual_drop AS (SELECT doc_id FROM qsc CROSS JOIN thr WHERE qsc.sc2 < thr.v),
+        |s2q AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM qual_drop)),
+        |hct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ct
+        |        FROM hist WHERE trim(text) <> ''),
+        |bct AS (SELECT doc_id, string_split_regex(trim(cleaned_text), '\s+') AS ct FROM s2q),
+        |hsh AS (SELECT doc_id,
+        |               CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
+        |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
+        |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
+        |        FROM hct),
+        |bsh AS (SELECT doc_id,
+        |               CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
+        |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
+        |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
+        |        FROM bct),
+        |near_drop AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM hsh a JOIN bsh b
+        |    ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |s3 AS (SELECT * FROM s2q WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id % 2 = 0),
+        |bt AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |       WHERE vec_id IN (SELECT doc_id FROM s3)),
+        |k0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |ka1 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, k0 c),
+        |ks1 AS (SELECT vec_id, v, cl FROM ka1 WHERE rn = 1),
+        |kc1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
+        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks1, range(1, 65) t(i) GROUP BY cl, i)
+        |        GROUP BY cl),
+        |ka2 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, kc1 c),
+        |ks2 AS (SELECT vec_id, v, cl FROM ka2 WHERE rn = 1),
+        |kc2 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
+        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks2, range(1, 65) t(i) GROUP BY cl, i)
+        |        GROUP BY cl),
+        |khs AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, kc2 c),
+        |kh AS (SELECT vec_id, v, cl FROM khs WHERE rn = 1),
+        |kbs AS (SELECT bt.vec_id, bt.v, c.cl,
+        |               row_number() OVER (PARTITION BY bt.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(bt.v, c.cv), c.cl) AS rn
+        |        FROM bt, kc2 c),
+        |kb AS (SELECT vec_id, v, cl FROM kbs WHERE rn = 1),
+        |sem_drop AS (
+        |  SELECT s.vec_id AS doc_id FROM kb s
+        |  WHERE EXISTS (SELECT 1 FROM kh a
+        |                WHERE a.cl = s.cl AND list_cosine_similarity(a.v, s.v) >= 0.35)
+        |     OR EXISTS (SELECT 1 FROM kb a
+        |                WHERE a.cl = s.cl AND a.vec_id < s.vec_id
+        |                  AND list_cosine_similarity(a.v, s.v) >= 0.35)),
+        |ann AS (
+        |  SELECT b.doc_id, c.kept_tokens,
+        |         CAST(coalesce(c.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+        |         c.cleaned_text,
+        |         CASE WHEN b.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'
+        |              WHEN c.doc_id IS NULL OR c.kept_tokens = 0 THEN 'empty'
+        |              WHEN b.doc_id IN (SELECT doc_id FROM qual_drop) THEN 'low_quality'
         |              WHEN b.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
         |              WHEN b.doc_id IN (SELECT doc_id FROM sem_drop) THEN 'sem_dup'
         |              ELSE 'kept' END AS decision

@@ -189,20 +189,8 @@ object Pipeline {
         if (lowQualityFraction > 0.0) {
           val k = math.floor(lowQualityFraction * scored.count()).toLong
           if (k <= 0L) scored.limit(0).select(id)
-          else {
-            val ranged = scored.repartitionByRange(col("nb_score_u"), id)
-              .withColumn("__pid", spark_partition_id())
-            val local = ranged.withColumn("__lrk", row_number().over(
-              Window.partitionBy("__pid").orderBy(col("nb_score_u"), id)))
-            val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__pn"))
-              .withColumn("__off", coalesce(
-                sum("__pn").over(Window.orderBy("__pid")
-                  .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-              .select("__pid", "__off")
-            local.join(broadcast(offsets), "__pid")
-              .filter(col("__lrk") + col("__off") <= k)
-              .select(id)
-          }
+          else TextOps.rankByScore(scored, col("nb_score_u"), id)
+            .filter(col("__grk") <= k).select(id)
         } else scored.filter(col("nb_score_u") < minNbScoreU).select(id)
       drops.select(id.as("__quality_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__quality_drop")))

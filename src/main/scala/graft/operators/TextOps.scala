@@ -324,6 +324,48 @@ object TextOps {
       .withColumn("seed_like", col("nb_score_u") > 0L)
   }
 
+  /** Global ascending rank over (`scoreCol`, `idc`) — the scale-safe
+    * two-level prefix scan ([[Sharding.tokenShards]]'s shape): range
+    * partition on the sort key, local `row_number`, P-row offset
+    * broadcast. Never a global single-task window. Output = input
+    * columns + `__grk` (1-based). */
+  private[operators] def rankByScore(scored: DataFrame, scoreCol: org.apache.spark.sql.Column,
+                                     idc: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = scored.repartitionByRange(scoreCol, idc)
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__lrk", row_number().over(
+      Window.partitionBy("__pid").orderBy(scoreCol, idc)))
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__pn"))
+      .withColumn("__off", coalesce(
+        sum("__pn").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("__grk", col("__lrk") + col("__off"))
+      .drop("__pid", "__lrk", "__off")
+  }
+
+  /** Exact `frac`-quantile of a corpus's NB scores — the snapshot-
+    * calibration artifact for an ingest-time quality gate: a deployment
+    * scores the ADMITTED corpus once per snapshot, stores the k-th
+    * smallest score (k = max(1, ⌊frac·n⌋)), and every later batch is
+    * judged against that FIXED integer threshold (`minNbScoreU` =
+    * this + 1 drops exactly the below-quantile class), so admission
+    * quality is anchored to the snapshot, not to batch composition.
+    * One scoring pass + the two-level rank; the pull is a single long. */
+  def nbScoreQuantile(model: NbModel, docs: DataFrame, frac: Double,
+                      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    require(frac > 0.0 && frac < 1.0, s"frac must be in (0,1), got $frac")
+    val scored = nbScore(model, docs, idCol, textCol)
+      .select(col(idCol), col("nb_score_u")).localCheckpoint(eager = true)
+    val n = scored.count()
+    require(n > 0, "cannot calibrate a quantile on an empty corpus")
+    val k = math.max(1L, math.floor(frac * n).toLong)
+    rankByScore(scored, col("nb_score_u"), col(idCol))
+      .filter(col("__grk") === k).select("nb_score_u").head().getLong(0)
+  }
+
   /** Trained seed-vs-crawl quality classifier (the CCNet/fastText-style
     * discriminative curation stage): a multinomial Naive-Bayes model over
     * hashed word uni+bigram features, trained on a curated SEED slice vs a
