@@ -193,6 +193,62 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming curation with the stored NB quality model gates admissions") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+
+    // seed snapshot: curated vocabulary; the NB model and its admission
+    // threshold are FIXED artifacts built before the stream starts
+    val seed = Seq(
+      (0L, "the curated encyclopedia article discusses science history and literature alpha"),
+      (2L, "a curated reference article covers science literature and history beta"),
+      (4L, "click here buy cheap pills now winner free casino bonus offer"),
+      (6L, "free casino winner click buy now cheap bonus pills offer today")
+    ).toDF("doc_id", "text")
+    val model = operators.TextOps.seedCrawlNbFit(
+      seed.filter($"doc_id" < 4), seed.filter($"doc_id" >= 4))
+    val embs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 2L -> Array(0f, 1f, 0f, 0f),
+      4L -> Array(0f, 0f, 1f, 0f), 6L -> Array(0f, 0f, 0f, 1f),
+      11L -> Array(-1f, 0f, 0f, 0f), 13L -> Array(0f, -1f, 0f, 0f),
+      15L -> Array(0f, 0f, -1f, 0f)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cent = operators.KMeansOps.fit(
+      embs.filter($"vec_id" % 2 === 0), "vec_id", "embedding", k = 2, iters = 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val store = java.nio.file.Files.createTempDirectory("graft_curq_store_").toString
+    val query = streaming.StreamingDedup.curateSink(
+      mem.toDF().toDF("doc_id", "text"), seed, embs, "doc_id", "text",
+      cent, store, nbModel = Some(model), minNbScoreU = 0L)
+    try {
+      mem.addData((11L, "a curated article about science history and literature"),
+        (13L, "buy cheap casino bonus click here now free today"))
+      query.processAllAvailable()
+      mem.addData((15L, "another curated piece on literature science and history"))
+      query.processAllAvailable()
+      val v = spark.read.parquet(store)
+        .select("doc_id", "decision", "batch_id")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(v(11L)._1 == "kept" && v(15L)._1 == "kept", s"$v")
+      assert(v(13L)._1 == "low_quality", s"$v")
+      assert(v(11L)._2 == 0L && v(15L)._2 == 1L)
+      // the corpus store (kept slice of the same relation) excludes the
+      // rejected doc, so later batches never dedup against junk
+      val kept = spark.read.parquet(store).filter(col("decision") === "kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 15L))
+    } finally {
+      query.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+  }
+
   test("autosized bloom dedup deduplicates across batches end-to-end") {
     val spark2 = spark
     import spark2.implicits._
