@@ -344,4 +344,66 @@ class PropertiesSpec extends SparkTestBase {
       assert(math.abs(adc - expect) < 1e-9, s"trial $trial: $adc vs $expect")
     }
   }
+
+  test("AVI container fuzz: mux/demux round-trips arbitrary payloads; demux never throws") {
+    val rnd = new Random(20260814)
+    // round-trip: arbitrary frame payloads (incl. empty-frame-list and
+    // odd lengths that exercise the even-byte padding) come back exact
+    for (trial <- 0 until 50) {
+      val n = rnd.nextInt(6)
+      val fps = 1 + rnd.nextInt(60)
+      val frames = Seq.fill(n) {
+        val len = 1 + rnd.nextInt(200)
+        val b = new Array[Byte](len); rnd.nextBytes(b); b
+      }
+      val vs = operators.AviContainer.demux(operators.AviContainer.mux(fps, frames))
+        .getOrElse(fail(s"trial $trial: demux of own mux returned None"))
+      assert(vs.fps == fps, s"trial $trial")
+      assert(vs.frames.size == n, s"trial $trial")
+      assert(vs.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+        s"trial $trial")
+    }
+    // fuzz: random bytes, and random corruptions of a VALID container,
+    // must never throw - None or a successfully demuxed prefix are the
+    // only acceptable outcomes
+    val base = operators.AviContainer.mux(12,
+      Seq.fill(4)(operators.MediaOps.testPngBytes(rnd.nextInt(50).toLong)))
+    for (trial <- 0 until 300) {
+      val bytes =
+        if (trial % 3 == 0) { val b = new Array[Byte](rnd.nextInt(400)); rnd.nextBytes(b); b }
+        else if (trial % 3 == 1) base.take(rnd.nextInt(base.length + 1))
+        else {
+          val b = base.clone()
+          for (_ <- 0 to rnd.nextInt(8)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+        }
+      operators.AviContainer.demux(bytes) match {
+        case Some(vs) => assert(vs.fps > 0 && vs.frames.size <= (1 << 20))
+        case None => ()
+      }
+    }
+  }
+
+  test("NB classifier edges: empty slices refuse; blanks train nothing; model round-trip total") {
+    val spark2 = spark
+    import spark2.implicits._
+    val good = Seq((0L, "alpha beta gamma"), (1L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val blank = Seq((2L, "   "), (3L, "")).toDF("doc_id", "text")
+    // an all-blank training slice is an error, not a degenerate model
+    intercept[IllegalArgumentException] {
+      operators.TextOps.seedCrawlNbFit(blank, good)
+    }
+    intercept[IllegalArgumentException] {
+      operators.TextOps.seedCrawlNbFit(good, blank)
+    }
+    // blanks in a mixed slice contribute neither features nor prior mass:
+    // the model equals the blank-free fit exactly
+    val mixed = operators.TextOps.seedCrawlNbFit(
+      good.unionByName(blank), good.limit(1))
+    val pure = operators.TextOps.seedCrawlNbFit(good, good.limit(1))
+    assert(mixed == pure)
+    // round-trip through rows is total for any fit
+    val rt = operators.TextOps.nbModelFromRows(operators.TextOps.nbModelToRows(mixed))
+    assert(rt == mixed)
+  }
 }
