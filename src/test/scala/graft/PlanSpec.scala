@@ -106,6 +106,29 @@ class PlanSpec extends SparkTestBase {
       s"partial aggregate must run above Expand, before the exchange:\n$plan")
   }
 
+  test("NB scoring (q119): model broadcasts, doc sums aggregate partial before the exchange") {
+    // The classifier's 100 TB properties: the ≤buckets-row model joins as
+    // a BROADCAST on the LONG bucket id (never a shuffle of feature
+    // rows), and the per-doc integer sum runs partial map-side so only
+    // (doc, partial-sum) rows cross the wire — exploded feature rows
+    // never enter an exchange.
+    val d = docs
+    val model = operators.TextOps.seedCrawlNbFit(
+      d.filter(col("lang") === "en" && col("doc_id") % 4 === 0),
+      d.filter(col("doc_id") % 4 === 1))
+    val plan = planOf(operators.TextOps.nbScore(model, d))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && plan.indexOf("HashAggregate", firstAgg + 1) > 0,
+      s"expected partial+final HashAggregate:\n$plan")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    val iGenerate = plan.indexOf("Generate") // the feature explode
+    assert(iExchange >= 0 && iGenerate > iExchange,
+      s"the explode must run below (after) the exchange boundary — partial sums, " +
+        s"not feature rows, cross the wire:\n$plan")
+  }
+
   test("sketch scalar projection stays one whole-stage-codegen stage") {
     // SketchScalar implements doGenCode (boxed-args call through a
     // reference object) instead of CodegenFallback — a single fallback
