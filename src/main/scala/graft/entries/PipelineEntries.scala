@@ -124,6 +124,19 @@ private[graft] trait PipelineEntries extends EntryInfra {
           nbModel = Some(model), minNbScoreU = thr)
         .orderBy("doc_id")
     },
+
+    // -- CCNet-style perplexity buckets: trigram-LM scores (the q83
+    //    model, en reference) partitioned head/middle/tail by EXACT
+    //    score terciles (two-level-rank k-th smallest, value-based
+    //    assignment so ties are engine-portable) - the bucketed-sampling
+    //    recipe (keep head+middle, resample the tail). ----------------
+    "q124_perplexity_buckets" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.TextOps.perplexityBuckets(
+          docs.filter(col("lang") === "en"), docs)
+        .orderBy("doc_id")
+    },
   )
 
   protected def pipelineOracle: Map[String, String] = Map(
@@ -875,5 +888,41 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |       CASE WHEN decision = 'kept' THEN kept_tokens END AS n_tokens,
         |       CASE WHEN decision = 'kept' THEN md5(cleaned_text) END AS final_md5
         |FROM ann ORDER BY doc_id""".stripMargin,
+
+    // q83's trigram-LM oracle + exact tercile thresholds (k-th smallest
+    // by (score, doc_id) - nbScoreQuantile/rankByScore's contract) and
+    // value-based bucket assignment
+    "q124_perplexity_buckets" ->
+      """WITH norm AS (SELECT doc_id, lang,
+        |                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |              FROM documents),
+        |ref_tri AS (SELECT substr(t, CAST(i AS INT), 3) AS tri
+        |            FROM norm, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)
+        |            WHERE lang = 'en'),
+        |model AS (SELECT tri, count(*) AS c FROM ref_tri GROUP BY tri),
+        |stats AS (SELECT CAST(sum(c) + count(*) + 1 AS DOUBLE) AS denom FROM model),
+        |doc_tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+        |            FROM norm, UNNEST(range(1, greatest(length(t) - 1, 1))) AS u(i)),
+        |scored AS (SELECT d.doc_id,
+        |                  coalesce(ln((m.c + 1.0) / s.denom), ln(1.0 / s.denom)) AS lp
+        |           FROM doc_tri d CROSS JOIN stats s LEFT JOIN model m USING (tri)),
+        |sc AS (SELECT doc_id, count(*) AS n_tri,
+        |              CAST(floor(-avg(lp) * 1000000) AS BIGINT) AS lm_score_u
+        |       FROM scored GROUP BY doc_id),
+        |rk AS (SELECT doc_id, lm_score_u,
+        |              row_number() OVER (ORDER BY lm_score_u, doc_id) AS rn,
+        |              count(*) OVER () AS n
+        |       FROM sc),
+        |ks AS (SELECT greatest(1, CAST(floor(n / 3.0) AS BIGINT)) AS k1,
+        |              greatest(greatest(1, CAST(floor(n / 3.0) AS BIGINT)),
+        |                       n - CAST(floor(n / 3.0) AS BIGINT)) AS k2
+        |       FROM rk LIMIT 1),
+        |t1 AS (SELECT lm_score_u AS v FROM rk, ks WHERE rk.rn = ks.k1),
+        |t2 AS (SELECT lm_score_u AS v FROM rk, ks WHERE rk.rn = ks.k2)
+        |SELECT sc.doc_id, sc.n_tri, sc.lm_score_u,
+        |       CASE WHEN sc.lm_score_u <= t1.v THEN 'head'
+        |            WHEN sc.lm_score_u <= t2.v THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN t1 CROSS JOIN t2 ORDER BY sc.doc_id""".stripMargin,
   )
 }

@@ -151,6 +151,46 @@ object TextOps {
         floor(-avg(col("lp")) * lit(1e6)).cast("long").as("lm_score_u"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETS: score every document with the
+    * reference-trained trigram LM ([[trigramLmScores]]) and partition the
+    * corpus into `head` / `middle` / `tail` by EXACT score quantiles —
+    * the standard curation recipe (Wenzek et al.: keep head+middle,
+    * resample or drop the tail; the buckets are also the strata a
+    * data-recipe mixes with different weights).
+    *
+    * Quantile thresholds are corpus-EXACT, not approximate: the k-th
+    * smallest µ-quantized score via the two-level prefix-scan rank
+    * (k₁ = max(1, ⌊headFrac·n⌋), k₂ = max(k₁, n − ⌊tailFrac·n⌋)), pulled
+    * as two longs. Bucket assignment is by VALUE against those
+    * thresholds, so ties land deterministically in the lower bucket on
+    * every engine.
+    *
+    * @return one row per non-blank doc: (idCol, n_tri, lm_score_u,
+    *         bucket) — lower score = more reference-like = `head`. */
+  def perplexityBuckets(reference: DataFrame, docs: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        headFrac: Double = 1.0 / 3, tailFrac: Double = 1.0 / 3): DataFrame = {
+    require(headFrac > 0 && tailFrac > 0 && headFrac + tailFrac < 1.0,
+      s"fractions must be positive and sum below 1, got ($headFrac, $tailFrac)")
+    val scored = trigramLmScores(reference, docs, idCol, textCol)
+      .localCheckpoint(eager = true)
+    val n = scored.count()
+    require(n > 0, "cannot bucket an empty corpus")
+    val k1 = math.max(1L, math.floor(headFrac * n).toLong)
+    val k2 = math.max(k1, n - math.floor(tailFrac * n).toLong)
+    val cuts = rankByScore(scored.select(col(idCol), col("lm_score_u")),
+        col("lm_score_u"), col(idCol))
+      .filter(col("__grk") === k1 || col("__grk") === k2)
+      .select(col("__grk"), col("lm_score_u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t1 = cuts(k1)
+    val t2 = cuts.getOrElse(k2, t1)
+    scored.withColumn("bucket",
+      when(col("lm_score_u") <= t1, "head")
+        .when(col("lm_score_u") <= t2, "middle")
+        .otherwise("tail"))
+  }
+
   /** Engine-portable trigram feature bucket: the first 8 md5 hex digits
     * (a 32-bit value) mod `buckets` — DuckDB reproduces it as
     * `('0x'||substr(md5(tri),1,8))::UBIGINT % buckets`. Computed

@@ -928,6 +928,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(TextOps.seedCrawlNbScores(seed, crawl, blank).count() == 0)
   }
 
+  test("perplexity buckets: reference-like text lands head, gibberish tail, terciles cover") {
+    import spark.implicits._
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the lazy dog sleeps while the quick fox runs over the hill")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),   // reference-like
+      (1L, "the lazy fox runs over the quick brown dog"),    // reference-like
+      (2L, "qzx vbnk wyyrt plomj xxzzq kjhgf qwerty zxcvb"), // gibberish
+      (3L, "mmmnb vvvcx ppplo qqqaz wwwsx eeedc rrrfv"),     // gibberish
+      (4L, "the dog and the fox run over the hill"),
+      (5L, "a dog jumps while a fox sleeps on the hill")
+    ).toDF("doc_id", "text")
+    val out = TextOps.perplexityBuckets(ref, corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.size == 6)
+    // terciles of 6: 2 head-threshold, value-based assignment
+    assert(out(0L) == "head" && out(1L) == "head", s"$out")
+    assert(out(2L) == "tail" && out(3L) == "tail", s"$out")
+    assert(Set("head", "middle", "tail").subsetOf(out.values.toSet), s"$out")
+  }
+
   test("NB model is a snapshot artifact: store round-trip, incremental gate uses it fixed") {
     import spark.implicits._
     val history = Seq(
