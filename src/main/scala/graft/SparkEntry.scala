@@ -132,9 +132,10 @@ object SparkEntry
     *  - full index-build-then-probe lifecycles (fresh parquet index write
     *    per measurement): the probe a deployment repeats is the cheap
     *    partition-filtered scan, the build is once-per-snapshot.
-    * Bench reports value_operator / value_harness alongside the unchanged
-    * grand total, so the driver gate is untouched but round-over-round
-    * movement reads on the operator sum. */
+    * Since r16 the bench's headline `value` IS the harness-excluded
+    * operator sum (metric `total_operator`), with `value_total` carrying
+    * the grand total and `value_harness` the difference — round-over-round
+    * movement reads on the operator sum by default. */
   val harnessQueries: Set[String] = Set(
     "q70_streaming_bloom_dedup", "q74_sessionize", "q79_streaming_windowed",
     "q81_streaming_sketch_sink", "q98_streaming_drift", "q107_streaming_semdedup",

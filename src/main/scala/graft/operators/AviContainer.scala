@@ -103,6 +103,15 @@ object AviContainer extends VideoOps.VideoContainer {
       if (cc() != "AVI ") return None
 
       var fps = 0
+      // the VIDEO stream's index: AVI stream numbers are assigned by strl
+      // order in hdrl, so count strh chunks and remember which one is
+      // 'vids' — a camera file with audio as stream 0 keeps its frames in
+      // '01dc' chunks, and hard-coding stream 0 would silently demux an
+      // empty video (r16 review finding). hdrl precedes movi in the RIFF
+      // layout, so the index is known before any frame chunk is seen;
+      // headerless files fall back to stream 0.
+      var streamIdx = 0
+      var vidsIdx = -1
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
 
       // one forward walk; `end` bounds each (sub)list so a lying size
@@ -113,6 +122,7 @@ object AviContainer extends VideoOps.VideoContainer {
           val size = bb.getInt & 0xFFFFFFFFL
           val next = bb.position() + size + (size % 2)
           if (next > end) return // truncated chunk: keep what demuxed so far
+          val framePrefix = f"${if (vidsIdx >= 0) vidsIdx else 0}%02d"
           id match {
             case "LIST" =>
               val typ = cc()
@@ -126,10 +136,23 @@ object AviContainer extends VideoOps.VideoContainer {
               bb.getInt; bb.getShort; bb.getShort; bb.getInt
               val scale = bb.getInt & 0xFFFFFFFFL
               val rate = bb.getInt & 0xFFFFFFFFL
-              if (typ == "vids" && scale > 0 && rate > 0)
-                fps = math.max(1, math.round(rate.toDouble / scale)).toInt
-            case s if inMovi && s.length == 4 && s.startsWith("00") &&
-                (s.endsWith("dc") || s.endsWith("db")) && size > 0 =>
+              if (typ == "vids" && vidsIdx < 0) {
+                vidsIdx = streamIdx
+                // NOTE: fps is an integer here (the VideoStream contract
+                // shared with GVID); NTSC-style rational rates
+                // (30000/1001 = 29.97) round to the nearest integer, so
+                // ts_ms drifts ~1 ms per 30 frames on such files —
+                // metadata precision, not frame loss.
+                if (scale > 0 && rate > 0)
+                  fps = math.max(1, math.round(rate.toDouble / scale)).toInt
+              }
+              streamIdx += 1
+            case s if inMovi && s.length == 4 && s.startsWith(framePrefix) &&
+                (s.endsWith("dc") || s.endsWith("db")) =>
+              // size-0 chunks are real MJPEG dropped-frame placeholders:
+              // emit them as empty payloads so frame_idx/ts_ms of every
+              // later frame stay aligned with the container (the codec
+              // drops the undecodable payload, not the position)
               val f = new Array[Byte](size.toInt)
               bb.get(f)
               frames += f

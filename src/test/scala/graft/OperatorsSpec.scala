@@ -1197,6 +1197,59 @@ class OperatorsSpec extends SparkTestBase {
     assert(AviContainer.demux(bytes.take(bytes.length / 2)).isEmpty)
     val wav = bytes.clone(); System.arraycopy("WAVE".getBytes("US-ASCII"), 0, wav, 8, 4)
     assert(AviContainer.demux(wav).isEmpty)
+    // size-0 frame chunks (real MJPEG dropped-frame placeholders) are
+    // EMITTED as empty payloads, keeping later frames' indices aligned
+    val gap = AviContainer.demux(AviContainer.mux(10,
+      Seq(Array[Byte](1, 2), Array.empty[Byte], Array[Byte](3)))).get
+    assert(gap.frames.map(_.length).toSeq == Seq(2, 0, 1), gap.frames.map(_.length))
+    // a camera file whose VIDEO stream is not stream 0: frames live in
+    // '01dc' chunks; the demuxer must follow the strl order, not assume 00
+    val shifted = {
+      val b = AviContainer.mux(25, frames)
+      val out = b.clone()
+      // rewrite the single strh fccType 'vids' file into an
+      // audio-then-video layout: inject nothing, just renumber — flip
+      // every movi/idx1 chunk id from 00dc to 01dc and prepend a fake
+      // 'auds' strl by patching the existing one is complex; instead
+      // patch chunk ids AND splice a minimal auds strl before the vids
+      // one so the vids stream really is index 1
+      def fourcc(s2: String) = s2.getBytes("US-ASCII")
+      def u32(v: Long) = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+      def u16(v: Int) = java.nio.ByteBuffer.allocate(2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+      val audStrh = fourcc("strh") ++ u32(56) ++ fourcc("auds") ++ fourcc("    ") ++
+        u32(0) ++ u16(0) ++ u16(0) ++ u32(0) ++ u32(1) ++ u32(8000) ++ u32(0) ++ u32(0) ++
+        u32(0) ++ u32(0xFFFFFFFFL) ++ u32(1) ++ u16(0) ++ u16(0) ++ u16(0) ++ u16(0)
+      val audStrl = fourcc("LIST") ++ u32(audStrh.length + 4L) ++ fourcc("strl") ++ audStrh
+      // find the existing vids strl (first LIST....strl) and insert before it
+      def find(hay: Array[Byte], needle: Array[Byte], from: Int): Int =
+        (from to hay.length - needle.length).find(i =>
+          needle.indices.forall(j => hay(i + j) == needle(j))).getOrElse(-1)
+      val strlAt = find(out, fourcc("strl"), 0) - 8 // back up over LIST+size
+      val patched = out.take(strlAt) ++ audStrl ++ out.drop(strlAt)
+      // renumber frame chunks and idx1 entries 00dc -> 01dc
+      var i = 0
+      while (i >= 0) {
+        i = find(patched, fourcc("00dc"), i)
+        if (i >= 0) { patched(i) = '0'; patched(i + 1) = '1'; i += 4 }
+      }
+      // grow the RIFF size and the hdrl LIST size by the spliced bytes
+      def bump(at: Int): Unit = {
+        val bbp = java.nio.ByteBuffer.wrap(patched, at, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val v = bbp.getInt
+        java.nio.ByteBuffer.wrap(patched, at, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v + audStrl.length)
+      }
+      bump(4) // RIFF size
+      bump(find(patched, fourcc("hdrl"), 0) - 4) // hdrl LIST size
+      patched
+    }
+    val vs1 = AviContainer.demux(shifted)
+      .getOrElse(fail("stream-1 video must demux"))
+    assert(vs1.fps == 25 && vs1.frames.size == 3, s"fps=${vs1.fps} n=${vs1.frames.size}")
+    assert(vs1.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
   }
 
   test("AVI real-MJPEG payloads: genuine JPEG-per-frame decode through the shared codec") {

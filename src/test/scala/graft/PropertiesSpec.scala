@@ -353,7 +353,7 @@ class PropertiesSpec extends SparkTestBase {
       val n = rnd.nextInt(6)
       val fps = 1 + rnd.nextInt(60)
       val frames = Seq.fill(n) {
-        val len = 1 + rnd.nextInt(200)
+        val len = rnd.nextInt(200) // 0-length = MJPEG dropped-frame placeholder
         val b = new Array[Byte](len); rnd.nextBytes(b); b
       }
       val vs = operators.AviContainer.demux(operators.AviContainer.mux(fps, frames))

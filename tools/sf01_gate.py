@@ -174,7 +174,10 @@ def main(outdir, sfdir, report_path=None):
             json.dump(summary, f, indent=1, sort_keys=True)
         print(f"\nreport -> {report_path}")
     print(f"\n{counts}")
-    return 1 if counts["fail"] else 0
+    # a missing dump is a gate FAILURE, not a skip: the standing gate
+    # exists to be conclusive, and a query Verify never dumped (crash,
+    # forgotten entry) must not read as green (r16 review finding)
+    return 1 if counts["fail"] or counts["not_dumped"] else 0
 
 
 if __name__ == "__main__":
