@@ -322,16 +322,15 @@ private[graft] trait StreamingEntries extends EntryInfra {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Array[Float])]
       val store = java.nio.file.Files.createTempDirectory("graft_ssd_store_").toString
-      val out = java.nio.file.Files.createTempDirectory("graft_ssd_out_").toString
       val query = streaming.StreamingDedup.semDedupSink(
         mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-        cent, tau = 0.35, store, out)
+        cent, tau = 0.35, store)
       try {
         (0 until 4).foreach { b =>
           mem.addData(slice.filter(_._1 % 4 == b).sortBy(_._1).toSeq)
           query.processAllAvailable()
         }
-        spark.read.parquet(out)
+        spark.read.parquet(store)
           .select(col("id").as("vec_id"), col("batch_id").cast("long").as("batch"),
             col("cluster").cast("long").as("cluster"), col("kept"))
           .orderBy("vec_id")
@@ -342,7 +341,7 @@ private[graft] trait StreamingEntries extends EntryInfra {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
-        rm(new java.io.File(store)); rm(new java.io.File(out))
+        rm(new java.io.File(store))
       }
     },
 

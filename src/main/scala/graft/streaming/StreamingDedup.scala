@@ -323,9 +323,18 @@ object StreamingDedup {
       .start()
   }
 
+  /** One relation per trigger (the r16 `curateSink` layout): the verdict
+    * rows carry their vectors and a `batch_id`, so a single append is
+    * both the audit log (project id/cluster/kept/batch_id) and the
+    * kept-corpus store (filter `kept`, project id + vector) — the
+    * earlier two-path layout paid a second parquet write plus a verdict
+    * re-read every trigger. The verdict is `localCheckpoint`ed BEFORE
+    * the append: its plan reads `path` through the store side, and the
+    * checkpoint materializes it so no job reads and writes the same
+    * files. */
   def semDedupSink(batches: DataFrame, idCol: String, vecCol: String,
                    centroids: Array[Array[Double]], tau: Double,
-                   storePath: String, verdictPath: String):
+                   path: String):
       org.apache.spark.sql.streaming.StreamingQuery = {
     batches.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -333,21 +342,23 @@ object StreamingDedup {
         val b = batch.select(col(idCol), col(vecCol))
         if (!b.isEmpty) {
           val hasStore = {
-            val d = new java.io.File(storePath)
+            val d = new java.io.File(path)
             d.exists() && Option(d.list()).exists(_.exists(!_.startsWith("_")))
           }
           val store =
-            if (hasStore) spark.read.parquet(storePath)
+            if (hasStore)
+              spark.read.parquet(path).filter(col("kept"))
+                .select(col("id").as(idCol), col(vecCol))
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
           graft.operators.KMeansOps
             .incrementalSemDedup(store, b, idCol, vecCol, centroids, tau)
+            .join(b.select(col(idCol).as("__vid"), col(vecCol)),
+              col("id") === col("__vid"))
+            .drop("__vid")
             .withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(verdictPath)
-          val keptIds = spark.read.parquet(verdictPath)
-            .filter(col("batch_id") === id && col("kept"))
-            .select(col("id").as(idCol))
-          b.join(keptIds, Seq(idCol)).write.mode("append").parquet(storePath)
+            .localCheckpoint(eager = true)
+            .write.mode("append").parquet(path)
         }
         ()
       }

@@ -144,9 +144,8 @@ class StreamingSpec extends SparkTestBase {
     val mem = MemoryStream[(Long, Array[Float])]
     val cent = Array(Array(5.0, 0.0), Array(0.0, 5.0))
     val store = java.nio.file.Files.createTempDirectory("graft_ssd_t_store_").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_ssd_t_out_").toString
     val query = streaming.StreamingDedup.semDedupSink(
-      mem.toDF().toDF("id", "vec"), "id", "vec", cent, tau = 0.9, store, out)
+      mem.toDF().toDF("id", "vec"), "id", "vec", cent, tau = 0.9, store)
     try {
       // batch 0: 1 kept; 2 ≈ 1 dropped (in-batch, smaller id wins)
       mem.addData((1L, Array(10f, 0f)), (2L, Array(10f, 0.1f)))
@@ -158,13 +157,13 @@ class StreamingSpec extends SparkTestBase {
       //          4 ⊥ cluster-0 store → kept (lands in cluster 1)
       mem.addData((3L, Array(10f, 0.2f)), (4L, Array(0f, 10f)))
       query.processAllAvailable()
-      val verdicts = spark.read.parquet(out)
+      val verdicts = spark.read.parquet(store)
         .select(col("id"), col("batch_id"), col("kept"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       assert(verdicts == Set((1L, 0L, true), (2L, 0L, false),
         (3L, 1L, false), (4L, 1L, true)), s"got $verdicts")
-      // the store holds exactly the kept vectors
-      val stored = spark.read.parquet(store).select("id")
+      // the kept slice of the same relation IS the corpus store
+      val stored = spark.read.parquet(store).filter(col("kept")).select("id")
         .collect().map(_.getLong(0)).toSet
       assert(stored == Set(1L, 4L))
       // RESTART durability: a fresh query over the SAME store must dedup
@@ -173,11 +172,11 @@ class StreamingSpec extends SparkTestBase {
       query.stop()
       val mem2 = MemoryStream[(Long, Array[Float])]
       val query2 = streaming.StreamingDedup.semDedupSink(
-        mem2.toDF().toDF("id", "vec"), "id", "vec", cent, tau = 0.9, store, out)
+        mem2.toDF().toDF("id", "vec"), "id", "vec", cent, tau = 0.9, store)
       try {
         mem2.addData((5L, Array(10f, 0.3f)), (6L, Array(-7f, 0f)))
         query2.processAllAvailable()
-        val afterRestart = spark.read.parquet(out)
+        val afterRestart = spark.read.parquet(store)
           .filter(col("id") >= 5L).select("id", "kept")
           .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
         // 5 ≈ stored row 1 → dropped across the restart; 6 points the
@@ -189,7 +188,7 @@ class StreamingSpec extends SparkTestBase {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(new java.io.File(store)); rm(new java.io.File(out))
+      rm(new java.io.File(store))
     }
   }
 
