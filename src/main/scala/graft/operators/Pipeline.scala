@@ -21,6 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** The relation re-spread to cluster parallelism when its materialized
+    * source sits below it. AQE's size-based post-shuffle coalesce is
+    * tuned for IO-bound work, so at small corpus sizes a checkpointed
+    * stage like span removal lands on 1–2 partitions; a downstream scan
+    * whose per-row cost is HASHING-scale (the NB feature pass: md5 per
+    * uni/bigram) then runs on 1–2 of N cores (measured: 4.1 s over a
+    * 2-partition checkpoint vs 0.9 s at 32 — the same starvation
+    * `EntryInfra.widenedIfHeavy` fixes for narrow source files). Only
+    * such consumers get this wrapper — for the cheap-per-row scans
+    * (shingling, token counts) the extra exchange costs more than the
+    * imbalance (measured: blanket-widening every stage checkpoint cost
+    * q112 +1.2 s for zero downstream win).
+    *
+    * `df` must be a narrow chain over an already-materialized
+    * (checkpointed) leaf, so the partition probe triggers no job. At
+    * production scale stage outputs exceed parallelism and this is the
+    * identity. */
+  private[graft] def widenIfNarrow(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** @param knownNearDupPairs pre-mined verified near-dup pair evidence
     *        with (doc_a, doc_b) columns — the same corpus-snapshot memo
     *        lifecycle as `knownHot`: a production pipeline materializes
@@ -182,8 +204,11 @@ object Pipeline {
       val crawl = crawlFilter.getOrElse(!sf)
       // checkpointed so the rank path's count() and its rank plan read
       // one materialized leaf instead of re-running the scoring pass
+      // widenIfNarrow: the NB feature pass (md5 per uni/bigram) is the
+      // one hashing-scale scan of this stage's text — see the helper doc
       val scored = TextOps.seedCrawlNbScores(docs.filter(sf), docs.filter(crawl),
-          s2.select(id, col("cleaned_text").as(textCol)), idCol, textCol, nbBuckets)
+          widenIfNarrow(s2.select(id, col("cleaned_text").as(textCol))),
+          idCol, textCol, nbBuckets)
         .select(id, col("nb_score_u")).localCheckpoint(eager = true)
       val drops =
         if (lowQualityFraction > 0.0) {
@@ -317,7 +342,9 @@ object Pipeline {
     //     the rank cut): a per-batch quantile would admit a different
     //     quality floor per batch. None → disabled, q115 byte-identical.
     val qualityDrops = nbModel.map { m =>
-      TextOps.nbScore(m, s2.select(id, col("cleaned_text").as(textCol)), idCol, textCol)
+      TextOps.nbScore(m,
+          widenIfNarrow(s2.select(id, col("cleaned_text").as(textCol))),
+          idCol, textCol)
         .filter(col("nb_score_u") < minNbScoreU)
         .select(id.as("__quality_drop")).localCheckpoint(eager = true)
     }.getOrElse(batch.limit(0).select(id.as("__quality_drop")))
