@@ -11,21 +11,23 @@ import org.apache.spark.sql.functions._
   *
   *  1. positional k-gram hashes per document (native [[GramHashes]] —
   *     one byte-scan, map-side, whole-stage codegen'd);
-  *  2. a document-frequency cap drops grams occurring more than
-  *     `maxGramOccurrences` times (boilerplate: headers, license blocks)
-  *     — the same quadratic-head protection as the Jaccard inverted
-  *     index, and the only thing standing between the gram self-join and
-  *     an O(df²) blowup on hot grams at 100 TB;
-  *  3. an equi-join on the gram id yields cross-document positional
-  *     matches (doc_a < doc_b);
+  *  2. ONE shuffle groups the gram mass by gram id into per-gram
+  *     occurrence lists; grams occurring more than `maxGramOccurrences`
+  *     times (boilerplate: headers, license blocks) drop via a free
+  *     `size` filter on the grouped row — the same quadratic-head
+  *     protection as the Jaccard inverted index, and the only thing
+  *     standing between pair expansion and an O(df²) blowup on hot
+  *     grams at 100 TB;
+  *  3. in-group expansion yields cross-document positional matches
+  *     (doc_a < doc_b);
   *  4. matches on one alignment share a diagonal (pos_a − pos_b);
   *     consecutive positions within a diagonal are grouped with the
   *     classic islands trick (pos − row_number), and each island is one
   *     maximal duplicated span of `islandLen + k − 1` tokens.
   *
-  * Nothing after step 1 carries text: the join and both shuffles move
-  * (doc, pos, 8-byte gram id) rows only. The diagonal window partitions
-  * by (doc_a, doc_b, diagonal) — groups are bounded by the shorter
+  * Nothing after step 1 carries text: both shuffles move (doc, pos,
+  * 8-byte gram id) rows only. The diagonal window partitions by
+  * (doc_a, doc_b, diagonal) — groups are bounded by the shorter
   * document's length, never by corpus size, so no skewed window task.
   */
 object SpanDedup {
@@ -52,20 +54,47 @@ object SpanDedup {
       .otherwise(transform(sequence(lit(0), n - k), i => fold(slice(th, i + 1, lit(k)))))
   }
 
-  /** Hot-gram exclusion over one or two gram relations: drop grams with
-    * more than `cap` total occurrences. The hot list is tiny by
-    * construction (≤ mass / cap entries of one long each), so the
-    * anti-join broadcasts under AQE; the gram mass itself is never
-    * collected or re-keyed. */
-  private def capGrams(rels: Seq[DataFrame], cap: Int): Seq[DataFrame] =
-    if (cap <= 0) rels
-    else {
-      val hot = rels.reduce(_ unionByName _)
-        .groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") > cap)
-        .select("g")
-      rels.map(_.join(hot, Seq("g"), "left_anti"))
-    }
+  /** Positional matches via the inverted index: ONE shuffle of the gram
+    * mass groups every occurrence of a gram onto one reducer as a
+    * (doc, pos) list; the occurrence cap (boilerplate exclusion AND the
+    * only thing standing between pair expansion and an O(df²) blowup on
+    * hot grams at 100 TB) is a free `size` filter on the grouped row —
+    * no separate count pass, no hot-list anti-join, no join exchange
+    * (measured: 0.88 → 0.56 s for sf0.1 detection vs the former
+    * count + anti-join + self-join shape). Groups are ≤ cap structs
+    * (≤ ~16 KB at the default 1000), and in-group expansion emits the
+    * same ≤ df² pair stream a gram-keyed join reducer would have
+    * produced. List order is collect-order (nondeterministic); the PAIR
+    * SET is not, and everything downstream is order-insensitive. */
+  private def selfMatches(grams: DataFrame, cap: Int): DataFrame =
+    grams.groupBy("g")
+      .agg(collect_list(struct(col("doc"), col("pos"))).as("occ"))
+      .filter(size(col("occ")) >= 2 && (lit(cap <= 0) || size(col("occ")) <= cap))
+      .select(explode(col("occ")).as("a"), col("occ"))
+      .select(col("a"), explode(col("occ")).as("b"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+
+  /** [[selfMatches]] between two gram relations: one pass collects each
+    * side's occurrences into its own list (`collect_list` skips the
+    * other side's null slot), the cap governs the UNION mass — bounding
+    * df_left(g) × df_right(g) on grams hot in either corpus — and
+    * expansion is left × right (equal ids NOT excluded: id spaces are
+    * the caller's contract, see [[crossSpans]]). */
+  private def crossMatches(gl: DataFrame, gr: DataFrame, cap: Int): DataFrame =
+    gl.withColumn("side", lit(0)).unionByName(gr.withColumn("side", lit(1)))
+      .groupBy("g")
+      .agg(collect_list(when(col("side") === 0, struct(col("doc"), col("pos")))).as("occa"),
+        collect_list(when(col("side") === 1, struct(col("doc"), col("pos")))).as("occb"))
+      .filter(size(col("occa")) >= 1 && size(col("occb")) >= 1 &&
+        (lit(cap <= 0) || size(col("occa")) + size(col("occb")) <= cap))
+      .select(explode(col("occa")).as("a"), col("occb"))
+      .select(col("a"), explode(col("occb")).as("b"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
 
   /** The diagonal-islands core: positional matches (da, db, pa, pb) on
     * one alignment share `diag = pa − pb`; consecutive pa within a
@@ -90,14 +119,7 @@ object SpanDedup {
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, minSpan: Int = 20,
                       maxGramOccurrences: Int = 1000): DataFrame = {
-    val Seq(capped) = capGrams(
-      Seq(gramRelation(df, idCol, textCol, k)), maxGramOccurrences)
-    val m = capped.as("a")
-      .join(capped.as("b"),
-        col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("da"), col("b.doc").as("db"),
-        col("a.pos").as("pa"), col("b.pos").as("pb"),
-        (col("a.pos") - col("b.pos")).as("diag"))
+    val m = selfMatches(gramRelation(df, idCol, textCol, k), maxGramOccurrences)
     islandSpans(m, k, minSpan)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("a_start"), col("b_start"), col("span_tokens"))
@@ -119,14 +141,9 @@ object SpanDedup {
                  idCol: String, textCol: String,
                  k: Int = 8, minSpan: Int = 20,
                  maxGramOccurrences: Int = 1000): DataFrame = {
-    val Seq(gl, gr) = capGrams(
-      Seq(gramRelation(left, idCol, textCol, k),
-        gramRelation(right, idCol, textCol, k)), maxGramOccurrences)
-    val m = gl.as("a")
-      .join(gr.as("b"), col("a.g") === col("b.g"))
-      .select(col("a.doc").as("da"), col("b.doc").as("db"),
-        col("a.pos").as("pa"), col("b.pos").as("pb"),
-        (col("a.pos") - col("b.pos")).as("diag"))
+    val m = crossMatches(
+      gramRelation(left, idCol, textCol, k),
+      gramRelation(right, idCol, textCol, k), maxGramOccurrences)
     islandSpans(m, k, minSpan)
       .select(col("da").as("left_id"), col("db").as("right_id"),
         col("a_start").as("left_start"), col("b_start").as("right_start"),
