@@ -82,7 +82,17 @@ object SpanDedup {
     * other side's null slot), the cap governs the UNION mass — bounding
     * df_left(g) × df_right(g) on grams hot in either corpus — and
     * expansion is left × right (equal ids NOT excluded: id spaces are
-    * the caller's contract, see [[crossSpans]]). */
+    * the caller's contract, see [[crossSpans]]).
+    *
+    * Measured alternative, rejected: pre-semi-joining the left mass to
+    * the right side's distinct gram set helps only when that set
+    * BROADCASTS (a truly small benchmark); at comparable corpus sizes
+    * it is an extra full shuffle (sf1 balanced: 1.95 s with the semi vs
+    * 1.34 s without). A deployment decontaminating a 100 TB corpus
+    * against a small eval suite should pre-filter with
+    * `gl.join(broadcast(gr.select("g").distinct()), Seq("g"),
+    * "left_semi")` before calling — pair set and cap semantics are
+    * unaffected, since grams absent from either side never pair. */
   private def crossMatches(gl: DataFrame, gr: DataFrame, cap: Int): DataFrame =
     gl.withColumn("side", lit(0)).unionByName(gr.withColumn("side", lit(1)))
       .groupBy("g")
