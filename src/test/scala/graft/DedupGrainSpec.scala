@@ -201,4 +201,41 @@ class DedupGrainSpec extends SparkTestBase {
       Seq("doc_id", "kept_tokens", "removed_tokens", "cleaned_text"))
     assert(r.collect().forall(x => x.getLong(1) + x.getLong(2) > 0))
   }
+
+  test("occurrence cap boundary: df == cap pairs, df == cap+1 drops (self)") {
+    // the r16 grouped shape filters size(occ) <= cap; the pre-r16 join
+    // shape dropped df > cap — this pins the boundary they must share
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val rows = (1 to 3).map(i => s"(${i}L, '$run u${i}1 u${i}2 u${i}3')").mkString(", ")
+    val d = spark.sql(s"SELECT * FROM VALUES $rows t(doc_id, text)")
+    // every shared gram occurs exactly 3×: cap 3 keeps them (3 pairs)
+    assert(SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 8,
+      maxGramOccurrences = 3).count() == 3)
+    assert(SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 8,
+      maxGramOccurrences = 2).count() == 0)
+  }
+
+  test("cross-span cap boundary governs the UNION mass of both sides") {
+    val run = (1 to 10).map(i => s"c$i").mkString(" ")
+    val corp = spark.sql(
+      s"SELECT * FROM VALUES (1L, '$run x1 x2 x3'), (2L, '$run y1 y2 y3') t(doc_id, text)")
+    val bench = spark.sql(s"SELECT * FROM VALUES (100L, '$run') t(doc_id, text)")
+    // shared grams occur 2 (left) + 1 (right) = 3 times: cap 3 keeps
+    // both cross pairs, cap 2 excludes the grams entirely
+    assert(SpanDedup.crossSpans(corp, bench, "doc_id", "text", k = 8,
+      minSpan = 8, maxGramOccurrences = 3).count() == 2)
+    assert(SpanDedup.crossSpans(corp, bench, "doc_id", "text", k = 8,
+      minSpan = 8, maxGramOccurrences = 2).count() == 0)
+  }
+
+  test("Pipeline.widenIfNarrow re-spreads a narrow leaf, leaves a wide one alone") {
+    val par = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(1000).toDF("id").coalesce(1).localCheckpoint(true)
+    assert(narrow.rdd.getNumPartitions == 1)
+    val widened = Pipeline.widenIfNarrow(narrow)
+    assert(widened.rdd.getNumPartitions == par)
+    assert(widened.count() == 1000)
+    val wide = spark.range(1000).toDF("id").repartition(par + 3).localCheckpoint(true)
+    assert(Pipeline.widenIfNarrow(wide).rdd.getNumPartitions == par + 3)
+  }
 }
