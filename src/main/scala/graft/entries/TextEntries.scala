@@ -291,6 +291,24 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("left_id", "right_id", "left_start", "right_start")
     },
 
+    // -- FULL decontamination verdict (r16): every grain the engine
+    //    detects at, one row per contaminated corpus doc — k-gram
+    //    membership (q59), verbatim-span extent (q88, summed per doc),
+    //    and exact max embedding cosine vs the benchmark (the
+    //    paraphrase grain token methods cannot see). The benchmark is
+    //    a FIXED literal slice (doc_id < 75 — an eval suite does not
+    //    grow with the corpus), so the semantic grain's nested-loop
+    //    side is benchmark-bounded at every SF. ----------------------
+    "q125_decontaminate_report" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val emb = spark.table("embeddings")
+      operators.Decontaminate.report(
+          docs.filter(col("doc_id") >= 75), docs.filter(col("doc_id") < 75),
+          emb.filter(col("vec_id") >= 75), emb.filter(col("vec_id") < 75))
+        .orderBy("doc_id")
+    },
+
     // -- DSIR-style data selection: per-doc avg log-likelihood RATIO
     //    between a target-domain (lang='en') and the raw-corpus trigram
     //    model over a 1024-bucket hashed feature space (md5-derived, so
@@ -762,6 +780,60 @@ private[graft] trait TextEntries extends EntryInfra {
         |SELECT left_id, right_id, left_start, right_start, span_tokens
         |FROM spans WHERE span_tokens >= 20
         |ORDER BY left_id, right_id, left_start, right_start""".stripMargin,
+
+    // q125: the q59 ngram CTE + the q88 span CTEs (summed per corpus
+    // doc) + an exact max-cosine grain (q44's DOUBLE[]/round(6)
+    // convention), all on the fixed doc_id < 75 benchmark split
+    "q125_decontaminate_report" ->
+      """WITH toksn AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> array_to_string(t[i:i+2], ' '))) s
+        |       FROM toksn WHERE len(t) >= 3),
+        |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 75),
+        |ng AS (SELECT DISTINCT c.doc_id
+        |       FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 75) c
+        |       JOIN bg USING (g)),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |         FROM documents WHERE trim(text) <> ''),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |              unnest(list_transform(range(len(t) - 7),
+        |                     i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
+        |       FROM toks WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, pos, gr FROM g0
+        |      QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |             a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gr = b.gr
+        |      WHERE a.doc_id < 75 AND b.doc_id >= 75),
+        |runs AS (SELECT da, db, diag, pa, pb,
+        |                pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa)
+        |                  AS island
+        |         FROM m),
+        |spans AS (SELECT db AS doc_id, max(pa) - min(pa) + 8 AS span_tokens
+        |          FROM runs GROUP BY da, db, diag, island),
+        |sp AS (SELECT doc_id, sum(span_tokens) AS st FROM spans
+        |       WHERE span_tokens >= 20 GROUP BY doc_id),
+        |sem AS (SELECT c.vec_id AS doc_id,
+        |               round(max(list_cosine_similarity(c.embedding::DOUBLE[],
+        |                                                b.embedding::DOUBLE[])), 6) AS mc
+        |        FROM embeddings c, embeddings b
+        |        WHERE c.vec_id >= 75 AND b.vec_id < 75
+        |        GROUP BY c.vec_id
+        |        HAVING max(list_cosine_similarity(c.embedding::DOUBLE[],
+        |                                          b.embedding::DOUBLE[])) >= 0.3)
+        |SELECT d.doc_id,
+        |       (ng.doc_id IS NOT NULL) AS ngram_hit,
+        |       CAST(coalesce(sp.st, 0) AS BIGINT) AS span_tokens,
+        |       sem.mc AS sem_cosine,
+        |       CAST(ng.doc_id IS NOT NULL AS INTEGER)
+        |         + CAST(coalesce(sp.st, 0) > 0 AS INTEGER)
+        |         + CAST(sem.mc IS NOT NULL AS INTEGER) AS n_grains
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 75) d
+        |LEFT JOIN ng USING (doc_id)
+        |LEFT JOIN sp USING (doc_id)
+        |LEFT JOIN sem USING (doc_id)
+        |WHERE ng.doc_id IS NOT NULL OR coalesce(sp.st, 0) > 0 OR sem.mc IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // hashed-trigram importance weights: same normalization/trigram
     // derivation as q83, buckets via the portable md5-prefix hash, two

@@ -434,6 +434,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(flagged == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> false))
   }
 
+  test("decontamination report: each grain fires independently, clean docs absent") {
+    import org.apache.spark.sql.functions.col
+    val run = (1 to 30).map(i => s"w$i").mkString(" ")
+    // doc 10: ngram-only overlap (one shared 3-gram, run too short for a
+    // span); doc 11: a full 30-token verbatim copy (span + ngram); doc 12:
+    // token-disjoint from the benchmark (embedding grain only); doc 13: clean
+    val corp = spark.sql(
+      s"""SELECT * FROM VALUES
+         |  (10L, 'alpha beta gamma then different tail entirely'),
+         |  (11L, '$run'),
+         |  (12L, 'nothing shared with eval tokens at all'),
+         |  (13L, 'totally clean text body here') t(doc_id, text)""".stripMargin)
+    val bench = spark.sql(
+      s"SELECT * FROM VALUES (1L, 'alpha beta gamma closes the eval'), (2L, '$run') t(doc_id, text)")
+    def emb(rows: String) = spark.sql(
+      s"SELECT vec_id, CAST(embedding AS ARRAY<FLOAT>) AS embedding FROM VALUES $rows t(vec_id, embedding)")
+    // doc 12's vector is parallel to bench vec 1 (cosine 1.0); docs
+    // 10/11/13 sit orthogonal to both benchmark vectors
+    val corpEmb = emb(
+      "(10L, array(1.0, 0.0)), (11L, array(1.0, 0.0)), (12L, array(0.0, 2.0)), (13L, array(1.0, 0.0))")
+    val benchEmb = emb("(1L, array(0.0, 1.0)), (2L, array(0.0, -1.0))")
+    val out = Decontaminate.report(corp, bench, corpEmb, benchEmb,
+        minSpan = 20, cosTau = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), Option(r.get(3)), r.getInt(4)))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L), out)
+    assert(out(10L) == ((true, 0L, None, 1)), out(10L))         // ngram only
+    assert(out(11L)._1 && out(11L)._2 == 30L && out(11L)._3.isEmpty &&
+      out(11L)._4 == 2, out(11L))                               // ngram + span
+    assert(out(12L) == ((false, 0L, Some(1.0d), 1)), out(12L))  // semantic only
+  }
+
   test("connected components: chains close transitively, labels = component min") {
     // 1-2-3-4 chain (diameter 3 forces >1 propagation round), 10-11 pair,
     // 20 isolated via self-pair, 30 absent from any pair
