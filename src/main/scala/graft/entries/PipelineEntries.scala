@@ -85,6 +85,27 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- DECONTAMINATED curation (r16, q112 + benchmark decontamination
+    //    as stage 1.75): the corpus (doc_id >= 75) is curated with the
+    //    fixed eval slice (doc_id < 75) as the benchmark - exact
+    //    survivors sharing a 13-gram with it (the GPT-3-style membership
+    //    grain; span hits are implied) or reaching 0.4 embedding cosine
+    //    against any eval vector (the paraphrase grain) drop as
+    //    `contaminated` before their text can feed gram statistics.
+    //    Proves q125's grains compose into the pipeline. --------------
+    "q126_curate_decontaminated" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val emb = spark.table("embeddings")
+      operators.Pipeline.curateFull(
+          docs.filter(col("doc_id") >= 75), emb.filter(col("vec_id") >= 75),
+          "doc_id", "text", "source",
+          benchmark = Some(docs.filter(col("doc_id") < 75)),
+          benchmarkEmb = Some(emb.filter(col("vec_id") < 75)),
+          contamNgramK = 13, contamCosTau = 0.4)
+        .orderBy("doc_id")
+    },
+
     // -- QUALITY-GATED curation (q112 + the trained NB classifier as
     //    stage 2.5): the q119 model (seed = en doc_id%4=0, crawl =
     //    doc_id%4=1, trained on RAW text) scores each span survivor's
@@ -620,6 +641,143 @@ private[graft] trait PipelineEntries extends EntryInfra {
     // model trained on RAW documents slices, span survivors scored on
     // CLEANED text (bucket union covers cleaned-only bigrams), integer
     // log-odds < 0 drop as low_quality before the pairwise stages
+    "q126_curate_decontaminated" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source, text,
+        |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id >= 75),
+        |exact_drop AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM norm) WHERE rn > 1),
+        |s1 AS (SELECT * FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),
+        |contam_sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 11),
+        |                i -> array_to_string(t[i:i+12], ' '))) s
+        |              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM s1)
+        |              WHERE len(t) >= 13),
+        |bench_sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 11),
+        |               i -> array_to_string(t[i:i+12], ' '))) s
+        |             FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') t
+        |                   FROM documents WHERE doc_id < 75)
+        |             WHERE len(t) >= 13),
+        |bench_g AS (SELECT DISTINCT unnest(s) AS g FROM bench_sh),
+        |contam_ng AS (SELECT DISTINCT c.doc_id
+        |              FROM (SELECT doc_id, unnest(s) AS g FROM contam_sh) c
+        |              JOIN bench_g USING (g)),
+        |contam_sem AS (SELECT c.vec_id AS doc_id
+        |               FROM embeddings c, embeddings b
+        |               WHERE b.vec_id < 75 AND c.vec_id IN (SELECT doc_id FROM s1)
+        |               GROUP BY c.vec_id
+        |               HAVING max(list_cosine_similarity(c.embedding::DOUBLE[],
+        |                                                 b.embedding::DOUBLE[])) >= 0.4),
+        |contam_drop AS (SELECT doc_id FROM contam_ng UNION SELECT doc_id FROM contam_sem),
+        |s1c AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM contam_drop)),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |         FROM s1c WHERE trim(text) <> ''),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |              unnest(list_transform(range(len(t) - 7),
+        |                     i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
+        |       FROM toks WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, pos, gr FROM g0
+        |      QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |             a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+        |runs AS (SELECT da, db, diag, pa, pb,
+        |                pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island
+        |         FROM m),
+        |spans AS (SELECT db AS doc_id, min(pb) AS b_start,
+        |                 max(pa) - min(pa) + 8 AS span_tokens
+        |          FROM runs GROUP BY da, db, diag, island),
+        |cutset AS (SELECT DISTINCT doc_id,
+        |                  unnest(range(b_start, b_start + span_tokens)) AS cut
+        |           FROM spans WHERE span_tokens >= 20),
+        |tok AS (SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS w FROM toks),
+        |keptt AS (SELECT tok.doc_id, tok.pos, tok.w
+        |          FROM tok LEFT JOIN cutset
+        |            ON tok.doc_id = cutset.doc_id AND tok.pos = cutset.cut
+        |          WHERE cutset.cut IS NULL),
+        |cleaned AS (SELECT toks.doc_id,
+        |                   CAST(count(keptt.pos) AS BIGINT) AS kept_tokens,
+        |                   CAST(len(any_value(toks.t)) - count(keptt.pos) AS BIGINT) AS removed_tokens,
+        |                   coalesce(string_agg(keptt.w, ' ' ORDER BY keptt.pos), '') AS cleaned_text
+        |            FROM toks LEFT JOIN keptt ON toks.doc_id = keptt.doc_id
+        |            GROUP BY toks.doc_id),
+        |s2 AS (SELECT * FROM cleaned WHERE kept_tokens > 0),
+        |ctoks AS (SELECT doc_id, string_split_regex(trim(cleaned_text), '\s+') AS ct FROM s2),
+        |csh AS (SELECT doc_id,
+        |               CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
+        |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
+        |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
+        |        FROM ctoks),
+        |npairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM csh a JOIN csh b ON a.doc_id < b.doc_id),
+        |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM npairs WHERE j >= 0.9),
+        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE vec_id IN (SELECT doc_id FROM s3)),
+        |k0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |ka1 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, k0 c),
+        |ks1 AS (SELECT vec_id, v, cl FROM ka1 WHERE rn = 1),
+        |kc1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
+        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks1, range(1, 65) t(i) GROUP BY cl, i)
+        |        GROUP BY cl),
+        |ka2 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, kc1 c),
+        |ks2 AS (SELECT vec_id, v, cl FROM ka2 WHERE rn = 1),
+        |kc2 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
+        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks2, range(1, 65) t(i) GROUP BY cl, i)
+        |        GROUP BY cl),
+        |ka3 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, kc2 c),
+        |ks3 AS (SELECT vec_id, v, cl FROM ka3 WHERE rn = 1),
+        |sem_drop AS (SELECT s.vec_id AS doc_id FROM ks3 s
+        |             WHERE EXISTS (SELECT 1 FROM ks3 a
+        |                           WHERE a.cl = s.cl AND a.vec_id < s.vec_id
+        |                             AND list_cosine_similarity(a.v, s.v) >= 0.35)),
+        |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)),
+        |qt AS (SELECT s4.doc_id, d.source, s4.kept_tokens AS n_tokens,
+        |              md5(CAST(s4.doc_id AS VARCHAR)) AS key
+        |       FROM s4 JOIN documents d USING (doc_id)),
+        |qw AS (SELECT doc_id, n_tokens,
+        |              sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS cum,
+        |              row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+        |       FROM qt),
+        |quota_drop AS (SELECT doc_id FROM qw WHERE NOT (cum <= 700 OR rn = 1)),
+        |ann AS (
+        |  SELECT d.doc_id, d.source, c.kept_tokens,
+        |         CAST(coalesce(c.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+        |         c.cleaned_text,
+        |         CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'
+        |              WHEN d.doc_id IN (SELECT doc_id FROM contam_drop) THEN 'contaminated'
+        |              WHEN c.doc_id IS NULL OR c.kept_tokens = 0 THEN 'empty'
+        |              WHEN d.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
+        |              WHEN d.doc_id IN (SELECT doc_id FROM sem_drop) THEN 'sem_dup'
+        |              WHEN d.doc_id IN (SELECT doc_id FROM quota_drop) THEN 'over_quota'
+        |              ELSE 'kept' END AS decision
+        |  FROM (SELECT * FROM documents WHERE doc_id >= 75) d LEFT JOIN cleaned c USING (doc_id))
+        |SELECT doc_id, source, decision, removed_tokens,
+        |       CASE WHEN decision = 'kept' THEN kept_tokens END AS n_tokens,
+        |       CASE WHEN decision = 'kept' THEN md5(cleaned_text) END AS final_md5
+        |FROM ann ORDER BY doc_id""".stripMargin,
+
+    // q126 note: the oracle above is the q112 chain with the
+    // contamination CTEs (13-gram membership + 0.4-cosine paraphrase
+    // grain vs the doc_id < 75 eval slice) patched between s1 and the
+    // span stage - derived programmatically from the q112 oracle text
+    // with anchor asserts
+
     "q122_curate_quality" ->
       """WITH norm AS (
         |  SELECT doc_id, source, text,

@@ -96,6 +96,11 @@ object Pipeline {
     *   1.5. (optional, `media`) media-integrity gate: an image-bearing
     *      doc whose asset fails decode, or decodes blank/extreme →
     *      `bad_media`,
+    *   1.75. (optional, `benchmark`) eval-suite decontamination: a
+    *      survivor sharing a k-gram shingle with the benchmark or
+    *      reaching `contamCosTau` embedding cosine against any
+    *      benchmark vector → `contaminated` (its text never feeds the
+    *      gram statistics downstream),
     *   2. duplicated-SPAN removal — survivor text is REWRITTEN (cleaned),
     *      and a doc cleaned down to nothing is `empty`,
     *   2.5. (optional, `seedFilter`) trained-quality gate: NB
@@ -109,8 +114,8 @@ object Pipeline {
     *
     * One row out per input document: (id, source, decision,
     * removed_tokens, n_tokens, final_md5), decision ∈ {exact_dup,
-    * bad_media, empty, low_quality, near_dup, sem_dup, over_quota,
-    * kept}; n_tokens/final_md5 are
+    * bad_media, contaminated, empty, low_quality, near_dup, sem_dup,
+    * over_quota, kept}; n_tokens/final_md5 are
     * non-null for kept rows only, so the result IS the survivor corpus
     * fingerprint and the per-stage decision counts in one relation.
     *
@@ -135,7 +140,10 @@ object Pipeline {
                  media: Option[DataFrame] = None,
                  mediaCodec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
                  mediaGrid: Int = 2,
-                 minMeanLum: Double = 5.0, maxMeanLum: Double = 250.0): DataFrame = {
+                 minMeanLum: Double = 5.0, maxMeanLum: Double = 250.0,
+                 benchmark: Option[DataFrame] = None,
+                 benchmarkEmb: Option[DataFrame] = None,
+                 contamNgramK: Int = 3, contamCosTau: Double = 0.3): DataFrame = {
     val id = col(idCol)
 
     // Each stage output is EAGERLY localCheckpoint'ed — the Components
@@ -175,11 +183,45 @@ object Pipeline {
     }.getOrElse(docs.limit(0).select(id.as("__media_drop")))
     val s1m = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
 
+    // 1.75 (optional, r16) benchmark decontamination: exact/media
+    //     survivors sharing a k-gram shingle with the benchmark
+    //     ([[Decontaminate.contaminatedIds]] — membership implies every
+    //     span hit too, a ≥ minSpan verbatim run shares its k-grams) OR
+    //     whose embedding reaches `contamCosTau` cosine against any
+    //     benchmark vector (the paraphrase grain) drop as `contaminated`
+    //     BEFORE the text stages — eval-suite text must not feed gram
+    //     statistics or survive into training data. The benchmark is an
+    //     eval suite: fixed and small, so the cosine scan is
+    //     benchmark-bounded map-side work (the [[Decontaminate.report]]
+    //     contract). None → empty drop set, prior shape byte-identical.
+    val contamDrops = benchmark.map { b =>
+      val ng = Decontaminate.contaminatedIds(
+          s1m.select(id, col(textCol)), b.select(col(idCol), col(textCol)),
+          idCol, textCol, contamNgramK)
+        .select(col("doc"))
+      val bEmb = benchmarkEmb.getOrElse(sys.error(
+        "benchmark decontamination needs benchmarkEmb for the semantic grain"))
+      val sem = embeddings
+        .join(s1m.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
+          SimilarityOps.norm(col(vecCol)).as("__cnrm"))
+        .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
+          SimilarityOps.norm(col(vecCol)).as("__bnrm")))
+        .withColumn("__cos", SimilarityOps.dot(col("__cvec"), col("__bvec")) /
+          (col("__cnrm") * col("__bnrm")))
+        .groupBy("doc").agg(max(col("__cos")).as("__mc"))
+        .filter(col("__mc") >= contamCosTau)
+        .select(col("doc"))
+      ng.union(sem).distinct()
+        .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
+    }.getOrElse(docs.limit(0).select(id.as("__contam_drop")))
+    val s1c = s1m.join(contamDrops, id === col("__contam_drop"), "left_anti")
+
     // 2. span removal over exact survivors (blank docs fall out here and
     //    are decided `empty` in the assembly, matching removeDuplicatedSpans'
     //    non-blank output contract); a doc whose every token sat in a
     //    duplicated span is `empty` too
-    val cleaned = SpanDedup.removeDuplicatedSpans(s1m, idCol, textCol,
+    val cleaned = SpanDedup.removeDuplicatedSpans(s1c, idCol, textCol,
       spanK, minSpan, maxGramOccurrences).localCheckpoint(eager = true)
     val s2 = cleaned.filter(col("kept_tokens") > 0)
 
@@ -252,6 +294,7 @@ object Pipeline {
     docs.select(id, col(sourceCol))
       .join(exactDrops, id === col("__exact_drop"), "left")
       .join(mediaDrops, id === col("__media_drop"), "left")
+      .join(contamDrops, id === col("__contam_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
       .join(qualityDrops, id === col("__quality_drop"), "left")
@@ -261,6 +304,7 @@ object Pipeline {
       .withColumn("decision",
         when(col("__exact_drop").isNotNull, "exact_dup")
           .when(col("__media_drop").isNotNull, "bad_media")
+          .when(col("__contam_drop").isNotNull, "contaminated")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__quality_drop").isNotNull, "low_quality")
           .when(col("__near_drop").isNotNull, "near_dup")

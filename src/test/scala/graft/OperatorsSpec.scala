@@ -1075,6 +1075,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(ranked.filter(_._2 == "low_quality").keySet == Set(3L, 4L), s"$ranked")
   }
 
+  test("curateFull decontamination: both grains drop, precedence holds, hook off unchanged") {
+    import spark.implicits._
+    val run13 = (1 to 16).map(i => s"e$i").mkString(" ")
+    val corpus = Seq(
+      (10L, "s0", s"prefix words here then $run13 and a tail"),    // 13-gram grain
+      (11L, "s1", "entirely original article nothing shared with the eval suite at all one"),
+      (12L, "s2", "plain original text disjoint from evaluation tokens completely two"), // cosine grain
+      (13L, "s3", "another clean original document with its own words three")
+    ).toDF("doc_id", "source", "text")
+    val bench = Seq((1L, "b", s"eval item starts $run13 closes")).toDF("doc_id", "source", "text")
+    val embRows = Seq(
+      10L -> Array(1f, 0f), 11L -> Array(0f, 1f),
+      12L -> Array(3f, 4f), 13L -> Array(-1f, 0f))
+    val embs = embRows.toDF("vec_id", "emb").withColumn("emb", col("emb").cast("array<float>"))
+    // bench vector parallel to doc 12 only (cosine 1.0); 10/11/13 at ≤ 0.8?
+    // 12=(3,4)/5 vs bench (0.6,0.8): cos=1. 10=(1,0): cos 0.6 > 0.4! use tau 0.9
+    val benchEmb = Seq(1L -> Array(0.6f, 0.8f)).toDF("vec_id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    val out = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 2, tokenBudget = 1000L,
+        benchmark = Some(bench), benchmarkEmb = Some(benchEmb),
+        contamNgramK = 13, contamCosTau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(10L) == "contaminated" && out(12L) == "contaminated", s"decisions: $out")
+    assert(out(11L) == "kept" && out(13L) == "kept", s"decisions: $out")
+    // hook off: no contaminated class, the grains' docs survive curation
+    val off = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 2, tokenBudget = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(off.values.forall(_ != "contaminated"), s"decisions with hook off: $off")
+    assert(off(10L) == "kept" && off(12L) == "kept", s"$off")
+  }
+
   test("pair detectors' eager mode: identical pairs, base cache released, leaf plan") {
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
