@@ -106,6 +106,25 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- DECONTAMINATED incremental curation (r16, q115 + eval-suite
+    //    decontamination as stage 1.9 - q126's ingest twin): each batch
+    //    is judged against the SAME fixed benchmark (13-gram membership
+    //    + 0.4-cosine paraphrase grain) before the history stages, so
+    //    eval text never enters the corpus store at any grain. --------
+    "q127_curate_incremental_decontaminated" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val emb = spark.table("embeddings")
+      val corpus = docs.filter(col("doc_id") >= 75)
+      operators.Pipeline.curateIncremental(
+          corpus.filter(col("doc_id") % 2 === 0),
+          corpus.filter(col("doc_id") % 2 === 1),
+          emb.filter(col("vec_id") >= 75), "doc_id", "text",
+          benchmark = Some(docs.filter(col("doc_id") < 75)),
+          benchmarkEmb = Some(emb.filter(col("vec_id") < 75)))
+        .orderBy("doc_id")
+    },
+
     // -- QUALITY-GATED curation (q112 + the trained NB classifier as
     //    stage 2.5): the q119 model (seed = en doc_id%4=0, crawl =
     //    doc_id%4=1, trained on RAW text) scores each span survivor's
@@ -641,6 +660,150 @@ private[graft] trait PipelineEntries extends EntryInfra {
     // model trained on RAW documents slices, span survivors scored on
     // CLEANED text (bucket union covers cleaned-only bigrams), integer
     // log-odds < 0 drop as low_quality before the pairwise stages
+    "q127_curate_incremental_decontaminated" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text,
+        |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id >= 75),
+        |hist AS (SELECT * FROM norm WHERE doc_id % 2 = 0),
+        |bat  AS (SELECT * FROM norm WHERE doc_id % 2 = 1),
+        |exact_drop AS (SELECT doc_id FROM bat WHERE fp IN (SELECT fp FROM hist)),
+        |s1 AS (SELECT * FROM bat WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),
+        |contam_sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 11),
+        |                i -> array_to_string(t[i:i+12], ' '))) s
+        |              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM s1)
+        |              WHERE len(t) >= 13),
+        |bench_sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 11),
+        |               i -> array_to_string(t[i:i+12], ' '))) s
+        |             FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') t
+        |                   FROM documents WHERE doc_id < 75)
+        |             WHERE len(t) >= 13),
+        |bench_g AS (SELECT DISTINCT unnest(s) AS g FROM bench_sh),
+        |contam_ng AS (SELECT DISTINCT c.doc_id
+        |              FROM (SELECT doc_id, unnest(s) AS g FROM contam_sh) c
+        |              JOIN bench_g USING (g)),
+        |contam_sem AS (SELECT c.vec_id AS doc_id
+        |               FROM embeddings c, embeddings b
+        |               WHERE b.vec_id < 75 AND c.vec_id IN (SELECT doc_id FROM s1)
+        |               GROUP BY c.vec_id
+        |               HAVING max(list_cosine_similarity(c.embedding::DOUBLE[],
+        |                                                 b.embedding::DOUBLE[])) >= 0.4),
+        |contam_drop AS (SELECT doc_id FROM contam_ng UNION SELECT doc_id FROM contam_sem),
+        |s1c AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM contam_drop)),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |         FROM (SELECT doc_id, text FROM hist UNION ALL SELECT doc_id, text FROM s1c)
+        |         WHERE trim(text) <> ''),
+        |g0 AS (SELECT doc_id, unnest(range(len(t) - 7)) AS pos,
+        |              unnest(list_transform(range(len(t) - 7),
+        |                     i -> array_to_string(t[i + 1 : i + 8], ' '))) AS gr
+        |       FROM toks WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, pos, gr FROM g0
+        |      QUALIFY count(*) OVER (PARTITION BY gr) <= 1000),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+        |             a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gr = b.gr
+        |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        |runs AS (SELECT da, db, diag, pa, pb,
+        |                pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS island
+        |         FROM m),
+        |spans AS (SELECT db AS doc_id, min(pb) AS b_start,
+        |                 max(pa) - min(pa) + 8 AS span_tokens
+        |          FROM runs GROUP BY da, db, diag, island),
+        |cutset AS (SELECT DISTINCT doc_id,
+        |                  unnest(range(b_start, b_start + span_tokens)) AS cut
+        |           FROM spans WHERE span_tokens >= 20),
+        |btoks AS (SELECT doc_id, t FROM toks WHERE doc_id % 2 = 1),
+        |btok AS (SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS w FROM btoks),
+        |keptt AS (SELECT btok.doc_id, btok.pos, btok.w
+        |          FROM btok LEFT JOIN cutset
+        |            ON btok.doc_id = cutset.doc_id AND btok.pos = cutset.cut
+        |          WHERE cutset.cut IS NULL),
+        |cleaned AS (SELECT btoks.doc_id,
+        |                   CAST(count(keptt.pos) AS BIGINT) AS kept_tokens,
+        |                   CAST(len(any_value(btoks.t)) - count(keptt.pos) AS BIGINT) AS removed_tokens,
+        |                   coalesce(string_agg(keptt.w, ' ' ORDER BY keptt.pos), '') AS cleaned_text
+        |            FROM btoks LEFT JOIN keptt ON btoks.doc_id = keptt.doc_id
+        |            GROUP BY btoks.doc_id),
+        |s2 AS (SELECT * FROM cleaned WHERE kept_tokens > 0),
+        |hct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ct
+        |        FROM hist WHERE trim(text) <> ''),
+        |bct AS (SELECT doc_id, string_split_regex(trim(cleaned_text), '\s+') AS ct FROM s2),
+        |hsh AS (SELECT doc_id,
+        |               CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
+        |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
+        |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
+        |        FROM hct),
+        |bsh AS (SELECT doc_id,
+        |               CASE WHEN len(ct) < 3 THEN [array_to_string(ct, ' ')]
+        |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
+        |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
+        |        FROM bct),
+        |near_drop AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM hsh a JOIN bsh b
+        |    ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |     WHERE vec_id % 2 = 0 AND vec_id >= 75),
+        |bt AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+        |       WHERE vec_id IN (SELECT doc_id FROM s3)),
+        |k0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |ka1 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, k0 c),
+        |ks1 AS (SELECT vec_id, v, cl FROM ka1 WHERE rn = 1),
+        |kc1 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
+        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks1, range(1, 65) t(i) GROUP BY cl, i)
+        |        GROUP BY cl),
+        |ka2 AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, kc1 c),
+        |ks2 AS (SELECT vec_id, v, cl FROM ka2 WHERE rn = 1),
+        |kc2 AS (SELECT cl, list(m ORDER BY i) AS cv FROM
+        |         (SELECT cl, i, sum(v[i]) / count(*) AS m FROM ks2, range(1, 65) t(i) GROUP BY cl, i)
+        |        GROUP BY cl),
+        |khs AS (SELECT e.vec_id, e.v, c.cl,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) AS rn
+        |        FROM e, kc2 c),
+        |kh AS (SELECT vec_id, v, cl FROM khs WHERE rn = 1),
+        |kbs AS (SELECT bt.vec_id, bt.v, c.cl,
+        |               row_number() OVER (PARTITION BY bt.vec_id
+        |                 ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(bt.v, c.cv), c.cl) AS rn
+        |        FROM bt, kc2 c),
+        |kb AS (SELECT vec_id, v, cl FROM kbs WHERE rn = 1),
+        |sem_drop AS (
+        |  SELECT s.vec_id AS doc_id FROM kb s
+        |  WHERE EXISTS (SELECT 1 FROM kh a
+        |                WHERE a.cl = s.cl AND list_cosine_similarity(a.v, s.v) >= 0.35)
+        |     OR EXISTS (SELECT 1 FROM kb a
+        |                WHERE a.cl = s.cl AND a.vec_id < s.vec_id
+        |                  AND list_cosine_similarity(a.v, s.v) >= 0.35)),
+        |ann AS (
+        |  SELECT b.doc_id, c.kept_tokens,
+        |         CAST(coalesce(c.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+        |         c.cleaned_text,
+        |         CASE WHEN b.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'
+        |              WHEN b.doc_id IN (SELECT doc_id FROM contam_drop) THEN 'contaminated'
+        |              WHEN c.doc_id IS NULL OR c.kept_tokens = 0 THEN 'empty'
+        |              WHEN b.doc_id IN (SELECT doc_id FROM near_drop) THEN 'near_dup'
+        |              WHEN b.doc_id IN (SELECT doc_id FROM sem_drop) THEN 'sem_dup'
+        |              ELSE 'kept' END AS decision
+        |  FROM bat b LEFT JOIN cleaned c USING (doc_id))
+        |SELECT doc_id, decision, removed_tokens,
+        |       CASE WHEN decision = 'kept' THEN kept_tokens END AS n_tokens,
+        |       CASE WHEN decision = 'kept' THEN md5(cleaned_text) END AS final_md5
+        |FROM ann ORDER BY doc_id""".stripMargin,
+
+    // q127 note: q115's oracle chain with the same contamination CTEs
+    // as q126 patched between s1 and the cross-span stage (and the
+    // history-embedding CTE restricted to the >= 75 corpus), derived
+    // programmatically with anchor asserts
+
     "q126_curate_decontaminated" ->
       """WITH norm AS (
         |  SELECT doc_id, source, text,

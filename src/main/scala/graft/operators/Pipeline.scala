@@ -336,9 +336,9 @@ object Pipeline {
     *   4. cross semantic dedup ([[KMeansOps.incrementalSemDedup]] against
     *      centroids fit on — or passed in from — the history snapshot).
     *
-    * One row per BATCH document: (id, decision ∈ {exact_dup, empty,
-    * low_quality, near_dup, sem_dup, kept}, removed_tokens, n_tokens,
-    * final_md5).
+    * One row per BATCH document: (id, decision ∈ {exact_dup,
+    * contaminated, empty, low_quality, near_dup, sem_dup, kept},
+    * removed_tokens, n_tokens, final_md5).
     * Intra-batch dedup and quotas are deliberately out of scope — run
     * [[curateFull]] over the admitted batch for those; this operator is
     * the contamination gate against history.
@@ -362,7 +362,11 @@ object Pipeline {
                         centroids: Option[Array[Array[Double]]] = None,
                         keepCleanedText: Boolean = false,
                         nbModel: Option[TextOps.NbModel] = None,
-                        minNbScoreU: Long = 0L): DataFrame = {
+                        minNbScoreU: Long = 0L,
+                        benchmark: Option[DataFrame] = None,
+                        benchmarkEmb: Option[DataFrame] = None,
+                        contamNgramK: Int = 13,
+                        contamCosTau: Double = 0.4): DataFrame = {
     val id = col(idCol)
 
     // 1. exact vs history (bloom candidates + exact verify = the anti-join)
@@ -370,8 +374,38 @@ object Pipeline {
         historyBlob = historyBloom)
       .localCheckpoint(eager = true)
 
+    // 1.9 (optional, r16) eval-suite decontamination — the ingest twin
+    //     of [[curateFull]]'s stage 1.75, judged per batch against the
+    //     SAME fixed benchmark (k-gram membership implies span hits; the
+    //     cosine grain catches paraphrases). History contamination is
+    //     stage 2's cross-span job; this stage guards the eval suite,
+    //     whose text must not enter the corpus store at any grain.
+    //     None → empty drop set, prior shape byte-identical.
+    val contamDrops = benchmark.map { b =>
+      val ng = Decontaminate.contaminatedIds(
+          s1.select(id, col(textCol)), b.select(col(idCol), col(textCol)),
+          idCol, textCol, contamNgramK)
+        .select(col("doc"))
+      val bEmb = benchmarkEmb.getOrElse(sys.error(
+        "benchmark decontamination needs benchmarkEmb for the semantic grain"))
+      val sem = embeddings
+        .join(s1.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
+          SimilarityOps.norm(col(vecCol)).as("__cnrm"))
+        .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
+          SimilarityOps.norm(col(vecCol)).as("__bnrm")))
+        .withColumn("__cos", SimilarityOps.dot(col("__cvec"), col("__bvec")) /
+          (col("__cnrm") * col("__bnrm")))
+        .groupBy("doc").agg(max(col("__cos")).as("__mc"))
+        .filter(col("__mc") >= contamCosTau)
+        .select(col("doc"))
+      ng.union(sem).distinct()
+        .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
+    }.getOrElse(batch.limit(0).select(id.as("__contam_drop")))
+    val s1c = s1.join(contamDrops, id === col("__contam_drop"), "left_anti")
+
     // 2. cross-span contamination removal vs history
-    val cleaned = SpanDedup.removeCrossSpans(history, s1, idCol, textCol,
+    val cleaned = SpanDedup.removeCrossSpans(history, s1c, idCol, textCol,
       spanK, minSpan, maxGramOccurrences).localCheckpoint(eager = true)
     val s2 = cleaned.filter(col("kept_tokens") > 0)
 
@@ -424,6 +458,7 @@ object Pipeline {
     // the q115 oracle shape carries only its md5.
     val ann = batch.select(id)
       .join(s1.select(id.as("__adm")), id === col("__adm"), "left")
+      .join(contamDrops, id === col("__contam_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
       .join(qualityDrops, id === col("__quality_drop"), "left")
@@ -431,6 +466,7 @@ object Pipeline {
       .join(semDrops, id === col("__sem_drop"), "left")
       .withColumn("decision",
         when(col("__adm").isNull, "exact_dup")
+          .when(col("__contam_drop").isNotNull, "contaminated")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__quality_drop").isNotNull, "low_quality")
           .when(col("__near_drop").isNotNull, "near_dup")

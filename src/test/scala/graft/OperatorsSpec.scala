@@ -1162,6 +1162,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(9L)._1 == "kept" && out(9L)._2 == 0L)
   }
 
+  test("curateIncremental decontamination: eval grains drop batch docs before history stages") {
+    import spark.implicits._
+    val run13 = (1 to 16).map(i => s"v$i").mkString(" ")
+    val history = Seq((0L, "history base document words entirely original")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"lead in words $run13 trailing words"),                 // 13-gram eval grain
+      (3L, "clean fresh batch content with no overlaps anywhere"),  // cosine eval grain
+      (5L, "another clean fresh batch document all original")       // kept
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"eval question $run13 eval answer")).toDF("doc_id", "text")
+    val embs = Seq(0L -> Array(0f, 1f), 1L -> Array(0f, -1f),
+        3L -> Array(1f, 0f), 5L -> Array(0f, -1f))
+      .toDF("vec_id", "emb").withColumn("emb", col("emb").cast("array<float>"))
+    val benchEmb = Seq(100L -> Array(1f, 0f)).toDF("vec_id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    val out = Pipeline.curateIncremental(history, batch, embs, "doc_id", "text",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 1,
+        benchmark = Some(bench), benchmarkEmb = Some(benchEmb),
+        contamNgramK = 13, contamCosTau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contaminated" && out(3L) == "contaminated", s"decisions: $out")
+    assert(out(5L) == "kept", s"decisions: $out")
+    // hook off: no contaminated class in the prior shape
+    val off = Pipeline.curateIncremental(history, batch, embs, "doc_id", "text",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(off.values.forall(_ != "contaminated"), s"decisions with hook off: $off")
+  }
+
   test("temperatureMixture: budgets follow mass^alpha; selection equals the scalar quota") {
     import spark.implicits._
     // source A: 10 docs x 10 tokens (mass 100); source B: 20 docs x 20 tokens (mass 400)

@@ -69,6 +69,7 @@ SLOW_ORACLE = {
     "q122_curate_quality": "q112 chain + NB scoring stage (OOM at sf0.1)",
     "q123_curate_incremental_quality": "q115 chain + NB calibration/scoring stages",
     "q126_curate_decontaminated": "q112 chain + contamination CTEs",
+    "q127_curate_incremental_decontaminated": "q115 chain + contamination CTEs",
 }
 
 ORACLE_TIMEOUT_S = int(os.environ.get("SF01_GATE_TIMEOUT_S", "240"))
