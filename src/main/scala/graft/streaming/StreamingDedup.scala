@@ -290,7 +290,11 @@ object StreamingDedup {
                  vecIdCol: String = "vec_id", vecCol: String = "embedding",
                  nearDupThreshold: Double = 0.9, semTau: Double = 0.35,
                  nbModel: Option[graft.operators.TextOps.NbModel] = None,
-                 minNbScoreU: Long = 0L):
+                 minNbScoreU: Long = 0L,
+                 benchmark: Option[DataFrame] = None,
+                 benchmarkEmb: Option[DataFrame] = None,
+                 contamNgramK: Int = 13,
+                 contamCosTau: Double = 0.4):
       org.apache.spark.sql.streaming.StreamingQuery = {
     batches.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -314,7 +318,9 @@ object StreamingDedup {
               vecIdCol = vecIdCol, vecCol = vecCol,
               nearDupThreshold = nearDupThreshold, semTau = semTau,
               centroids = Some(centroids), keepCleanedText = true,
-              nbModel = nbModel, minNbScoreU = minNbScoreU)
+              nbModel = nbModel, minNbScoreU = minNbScoreU,
+              benchmark = benchmark, benchmarkEmb = benchmarkEmb,
+              contamNgramK = contamNgramK, contamCosTau = contamCosTau)
             .withColumn("batch_id", lit(id))
             .write.mode("append").parquet(path)
         }

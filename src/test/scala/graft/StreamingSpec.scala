@@ -248,6 +248,49 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming curation with a benchmark: contaminated docs never enter the store") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val run13 = (1 to 16).map(i => s"sv$i").mkString(" ")
+    val seed = Seq((0L, "seed corpus document entirely original words")).toDF("doc_id", "text")
+    val bench = Seq((100L, s"eval question $run13 eval answer")).toDF("doc_id", "text")
+    val embs = Seq(0L -> Array(0f, 1f), 11L -> Array(0f, -1f),
+        13L -> Array(1f, 0f), 15L -> Array(-1f, 0f)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val benchEmb = Seq(100L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cent = operators.KMeansOps.fit(
+      embs.filter($"vec_id" === 0L), "vec_id", "embedding", k = 1, iters = 1)
+    val mem = MemoryStream[(Long, String)]
+    val store = java.nio.file.Files.createTempDirectory("graft_decon_store_").toString
+    val query = streaming.StreamingDedup.curateSink(
+      mem.toDF().toDF("doc_id", "text"), seed, embs, "doc_id", "text",
+      cent, store, benchmark = Some(bench), benchmarkEmb = Some(benchEmb),
+      contamNgramK = 13, contamCosTau = 0.9)
+    try {
+      mem.addData((11L, s"stream lead $run13 stream tail"),          // 13-gram grain
+        (13L, "clean stream doc sharing no tokens with the eval"))   // cosine grain
+      query.processAllAvailable()
+      mem.addData((15L, "later clean stream document all original"))
+      query.processAllAvailable()
+      val v = spark.read.parquet(store).select("doc_id", "decision")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v(11L) == "contaminated" && v(13L) == "contaminated", s"$v")
+      assert(v(15L) == "kept", s"$v")
+      val kept = spark.read.parquet(store).filter(col("decision") === "kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(15L), s"store must hold only clean admissions: $kept")
+    } finally {
+      query.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+  }
+
   test("autosized bloom dedup deduplicates across batches end-to-end") {
     val spark2 = spark
     import spark2.implicits._
