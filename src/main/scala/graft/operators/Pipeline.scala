@@ -382,8 +382,11 @@ object Pipeline {
     //     whose text must not enter the corpus store at any grain.
     //     None → empty drop set, prior shape byte-identical.
     val contamDrops = benchmark.map { b =>
+      // widenIfNarrow: the k-gram shingle pass (hash per window) over
+      // the s1 checkpoint is a hashing-scale scan — the helper's case
       val ng = Decontaminate.contaminatedIds(
-          s1.select(id, col(textCol)), b.select(col(idCol), col(textCol)),
+          widenIfNarrow(s1.select(id, col(textCol))),
+          b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))
       val bEmb = benchmarkEmb.getOrElse(sys.error(
