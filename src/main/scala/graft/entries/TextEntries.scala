@@ -134,6 +134,20 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc")
     },
 
+    // -- leakage-free train/val/test split (r16): every near-dup
+    //    COMPONENT lands in one split, so no 0.6-Jaccard pair straddles
+    //    a split boundary - the eval-leakage class a per-doc hash split
+    //    cannot rule out. Same pair evidence as q60; split = md5-prefix
+    //    bucket of the component label (engine-portable, reproducible
+    //    metadata). --------------------------------------------------
+    "q128_leakage_free_split" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val pairs = sharedJaccardPairs(spark, dir, k = 3, threshold = 0.6)
+      operators.Sharding.leakageFreeSplit(
+          spark.table("documents"), pairs, "doc_id")
+        .orderBy("doc_id")
+    },
+
     // -- stratified quota sampling (domain mixing; two-stage salted
     //    ranking — no corpus-sized per-group window task) ------------------
     "q61_quota_sample" -> qd { spark =>
@@ -551,6 +565,37 @@ private[graft] trait TextEntries extends EntryInfra {
         |  UNION
         |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.v)
         |SELECT v AS doc, MIN(r) AS cluster FROM reach GROUP BY v ORDER BY doc""".stripMargin,
+
+    // q128: q60's component closure + the md5-prefix bucket (q119's
+    // hash convention) over the component label
+    "q128_leakage_free_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+2], ' '))) s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.v),
+        |comp AS (SELECT v AS doc, MIN(r) AS cluster FROM reach GROUP BY v),
+        |base AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS split_key
+        |         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc),
+        |bk AS (SELECT doc_id, split_key,
+        |              ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
+        |       FROM base)
+        |SELECT doc_id, split_key,
+        |       CASE WHEN b < 80 THEN 'train'
+        |            WHEN b < 90 THEN 'validation'
+        |            ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
 
     "q46_curation" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),

@@ -59,4 +59,47 @@ object Sharding {
       .withColumn("shard", floor(
         (sum("ntok").over(Window.orderBy("doc")) - col("ntok")) / budget))
       .select(col("doc"), col("ntok"), col("shard"))
+
+  /** Leakage-free train/validation/test split: every document in one
+    * near-dup COMPONENT lands in the same split, so no near-duplicate
+    * pair ever straddles a split boundary — the eval-leakage bug class
+    * a plain per-doc hash split cannot rule out (doc A in train, its
+    * 0.95-Jaccard twin B in test = a leaked answer). Components come
+    * from the verified pair evidence ([[Components.connectedComponents]]
+    * over the q35/q60 lifecycle's pairs — a corpus-snapshot artifact);
+    * singletons are their own component. The split key is the
+    * component's min-id label, assigned by the engine-portable
+    * md5-prefix bucket (the q87/q119 convention), so the SAME corpus +
+    * pair evidence yields the SAME split on any engine and any run —
+    * splits are reproducible metadata, not state.
+    *
+    * Scale shape: one id-keyed left join of docs against the component
+    * relation (bounded by docs WITH a near-dup, AQE-broadcastable on
+    * mostly-clean corpora), plus per-row hash arithmetic — no text,
+    * no shuffle beyond the components' own equi-joins.
+    *
+    * @return one row per doc: (idCol, split_key, split ∈ {train,
+    *         validation, test}); buckets 0–99 cut at `trainPct` and
+    *         `trainPct + valPct`. */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       trainPct: Int = 80, valPct: Int = 10,
+                       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"percentages must satisfy 0 < train, 0 <= val, train + val < 100; " +
+        s"got ($trainPct, $valPct)")
+    val id = col(idCol)
+    val comp = Components.connectedComponents(pairs, aCol, bCol)
+    docs.select(id)
+      .join(comp.select(col("doc").as("__cid"), col("cluster")),
+        id === col("__cid"), "left")
+      .withColumn("split_key", coalesce(col("cluster"), id))
+      .withColumn("__bucket",
+        conv(substring(md5(col("split_key").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("__bucket") < trainPct, "train")
+          .when(col("__bucket") < trainPct + valPct, "validation")
+          .otherwise("test"))
+      .select(id, col("split_key"), col("split"))
+  }
 }

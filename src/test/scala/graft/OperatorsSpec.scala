@@ -1191,6 +1191,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(off.values.forall(_ != "contaminated"), s"decisions with hook off: $off")
   }
 
+  test("leakageFreeSplit: components share a split, no pair straddles, reproducible") {
+    import spark.implicits._
+    val docsDf = (0L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 1-2-3 chain (one component), 10-11 pair, everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Sharding.leakageFreeSplit(docsDf, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 31)
+    // every component member carries the min-id key and one split
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size == 1 && out(1L)._1 == 1L)
+    assert(out(10L) == out(11L) && out(10L)._1 == 10L)
+    assert(out(20L)._1 == 20L)
+    // the leakage contract, stated directly: no pair across splits
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      assert(out(a)._2 == out(b)._2, s"pair ($a,$b) straddles splits")
+    // deterministic: a second run is identical (splits are metadata)
+    val again = Sharding.leakageFreeSplit(docsDf, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again == out)
+    // all three splits appear over enough singletons (hash spread)
+    val splits = out.values.map(_._2).toSet
+    assert(splits == Set("train", "validation", "test"), splits.toString)
+    intercept[IllegalArgumentException] {
+      Sharding.leakageFreeSplit(docsDf, pairs, "doc_id", trainPct = 90, valPct = 10)
+    }
+  }
+
   test("temperatureMixture: budgets follow mass^alpha; selection equals the scalar quota") {
     import spark.implicits._
     // source A: 10 docs x 10 tokens (mass 100); source B: 20 docs x 20 tokens (mass 400)
