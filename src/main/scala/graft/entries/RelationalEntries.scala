@@ -212,6 +212,23 @@ private[graft] trait RelationalEntries extends EntryInfra {
           container = operators.AviContainer, every = 2)
         .orderBy("doc_id", "frame_idx")
     },
+
+    // -- REAL-container video, ISO BMFF leg: the same decodeFrames plan
+    //    over genuine MP4 files (in-repo spec-correct muxer with 'jpeg'
+    //    sample entries — the QuickTime motion-JPEG layout — and a
+    //    box-tree demuxer walking stsd/stts/stsc/stsz/stco the way a
+    //    player does). Lossless PNG payloads keep the closed-form
+    //    checksums oracle-expressible at fid = 13·doc_id + frame_idx;
+    //    the true-MJPEG path is pinned in OperatorsSpec against an
+    //    in-JVM reference decode. ------------------------------------
+    "q129_mp4_demux" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val vids = operators.Mp4Container.mp4Table(
+        spark.table("documents").filter(col("doc_id") < 8))
+      operators.VideoOps.decodeFrames(vids,
+          container = operators.Mp4Container, every = 2)
+        .orderBy("doc_id", "frame_idx")
+    },
   )
 
   protected def relationalOracle: Map[String, String] = Map(
@@ -384,6 +401,22 @@ private[graft] trait RelationalEntries extends EntryInfra {
         |             11 * doc_id + frame_idx AS fid FROM f)
         |SELECT doc_id, frame_idx,
         |       CAST(floor(frame_idx * 1000 / 12) AS BIGINT) AS ts_ms,
+        |       CAST(16 + fid % 8 AS INT) AS width,
+        |       CAST(12 + fid % 5 AS INT) AS height,
+        |       CAST((12 + fid % 5) * ((16 + fid % 8) * (fid % 200) +
+        |            (16 + fid % 8) * (16 + fid % 8 - 1) / 2) AS BIGINT) AS checksum
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // closed-form frame grid through the REAL MP4 container: 3 + id%3
+    // frames at 8 fps, sampled every 2; ts = idx*125 exactly; dims/
+    // checksum are the q42 closed forms at fid = 13·id + frame_idx
+    "q129_mp4_demux" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 3, 2)) AS frame_idx
+        |           FROM documents WHERE doc_id < 8),
+        |x AS (SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |             13 * doc_id + frame_idx AS fid FROM f)
+        |SELECT doc_id, frame_idx,
+        |       CAST(frame_idx * 125 AS BIGINT) AS ts_ms,
         |       CAST(16 + fid % 8 AS INT) AS width,
         |       CAST(12 + fid % 5 AS INT) AS height,
         |       CAST((12 + fid % 5) * ((16 + fid % 8) * (fid % 200) +

@@ -1399,4 +1399,82 @@ class OperatorsSpec extends SparkTestBase {
       Seq((9L, mixed)).toDF("doc_id", "content"), container = AviContainer).collect()
     assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
   }
+
+  test("MP4 container: ISO BMFF mux/demux round-trip, chunked layouts, audio-first, corrupt drop") {
+    // arbitrary payloads - byte-exact round-trip at 1 sample/chunk
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](9))
+    val bytes = Mp4Container.mux(25, frames)
+    val vs = Mp4Container.demux(bytes).get
+    assert(vs.fps == 25 && vs.frames.size == 3)
+    assert(vs.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // multi-sample chunks exercise the stsc run expansion, including a
+    // short last chunk covered by a second run-length entry
+    val many = (0 until 7).map(i => Array[Byte](i.toByte, (i + 1).toByte))
+    for (spc <- Seq(2, 3, 7, 10)) {
+      val vc = Mp4Container.demux(Mp4Container.mux(10, many, samplesPerChunk = spc)).get
+      assert(vc.frames.size == 7, s"spc=$spc")
+      assert(vc.frames.zip(many).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+        s"spc=$spc")
+    }
+    // PNG payloads through the real container
+    val png = (0 until 4).map(i => MediaOps.testPngBytes(i.toLong))
+    val vp = Mp4Container.demux(Mp4Container.mux(12, png)).get
+    assert(vp.fps == 12 && vp.frames.zip(png).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // corrupt containers drop, not throw: garbage, truncation (loses the
+    // trailing moov -> no sample tables), zeroed ftyp
+    assert(Mp4Container.demux("definitely not ISO BMFF".getBytes("UTF-8")).isEmpty)
+    assert(Mp4Container.demux(bytes.take(bytes.length / 2)).isEmpty)
+    // an audio-first file: splice a minimal 'soun' trak before the video
+    // one - the demuxer must pick the vide trak by hdlr, not trak order
+    val audioFirst = {
+      def cc4(s: String) = s.getBytes("US-ASCII")
+      def u32be(v: Long) = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+      def bx(typ: String, body: Array[Byte]): Array[Byte] =
+        u32be(8L + body.length) ++ cc4(typ) ++ body
+      val sounTrak = bx("trak", bx("mdia",
+        bx("hdlr", u32be(0) ++ u32be(0) ++ cc4("soun") ++
+          u32be(0) ++ u32be(0) ++ u32be(0) ++ Array[Byte](0))))
+      def find(hay: Array[Byte], needle: Array[Byte], from: Int): Int =
+        (from to hay.length - needle.length).find(i =>
+          needle.indices.forall(j => hay(i + j) == needle(j))).getOrElse(-1)
+      val trakAt = find(bytes, cc4("trak"), 0) - 4 // back over the size field
+      val patched = bytes.take(trakAt) ++ sounTrak ++ bytes.drop(trakAt)
+      // grow the enclosing moov size by the spliced bytes
+      val moovAt = find(patched, cc4("moov"), 0) - 4
+      val sz = java.nio.ByteBuffer.wrap(patched, moovAt, 4).getInt
+      java.nio.ByteBuffer.wrap(patched, moovAt, 4).putInt(sz + sounTrak.length)
+      patched
+    }
+    val va = Mp4Container.demux(audioFirst).getOrElse(fail("audio-first must demux"))
+    assert(va.fps == 25 && va.frames.size == 3, s"fps=${va.fps} n=${va.frames.size}")
+    assert(va.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+  }
+
+  test("MP4 real-MJPEG payloads: genuine JPEG-per-sample decode through the shared codec") {
+    import spark.implicits._
+    val media = Seq((4L, Mp4Container.testJpegMp4Bytes(4L))).toDF("doc_id", "content")
+    val out = VideoOps.decodeFrames(media, container = Mp4Container)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 4, out.mkString(","))
+    // dimensions survive the lossy codec exactly: the q42 closed forms
+    // at fid = 13*4 + frame_idx; ts_ms = idx*125 (8 fps)
+    assert(out.forall { r =>
+      val fid = 52L + r.getInt(1)
+      r.getInt(3) == 16 + fid % 8 && r.getInt(4) == 12 + fid % 5 &&
+        r.getLong(2) == r.getInt(1) * 125L
+    }, out.mkString(","))
+    // checksums match an in-JVM reference decode of the same JPEG bytes
+    val stream = Mp4Container.demux(Mp4Container.testJpegMp4Bytes(4L)).get
+    val expect = stream.frames.map { f =>
+      val d = MediaOps.ImageIoCodec.decode(f).get
+      d.gray.foldLeft(0L)(_ + _)
+    }
+    assert(out.map(_.getLong(5)).toSeq == expect, s"${out.map(_.getLong(5)).toSeq} vs $expect")
+    // a corrupt sample inside an otherwise-good container drops just itself
+    val mixed = Mp4Container.mux(8,
+      Seq(MediaOps.testPngBytes(1L), Array[Byte](0, 1, 2), MediaOps.testPngBytes(2L)))
+    val dec = VideoOps.decodeFrames(
+      Seq((9L, mixed)).toDF("doc_id", "content"), container = Mp4Container).collect()
+    assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
+  }
 }
