@@ -229,6 +229,24 @@ private[graft] trait RelationalEntries extends EntryInfra {
           container = operators.Mp4Container, every = 2)
         .orderBy("doc_id", "frame_idx")
     },
+
+    // -- REAL-container video, EBML/Matroska leg (completes the
+    //    AVI → MP4 → MKV triple): the same decodeFrames plan over
+    //    genuine MKV files (in-repo spec-correct muxer — EBML header,
+    //    V_MJPEG TrackEntry, cluster-per-frame SimpleBlocks — and a
+    //    recursive EBML walker selecting the track by TrackType).
+    //    Lossless PNG payloads keep the closed-form checksums
+    //    oracle-expressible at fid = 17·doc_id + frame_idx; the
+    //    true-MJPEG path is pinned in OperatorsSpec against an in-JVM
+    //    reference decode. -------------------------------------------
+    "q130_mkv_demux" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val vids = operators.MkvContainer.mkvTable(
+        spark.table("documents").filter(col("doc_id") < 8))
+      operators.VideoOps.decodeFrames(vids,
+          container = operators.MkvContainer, every = 2)
+        .orderBy("doc_id", "frame_idx")
+    },
   )
 
   protected def relationalOracle: Map[String, String] = Map(
@@ -417,6 +435,22 @@ private[graft] trait RelationalEntries extends EntryInfra {
         |             13 * doc_id + frame_idx AS fid FROM f)
         |SELECT doc_id, frame_idx,
         |       CAST(frame_idx * 125 AS BIGINT) AS ts_ms,
+        |       CAST(16 + fid % 8 AS INT) AS width,
+        |       CAST(12 + fid % 5 AS INT) AS height,
+        |       CAST((12 + fid % 5) * ((16 + fid % 8) * (fid % 200) +
+        |            (16 + fid % 8) * (16 + fid % 8 - 1) / 2) AS BIGINT) AS checksum
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // closed-form frame grid through the REAL MKV container: 2 + id%3
+    // frames at 5 fps, sampled every 2; ts = idx*200 exactly; dims/
+    // checksum are the q42 closed forms at fid = 17·id + frame_idx
+    "q130_mkv_demux" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3, 2)) AS frame_idx
+        |           FROM documents WHERE doc_id < 8),
+        |x AS (SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |             17 * doc_id + frame_idx AS fid FROM f)
+        |SELECT doc_id, frame_idx,
+        |       CAST(frame_idx * 200 AS BIGINT) AS ts_ms,
         |       CAST(16 + fid % 8 AS INT) AS width,
         |       CAST(12 + fid % 5 AS INT) AS height,
         |       CAST((12 + fid % 5) * ((16 + fid % 8) * (fid % 200) +

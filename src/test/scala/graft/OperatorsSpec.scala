@@ -1477,4 +1477,93 @@ class OperatorsSpec extends SparkTestBase {
       Seq((9L, mixed)).toDF("doc_id", "content"), container = Mp4Container).collect()
     assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
   }
+
+  test("MKV container: EBML mux/demux round-trip, audio-first track, corrupt drop") {
+    // arbitrary payloads - byte-exact round-trip
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](9))
+    val bytes = MkvContainer.mux(25, frames)
+    val vs = MkvContainer.demux(bytes).get
+    assert(vs.fps == 25 && vs.frames.size == 3)
+    assert(vs.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // PNG payloads through the real container
+    val png = (0 until 4).map(i => MediaOps.testPngBytes(i.toLong))
+    val vp = MkvContainer.demux(MkvContainer.mux(12, png)).get
+    assert(vp.fps == 12 && vp.frames.zip(png).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // corrupt containers drop, not throw: garbage, missing EBML header;
+    // a truncated tail keeps the frames that demuxed before the cut
+    assert(MkvContainer.demux("definitely not EBML at all".getBytes("UTF-8")).isEmpty)
+    assert(MkvContainer.demux(bytes.drop(4)).isEmpty)
+    val cut = MkvContainer.demux(bytes.take(bytes.length - 2))
+    assert(cut.forall(_.frames.size <= 3))
+    // an audio-first file, hand-built in EBML: Tracks = (soun entry as
+    // track 1, video entry as track 2), blocks on track 2 - the demuxer
+    // must select by TrackType, not take the first entry
+    val audioFirst = {
+      def idb(id: Long): Array[Byte] = {
+        val len = if (id <= 0xFF) 1 else if (id <= 0xFFFF) 2
+                  else if (id <= 0xFFFFFF) 3 else 4
+        (0 until len).map(i => ((id >> (8 * (len - 1 - i))) & 0xFF).toByte).toArray
+      }
+      def vi(v: Long): Array[Byte] = {
+        var len = 1
+        while (len < 8 && v >= (1L << (7 * len)) - 1) len += 1
+        val out = new Array[Byte](len)
+        var x = v | (1L << (7 * len))
+        var i = len - 1
+        while (i >= 0) { out(i) = (x & 0xFF).toByte; x >>= 8; i -= 1 }
+        out
+      }
+      def ub(v: Long): Array[Byte] = {
+        var len = 1
+        while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+        (0 until len).map(i => ((v >>> (8 * (len - 1 - i))) & 0xFF).toByte).toArray
+      }
+      def e(id: Long, body: Array[Byte]*): Array[Byte] = {
+        val b = body.flatten.toArray; idb(id) ++ vi(b.length.toLong) ++ b
+      }
+      val hdr = e(0x1A45DFA3L, e(0x4282L, "matroska".getBytes("US-ASCII")))
+      val info = e(0x1549A966L, e(0x2AD7B1L, ub(1000000L)))
+      val soun = e(0xAEL, e(0xD7L, ub(1)), e(0x83L, ub(2)) /* audio */ ,
+        e(0x86L, "A_PCM/INT/LIT".getBytes("US-ASCII")))
+      val vide = e(0xAEL, e(0xD7L, ub(2)), e(0x83L, ub(1)) /* video */ ,
+        e(0x23E383L, ub(1000000000L / 25)))
+      val tracks = e(0x1654AE6BL, soun, vide)
+      val clusters = frames.zipWithIndex.map { case (f, idx) =>
+        e(0x1F43B675L, e(0xE7L, ub(idx * 40L)),
+          e(0xA3L, vi(2L) ++ Array[Byte](0, 0, 0x80.toByte) ++ f))
+      }
+      hdr ++ e(0x18538067L, (Seq(info, tracks) ++ clusters): _*)
+    }
+    val va = MkvContainer.demux(audioFirst).getOrElse(fail("audio-first must demux"))
+    assert(va.fps == 25 && va.frames.size == 3, s"fps=${va.fps} n=${va.frames.size}")
+    assert(va.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+  }
+
+  test("MKV real-MJPEG payloads: genuine JPEG-per-block decode through the shared codec") {
+    import spark.implicits._
+    val media = Seq((5L, MkvContainer.testMjpegMkvBytes(5L))).toDF("doc_id", "content")
+    val out = VideoOps.decodeFrames(media, container = MkvContainer)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 4, out.mkString(","))
+    // dimensions survive the lossy codec exactly: the q42 closed forms
+    // at fid = 17*5 + frame_idx; ts_ms = idx*200 (5 fps)
+    assert(out.forall { r =>
+      val fid = 85L + r.getInt(1)
+      r.getInt(3) == 16 + fid % 8 && r.getInt(4) == 12 + fid % 5 &&
+        r.getLong(2) == r.getInt(1) * 200L
+    }, out.mkString(","))
+    // checksums match an in-JVM reference decode of the same JPEG bytes
+    val stream = MkvContainer.demux(MkvContainer.testMjpegMkvBytes(5L)).get
+    val expect = stream.frames.map { f =>
+      val d = MediaOps.ImageIoCodec.decode(f).get
+      d.gray.foldLeft(0L)(_ + _)
+    }
+    assert(out.map(_.getLong(5)).toSeq == expect, s"${out.map(_.getLong(5)).toSeq} vs $expect")
+    // a corrupt block inside an otherwise-good container drops just itself
+    val mixed = MkvContainer.mux(5,
+      Seq(MediaOps.testPngBytes(1L), Array[Byte](0, 1, 2), MediaOps.testPngBytes(2L)))
+    val dec = VideoOps.decodeFrames(
+      Seq((9L, mixed)).toDF("doc_id", "content"), container = MkvContainer).collect()
+    assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
+  }
 }

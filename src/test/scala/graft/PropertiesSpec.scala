@@ -424,6 +424,44 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("MKV container: round-trip property over payloads/fps; fuzz never throws") {
+    val rnd = new scala.util.Random(20260816L)
+    // round-trip: arbitrary payloads (incl. empty frame list and empty
+    // blocks) come back byte-exact with the fps preserved
+    for (trial <- 0 until 50) {
+      val n = rnd.nextInt(6)
+      val fps = 1 + rnd.nextInt(60)
+      val frames = Seq.fill(n) {
+        val len = rnd.nextInt(200)
+        val b = new Array[Byte](len); rnd.nextBytes(b); b
+      }
+      val vs = operators.MkvContainer.demux(operators.MkvContainer.mux(fps, frames))
+        .getOrElse(fail(s"trial $trial: demux of own mux returned None"))
+      assert(vs.fps == fps, s"trial $trial: ${vs.fps} != $fps")
+      assert(vs.frames.size == n, s"trial $trial")
+      assert(vs.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) },
+        s"trial $trial")
+    }
+    // fuzz: random bytes, truncations, and random corruptions of a VALID
+    // container must never throw - None or a demuxed prefix only
+    val base = operators.MkvContainer.mux(12,
+      Seq.fill(4)(operators.MediaOps.testPngBytes(rnd.nextInt(50).toLong)))
+    for (trial <- 0 until 300) {
+      val bytes =
+        if (trial % 3 == 0) { val b = new Array[Byte](rnd.nextInt(400)); rnd.nextBytes(b); b }
+        else if (trial % 3 == 1) base.take(rnd.nextInt(base.length + 1))
+        else {
+          val b = base.clone()
+          for (_ <- 0 to rnd.nextInt(8)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+        }
+      operators.MkvContainer.demux(bytes) match {
+        case Some(vs) => assert(vs.fps > 0 && vs.frames.size <= (1 << 20))
+        case None => ()
+      }
+    }
+  }
+
   test("NB classifier edges: empty slices refuse; blanks train nothing; model round-trip total") {
     val spark2 = spark
     import spark2.implicits._
