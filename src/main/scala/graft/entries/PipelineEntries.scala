@@ -85,6 +85,26 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- FULL multimodal curation (r16, q121 + the VIDEO arm): even-id
+    //    docs carry the image fixture, odd-id docs carry REAL MP4
+    //    containers (the ISO BMFF leg) with closed-form bad classes -
+    //    corrupt container / dead payloads (demuxes but zero frames
+    //    decode, a class only a video gate can see) / blank stream
+    //    (every frame uniform) - all dropping as `bad_media` before the
+    //    text stages. The composition a 100 TB multimodal pipeline
+    //    actually runs: one demux+decode pass per modality, no shuffle
+    //    in either gate. --------------------------------------------
+    "q131_curate_multimodal_video" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.Pipeline.curateFull(docs, spark.table("embeddings"),
+          "doc_id", "text", "source",
+          media = Some(operators.MediaOps.curatedMediaTable(docs)),
+          video = Some(operators.VideoOps.curatedVideoTable(docs)),
+          videoContainer = operators.Mp4Container)
+        .orderBy("doc_id")
+    },
+
     // -- DECONTAMINATED curation (r16, q112 + benchmark decontamination
     //    as stage 1.75): the corpus (doc_id >= 75) is curated with the
     //    fixed eval slice (doc_id < 75) as the benchmark - exact
@@ -179,7 +199,8 @@ private[graft] trait PipelineEntries extends EntryInfra {
     },
   )
 
-  protected def pipelineOracle: Map[String, String] = Map(
+  protected def pipelineOracle: Map[String, String] = {
+  val base = Map(
     // the five stage oracles chained as CTEs on each other's
     // survivors: q34's fingerprint dedup, q86's span removal, q35's
     // exact-Jaccard pairs (threshold 0.9, over CLEANED text), q101's
@@ -1246,4 +1267,20 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |            ELSE 'tail' END AS bucket
         |FROM sc CROSS JOIN t1 CROSS JOIN t2 ORDER BY sc.doc_id""".stripMargin,
   )
+  // q131 = q121's oracle with the media-gate predicate widened to both
+  // modality arms: even ids carry the image fixture, odd ids the VIDEO
+  // fixture (real MP4 containers), and both use the same id%7 bad
+  // classes - so the combined bad_media set is simply id%7 IN (3,5,6).
+  // Derived from the q121 text with anchor asserts (the q126 pattern),
+  // so the two stay in lockstep if the base chain evolves.
+  val q121 = base("q121_curate_multimodal")
+  val gateA = "s1m AS (SELECT * FROM s1 WHERE NOT (doc_id % 2 = 0 AND doc_id % 7 IN (3, 5, 6)))"
+  val gateB = "s1m AS (SELECT * FROM s1 WHERE NOT (doc_id % 7 IN (3, 5, 6)))"
+  val annA = "WHEN d.doc_id % 2 = 0 AND d.doc_id % 7 IN (3, 5, 6) THEN 'bad_media'"
+  val annB = "WHEN d.doc_id % 7 IN (3, 5, 6) THEN 'bad_media'"
+  require(q121.contains(gateA) && q121.contains(annA),
+    "q121 oracle anchors drifted - update the q131 derivation")
+  base + ("q131_curate_multimodal_video" ->
+    q121.replace(gateA, gateB).replace(annA, annB))
+  }
 }

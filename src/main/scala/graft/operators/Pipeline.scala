@@ -95,7 +95,10 @@ object Pipeline {
     *   1. exact dedup (normalized fingerprint; lowest id survives),
     *   1.5. (optional, `media`) media-integrity gate: an image-bearing
     *      doc whose asset fails decode, or decodes blank/extreme →
-    *      `bad_media`,
+    *      `bad_media`; (optional, `video`) the video arm of the same
+    *      gate — demux failure, zero decodable frames, out-of-band
+    *      luminance, or every-frame-uniform (blank stream) →
+    *      `bad_media` too,
     *   1.75. (optional, `benchmark`) eval-suite decontamination: a
     *      survivor sharing a k-gram shingle with the benchmark or
     *      reaching `contamCosTau` embedding cosine against any
@@ -141,6 +144,9 @@ object Pipeline {
                  mediaCodec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
                  mediaGrid: Int = 2,
                  minMeanLum: Double = 5.0, maxMeanLum: Double = 250.0,
+                 video: Option[DataFrame] = None,
+                 videoContainer: VideoOps.VideoContainer = VideoOps.GvidContainer,
+                 videoEvery: Int = 1,
                  benchmark: Option[DataFrame] = None,
                  benchmarkEmb: Option[DataFrame] = None,
                  contamNgramK: Int = 3, contamCosTau: Double = 0.3): DataFrame = {
@@ -172,7 +178,7 @@ object Pipeline {
     //     ok=false rows, so no second scan of the binary column), per-
     //     partition, no shuffle; docs without a media row are text-only
     //     and pass untouched. None → empty drop set, q112 unchanged.
-    val mediaDrops = media.map { m =>
+    val imageDrops = media.map { m =>
       val mIn = m.select(col(idCol).as("doc_id"), col("content"))
         .join(s1.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
       val mean = col("checksum").cast("double") / (col("width") * col("height"))
@@ -181,6 +187,24 @@ object Pipeline {
           array_max(col("features")) === array_min(col("features")))
         .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__media_drop")))
+    // 1.5v (optional, r16) the VIDEO arm of the same gate, now that the
+    //     container legs are real (AVI/MP4/MKV): a video-bearing doc
+    //     whose container fails to demux, decodes ZERO frames (dead
+    //     payloads — a class only a video gate can see), falls outside
+    //     the luminance band, or is uniform in every decoded frame
+    //     (blank/dead-camera stream) drops as the same `bad_media`
+    //     class. One demux+decode pass ([[VideoOps.decodeStatus]]),
+    //     per-partition, no shuffle; `videoEvery` samples the check.
+    val videoDrops = video.map { v =>
+      val vIn = v.select(col(idCol).as("doc_id"), col("content"))
+        .join(s1.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+      val vMean = col("pix_sum").cast("double") / col("pix_cnt")
+      VideoOps.decodeStatus(vIn, videoContainer, mediaCodec, videoEvery).toDF()
+        .filter(!col("ok") || col("n_decoded") === 0 ||
+          vMean < minMeanLum || vMean > maxMeanLum || col("uniform"))
+        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
+    }.getOrElse(docs.limit(0).select(id.as("__media_drop")))
+    val mediaDrops = imageDrops.union(videoDrops)
     val s1m = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
 
     // 1.75 (optional, r16) benchmark decontamination: exact/media

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Video as a first-class binary modality — the third leg of the
@@ -93,6 +93,101 @@ object VideoOps {
 
   final case class FrameDecoded(doc_id: Long, frame_idx: Int, ts_ms: Long,
                                 width: Int, height: Int, checksum: Long)
+
+  /** Per-video integrity summary for the curation gate: demux outcome,
+    * frame counts, global pixel mass (mean luminance = pix_sum/pix_cnt),
+    * and whether EVERY decoded frame is a uniform raster (a blank /
+    * dead-camera video). */
+  final case class VideoStatus(doc_id: Long, ok: Boolean, n_frames: Int,
+                               n_decoded: Int, pix_sum: Long, pix_cnt: Long,
+                               uniform: Boolean)
+
+  /** One decode pass over a video column producing [[VideoStatus]] rows
+    * — the video analog of [[MediaOps.decodeStatus]]: demux failures and
+    * all-frames-undecodable containers are KEPT as ok=false /
+    * n_decoded=0 rows (no second scan of the binary column to find
+    * them). Partition-parallel mapPartitions, no shuffle; `every`
+    * samples the integrity check the same way [[decodeFrames]] samples
+    * decode work — at 100 TB a gate does not need every frame of a
+    * 30 fps stream to call a video blank. */
+  def decodeStatus(media: DataFrame,
+                   container: VideoContainer = GvidContainer,
+                   codec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
+                   every: Int = 1): Dataset[VideoStatus] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          container.demux(bytes) match {
+            case None => VideoStatus(id, ok = false, 0, 0, 0L, 0L, uniform = false)
+            case Some(vs) =>
+              var decoded = 0
+              var pixSum = 0L
+              var pixCnt = 0L
+              var allUniform = true
+              vs.frames.iterator.zipWithIndex
+                .filter(_._2 % every == 0)
+                .foreach { case (payload, _) =>
+                  codec.decode(payload).foreach { d =>
+                    decoded += 1
+                    var mn = 255; var mx = 0
+                    var i = 0
+                    while (i < d.gray.length) {
+                      val v = d.gray(i)
+                      pixSum += v
+                      if (v < mn) mn = v
+                      if (v > mx) mx = v
+                      i += 1
+                    }
+                    pixCnt += d.gray.length
+                    if (mn != mx) allUniform = false
+                  }
+                }
+              VideoStatus(id, ok = true, vs.frames.length, decoded,
+                pixSum, pixCnt, uniform = decoded > 0 && allUniform)
+          }
+        }
+      }
+  }
+
+  /** Deterministic curation-fixture video for `docId`, closed-form bad
+    * classes by id arithmetic (the [[MediaOps.testCuratedMediaBytes]]
+    * convention, in a REAL container — [[Mp4Container]]):
+    *  - id%7 == 3 → corrupt bytes (demux fails),
+    *  - id%7 == 5 → a VALID container whose every frame payload is
+    *    garbage (demuxes fine, zero frames decode — the dead-payload
+    *    class only a video gate can see),
+    *  - id%7 == 6 → a blank video: every frame a uniform raster at
+    *    value 100 (mean inside any sane luminance band — only the
+    *    uniformity rule catches it),
+    *  - else → healthy [[MediaOps.testPngBytes]] gradients at
+    *    fid = 19·docId + f (mean in [7.5, 210.5]). */
+  def testCuratedVideoBytes(docId: Long): Array[Byte] = {
+    val n = 2 + (docId % 3).toInt
+    (docId % 7) match {
+      case 3 => Array[Byte](0x42, 0x41, 0x44, 0x56, 0x49, 0x44)
+      case 5 => Mp4Container.mux(6, (0 until n).map(f =>
+        Array[Byte](0x6E, 0x6F, 0x70, 0x65, f.toByte)))
+      case 6 => Mp4Container.mux(6, (0 until n).map(_ =>
+        MediaOps.constPngBytes(docId, 100)))
+      case _ => Mp4Container.mux(6, (0 until n).map(f =>
+        MediaOps.testPngBytes(19 * docId + f)))
+    }
+  }
+
+  /** (doc_id, content) table of [[testCuratedVideoBytes]] containers for
+    * the ODD-id docs (even ids carry the image fixture in
+    * [[MediaOps.curatedMediaTable]]; a multimodal corpus is never fully
+    * video-bearing), encoded partition-parallel. */
+  def curatedVideoTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id") % 2 === 1).as[Long]
+      .mapPartitions(it => it.map(id => (id, testCuratedVideoBytes(id))))
+      .toDF("doc_id", "content")
+  }
 
   /** REAL per-frame decode with in-demux sampling: every `every`-th
     * frame (from 0) is image-decoded; the rest are skipped WITHOUT

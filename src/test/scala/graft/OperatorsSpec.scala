@@ -1302,6 +1302,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(0L) == "kept" && out(1L) == "kept", s"$out")
   }
 
+  test("video-integrity gate: each bad class flags, healthy and video-less docs pass") {
+    import spark.implicits._
+    // decodeStatus over REAL MP4 containers: demux-fail, dead payloads
+    // (demuxes, zero frames decode), blank stream, healthy
+    val videos = Seq(
+      (0L, Mp4Container.mux(6, Seq(MediaOps.testPngBytes(0L), MediaOps.testPngBytes(1L)))),
+      (3L, Array[Byte](1, 2, 3)),                                        // demux fail
+      (5L, Mp4Container.mux(6, Seq(Array[Byte](9, 9), Array[Byte](8)))), // dead payloads
+      (6L, Mp4Container.mux(6, Seq(MediaOps.constPngBytes(6L, 100),
+        MediaOps.constPngBytes(6L, 100))))                               // blank stream
+    ).toDF("doc_id", "content")
+    val st = VideoOps.decodeStatus(videos, container = Mp4Container)
+      .collect().map(v => v.doc_id -> v).toMap
+    assert(st(0L).ok && st(0L).n_decoded == 2 && !st(0L).uniform)
+    assert(!st(3L).ok)
+    assert(st(5L).ok && st(5L).n_frames == 2 && st(5L).n_decoded == 0)
+    assert(st(6L).ok && st(6L).n_decoded == 2 && st(6L).uniform)
+    // the curateFull video arm: docs 3/5/6 drop as bad_media; 0 (healthy
+    // video) and 1 (no video row) pass through to kept
+    val corpus = Seq(
+      (0L, "s0", "doc zero healthy video body words"),
+      (1L, "s1", "doc one text only body words here"),
+      (3L, "s3", "doc three corrupt container body words"),
+      (5L, "s5", "doc five dead payloads body words"),
+      (6L, "s6", "doc six blank stream body words")
+    ).toDF("doc_id", "source", "text")
+    val embs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(0f, 0f, 1f, 0f), 5L -> Array(0f, 0f, 0f, 1f),
+      6L -> Array(0f, -1f, 0f, 0f)).toDF("vec_id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    val out = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 2, tokenBudget = 1000L,
+        video = Some(videos), videoContainer = Mp4Container)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(3L) == "bad_media" && out(5L) == "bad_media" && out(6L) == "bad_media", s"$out")
+    assert(out(0L) == "kept" && out(1L) == "kept", s"$out")
+    // gate off => no bad_media decisions at all (prior shape unchanged)
+    val off = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 2, tokenBudget = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(off.values.forall(_ != "bad_media"), s"$off")
+  }
+
   test("AVI container: RIFF mux/demux round-trip, odd-length padding, corrupt drop") {
     // arbitrary payloads, odd and even lengths — byte-exact round-trip
     val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](9))
