@@ -105,6 +105,24 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- FULL tri-modal curation (r16, q131 + the AUDIO arm): image
+    //    fixture on even ids, real MP4 video on odd ids, real WAV audio
+    //    on id%3==0 ids (modalities OVERLAP - a doc can carry several;
+    //    the drop union is distinct'd). Audio bad classes by id%11:
+    //    corrupt (4) / silent DC line (7) / zero-sample chunk (9), all
+    //    dropping as `bad_media` before the text stages. -------------
+    "q132_curate_trimodal" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.Pipeline.curateFull(docs, spark.table("embeddings"),
+          "doc_id", "text", "source",
+          media = Some(operators.MediaOps.curatedMediaTable(docs)),
+          video = Some(operators.VideoOps.curatedVideoTable(docs)),
+          videoContainer = operators.Mp4Container,
+          audio = Some(operators.MediaOps.curatedAudioTable(docs)))
+        .orderBy("doc_id")
+    },
+
     // -- DECONTAMINATED curation (r16, q112 + benchmark decontamination
     //    as stage 1.75): the corpus (doc_id >= 75) is curated with the
     //    fixed eval slice (doc_id < 75) as the benchmark - exact
@@ -1280,7 +1298,16 @@ private[graft] trait PipelineEntries extends EntryInfra {
   val annB = "WHEN d.doc_id % 7 IN (3, 5, 6) THEN 'bad_media'"
   require(q121.contains(gateA) && q121.contains(annA),
     "q121 oracle anchors drifted - update the q131 derivation")
-  base + ("q131_curate_multimodal_video" ->
-    q121.replace(gateA, gateB).replace(annA, annB))
+  val q131 = q121.replace(gateA, gateB).replace(annA, annB)
+  // q132 widens q131's predicate once more with the audio arm: clips
+  // ride id%3==0 docs with id%11 bad classes (corrupt 4 / silent 7 /
+  // zero-sample 9), independent of the image/video id%7 classes.
+  val gateC = "s1m AS (SELECT * FROM s1 WHERE NOT (doc_id % 7 IN (3, 5, 6) " +
+    "OR (doc_id % 3 = 0 AND doc_id % 11 IN (4, 7, 9))))"
+  val annC = "WHEN d.doc_id % 7 IN (3, 5, 6) " +
+    "OR (d.doc_id % 3 = 0 AND d.doc_id % 11 IN (4, 7, 9)) THEN 'bad_media'"
+  base +
+    ("q131_curate_multimodal_video" -> q131) +
+    ("q132_curate_trimodal" -> q131.replace(gateB, gateC).replace(annB, annC))
   }
 }

@@ -326,6 +326,90 @@ object MediaOps {
       .toDF("doc_id", "content")
   }
 
+  /** Constant-sample WAV at `docId`'s [[testWavBytes]] geometry — the
+    * "silent / dead-mic clip" fixture (a DC line is what a broken
+    * recording chain produces); `n` overrides the sample count (0 =
+    * an empty data chunk — a truncated upload). */
+  def constWavBytes(docId: Long, value: Int, n: Int = -1): Array[Byte] = {
+    val len = if (n >= 0) n else 400 + (docId % 100).toInt
+    val b = java.nio.ByteBuffer.allocate(44 + len)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + len)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1); b.putShort(1); b.putInt(8000); b.putInt(8000)
+    b.putShort(1); b.putShort(8)
+    b.put("data".getBytes("US-ASCII")).putInt(len)
+    var i = 0
+    while (i < len) { b.put(value.toByte); i += 1 }
+    b.array()
+  }
+
+  /** Per-clip integrity summary for the curation gate: decode outcome,
+    * sample count/mass, and whether the clip is SILENT (every sample
+    * equal — a dead mic / DC line). Decode failures are KEPT as
+    * ok=false rows, same single-pass contract as [[decodeStatus]]. */
+  final case class AudioStatus(doc_id: Long, ok: Boolean, n_samples: Int,
+                               sample_sum: Long, silent: Boolean)
+
+  /** One decode pass over an audio column producing [[AudioStatus]]
+    * rows — the audio analog of [[decodeStatus]]/`VideoOps.decodeStatus`:
+    * partition-parallel mapPartitions, no shuffle, no second scan of the
+    * binary column. */
+  def audioStatus(media: DataFrame,
+                  codec: AudioCodec = JavaSoundCodec): Dataset[AudioStatus] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          codec.decode(bytes) match {
+            case None => AudioStatus(id, ok = false, 0, 0L, silent = false)
+            case Some(a) =>
+              var sum = 0L
+              var mn = Int.MaxValue; var mx = Int.MinValue
+              var i = 0
+              while (i < a.samples.length) {
+                val v = a.samples(i)
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              AudioStatus(id, ok = true, a.samples.length, sum,
+                silent = a.samples.length > 0 && mn == mx)
+          }
+        }
+      }
+  }
+
+  /** Deterministic curation-fixture clip for `docId`, closed-form bad
+    * classes by id arithmetic (id%11, so the audio classes are
+    * independent of the image/video id%7 classes):
+    *  - id%11 == 4 → corrupt bytes (decode fails),
+    *  - id%11 == 7 → a silent clip (every sample 128 — the dead-mic DC
+    *    line only the silence rule catches),
+    *  - id%11 == 9 → an empty data chunk (decodes, zero samples),
+    *  - else → the healthy [[testWavBytes]] ramp. */
+  def testCuratedAudioBytes(docId: Long): Array[Byte] = (docId % 11) match {
+    case 4 => Array[Byte](0x42, 0x41, 0x44, 0x57, 0x41, 0x56)
+    case 7 => constWavBytes(docId, 128)
+    case 9 => constWavBytes(docId, 0, n = 0)
+    case _ => testWavBytes(docId)
+  }
+
+  /** (doc_id, content) table of [[testCuratedAudioBytes]] clips for the
+    * id%3==0 docs (so audio-bearing docs overlap both the even-id image
+    * and odd-id video fixtures — a doc can carry several modalities),
+    * encoded partition-parallel. */
+  def curatedAudioTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id") % 3 === 0).as[Long]
+      .mapPartitions(it => it.map(id => (id, testCuratedAudioBytes(id))))
+      .toDF("doc_id", "content")
+  }
+
   case class AudioDecoded(doc_id: Long, sample_rate: Int, n_samples: Int,
                           checksum: Long)
 

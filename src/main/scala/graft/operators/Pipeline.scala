@@ -98,7 +98,9 @@ object Pipeline {
     *      `bad_media`; (optional, `video`) the video arm of the same
     *      gate — demux failure, zero decodable frames, out-of-band
     *      luminance, or every-frame-uniform (blank stream) →
-    *      `bad_media` too,
+    *      `bad_media` too; (optional, `audio`) the audio arm —
+    *      decode failure, zero samples, or a silent clip →
+    *      `bad_media` as well,
     *   1.75. (optional, `benchmark`) eval-suite decontamination: a
     *      survivor sharing a k-gram shingle with the benchmark or
     *      reaching `contamCosTau` embedding cosine against any
@@ -147,6 +149,8 @@ object Pipeline {
                  video: Option[DataFrame] = None,
                  videoContainer: VideoOps.VideoContainer = VideoOps.GvidContainer,
                  videoEvery: Int = 1,
+                 audio: Option[DataFrame] = None,
+                 audioCodec: MediaOps.AudioCodec = MediaOps.JavaSoundCodec,
                  benchmark: Option[DataFrame] = None,
                  benchmarkEmb: Option[DataFrame] = None,
                  contamNgramK: Int = 3, contamCosTau: Double = 0.3): DataFrame = {
@@ -204,7 +208,21 @@ object Pipeline {
           vMean < minMeanLum || vMean > maxMeanLum || col("uniform"))
         .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__media_drop")))
-    val mediaDrops = imageDrops.union(videoDrops)
+    // 1.5a (optional, r16) the AUDIO arm: a clip that fails decode,
+    //     decodes to ZERO samples (truncated upload), or is SILENT
+    //     (every sample equal — a dead-mic DC line) drops as the same
+    //     `bad_media` class. One decode pass ([[MediaOps.audioStatus]]),
+    //     per-partition, no shuffle.
+    val audioDrops = audio.map { a =>
+      val aIn = a.select(col(idCol).as("doc_id"), col("content"))
+        .join(s1.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+      MediaOps.audioStatus(aIn, audioCodec).toDF()
+        .filter(!col("ok") || col("n_samples") === 0 || col("silent"))
+        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
+    }.getOrElse(docs.limit(0).select(id.as("__media_drop")))
+    // distinct: a doc can carry several modalities, and two arms flagging
+    // the same id must not fan out the final assembly's left join
+    val mediaDrops = imageDrops.union(videoDrops).union(audioDrops).distinct()
     val s1m = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
 
     // 1.75 (optional, r16) benchmark decontamination: exact/media

@@ -1346,6 +1346,47 @@ class OperatorsSpec extends SparkTestBase {
     assert(off.values.forall(_ != "bad_media"), s"$off")
   }
 
+  test("audio-integrity gate: each bad class flags; overlapping arms don't fan out rows") {
+    import spark.implicits._
+    val clips = Seq(
+      (0L, MediaOps.testWavBytes(0L)),            // healthy ramp
+      (3L, Array[Byte](1, 2, 3)),                 // undecodable
+      (5L, MediaOps.constWavBytes(5L, 128)),      // silent DC line
+      (6L, MediaOps.constWavBytes(6L, 0, n = 0))  // zero samples
+    ).toDF("doc_id", "content")
+    val st = MediaOps.audioStatus(clips).collect().map(a => a.doc_id -> a).toMap
+    assert(st(0L).ok && st(0L).n_samples == 400 && !st(0L).silent)
+    assert(!st(3L).ok)
+    assert(st(5L).ok && st(5L).silent)
+    assert(st(6L).ok && st(6L).n_samples == 0)
+    val corpus = Seq(
+      (0L, "s0", "doc zero healthy audio body words"),
+      (1L, "s1", "doc one text only body words here"),
+      (3L, "s3", "doc three corrupt clip body words"),
+      (5L, "s5", "doc five silent clip body words"),
+      (6L, "s6", "doc six empty clip body words")
+    ).toDF("doc_id", "source", "text")
+    val embs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(0f, 0f, 1f, 0f), 5L -> Array(0f, 0f, 0f, 1f),
+      6L -> Array(0f, -1f, 0f, 0f)).toDF("vec_id", "emb")
+      .withColumn("emb", col("emb").cast("array<float>"))
+    val out = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 2, tokenBudget = 1000L,
+        audio = Some(clips))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(3L) == "bad_media" && out(5L) == "bad_media" && out(6L) == "bad_media", s"$out")
+    assert(out(0L) == "kept" && out(1L) == "kept", s"$out")
+    // a doc flagged by TWO arms must still yield exactly one output row
+    val badBoth = Seq((3L, Array[Byte](9, 9, 9))).toDF("doc_id", "content")
+    val rows = Pipeline.curateFull(corpus, embs, "doc_id", "text", "source",
+        vecIdCol = "vec_id", vecCol = "emb", semK = 2, tokenBudget = 1000L,
+        media = Some(badBoth), audio = Some(clips))
+      .collect()
+    assert(rows.length == 5, s"fan-out: ${rows.length} rows")
+    assert(rows.count(r => r.getLong(0) == 3L) == 1)
+  }
+
   test("AVI container: RIFF mux/demux round-trip, odd-length padding, corrupt drop") {
     // arbitrary payloads, odd and even lengths — byte-exact round-trip
     val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](9))
