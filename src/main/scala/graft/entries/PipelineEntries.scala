@@ -123,6 +123,28 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- MULTIMODAL incremental curation (r16, q115 + the media gate at
+    //    ingest grain): each batch doc's assets are decoded ONCE and
+    //    judged before any text stage - corrupt/dead/blank video (real
+    //    MP4 containers on the odd-id batch) and corrupt/silent/empty
+    //    audio (real WAV on id%3==0) drop as `bad_media`; history was
+    //    gated at its own admission, so per-batch media cost = batch
+    //    assets only. The ingest twin of q132. ----------------------
+    "q133_curate_incremental_media" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.Pipeline.curateIncremental(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          spark.table("embeddings"), "doc_id", "text",
+          historyBloom = sharedHistoryBloom(spark, dir),
+          centroids = sharedHistoryCentroids(spark, dir),
+          video = Some(operators.VideoOps.curatedVideoTable(docs)),
+          videoContainer = operators.Mp4Container,
+          audio = Some(operators.MediaOps.curatedAudioTable(docs)))
+        .orderBy("doc_id")
+    },
+
     // -- DECONTAMINATED curation (r16, q112 + benchmark decontamination
     //    as stage 1.75): the corpus (doc_id >= 75) is curated with the
     //    fixed eval slice (doc_id < 75) as the benchmark - exact
@@ -1306,8 +1328,23 @@ private[graft] trait PipelineEntries extends EntryInfra {
     "OR (doc_id % 3 = 0 AND doc_id % 11 IN (4, 7, 9))))"
   val annC = "WHEN d.doc_id % 7 IN (3, 5, 6) " +
     "OR (d.doc_id % 3 = 0 AND d.doc_id % 11 IN (4, 7, 9)) THEN 'bad_media'"
+  // q133 = q115's oracle with the same combined video+audio predicate
+  // gating the admitted batch (odd ids) between the exact stage and
+  // everything downstream, plus the bad_media decision branch.
+  val q115 = base("q115_curate_incremental")
+  val incGateA = "s1 AS (SELECT * FROM bat WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),"
+  val incGateB = "s1x AS (SELECT * FROM bat WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),\n" +
+    "s1 AS (SELECT * FROM s1x WHERE NOT (doc_id % 7 IN (3, 5, 6) " +
+    "OR (doc_id % 3 = 0 AND doc_id % 11 IN (4, 7, 9)))),"
+  val incAnnA = "WHEN b.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'"
+  val incAnnB = incAnnA + "\n              WHEN b.doc_id % 7 IN (3, 5, 6) " +
+    "OR (b.doc_id % 3 = 0 AND b.doc_id % 11 IN (4, 7, 9)) THEN 'bad_media'"
+  require(q115.contains(incGateA) && q115.contains(incAnnA),
+    "q115 oracle anchors drifted - update the q133 derivation")
   base +
     ("q131_curate_multimodal_video" -> q131) +
-    ("q132_curate_trimodal" -> q131.replace(gateB, gateC).replace(annB, annC))
+    ("q132_curate_trimodal" -> q131.replace(gateB, gateC).replace(annB, annC)) +
+    ("q133_curate_incremental_media" ->
+      q115.replace(incGateA, incGateB).replace(incAnnA, incAnnB))
   }
 }

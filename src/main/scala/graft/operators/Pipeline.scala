@@ -38,6 +38,55 @@ object Pipeline {
     * (checkpointed) leaf, so the partition probe triggers no job. At
     * production scale stage outputs exceed parallelism and this is the
     * identity. */
+  /** The three modality arms of the `bad_media` gate as ONE distinct'd
+    * drop relation over `survivors` (the exact-dedup output — only docs
+    * still in play get their assets decoded):
+    *  - image ([[MediaOps.decodeStatus]]): decode-fail / out-of-band
+    *    mean luminance / uniform raster,
+    *  - video ([[VideoOps.decodeStatus]]): demux-fail / zero decodable
+    *    frames (dead payloads) / out-of-band luminance / every-frame-
+    *    uniform (blank stream),
+    *  - audio ([[MediaOps.audioStatus]]): decode-fail / zero samples /
+    *    silent (every sample equal).
+    * Each arm is one partition-parallel decode pass, failures kept as
+    * status rows (no second scan of the binary column), checkpointed as
+    * its own leaf. The union is DISTINCT because modalities may overlap
+    * on a doc, and the caller left-joins this relation in the final
+    * assembly — duplicates would fan out output rows. Shared by
+    * [[curateFull]] (stage 1.5) and [[curateIncremental]] (stage 1.5,
+    * judging only batch docs). */
+  private def mediaGateDrops(survivors: DataFrame, idCol: String,
+      media: Option[DataFrame], mediaCodec: MediaOps.ImageCodec,
+      mediaGrid: Int, minMeanLum: Double, maxMeanLum: Double,
+      video: Option[DataFrame], videoContainer: VideoOps.VideoContainer,
+      videoEvery: Int, audio: Option[DataFrame],
+      audioCodec: MediaOps.AudioCodec, empty: DataFrame): DataFrame = {
+    val id = col(idCol)
+    def inPlay(assets: DataFrame): DataFrame =
+      assets.select(col(idCol).as("doc_id"), col("content"))
+        .join(survivors.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+    val imageDrops = media.map { m =>
+      val mean = col("checksum").cast("double") / (col("width") * col("height"))
+      MediaOps.decodeStatus(inPlay(m), mediaCodec, mediaGrid).toDF()
+        .filter(!col("ok") || mean < minMeanLum || mean > maxMeanLum ||
+          array_max(col("features")) === array_min(col("features")))
+        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
+    }.getOrElse(empty)
+    val videoDrops = video.map { v =>
+      val vMean = col("pix_sum").cast("double") / col("pix_cnt")
+      VideoOps.decodeStatus(inPlay(v), videoContainer, mediaCodec, videoEvery).toDF()
+        .filter(!col("ok") || col("n_decoded") === 0 ||
+          vMean < minMeanLum || vMean > maxMeanLum || col("uniform"))
+        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
+    }.getOrElse(empty)
+    val audioDrops = audio.map { a =>
+      MediaOps.audioStatus(inPlay(a), audioCodec).toDF()
+        .filter(!col("ok") || col("n_samples") === 0 || col("silent"))
+        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
+    }.getOrElse(empty)
+    imageDrops.union(videoDrops).union(audioDrops).distinct()
+  }
+
   private[graft] def widenIfNarrow(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
@@ -173,56 +222,19 @@ object Pipeline {
       .select(col("__dup_id").as("__exact_drop")).localCheckpoint(eager = true)
     val s1 = docs.join(exactDrops, id === col("__exact_drop"), "left_anti")
 
-    // 1.5 (optional, r16) media-integrity gate: image-bearing exact
-    //     survivors whose asset fails to decode, or decodes to a
-    //     blank (uniform) or extreme-luminance raster, drop as
-    //     `bad_media` BEFORE the text stages — their text must not feed
-    //     gram statistics any more than their pixels feed training.
-    //     One decode pass ([[MediaOps.decodeStatus]]: failures kept as
-    //     ok=false rows, so no second scan of the binary column), per-
-    //     partition, no shuffle; docs without a media row are text-only
-    //     and pass untouched. None → empty drop set, q112 unchanged.
-    val imageDrops = media.map { m =>
-      val mIn = m.select(col(idCol).as("doc_id"), col("content"))
-        .join(s1.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-      val mean = col("checksum").cast("double") / (col("width") * col("height"))
-      MediaOps.decodeStatus(mIn, mediaCodec, mediaGrid).toDF()
-        .filter(!col("ok") || mean < minMeanLum || mean > maxMeanLum ||
-          array_max(col("features")) === array_min(col("features")))
-        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
-    }.getOrElse(docs.limit(0).select(id.as("__media_drop")))
-    // 1.5v (optional, r16) the VIDEO arm of the same gate, now that the
-    //     container legs are real (AVI/MP4/MKV): a video-bearing doc
-    //     whose container fails to demux, decodes ZERO frames (dead
-    //     payloads — a class only a video gate can see), falls outside
-    //     the luminance band, or is uniform in every decoded frame
-    //     (blank/dead-camera stream) drops as the same `bad_media`
-    //     class. One demux+decode pass ([[VideoOps.decodeStatus]]),
-    //     per-partition, no shuffle; `videoEvery` samples the check.
-    val videoDrops = video.map { v =>
-      val vIn = v.select(col(idCol).as("doc_id"), col("content"))
-        .join(s1.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-      val vMean = col("pix_sum").cast("double") / col("pix_cnt")
-      VideoOps.decodeStatus(vIn, videoContainer, mediaCodec, videoEvery).toDF()
-        .filter(!col("ok") || col("n_decoded") === 0 ||
-          vMean < minMeanLum || vMean > maxMeanLum || col("uniform"))
-        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
-    }.getOrElse(docs.limit(0).select(id.as("__media_drop")))
-    // 1.5a (optional, r16) the AUDIO arm: a clip that fails decode,
-    //     decodes to ZERO samples (truncated upload), or is SILENT
-    //     (every sample equal — a dead-mic DC line) drops as the same
-    //     `bad_media` class. One decode pass ([[MediaOps.audioStatus]]),
-    //     per-partition, no shuffle.
-    val audioDrops = audio.map { a =>
-      val aIn = a.select(col(idCol).as("doc_id"), col("content"))
-        .join(s1.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-      MediaOps.audioStatus(aIn, audioCodec).toDF()
-        .filter(!col("ok") || col("n_samples") === 0 || col("silent"))
-        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
-    }.getOrElse(docs.limit(0).select(id.as("__media_drop")))
-    // distinct: a doc can carry several modalities, and two arms flagging
-    // the same id must not fan out the final assembly's left join
-    val mediaDrops = imageDrops.union(videoDrops).union(audioDrops).distinct()
+    // 1.5 (optional, r16) media-integrity gate — all three modality
+    //     arms ([[mediaGateDrops]]): a doc whose image fails decode /
+    //     is blank / extreme, whose video fails demux / decodes zero
+    //     frames / is a blank stream, or whose audio fails decode / is
+    //     empty / silent, drops as `bad_media` BEFORE the text stages —
+    //     its text must not feed gram statistics any more than its
+    //     pixels feed training. One decode pass per modality, per-
+    //     partition, no shuffle; docs without an asset row pass
+    //     untouched. All None → empty drop set, q112 unchanged.
+    val mediaDrops = mediaGateDrops(s1, idCol,
+      media, mediaCodec, mediaGrid, minMeanLum, maxMeanLum,
+      video, videoContainer, videoEvery, audio, audioCodec,
+      docs.limit(0).select(id.as("__media_drop")))
     val s1m = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
 
     // 1.75 (optional, r16) benchmark decontamination: exact/media
@@ -367,6 +379,9 @@ object Pipeline {
     *
     *   1. exact-vs-history ([[IncrementalDedup.dedupAgainstHistory]]:
     *      bloom-probe + exact verify — exactly the anti-join),
+    *   1.5. (optional, `media`/`video`/`audio`) media-integrity gate at
+    *      ingest grain ([[mediaGateDrops]], batch docs only) →
+    *      `bad_media`,
     *   2. cross-span CONTAMINATION removal ([[SpanDedup.removeCrossSpans]]:
     *      batch copies of ≥ minSpan verbatim history runs are cut; a
     *      batch doc cleaned to nothing is `empty`),
@@ -378,7 +393,7 @@ object Pipeline {
     *   4. cross semantic dedup ([[KMeansOps.incrementalSemDedup]] against
     *      centroids fit on — or passed in from — the history snapshot).
     *
-    * One row per BATCH document: (id, decision ∈ {exact_dup,
+    * One row per BATCH document: (id, decision ∈ {exact_dup, bad_media,
     * contaminated, empty, low_quality, near_dup, sem_dup, kept},
     * removed_tokens, n_tokens, final_md5).
     * Intra-batch dedup and quotas are deliberately out of scope — run
@@ -408,13 +423,33 @@ object Pipeline {
                         benchmark: Option[DataFrame] = None,
                         benchmarkEmb: Option[DataFrame] = None,
                         contamNgramK: Int = 13,
-                        contamCosTau: Double = 0.4): DataFrame = {
+                        contamCosTau: Double = 0.4,
+                        media: Option[DataFrame] = None,
+                        mediaCodec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
+                        mediaGrid: Int = 2,
+                        minMeanLum: Double = 5.0, maxMeanLum: Double = 250.0,
+                        video: Option[DataFrame] = None,
+                        videoContainer: VideoOps.VideoContainer = VideoOps.GvidContainer,
+                        videoEvery: Int = 1,
+                        audio: Option[DataFrame] = None,
+                        audioCodec: MediaOps.AudioCodec = MediaOps.JavaSoundCodec): DataFrame = {
     val id = col(idCol)
 
     // 1. exact vs history (bloom candidates + exact verify = the anti-join)
     val s1 = IncrementalDedup.dedupAgainstHistory(batch, history, idCol, textCol,
         historyBlob = historyBloom)
       .localCheckpoint(eager = true)
+
+    // 1.5 (optional, r16) media-integrity gate — [[curateFull]]'s stage
+    //     at ingest grain: only BATCH docs get their assets decoded
+    //     (history was gated at its own admission), all three modality
+    //     arms via [[mediaGateDrops]], drops as `bad_media` before any
+    //     text stage. All None → empty drop set, q115 byte-identical.
+    val mediaDrops = mediaGateDrops(s1, idCol,
+      media, mediaCodec, mediaGrid, minMeanLum, maxMeanLum,
+      video, videoContainer, videoEvery, audio, audioCodec,
+      batch.limit(0).select(id.as("__media_drop")))
+    val s1v = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
 
     // 1.9 (optional, r16) eval-suite decontamination — the ingest twin
     //     of [[curateFull]]'s stage 1.75, judged per batch against the
@@ -427,14 +462,14 @@ object Pipeline {
       // widenIfNarrow: the k-gram shingle pass (hash per window) over
       // the s1 checkpoint is a hashing-scale scan — the helper's case
       val ng = Decontaminate.contaminatedIds(
-          widenIfNarrow(s1.select(id, col(textCol))),
+          widenIfNarrow(s1v.select(id, col(textCol))),
           b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))
       val bEmb = benchmarkEmb.getOrElse(sys.error(
         "benchmark decontamination needs benchmarkEmb for the semantic grain"))
       val sem = embeddings
-        .join(s1.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .join(s1v.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
         .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
           SimilarityOps.norm(col(vecCol)).as("__cnrm"))
         .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
@@ -447,7 +482,7 @@ object Pipeline {
       ng.union(sem).distinct()
         .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
     }.getOrElse(batch.limit(0).select(id.as("__contam_drop")))
-    val s1c = s1.join(contamDrops, id === col("__contam_drop"), "left_anti")
+    val s1c = s1v.join(contamDrops, id === col("__contam_drop"), "left_anti")
 
     // 2. cross-span contamination removal vs history
     val cleaned = SpanDedup.removeCrossSpans(history, s1c, idCol, textCol,
@@ -503,6 +538,7 @@ object Pipeline {
     // the q115 oracle shape carries only its md5.
     val ann = batch.select(id)
       .join(s1.select(id.as("__adm")), id === col("__adm"), "left")
+      .join(mediaDrops, id === col("__media_drop"), "left")
       .join(contamDrops, id === col("__contam_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
@@ -511,6 +547,7 @@ object Pipeline {
       .join(semDrops, id === col("__sem_drop"), "left")
       .withColumn("decision",
         when(col("__adm").isNull, "exact_dup")
+          .when(col("__media_drop").isNotNull, "bad_media")
           .when(col("__contam_drop").isNotNull, "contaminated")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__quality_drop").isNotNull, "low_quality")

@@ -294,7 +294,12 @@ object StreamingDedup {
                  benchmark: Option[DataFrame] = None,
                  benchmarkEmb: Option[DataFrame] = None,
                  contamNgramK: Int = 13,
-                 contamCosTau: Double = 0.4):
+                 contamCosTau: Double = 0.4,
+                 media: Option[DataFrame] = None,
+                 video: Option[DataFrame] = None,
+                 videoContainer: graft.operators.VideoOps.VideoContainer =
+                   graft.operators.VideoOps.GvidContainer,
+                 audio: Option[DataFrame] = None):
       org.apache.spark.sql.streaming.StreamingQuery = {
     batches.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -320,7 +325,9 @@ object StreamingDedup {
               centroids = Some(centroids), keepCleanedText = true,
               nbModel = nbModel, minNbScoreU = minNbScoreU,
               benchmark = benchmark, benchmarkEmb = benchmarkEmb,
-              contamNgramK = contamNgramK, contamCosTau = contamCosTau)
+              contamNgramK = contamNgramK, contamCosTau = contamCosTau,
+              media = media, video = video, videoContainer = videoContainer,
+              audio = audio)
             .withColumn("batch_id", lit(id))
             .write.mode("append").parquet(path)
         }

@@ -1387,6 +1387,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.count(r => r.getLong(0) == 3L) == 1)
   }
 
+  test("incremental media gate: batch assets judged before text stages; hook off unchanged") {
+    import spark.implicits._
+    val history = Seq((0L, "history doc alpha beta gamma words")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "batch doc healthy video body words"),
+      (13L, "batch doc corrupt video body words"),
+      (15L, "batch doc silent audio body words")
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      0L -> Array(0f, 1f), 11L -> Array(1f, 0f),
+      13L -> Array(0f, -1f), 15L -> Array(-1f, 0f)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val videos = Seq(
+      (11L, Mp4Container.mux(6, Seq(MediaOps.testPngBytes(1L)))),
+      (13L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+    val clips = Seq((15L, MediaOps.constWavBytes(15L, 128))).toDF("doc_id", "content")
+    val out = Pipeline.curateIncremental(history, batch, embs, "doc_id", "text",
+        semK = 1, video = Some(videos), videoContainer = Mp4Container,
+        audio = Some(clips))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(13L) == "bad_media" && out(15L) == "bad_media", s"$out")
+    assert(out(11L) == "kept", s"$out")
+    // hook off => no bad_media (q115 shape unchanged)
+    val off = Pipeline.curateIncremental(history, batch, embs, "doc_id", "text",
+        semK = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(off.values.forall(_ != "bad_media"), s"$off")
+  }
+
   test("AVI container: RIFF mux/demux round-trip, odd-length padding, corrupt drop") {
     // arbitrary payloads, odd and even lengths — byte-exact round-trip
     val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](9))

@@ -291,6 +291,54 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming curation with a media gate: bad-asset docs never enter the store") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val seed = Seq((0L, "seed corpus document entirely original words")).toDF("doc_id", "text")
+    val embs = Seq(0L -> Array(0f, 1f), 11L -> Array(0f, -1f),
+        13L -> Array(1f, 0f), 15L -> Array(-1f, 0f)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cent = operators.KMeansOps.fit(
+      embs.filter($"vec_id" === 0L), "vec_id", "embedding", k = 1, iters = 1)
+    // fixed asset tables (the snapshot-artifact discipline: a production
+    // sink joins each batch against its asset store by id)
+    val videos = Seq(
+      (11L, Array[Byte](1, 2, 3)),                                          // corrupt
+      (13L, operators.Mp4Container.mux(6, Seq(operators.MediaOps.testPngBytes(7L)))),
+      (15L, operators.Mp4Container.mux(6, Seq(operators.MediaOps.testPngBytes(9L))))
+    ).toDF("doc_id", "content")
+    val clips = Seq((13L, operators.MediaOps.constWavBytes(13L, 128))       // silent
+    ).toDF("doc_id", "content")
+    val mem = MemoryStream[(Long, String)]
+    val store = java.nio.file.Files.createTempDirectory("graft_media_store_").toString
+    val query = streaming.StreamingDedup.curateSink(
+      mem.toDF().toDF("doc_id", "text"), seed, embs, "doc_id", "text",
+      cent, store, video = Some(videos),
+      videoContainer = operators.Mp4Container, audio = Some(clips))
+    try {
+      mem.addData((11L, "stream doc with the corrupt video asset"),
+        (13L, "stream doc with the silent audio clip"))
+      query.processAllAvailable()
+      mem.addData((15L, "later stream document healthy video asset"))
+      query.processAllAvailable()
+      val v = spark.read.parquet(store).select("doc_id", "decision")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v(11L) == "bad_media" && v(13L) == "bad_media", s"$v")
+      assert(v(15L) == "kept", s"$v")
+      val kept = spark.read.parquet(store).filter(col("decision") === "kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(15L), s"store must hold only clean admissions: $kept")
+    } finally {
+      query.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+  }
+
   test("autosized bloom dedup deduplicates across batches end-to-end") {
     val spark2 = spark
     import spark2.implicits._

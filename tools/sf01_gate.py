@@ -69,6 +69,7 @@ SLOW_ORACLE = {
     "q121_curate_multimodal": "q112 chain + media gate",
     "q131_curate_multimodal_video": "q112 chain + image & video gates",
     "q132_curate_trimodal": "q112 chain + image & video & audio gates",
+    "q133_curate_incremental_media": "q115 chain + video & audio gates",
     "q122_curate_quality": "q112 chain + NB scoring stage (OOM at sf0.1)",
     "q123_curate_incremental_quality": "q115 chain + NB calibration/scoring stages",
     "q126_curate_decontaminated": "q112 chain + contamination CTEs",
