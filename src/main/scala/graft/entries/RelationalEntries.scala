@@ -247,6 +247,21 @@ private[graft] trait RelationalEntries extends EntryInfra {
           container = operators.MkvContainer, every = 2)
         .orderBy("doc_id", "frame_idx")
     },
+
+    // -- MIXED-container corpus through magic-byte auto-detection: one
+    //    binary column holding AVI, MP4, AND MKV files (by doc_id % 3),
+    //    demuxed in ONE decodeFrames pass via AutoContainer — nobody
+    //    pre-sorts 100 TB of crawled video by format. Each container
+    //    keeps its own closed-form frame grid, so the union stays
+    //    oracle-expressible. -------------------------------------------
+    "q134_mixed_container_demux" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val vids = operators.VideoOps.mixedVideoTable(
+        spark.table("documents").filter(col("doc_id") < 12))
+      operators.VideoOps.decodeFrames(vids,
+          container = operators.VideoOps.AutoContainer, every = 2)
+        .orderBy("doc_id", "frame_idx")
+    },
   )
 
   protected def relationalOracle: Map[String, String] = Map(
@@ -451,6 +466,29 @@ private[graft] trait RelationalEntries extends EntryInfra {
         |             17 * doc_id + frame_idx AS fid FROM f)
         |SELECT doc_id, frame_idx,
         |       CAST(frame_idx * 200 AS BIGINT) AS ts_ms,
+        |       CAST(16 + fid % 8 AS INT) AS width,
+        |       CAST(12 + fid % 5 AS INT) AS height,
+        |       CAST((12 + fid % 5) * ((16 + fid % 8) * (fid % 200) +
+        |            (16 + fid % 8) * (16 + fid % 8 - 1) / 2) AS BIGINT) AS checksum
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // mixed-container closed forms by doc_id % 3: AVI (11·id+f grid at
+    // 12 fps, 2+id%4 frames) / MP4 (13·id+f at 8 fps, 3+id%3) / MKV
+    // (17·id+f at 5 fps, 2+id%3); ts = floor(idx·1000/fps) in all three
+    "q134_mixed_container_demux" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 2 + doc_id % 4
+        |              WHEN 1 THEN 3 + doc_id % 3
+        |              ELSE 2 + doc_id % 3 END AS nf,
+        |         CASE doc_id % 3 WHEN 0 THEN 11 WHEN 1 THEN 13 ELSE 17 END AS mult,
+        |         CASE doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 8 ELSE 5 END AS fps
+        |  FROM documents WHERE doc_id < 12),
+        |f AS (SELECT doc_id, unnest(range(0, nf, 2)) AS frame_idx, mult, fps FROM p),
+        |x AS (SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |             mult * doc_id + frame_idx AS fid, fps FROM f)
+        |SELECT doc_id, frame_idx,
+        |       CAST(floor(frame_idx * 1000 / fps) AS BIGINT) AS ts_ms,
         |       CAST(16 + fid % 8 AS INT) AS width,
         |       CAST(12 + fid % 5 AS INT) AS height,
         |       CAST((12 + fid % 5) * ((16 + fid % 8) * (fid % 200) +

@@ -1653,6 +1653,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(va.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
   }
 
+  test("AutoContainer: magic-byte sniff routes AVI/MP4/MKV/GVID; unknown magic drops") {
+    import spark.implicits._
+    val frames = Seq(MediaOps.testPngBytes(1L), MediaOps.testPngBytes(2L))
+    val byFormat = Seq(
+      "avi" -> AviContainer.mux(10, frames),
+      "mp4" -> Mp4Container.mux(10, frames),
+      "mkv" -> MkvContainer.mux(10, frames),
+      "gvid" -> VideoOps.GvidContainer.mux(10, frames))
+    for ((fmt, bytes) <- byFormat) {
+      val vs = VideoOps.AutoContainer.demux(bytes)
+        .getOrElse(fail(s"$fmt must route through AutoContainer"))
+      assert(vs.fps == 10 && vs.frames.size == 2, fmt)
+      assert(vs.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) }, fmt)
+    }
+    assert(VideoOps.AutoContainer.demux("no known container magic here".getBytes).isEmpty)
+    assert(VideoOps.AutoContainer.demux(Array[Byte](1, 2, 3)).isEmpty)
+    // one decodeFrames pass over a heterogeneous column
+    val mixed = Seq(
+      (0L, AviContainer.mux(10, Seq(MediaOps.testPngBytes(3L)))),
+      (1L, Mp4Container.mux(10, Seq(MediaOps.testPngBytes(4L)))),
+      (2L, MkvContainer.mux(10, Seq(MediaOps.testPngBytes(5L))))
+    ).toDF("doc_id", "content")
+    val out = VideoOps.decodeFrames(mixed, container = VideoOps.AutoContainer)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3, out.mkString(","))
+    assert(out.map(r => r.getInt(3)).toSeq == Seq(3L, 4L, 5L).map(i => (16 + i % 8).toInt),
+      out.mkString(","))
+  }
+
   test("MKV real-MJPEG payloads: genuine JPEG-per-block decode through the shared codec") {
     import spark.implicits._
     val media = Seq((5L, MkvContainer.testMjpegMkvBytes(5L))).toDF("doc_id", "content")
