@@ -410,6 +410,19 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- EPOCH-REPETITION mixing (the recipe an LLM run consumes):
+    //    explicit per-source weights (1 + k%4 over src0..src19) and a
+    //    50k-token budget → whole passes per source (up-sampling by
+    //    repetition) + the deterministic md5-rank fractional head.
+    //    epochs spans 0..3+ on this corpus, so every branch fires. ----
+    "q135_epoch_mixture" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val recipe = (0 until 20).map(k => (s"src$k", 1.0 + k % 4))
+      operators.QuotaSample.epochRepetition(spark.table("documents"),
+          "source", "doc_id", "text", recipe, totalBudget = 50000L)
+        .orderBy("doc_id")
+    },
+
     // -- WEIGHTED (multiset/TF) Jaccard near-dup pairs: the set form
     //    can't see repetition; the weighted form scores it honestly.
     //    Same inverted-index + size-ratio-prune shape as q35 ------------
@@ -1045,6 +1058,34 @@ private[graft] trait TextEntries extends EntryInfra {
         |      FROM f)
         |SELECT doc_id, source, n_tokens, (cum <= 700 OR rn = 1) AS kept
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // same recipe re-derived in SQL: weight 1 + k%4 from the source
+    // name, wsum folded in name-sorted list order (the q116 convention),
+    // IEEE multiply-divide-floor in the same operand order, the q104
+    // running-sum head with the rem>=1 participation rule
+    "q135_epoch_mixture" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS key
+        |           FROM documents),
+        |f AS (SELECT * FROM t WHERE n_tokens >= 1),
+        |wt AS (SELECT source, 1.0 + CAST(substr(source, 4) AS INT) % 4 AS w
+        |       FROM (SELECT DISTINCT source FROM f)),
+        |wsum AS (SELECT list_sum(list(w ORDER BY source)) AS s FROM wt),
+        |mass AS (SELECT source, sum(n_tokens) AS m FROM f GROUP BY source),
+        |plan AS (SELECT mass.source, m, 50000 * w / (SELECT s FROM wsum) AS target
+        |         FROM mass JOIN wt USING (source)),
+        |e AS (SELECT source, m, CAST(floor(target / m) AS BIGINT) AS full_e,
+        |             CAST(floor(target - CAST(floor(target / m) AS BIGINT) * m) AS BIGINT) AS rem
+        |      FROM plan),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS cum,
+        |             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+        |      FROM f)
+        |SELECT r.doc_id, r.source, r.n_tokens,
+        |       CAST(e.full_e + CASE WHEN e.rem >= 1 AND (r.cum <= e.rem OR r.rn = 1)
+        |                            THEN 1 ELSE 0 END AS BIGINT) AS epochs
+        |FROM r JOIN e USING (source) ORDER BY r.doc_id""".stripMargin,
 
     // exact weighted Jaccard over word term frequencies, all-pairs (the
     // naive truth the inverted-index + ratio-prune plan reproduces);

@@ -197,6 +197,75 @@ object QuotaSample {
       .join(budgets, Seq(sourceCol))
   }
 
+  /** Epoch-repetition data mixing — the up/down-sampling recipe an LLM
+    * training run actually consumes: given explicit per-source weights
+    * (a mixture recipe, not derived from the data) and a total token
+    * budget, each source's token target is `totalBudget · w_s / Σw`,
+    * delivered as WHOLE passes over the source (`full_epochs =
+    * ⌊target / mass⌋` — repetition, the way small high-quality sources
+    * are up-sampled) plus a deterministic fractional HEAD (the
+    * [[tokenQuotaBudgets]] md5-rank selection over the remaining
+    * `target − full_epochs·mass` tokens). Output one row per doc:
+    * (idCol, sourceCol, n_tokens, epochs) with epochs = full passes
+    * (+1 if the doc is in the fractional head); a training-shard writer
+    * materializes `epochs` copies.
+    *
+    * Determinism contract (oracle-portable, the [[temperatureMixture]]
+    * conventions): Σw folds LEFT-TO-RIGHT over name-sorted weights
+    * (DuckDB: `list_sum(list(w ORDER BY source))`); per-source masses
+    * come from one bounded aggregation (#sources rows — the documented
+    * driver pull); target/epoch arithmetic is plain IEEE
+    * multiply-divide-floor in the same operand order on both engines.
+    * Sources absent from the recipe weigh 0 (full_epochs = 0, no head);
+    * a fractional head under `1` token is dropped UNLESS the source has
+    * a positive remainder ≥ 1, where the quota's first-doc guarantee
+    * keeps one doc even when it overshoots — budget floors, not
+    * truncation. Scale shape: the only non-equi-join work is the quota's
+    * 4096-bucket histogram; the recipe/epoch relations are #sources
+    * rows, AQE-broadcast. */
+  def epochRepetition(df: DataFrame, sourceCol: String, idCol: String,
+                      textCol: String, weights: Seq[(String, Double)],
+                      totalBudget: Long): DataFrame = {
+    require(totalBudget >= 1, s"totalBudget must be >= 1, got $totalBudget")
+    require(weights.nonEmpty, "weights recipe must not be empty")
+    require(weights.forall(_._2 >= 0.0), s"weights must be >= 0: $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = weights.sortBy(_._1)
+    val wsum = sorted.foldLeft(0.0)((acc, w) => acc + w._2)
+    require(wsum > 0.0, "at least one weight must be positive")
+    val wmap = sorted.toMap
+    // one bounded aggregation: #sources rows (the documented pull)
+    val masses = df
+      .select(col(sourceCol).cast("string").as("__er_src"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__er_n"))
+      .filter(col("__er_n") >= 1)
+      .groupBy("__er_src").agg(sum("__er_n").as("__er_m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val plan = masses.map { case (src, m) =>
+      val target = totalBudget.toDouble * wmap.getOrElse(src, 0.0) / wsum
+      val full = math.floor(target / m).toLong
+      val rem = math.floor(target - full * m).toLong
+      (src, full, rem)
+    }
+    val fullDf = plan.map(p => (p._1, p._2)).toSeq.toDF(sourceCol, "full_epochs")
+    val budDf = plan.filter(_._3 >= 1L).map(p => (p._1, p._3)).toSeq
+      .toDF(sourceCol, "budget")
+    val extra =
+      if (budDf.isEmpty) df.limit(0).select(col(idCol).as("__er_extra"))
+      else tokenQuotaBudgets(df, sourceCol, idCol, textCol, budDf)
+        .filter(col("kept")).select(col(idCol).as("__er_extra"))
+    df.select(col(idCol), col(sourceCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .join(fullDf, Seq(sourceCol)) // #sources rows: AQE broadcast
+      .join(extra, col(idCol) === col("__er_extra"), "left")
+      .withColumn("epochs",
+        col("full_epochs") + when(col("__er_extra").isNotNull, 1L).otherwise(0L))
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("epochs"))
+  }
+
   /** Reference formulation of [[tokenQuota]] (parity pin): the naive
     * single window per group over every row. */
   private[graft] def tokenQuotaNaive(df: DataFrame, groupCol: String,

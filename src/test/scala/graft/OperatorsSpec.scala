@@ -1218,6 +1218,51 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("epochRepetition: whole passes + md5-rank head; zero-weight excluded; naive parity") {
+    import spark.implicits._
+    // A: 10 docs x 10 tokens (mass 100); B: 5 docs x 20 tokens (mass
+    // 100); C: 4 docs x 5 tokens (mass 20, weight 0 - excluded)
+    val docs =
+      (0 until 10).map(i => (i.toLong, "A", Seq.fill(10)("w").mkString(" "))) ++
+      (10 until 15).map(i => (i.toLong, "B", Seq.fill(20)("w").mkString(" "))) ++
+      (15 until 19).map(i => (i.toLong, "C", Seq.fill(5)("w").mkString(" ")))
+    val df = docs.toDF("doc_id", "source", "text")
+    val weights = Seq("A" -> 3.0, "B" -> 1.0, "C" -> 0.0)
+    val out = QuotaSample.epochRepetition(df, "source", "doc_id", "text",
+        weights, totalBudget = 450L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size == 19)
+    // naive recomputation: same arithmetic, naive running sum down
+    // (md5(id), id) order - the q104 selection rule
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wsum = 4.0
+    for ((src, w) <- weights) {
+      val rows = docs.filter(_._2 == src)
+        .map(d => (d._1, d._3.trim.split("\\s+").length.toLong))
+      val mass = rows.map(_._2).sum
+      val target = 450.0 * w / wsum
+      val full = math.floor(target / mass).toLong
+      val rem = math.floor(target - full * mass).toLong
+      val ordered = rows.sortBy { case (id, _) => (md5(id.toString), id) }
+      var cum = 0L
+      val head = scala.collection.mutable.Set.empty[Long]
+      if (rem >= 1) ordered.zipWithIndex.foreach { case ((id, n), i) =>
+        cum += n
+        if (cum <= rem || i == 0) head += id
+      }
+      rows.foreach { case (id, n) =>
+        val expect = full + (if (head(id)) 1L else 0L)
+        assert(out(id) == ((src, n, expect)), s"$src doc $id: ${out(id)} != $expect")
+      }
+    }
+    // zero-weight source: every doc at 0 epochs
+    assert((15L until 19L).forall(out(_)._3 == 0L), out.toString)
+    // up-sampling fired: source A docs carry >= 3 whole passes
+    assert((0L until 10L).forall(out(_)._3 >= 3L), out.toString)
+  }
+
   test("temperatureMixture: budgets follow mass^alpha; selection equals the scalar quota") {
     import spark.implicits._
     // source A: 10 docs x 10 tokens (mass 100); source B: 20 docs x 20 tokens (mass 400)
