@@ -144,7 +144,24 @@ object SparkEntry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    sketchOracle ++ textOracle ++ similarityOracle ++ relationalOracle ++
-      streamingOracle ++ driftOracle ++ pipelineOracle
+  def oracleSql: Map[String, String] = {
+    val base = sketchOracle ++ textOracle ++ similarityOracle ++
+      relationalOracle ++ streamingOracle ++ driftOracle ++ pipelineOracle
+    // q136 composes two existing oracle bodies as derived tables: q60's
+    // component closure (the same pair evidence) and q119's NB scores,
+    // with the keep rule a per-cluster argmax (score DESC NULLS LAST,
+    // then min id) — singletons are their own cluster via coalesce.
+    base + ("q136_quality_keep_clusters" ->
+      s"""WITH comp AS (SELECT * FROM (${base("q60_dedup_clusters")})),
+         |sc AS (SELECT * FROM (${base("q119_seed_classifier")})),
+         |b AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         |             sc.nb_score_u AS s
+         |      FROM documents d
+         |      LEFT JOIN comp c ON d.doc_id = c.doc
+         |      LEFT JOIN sc ON sc.doc_id = d.doc_id)
+         |SELECT doc_id, cluster,
+         |       (row_number() OVER (PARTITION BY cluster
+         |          ORDER BY s DESC NULLS LAST, doc_id) = 1) AS kept
+         |FROM b ORDER BY doc_id""".stripMargin)
+  }
 }

@@ -148,6 +148,24 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- quality-aware near-dup keep rule (r16): each 0.6-Jaccard
+    //    cluster keeps its HIGHEST-NB-SCORE member (min id on ties),
+    //    not the min-id default - a near-dup cluster often mixes a
+    //    clean original with boilerplate-injected copies, and min-id
+    //    keeps whichever crawled first. Same q35/q60 pair evidence,
+    //    the q119 classifier's scores. -------------------------------
+    "q136_quality_keep_clusters" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val pairs = sharedJaccardPairs(spark, dir, k = 3, threshold = 0.6)
+      val scores = operators.TextOps.seedCrawlNbScores(
+        docs.filter(col("lang") === "en" && col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 4 === 1),
+        docs, buckets = 4096)
+      operators.DedupOps.qualityKeepClusters(docs, pairs, scores, "doc_id")
+        .orderBy("doc_id")
+    },
+
     // -- stratified quota sampling (domain mixing; two-stage salted
     //    ranking — no corpus-sized per-group window task) ------------------
     "q61_quota_sample" -> qd { spark =>

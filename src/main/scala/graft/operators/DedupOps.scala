@@ -21,6 +21,44 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Quality-aware near-dup keep rule — which member of each near-dup
+    * cluster survives: not the min-id (the [[Components]] default used
+    * by the drop-set pipelines) but the HIGHEST-QUALITY member (by a
+    * caller-supplied score relation — e.g. the trained NB classifier's
+    * `nb_score_u`), with the lowest id breaking ties. This is the keep
+    * rule quality-focused curation actually wants: a near-dup cluster
+    * often mixes a clean original with boilerplate-injected copies, and
+    * min-id keeps whichever crawled first.
+    *
+    * Output: one row per doc — (idCol, cluster, kept). Docs in no pair
+    * are their own singleton cluster and kept. Docs without a score row
+    * (e.g. blank text under the NB scorer) sort LAST inside their
+    * cluster, so a scored member always beats an unscored one; an
+    * all-unscored cluster falls back to min-id.
+    *
+    * Scale shape: components come from the pair evidence (pointer-
+    * jumping equi-joins); the keep window partitions by CLUSTER over
+    * component MEMBERS only — bounded by docs with a near-dup, never a
+    * corpus-sized window — and singletons join back with a left join. */
+  def qualityKeepClusters(docs: DataFrame, pairs: DataFrame, scores: DataFrame,
+                          idCol: String, scoreCol: String = "nb_score_u",
+                          aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val id = col(idCol)
+    val comp = Components.connectedComponents(pairs, aCol, bCol)
+    val members = comp.join(
+      scores.select(col(idCol).as("doc"), col(scoreCol).as("__qk_s")),
+      Seq("doc"), "left")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("__qk_s").desc_nulls_last, col("doc"))
+    val decided = members.withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc"), col("cluster"), col("kept"))
+    docs.select(id.as("doc"))
+      .join(decided, Seq("doc"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc")))
+      .withColumn("kept", coalesce(col("kept"), lit(true)))
+      .withColumnRenamed("doc", idCol)
+  }
+
   /** Exact dedup on normalized content; keeps the lowest id per group.
     *
     * Scale shape: the ranking window sees ONLY (fingerprint, id) pairs —

@@ -1218,6 +1218,31 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("qualityKeepClusters: argmax-score keep, null-score loses, singleton kept") {
+    import spark.implicits._
+    val docs = (0L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // cluster {0,1,2} and pair {4,5}; 3 and 6 singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    // 1 outscores 0 and 2; doc 4 has NO score row, 5 does
+    val scores = Seq((0L, 10L), (1L, 99L), (2L, 50L), (5L, -3L), (3L, 1L), (6L, 2L))
+      .toDF("doc_id", "nb_score_u")
+    val out = DedupOps.qualityKeepClusters(docs, pairs, scores, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == 7)
+    // highest score wins the {0,1,2} cluster - NOT the min id
+    assert(out(1L) == ((0L, true)) && !out(0L)._2 && !out(2L)._2, s"$out")
+    // a scored member beats an unscored one even with a negative score
+    assert(out(5L) == ((4L, true)) && !out(4L)._2, s"$out")
+    // singletons: own cluster, kept
+    assert(out(3L) == ((3L, true)) && out(6L) == ((6L, true)), s"$out")
+    // tie score -> min id keeps (deterministic)
+    val tied = DedupOps.qualityKeepClusters(docs,
+        Seq((0L, 2L)).toDF("doc_a", "doc_b"),
+        Seq((0L, 7L), (2L, 7L)).toDF("doc_id", "nb_score_u"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(tied(0L) && !tied(2L), s"$tied")
+  }
+
   test("epochRepetition: whole passes + md5-rank head; zero-weight excluded; naive parity") {
     import spark.implicits._
     // A: 10 docs x 10 tokens (mass 100); B: 5 docs x 20 tokens (mass
