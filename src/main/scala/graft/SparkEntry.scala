@@ -151,7 +151,18 @@ object SparkEntry
     // component closure (the same pair evidence) and q119's NB scores,
     // with the keep rule a per-cluster argmax (score DESC NULLS LAST,
     // then min id) — singletons are their own cluster via coalesce.
-    base + ("q136_quality_keep_clusters" ->
+    base + ("q137_curriculum_shards" ->
+      s"""WITH sc AS (SELECT * FROM (${base("q83_trigram_lm")})),
+         |t AS (SELECT d.doc_id, sc.lm_score_u,
+         |             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS ntok
+         |      FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+         |w AS (SELECT doc_id, lm_score_u, ntok,
+         |             sum(ntok) OVER (ORDER BY lm_score_u, doc_id) AS cum
+         |      FROM t)
+         |SELECT doc_id AS doc, lm_score_u, ntok,
+         |       CAST(floor((cum - ntok) / 2000) AS BIGINT) AS shard
+         |FROM w ORDER BY doc""".stripMargin) +
+    ("q136_quality_keep_clusters" ->
       s"""WITH comp AS (SELECT * FROM (${base("q60_dedup_clusters")})),
          |sc AS (SELECT * FROM (${base("q119_seed_classifier")})),
          |b AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,

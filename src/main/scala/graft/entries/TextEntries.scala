@@ -148,6 +148,21 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- CURRICULUM shard packing (r16): token-budget shards in LM-score
+    //    order instead of id order - shard 0 holds the most reference-
+    //    like docs (ascending q83 score), the last the least, so a run
+    //    consuming shards in order implements a quality curriculum at
+    //    shard grain. Same two-level scan, different range key. --------
+    "q137_curriculum_shards" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val scores = operators.TextOps.trigramLmScores(
+        docs.filter(col("lang") === "en"), docs)
+      operators.Sharding.curriculumShards(docs, "doc_id", "text",
+          scores, budget = 2000L)
+        .orderBy("doc")
+    },
+
     // -- quality-aware near-dup keep rule (r16): each 0.6-Jaccard
     //    cluster keeps its HIGHEST-NB-SCORE member (min id on ties),
     //    not the min-id default - a near-dup cluster often mixes a

@@ -50,6 +50,38 @@ object Sharding {
       .select(col("doc"), col("ntok"), col("shard"))
   }
 
+  /** CURRICULUM shard packing (r16): [[tokenShards]] with the global
+    * order a QUALITY score instead of the id — shard 0 holds the most
+    * reference-like documents (ascending `scoreCol`, id on ties), the
+    * last shard the least, so a training run that consumes shards in
+    * order implements a quality curriculum (the CCNet head→tail
+    * discipline at shard grain). Docs without a score row are excluded
+    * (the scorer's own domain rule — e.g. blank docs under the trigram
+    * LM); same two-level distributed scan, same byte-identical-to-
+    * global-window contract, just a different range key. Output:
+    * (doc, scoreCol, ntok, shard). */
+  def curriculumShards(df: DataFrame, idCol: String, textCol: String,
+                       scores: DataFrame, budget: Long,
+                       scoreCol: String = "lm_score_u"): DataFrame = {
+    require(budget > 0, s"shard token budget must be positive, got $budget")
+    val toks = df.select(col(idCol).as("doc"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("ntok"))
+      .join(scores.select(col(idCol).as("doc"),
+        col(scoreCol).cast("long").as("__cu_s")), Seq("doc"))
+    val ranged = toks.repartitionByRange(col("__cu_s"), col("doc"))
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("cum",
+      sum("ntok").over(Window.partitionBy("pid").orderBy(col("__cu_s"), col("doc"))))
+    val offsets = local.groupBy("pid").agg(sum("ntok").as("ptotal"))
+      .withColumn("offset", coalesce(
+        sum("ptotal").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("shard", floor((col("cum") + col("offset") - col("ntok")) / budget))
+      .select(col("doc"), col("__cu_s").as(scoreCol), col("ntok"), col("shard"))
+  }
+
   /** Reference formulation: one global window (single task — correctness
     * baseline for the parity test, never the production path). */
   private[graft] def tokenShardsGlobal(df: DataFrame, idCol: String,

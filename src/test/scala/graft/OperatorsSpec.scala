@@ -1218,6 +1218,25 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("curriculumShards: shard index monotone in score order; unscored docs excluded") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // score = reversed id, so curriculum order is the REVERSE of id order
+    val scores = (0L until 39L).map(i => (i, 1000L - i)).toDF("doc_id", "lm_score_u")
+    val out = Sharding.curriculumShards(docs, "doc_id", "text", scores, budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 39 has no score row: excluded
+    assert(out.length == 39 && !out.exists(_._1 == 39L), out.length.toString)
+    // shard boundaries follow ASCENDING score: 10 docs of 10 tokens per
+    // 100-token shard, and score order is reverse id order
+    val byScore = out.sortBy(r => (r._2, r._1))
+    assert(byScore.map(_._4).toSeq == byScore.indices.map(i => (i * 10L) / 100L), s"${byScore.toSeq}")
+    // the highest-id doc (lowest score) lands in shard 0
+    assert(out.find(_._1 == 38L).get._4 == 0L, out.mkString(","))
+    assert(out.find(_._1 == 0L).get._4 == 3L, out.mkString(","))
+  }
+
   test("qualityKeepClusters: argmax-score keep, null-score loses, singleton kept") {
     import spark.implicits._
     val docs = (0L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
