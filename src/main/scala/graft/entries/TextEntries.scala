@@ -163,6 +163,18 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc")
     },
 
+    // -- shard MANIFEST (r16): per-shard doc/token counts, id range,
+    //    and a content fingerprint (md5 over the ascending id list) -
+    //    the artifact a data loader verifies and a rebuild proves
+    //    byte-identity against, over the q58 shard assignment. --------
+    "q138_shard_manifest" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.Sharding.shardManifest(
+          operators.Sharding.tokenShards(spark.table("documents"),
+            "doc_id", "text", budget = 2000L))
+        .orderBy("shard")
+    },
+
     // -- quality-aware near-dup keep rule (r16): each 0.6-Jaccard
     //    cluster keeps its HIGHEST-NB-SCORE member (min id on ties),
     //    not the min-id default - a near-dup cluster often mixes a
@@ -1091,6 +1103,20 @@ private[graft] trait TextEntries extends EntryInfra {
         |      FROM f)
         |SELECT doc_id, source, n_tokens, (cum <= 700 OR rn = 1) AS kept
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q58's assignment re-derived, aggregated to the manifest grain;
+    // ids_md5 = md5 over the comma-joined ASCENDING id list (numeric
+    // order on both engines)
+    "q138_shard_manifest" ->
+      """WITH t AS (SELECT doc_id AS doc,
+        |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+        |           FROM documents),
+        |p AS (SELECT doc, ntok, sum(ntok) OVER (ORDER BY doc) - ntok AS prefix FROM t),
+        |a AS (SELECT doc, ntok, CAST(floor(prefix / 2000) AS BIGINT) AS shard FROM p)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |       min(doc) AS min_doc, max(doc) AS max_doc,
+        |       md5(string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc)) AS ids_md5
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     // same recipe re-derived in SQL: weight 1 + k%4 from the source
     // name, wsum folded in name-sorted list order (the q116 convention),

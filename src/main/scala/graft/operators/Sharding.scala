@@ -82,6 +82,29 @@ object Sharding {
       .select(col("doc"), col("__cu_s").as(scoreCol), col("ntok"), col("shard"))
   }
 
+  /** Shard MANIFEST — the artifact a training data-loader consumes:
+    * one row per shard with its document count, token total, id range,
+    * and a content fingerprint (md5 over the comma-joined ascending id
+    * list), so a loader can verify shard integrity and a rebuild can
+    * prove byte-identity without re-reading text. Works over any
+    * (doc, ntok, shard) assignment ([[tokenShards]] or
+    * [[curriculumShards]] output).
+    *
+    * Scale shape: one groupBy(shard) aggregation; the per-shard
+    * collect_list is bounded by construction — a shard holds at most
+    * `budget` tokens ⇒ at most `budget` docs — never corpus-sized. */
+  def shardManifest(assignments: DataFrame): DataFrame =
+    assignments.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        min("doc").as("min_doc"),
+        max("doc").as("max_doc"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc"))), _.cast("string")))
+          .cast("binary")).as("ids_md5"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("min_doc"), col("max_doc"), col("ids_md5"))
+
   /** Reference formulation: one global window (single task — correctness
     * baseline for the parity test, never the production path). */
   private[graft] def tokenShardsGlobal(df: DataFrame, idCol: String,

@@ -1218,6 +1218,30 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("shardManifest: counts/range/fingerprint per shard; fingerprint is id-order-invariant") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Sharding.shardManifest(
+        Sharding.tokenShards(docs, "doc_id", "text", budget = 100L))
+      .orderBy("shard").collect()
+    assert(m.length == 3)
+    assert(m.forall(r => r.getLong(1) == 10L && r.getLong(2) == 100L), m.mkString(","))
+    assert(m(0).getLong(3) == 0L && m(0).getLong(4) == 9L)
+    assert(m(2).getLong(3) == 20L && m(2).getLong(4) == 29L)
+    // fingerprint = md5 over the ASCENDING id list, independent of the
+    // assignment relation's row order
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest((0L to 9L).mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(m(0).getString(5) == expect, m(0).getString(5))
+    val shuffled = Sharding.shardManifest(
+        Sharding.tokenShards(docs, "doc_id", "text", budget = 100L)
+          .orderBy(rand(7)))
+      .orderBy("shard").collect()
+    assert(shuffled.map(_.getString(5)).toSeq == m.map(_.getString(5)).toSeq)
+  }
+
   test("curriculumShards: shard index monotone in score order; unscored docs excluded") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, Seq.fill(10)("w").mkString(" ")))
