@@ -163,6 +163,27 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc")
     },
 
+    // -- INCREMENTAL leakage-free split (r16, q128's ingest twin): the
+    //    even-id history carries an immutable split (q128's rule over
+    //    history-only pairs); odd-id batch docs INHERIT the split of
+    //    their near-dup component's min-id history member (their
+    //    0.6-Jaccard twin in test pulls them into test), fresh
+    //    components get the md5 rule, and components touching TWO
+    //    history splits flag bridged = true (unrepairable leakage, a
+    //    deployment drops them). Same q35/q60 pair evidence. ---------
+    "q139_incremental_split" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val pairs = sharedJaccardPairs(spark, dir, k = 3, threshold = 0.6)
+      val histPairs = pairs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+      val histSplits = operators.Sharding.leakageFreeSplit(
+          docs.filter(col("doc_id") % 2 === 0), histPairs, "doc_id")
+        .select(col("doc_id"), col("split"))
+      operators.Sharding.incrementalSplit(histSplits,
+          docs.filter(col("doc_id") % 2 === 1), pairs, "doc_id")
+        .orderBy("doc_id")
+    },
+
     // -- shard MANIFEST (r16): per-shard doc/token counts, id range,
     //    and a content fingerprint (md5 over the ascending id list) -
     //    the artifact a data loader verifies and a rebuild proves
@@ -1103,6 +1124,65 @@ private[graft] trait TextEntries extends EntryInfra {
         |      FROM f)
         |SELECT doc_id, source, n_tokens, (cum <= 700 OR rn = 1) AS kept
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q128's closure machinery twice: history-only closure -> immutable
+    // history splits (the q128 rule), full closure -> batch components;
+    // inherit = arg_min(history split, member id), bridged = >1 distinct
+    // history split in the component, fresh components get the md5 rule
+    "q139_incremental_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+2], ' '))) s
+        |       FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+        |hedges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |           WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+        |           UNION SELECT doc_b, doc_a FROM pairs
+        |           WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+        |hreach(v, r) AS (
+        |  SELECT DISTINCT a, a FROM hedges
+        |  UNION
+        |  SELECT e.b, r.r FROM hreach r JOIN hedges e ON e.a = r.v),
+        |hcomp AS (SELECT v AS doc, MIN(r) AS cluster FROM hreach GROUP BY v),
+        |hsplit AS (SELECT doc_id,
+        |                  CASE WHEN hb < 80 THEN 'train'
+        |                       WHEN hb < 90 THEN 'validation'
+        |                       ELSE 'test' END AS split
+        |           FROM (SELECT d.doc_id,
+        |                        ('0x' || substr(md5(CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)), 1, 8))::UBIGINT % 100 AS hb
+        |                 FROM documents d LEFT JOIN hcomp c ON d.doc_id = c.doc
+        |                 WHERE d.doc_id % 2 = 0)),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.v),
+        |comp AS (SELECT v AS doc, MIN(r) AS cluster FROM reach GROUP BY v),
+        |chist AS (SELECT c.cluster, arg_min(h.split, c.doc) AS inherit,
+        |                 count(DISTINCT h.split) > 1 AS bridged
+        |          FROM comp c JOIN hsplit h ON c.doc = h.doc_id
+        |          GROUP BY c.cluster),
+        |bb AS (SELECT b.doc_id, coalesce(c.cluster, b.doc_id) AS split_key,
+        |              c.cluster AS cl
+        |       FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b
+        |       LEFT JOIN comp c ON b.doc_id = c.doc),
+        |bk AS (SELECT doc_id, split_key, cl,
+        |              ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
+        |       FROM bb)
+        |SELECT bk.doc_id, bk.split_key,
+        |       coalesce(ch.inherit,
+        |         CASE WHEN bk.b < 80 THEN 'train'
+        |              WHEN bk.b < 90 THEN 'validation'
+        |              ELSE 'test' END) AS split,
+        |       coalesce(ch.bridged, FALSE) AS bridged
+        |FROM bk LEFT JOIN chist ch ON bk.cl = ch.cluster
+        |ORDER BY bk.doc_id""".stripMargin,
 
     // q58's assignment re-derived, aggregated to the manifest grain;
     // ids_md5 = md5 over the comma-joined ASCENDING id list (numeric

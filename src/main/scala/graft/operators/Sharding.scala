@@ -82,6 +82,66 @@ object Sharding {
       .select(col("doc"), col("__cu_s").as(scoreCol), col("ntok"), col("shard"))
   }
 
+  /** INCREMENTAL leakage-free split — [[leakageFreeSplit]]'s ingest
+    * twin: batch docs are assigned splits CONSISTENT with the immutable
+    * history assignment, so a batch doc near-dup-connected (through any
+    * chain of pair evidence) to history INHERITS the history split —
+    * its 0.9-Jaccard twin in `test` pulls it into `test`, never into
+    * `train`. History splits are never reassigned (reassignment would
+    * flip already-published eval membership); a batch component with no
+    * history link gets the fresh md5-bucket rule over its own min-id
+    * key, exactly [[leakageFreeSplit]].
+    *
+    * Inheritance is deterministic: the split of the component's MIN-ID
+    * history doc. A component touching history docs in SEVERAL splits
+    * is flagged `bridged = true` — that leakage cannot be repaired
+    * post-hoc (history is immutable), so a deployment drops or
+    * quarantines bridged batch docs; the flag makes the decision
+    * auditable instead of silent.
+    *
+    * `pairs` is the full pair evidence over history ∪ batch (the
+    * q35/q60 snapshot artifact — within-history edges are free and
+    * harmless: they only deepen components whose history members
+    * already share a split by [[leakageFreeSplit]]'s own guarantee).
+    * Scale shape: the components' equi-joins + two id-keyed left joins
+    * + one per-cluster aggregation over history members — no text, no
+    * corpus-sized window.
+    *
+    * @param historySplits (idCol, split) — the stored assignment.
+    * @return one row per BATCH doc: (idCol, split_key, split, bridged). */
+  def incrementalSplit(historySplits: DataFrame, batch: DataFrame,
+                       pairs: DataFrame, idCol: String,
+                       trainPct: Int = 80, valPct: Int = 10,
+                       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"percentages must satisfy 0 < train, 0 <= val, train + val < 100; " +
+        s"got ($trainPct, $valPct)")
+    val id = col(idCol)
+    val comp = Components.connectedComponents(pairs, aCol, bCol)
+    // per component: the min-id history member's split + the bridge flag
+    val histInComp = comp.join(
+      historySplits.select(col(idCol).as("doc"), col("split").as("__is_hs")),
+      Seq("doc"))
+    val clusterHist = histInComp.groupBy("cluster")
+      .agg(min(struct(col("doc"), col("__is_hs"))).getField("__is_hs")
+          .as("__is_inherit"),
+        (countDistinct(col("__is_hs")) > 1).as("bridged"))
+    batch.select(id)
+      .join(comp.select(col("doc").as("__is_cid"), col("cluster")),
+        id === col("__is_cid"), "left")
+      .withColumn("split_key", coalesce(col("cluster"), id))
+      .join(clusterHist, Seq("cluster"), "left")
+      .withColumn("__is_bucket",
+        conv(substring(md5(col("split_key").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 100)
+      .withColumn("split", coalesce(col("__is_inherit"),
+        when(col("__is_bucket") < trainPct, "train")
+          .when(col("__is_bucket") < trainPct + valPct, "validation")
+          .otherwise("test")))
+      .withColumn("bridged", coalesce(col("bridged"), lit(false)))
+      .select(id, col("split_key"), col("split"), col("bridged"))
+  }
+
   /** Shard MANIFEST — the artifact a training data-loader consumes:
     * one row per shard with its document count, token total, id range,
     * and a content fingerprint (md5 over the comma-joined ascending id

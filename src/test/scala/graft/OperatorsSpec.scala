@@ -1218,6 +1218,36 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalSplit: inherit history split, bridge flag, fresh md5 components") {
+    import spark.implicits._
+    val histSplits = Seq((100L, "test"), (200L, "train"), (101L, "test"))
+      .toDF("doc_id", "split")
+    val batch = Seq(1L, 2L, 3L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq(
+      (101L, 1L),             // doc 1 near-dups a TEST history doc
+      (200L, 3L), (100L, 3L), // doc 3 bridges train and test history
+      (5L, 6L)                // fresh batch-only component
+    ).toDF("doc_a", "doc_b")
+    val out = Sharding.incrementalSplit(histSplits, batch, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(out.size == 5)
+    // inheritance: the test twin pulls doc 1 into test, not bridged
+    assert(out(1L)._2 == "test" && !out(1L)._3, s"$out")
+    // doc 3's component holds history docs in TWO splits: inherit =
+    // min-id history member's split (100 -> test), flagged bridged
+    assert(out(3L)._2 == "test" && out(3L)._3, s"$out")
+    // fresh component: both members share one split, key = min id
+    assert(out(5L)._1 == 5L && out(6L)._1 == 5L && out(5L)._2 == out(6L)._2, s"$out")
+    // singleton: own key, deterministic md5 rule
+    assert(out(2L)._1 == 2L, s"$out")
+    // determinism: identical on a second run
+    val again = Sharding.incrementalSplit(histSplits, batch, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(again == out)
+  }
+
   test("shardManifest: counts/range/fingerprint per shard; fingerprint is id-order-invariant") {
     import spark.implicits._
     val docs = (0L until 30L).map(i => (i, Seq.fill(10)("w").mkString(" ")))

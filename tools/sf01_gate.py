@@ -63,6 +63,7 @@ SLOW_ORACLE = {
     "q60_dedup_clusters": "pair-closure clustering over the all-pairs source",
     "q128_leakage_free_split": "recursive pair-closure over the all-pairs source",
     "q136_quality_keep_clusters": "recursive pair-closure + NB re-derivation",
+    "q139_incremental_split": "double recursive pair-closure over the all-pairs source",
     "q97_incremental_neardup": "cross-corpus brute-force Jaccard (179s at sf0.1, r15)",
     "q112_curate_full": "5-stage pipeline CTE chain (>50min at sf0.1, r15)",
     "q115_curate_incremental": "cross-corpus pipeline CTE chain",
