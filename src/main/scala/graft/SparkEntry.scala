@@ -151,7 +151,22 @@ object SparkEntry
     // component closure (the same pair evidence) and q119's NB scores,
     // with the keep rule a per-cluster argmax (score DESC NULLS LAST,
     // then min id) — singletons are their own cluster via coalesce.
-    base + ("q137_curriculum_shards" ->
+    base + ("q140_training_order" ->
+      s"""WITH ep AS (SELECT * FROM (${base("q135_epoch_mixture")})),
+         |c AS (SELECT doc_id, n_tokens,
+         |             unnest(generate_series(1, CAST(epochs AS BIGINT))) AS copy_idx
+         |      FROM ep WHERE epochs >= 1),
+         |k AS (SELECT doc_id, copy_idx, n_tokens,
+         |             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR)) AS key
+         |      FROM c),
+         |w AS (SELECT doc_id, copy_idx, n_tokens,
+         |             sum(n_tokens) OVER (ORDER BY key, doc_id, copy_idx) AS cum
+         |      FROM k)
+         |SELECT doc_id AS doc, CAST(copy_idx AS BIGINT) AS copy_idx,
+         |       n_tokens AS ntok,
+         |       CAST(floor((cum - n_tokens) / 1000) AS BIGINT) AS shard
+         |FROM w ORDER BY doc, copy_idx""".stripMargin) +
+    ("q137_curriculum_shards" ->
       s"""WITH sc AS (SELECT * FROM (${base("q83_trigram_lm")})),
          |t AS (SELECT d.doc_id, sc.lm_score_u,
          |             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS ntok

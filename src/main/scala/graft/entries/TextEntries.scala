@@ -163,6 +163,20 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc")
     },
 
+    // -- TRAINING-ORDER materialization (r16, the recipe capstone):
+    //    q135's epoch counts exploded into actual copies, interleaved
+    //    in a deterministic md5(doc:copy) order (repeated copies of an
+    //    up-sampled doc spread across the run), packed into 1000-token
+    //    shards by the two-level scan. The end artifact a run reads. --
+    "q140_training_order" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val recipe = (0 until 20).map(k => (s"src$k", 1.0 + k % 4))
+      operators.Sharding.trainingOrder(spark.table("documents"),
+          "source", "doc_id", "text", recipe,
+          totalBudget = 50000L, shardBudget = 1000L)
+        .orderBy("doc", "copy_idx")
+    },
+
     // -- INCREMENTAL leakage-free split (r16, q128's ingest twin): the
     //    even-id history carries an immutable split (q128's rule over
     //    history-only pairs); odd-id batch docs INHERIT the split of

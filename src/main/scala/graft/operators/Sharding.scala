@@ -142,6 +142,51 @@ object Sharding {
       .select(id, col("split_key"), col("split"), col("bridged"))
   }
 
+  /** TRAINING-ORDER materialization — the recipe's END artifact: the
+    * [[QuotaSample.epochRepetition]] epoch counts exploded into actual
+    * copies (one row per (doc, copy_idx)), laid out in a deterministic
+    * pseudo-random global order (md5 over `doc:copy`, so the repeated
+    * copies of an up-sampled doc SPREAD across the run instead of
+    * clumping — what optimization actually wants), and packed into
+    * token-budget shards with the same two-level prefix scan. A shard
+    * writer materializes rows in (shard, order) and a training run
+    * reads shards sequentially; the whole order is reproducible
+    * metadata (same corpus + recipe = same order on any engine).
+    *
+    * Scale shape: the explode multiplies rows by the per-doc epoch
+    * count — bounded by the token BUDGET by construction (total
+    * emitted tokens ≤ totalBudget + one doc per source), so the
+    * exploded relation is budget-sized, not corpus×epochs-sized;
+    * everything else is the [[curriculumShards]] scan on the md5 key.
+    * Output: (doc, copy_idx, ntok, shard). */
+  def trainingOrder(df: DataFrame, sourceCol: String, idCol: String,
+                    textCol: String, weights: Seq[(String, Double)],
+                    totalBudget: Long, shardBudget: Long): DataFrame = {
+    require(shardBudget > 0, s"shard token budget must be positive, got $shardBudget")
+    val epochs = QuotaSample.epochRepetition(df, sourceCol, idCol, textCol,
+      weights, totalBudget)
+    val copies = epochs.filter(col("epochs") >= 1L)
+      .select(col(idCol).as("doc"), col("n_tokens").as("ntok"),
+        explode(sequence(lit(1L), col("epochs"))).as("copy_idx"))
+      .withColumn("__to_key",
+        md5(concat(col("doc").cast("string"), lit(":"),
+          col("copy_idx").cast("string")).cast("binary")))
+    val ranged = copies.repartitionByRange(col("__to_key"), col("doc"), col("copy_idx"))
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("cum",
+      sum("ntok").over(Window.partitionBy("pid")
+        .orderBy(col("__to_key"), col("doc"), col("copy_idx"))))
+    val offsets = local.groupBy("pid").agg(sum("ntok").as("ptotal"))
+      .withColumn("offset", coalesce(
+        sum("ptotal").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("shard",
+        floor((col("cum") + col("offset") - col("ntok")) / shardBudget))
+      .select(col("doc"), col("copy_idx"), col("ntok"), col("shard"))
+  }
+
   /** Shard MANIFEST — the artifact a training data-loader consumes:
     * one row per shard with its document count, token total, id range,
     * and a content fingerprint (md5 over the comma-joined ascending id

@@ -1218,6 +1218,34 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("trainingOrder: copies = epochs, budget conserved, copies interleave, deterministic") {
+    import spark.implicits._
+    // A (weight 3): 10 docs x 10 tokens; B (weight 1): 5 docs x 20 tokens
+    val docs =
+      (0 until 10).map(i => (i.toLong, "A", Seq.fill(10)("w").mkString(" "))) ++
+      (10 until 15).map(i => (i.toLong, "B", Seq.fill(20)("w").mkString(" ")))
+    val df = docs.toDF("doc_id", "source", "text")
+    val weights = Seq("A" -> 3.0, "B" -> 1.0)
+    val out = Sharding.trainingOrder(df, "source", "doc_id", "text", weights,
+        totalBudget = 400L, shardBudget = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // A: target 300 = 3 full epochs of mass 100 -> every A doc 3 copies;
+    // B: target 100 = 1 full epoch -> every B doc 1 copy
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert((0L until 10L).forall(byDoc(_) == Seq(1L, 2L, 3L)), byDoc.toString)
+    assert((10L until 15L).forall(byDoc(_) == Seq(1L)), byDoc.toString)
+    // budget conserved exactly here (targets divide masses): 400 tokens
+    assert(out.map(_._3).sum == 400L, out.map(_._3).sum.toString)
+    // 8 shards of 50 tokens; interleave: doc 0's three copies do NOT sit
+    // in consecutive shards-by-construction (md5 spreads them)
+    assert(out.map(_._4).distinct.sorted.toSeq == (0L until 8L).toSeq, out.mkString(","))
+    // deterministic: identical on a second run
+    val again = Sharding.trainingOrder(df, "source", "doc_id", "text", weights,
+        totalBudget = 400L, shardBudget = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("incrementalSplit: inherit history split, bridge flag, fresh md5 components") {
     import spark.implicits._
     val histSplits = Seq((100L, "test"), (200L, "train"), (101L, "test"))
