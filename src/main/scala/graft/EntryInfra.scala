@@ -305,6 +305,30 @@ private[graft] trait EntryInfra {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }
 
+  /** The deterministic multimodal asset FIXTURES (image/video/audio
+    * curation tables), memoized per corpus snapshot: a production corpus
+    * READS its binary columns from storage — it never pays per-query
+    * asset SYNTHESIS — so memoizing the fixture encode keeps the bench
+    * measuring the gate's demux+decode, which is what recurs (the
+    * sharedHistoryBloom rationale). Replayed local relations are
+    * re-spread to cluster parallelism: the consumer is a decode pass,
+    * and a single-slice local scan would serialize it. Tag key: 1 =
+    * image, 2 = video (MP4), 3 = audio (WAV). */
+  protected val assetMemo: RowsMemo = scala.collection.mutable.Map.empty
+  private def sharedAsset(spark: SparkSession, dir: String, tag: Int)
+                         (mine: DataFrame => DataFrame): DataFrame = {
+    val (absDir, mtime) = docSnapshotKey(dir)
+    memoRows(assetMemo, (absDir, tag, 0.0, mtime), spark) {
+      mine(documentsOf(spark, dir))
+    }.repartition(spark.sparkContext.defaultParallelism)
+  }
+  protected def sharedCuratedMedia(spark: SparkSession, dir: String): DataFrame =
+    sharedAsset(spark, dir, 1)(operators.MediaOps.curatedMediaTable)
+  protected def sharedCuratedVideo(spark: SparkSession, dir: String): DataFrame =
+    sharedAsset(spark, dir, 2)(operators.VideoOps.curatedVideoTable)
+  protected def sharedCuratedAudio(spark: SparkSession, dir: String): DataFrame =
+    sharedAsset(spark, dir, 3)(operators.MediaOps.curatedAudioTable)
+
   protected val pairsMemo: RowsMemo = scala.collection.mutable.Map.empty
   protected def sharedJaccardPairs(spark: SparkSession, dir: String,
                                  k: Int = 3, threshold: Double = 0.6): DataFrame = {

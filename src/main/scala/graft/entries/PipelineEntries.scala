@@ -76,12 +76,16 @@ private[graft] trait PipelineEntries extends EntryInfra {
     //    as bad_media after exact dedup and BEFORE the text stages
     //    (their text must not feed gram statistics). One REAL decode
     //    pass (failures kept as ok=false rows), closed-form oracle. ----
-    "q121_curate_multimodal" -> qd { spark =>
+    // asset fixtures ride the corpus-snapshot memo (EntryInfra
+    // sharedCurated*): a production corpus READS its binary columns,
+    // it never re-synthesizes them per query - the bench floor measures
+    // the gate's demux+decode, which is what recurs
+    "q121_curate_multimodal" -> qdd { (spark, dir) =>
       import org.apache.spark.sql.functions._
       val docs = spark.table("documents")
       operators.Pipeline.curateFull(docs, spark.table("embeddings"),
           "doc_id", "text", "source",
-          media = Some(operators.MediaOps.curatedMediaTable(docs)))
+          media = Some(sharedCuratedMedia(spark, dir)))
         .orderBy("doc_id")
     },
 
@@ -94,13 +98,13 @@ private[graft] trait PipelineEntries extends EntryInfra {
     //    text stages. The composition a 100 TB multimodal pipeline
     //    actually runs: one demux+decode pass per modality, no shuffle
     //    in either gate. --------------------------------------------
-    "q131_curate_multimodal_video" -> qd { spark =>
+    "q131_curate_multimodal_video" -> qdd { (spark, dir) =>
       import org.apache.spark.sql.functions._
       val docs = spark.table("documents")
       operators.Pipeline.curateFull(docs, spark.table("embeddings"),
           "doc_id", "text", "source",
-          media = Some(operators.MediaOps.curatedMediaTable(docs)),
-          video = Some(operators.VideoOps.curatedVideoTable(docs)),
+          media = Some(sharedCuratedMedia(spark, dir)),
+          video = Some(sharedCuratedVideo(spark, dir)),
           videoContainer = operators.Mp4Container)
         .orderBy("doc_id")
     },
@@ -111,15 +115,15 @@ private[graft] trait PipelineEntries extends EntryInfra {
     //    the drop union is distinct'd). Audio bad classes by id%11:
     //    corrupt (4) / silent DC line (7) / zero-sample chunk (9), all
     //    dropping as `bad_media` before the text stages. -------------
-    "q132_curate_trimodal" -> qd { spark =>
+    "q132_curate_trimodal" -> qdd { (spark, dir) =>
       import org.apache.spark.sql.functions._
       val docs = spark.table("documents")
       operators.Pipeline.curateFull(docs, spark.table("embeddings"),
           "doc_id", "text", "source",
-          media = Some(operators.MediaOps.curatedMediaTable(docs)),
-          video = Some(operators.VideoOps.curatedVideoTable(docs)),
+          media = Some(sharedCuratedMedia(spark, dir)),
+          video = Some(sharedCuratedVideo(spark, dir)),
           videoContainer = operators.Mp4Container,
-          audio = Some(operators.MediaOps.curatedAudioTable(docs)))
+          audio = Some(sharedCuratedAudio(spark, dir)))
         .orderBy("doc_id")
     },
 
@@ -139,9 +143,9 @@ private[graft] trait PipelineEntries extends EntryInfra {
           spark.table("embeddings"), "doc_id", "text",
           historyBloom = sharedHistoryBloom(spark, dir),
           centroids = sharedHistoryCentroids(spark, dir),
-          video = Some(operators.VideoOps.curatedVideoTable(docs)),
+          video = Some(sharedCuratedVideo(spark, dir)),
           videoContainer = operators.Mp4Container,
-          audio = Some(operators.MediaOps.curatedAudioTable(docs)))
+          audio = Some(sharedCuratedAudio(spark, dir)))
         .orderBy("doc_id")
     },
 
