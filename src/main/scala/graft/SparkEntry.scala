@@ -151,7 +151,22 @@ object SparkEntry
     // component closure (the same pair evidence) and q119's NB scores,
     // with the keep rule a per-cluster argmax (score DESC NULLS LAST,
     // then min id) — singletons are their own cluster via coalesce.
-    base + ("q140_training_order" ->
+    base + ("q141_split_profile" ->
+      s"""WITH sp AS (SELECT * FROM (${base("q128_leakage_free_split")})),
+         |sd AS (SELECT sp.split, d.source,
+         |              CAST(len(string_split_regex(trim(d.text), '\\s+')) AS DOUBLE) AS ntok
+         |       FROM sp JOIN documents d USING (doc_id)),
+         |agg AS (SELECT split, count(*) AS n_docs,
+         |               count(DISTINCT source) AS n_sources
+         |        FROM sd GROUP BY split),
+         |r AS (SELECT split, ntok,
+         |             cume_dist() OVER (PARTITION BY split ORDER BY ntok) AS cd
+         |      FROM sd)
+         |SELECT a.split, a.n_docs, a.n_sources,
+         |       (SELECT min(ntok) FROM r WHERE r.split = a.split AND cd >= 0.5) AS p50_tokens,
+         |       (SELECT min(ntok) FROM r WHERE r.split = a.split AND cd >= 0.9) AS p90_tokens
+         |FROM agg a ORDER BY a.split""".stripMargin) +
+    ("q140_training_order" ->
       s"""WITH ep AS (SELECT * FROM (${base("q135_epoch_mixture")})),
          |c AS (SELECT doc_id, n_tokens,
          |             unnest(generate_series(1, CAST(epochs AS BIGINT))) AS copy_idx

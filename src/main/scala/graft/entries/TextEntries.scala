@@ -163,6 +163,32 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc")
     },
 
+    // -- SPLIT-BALANCE profile (r16): the sketch limb auditing the
+    //    pipeline limb - per-split doc counts, HLL distinct sources,
+    //    and KLL token-length quantiles over the q128 leakage-free
+    //    split, all in ONE grouped aggregation pass. Exact regime at
+    //    the gate SFs (coupon-mode HLL at 20 sources, k=8192 KLL above
+    //    the per-split doc counts), so the DuckDB twin is exact
+    //    count-distinct + cume_dist order statistics. ----------------
+    "q141_split_profile" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val pairs = sharedJaccardPairs(spark, dir, k = 3, threshold = 0.6)
+      val split = operators.Sharding.leakageFreeSplit(
+        spark.table("documents"), pairs, "doc_id")
+      spark.table("documents")
+        .join(split.select("doc_id", "split"), Seq("doc_id"))
+        .select(col("split"), col("source"),
+          operators.TextOps.tokenCount(col("text")).cast("double").as("ntok"))
+        .createOrReplaceTempView("graft_split_docs")
+      spark.sql(
+        """SELECT split,
+          |       count(*) AS n_docs,
+          |       CAST(round(datasketch_hll_estimate(datasketch_hll(12, source))) AS BIGINT) AS n_sources,
+          |       datasketch_kll_quantile(datasketch_kll(8192, ntok), 0.5, true) AS p50_tokens,
+          |       datasketch_kll_quantile(datasketch_kll(8192, ntok), 0.9, true) AS p90_tokens
+          |FROM graft_split_docs GROUP BY split ORDER BY split""".stripMargin)
+    },
+
     // -- TRAINING-ORDER materialization (r16, the recipe capstone):
     //    q135's epoch counts exploded into actual copies, interleaved
     //    in a deterministic md5(doc:copy) order (repeated copies of an

@@ -64,6 +64,7 @@ SLOW_ORACLE = {
     "q128_leakage_free_split": "recursive pair-closure over the all-pairs source",
     "q136_quality_keep_clusters": "recursive pair-closure + NB re-derivation",
     "q139_incremental_split": "double recursive pair-closure over the all-pairs source",
+    "q141_split_profile": "recursive pair-closure inside the split derivation",
     "q97_incremental_neardup": "cross-corpus brute-force Jaccard (179s at sf0.1, r15)",
     "q112_curate_full": "5-stage pipeline CTE chain (>50min at sf0.1, r15)",
     "q115_curate_incremental": "cross-corpus pipeline CTE chain",
