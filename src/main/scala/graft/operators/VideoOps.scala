@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   * the container is a deterministic in-repo format ([[GvidContainer]]:
   * magic + fps + length-prefixed PNG frames) whose per-frame payloads
   * decode through the SAME pluggable [[MediaOps.ImageCodec]] the image
-  * path uses (`javax.imageio`, a genuine codec). [[AviContainer]] (r16)
-  * is the real-format instance of the seam — a spec-correct RIFF/AVI
-  * (MJPEG-style) demuxer with no external deps; swapping in an MP4/MKV
-  * demuxer (JNI or pure-JVM) changes nothing downstream — the plan
-  * shape, the per-frame decode loop, and the feature steps are
-  * container-agnostic.
+  * path uses (`javax.imageio`, a genuine codec). All three REAL
+  * container formats instantiate the seam (r16): [[AviContainer]]
+  * (RIFF/AVI), [[Mp4Container]] (ISO BMFF, QuickTime motion-JPEG
+  * layout), and [[MkvContainer]] (EBML/Matroska, V_MJPEG) — each a
+  * spec-correct muxer+demuxer with no external deps — plus
+  * [[AutoContainer]], which sniffs the magic per row so one pass
+  * demuxes a mixed-format corpus. The plan shape, the per-frame decode
+  * loop, and the feature steps are container-agnostic; what remains
+  * external is only a true inter-frame video DECODER (H.264 et al.),
+  * which would plug in as another [[MediaOps.ImageCodec]]-like seam.
   *
   * Scale shape: decode is partition-parallel `mapPartitions` over the
   * binary column (the [[MediaOps.decodeImages]] precedent) — no shuffle;
