@@ -303,37 +303,90 @@ object StreamingDedup {
       org.apache.spark.sql.streaming.StreamingQuery = {
     batches.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.select(col(idCol), col(textCol))
-        if (!b.isEmpty) {
-          val hasStore = {
-            val d = new java.io.File(path)
-            d.exists() && Option(d.list()).exists(_.exists(!_.startsWith("_")))
-          }
-          val admitted =
-            if (hasStore)
-              spark.read.parquet(path).filter(col("decision") === "kept")
-                .select(col(idCol), col("cleaned_text").as(textCol))
-            else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
-          val history = seedHistory.select(col(idCol), col(textCol))
-            .unionByName(admitted)
-          graft.operators.Pipeline.curateIncremental(
-              history, b, embeddings, idCol, textCol,
-              vecIdCol = vecIdCol, vecCol = vecCol,
-              nearDupThreshold = nearDupThreshold, semTau = semTau,
-              centroids = Some(centroids), keepCleanedText = true,
-              nbModel = nbModel, minNbScoreU = minNbScoreU,
-              benchmark = benchmark, benchmarkEmb = benchmarkEmb,
-              contamNgramK = contamNgramK, contamCosTau = contamCosTau,
-              media = media, video = video, videoContainer = videoContainer,
-              audio = audio)
-            .withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(path)
-        }
-        ()
+        curateBatch(batch.toDF(), id, seedHistory, embeddings, idCol, textCol,
+          centroids, path, vecIdCol, vecCol, nearDupThreshold, semTau,
+          nbModel, minNbScoreU, benchmark, benchmarkEmb, contamNgramK,
+          contamCosTau, media, video, videoContainer, audio)
       }
       .start()
+  }
+
+  /** True iff the store already holds rows at trigger `id` or later —
+    * this invocation MAY be a post-failure REPLAY. Spark's exactly-once
+    * contract for foreachBatch is "same batchId, same data, caller
+    * dedupes": after a driver restart the engine re-invokes the function
+    * with the batchId it could not confirm, so an unguarded append
+    * double-writes — and because these stores are read back as admission
+    * history, the duplicates would poison every later trigger's verdicts,
+    * not just the audit log. This check alone cannot distinguish a replay
+    * from a FRESH query (new checkpoint) over an existing store, whose
+    * batchIds legitimately restart at 0 — so callers treat it as a cheap
+    * suspicion trigger (max over one BIGINT column is a parquet
+    * footer-stats scan) and confirm by content: anti-join the batch's ids
+    * against the store, so replayed rows vanish and genuinely new docs
+    * under a recycled batchId still land. Steady-state triggers (fresh,
+    * monotonically advancing batchIds) never pay the anti-join. */
+  private[graft] def storeHasBatch(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, id: Long): Boolean = {
+    val row = spark.read.parquet(path).agg(max(col("batch_id"))).head()
+    !row.isNullAt(0) && row.getLong(0) >= id
+  }
+
+  private def storeNonEmpty(path: String): Boolean = {
+    val d = new java.io.File(path)
+    d.exists() && Option(d.list()).exists(_.exists(!_.startsWith("_")))
+  }
+
+  /** The per-trigger body of [[curateSink]], exposed so the replay guard
+    * is testable: invoking it twice at the same `id` must leave the store
+    * identical (StreamingSpec pins this). */
+  private[graft] def curateBatch(batch: DataFrame, id: Long,
+                 seedHistory: DataFrame, embeddings: DataFrame,
+                 idCol: String, textCol: String,
+                 centroids: Array[Array[Double]], path: String,
+                 vecIdCol: String = "vec_id", vecCol: String = "embedding",
+                 nearDupThreshold: Double = 0.9, semTau: Double = 0.35,
+                 nbModel: Option[graft.operators.TextOps.NbModel] = None,
+                 minNbScoreU: Long = 0L,
+                 benchmark: Option[DataFrame] = None,
+                 benchmarkEmb: Option[DataFrame] = None,
+                 contamNgramK: Int = 13,
+                 contamCosTau: Double = 0.4,
+                 media: Option[DataFrame] = None,
+                 video: Option[DataFrame] = None,
+                 videoContainer: graft.operators.VideoOps.VideoContainer =
+                   graft.operators.VideoOps.GvidContainer,
+                 audio: Option[DataFrame] = None): Unit = {
+    val spark = batch.sparkSession
+    val b0 = batch.select(col(idCol), col(textCol))
+    val hasStore = storeNonEmpty(path)
+    val b =
+      if (hasStore && storeHasBatch(spark, path, id))
+        b0.join(spark.read.parquet(path).select(col(idCol)), Seq(idCol), "left_anti")
+      else b0
+    if (!b.isEmpty) {
+      val admitted =
+        if (hasStore)
+          spark.read.parquet(path).filter(col("decision") === "kept")
+            .select(col(idCol), col("cleaned_text").as(textCol))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+      val history = seedHistory.select(col(idCol), col(textCol))
+        .unionByName(admitted)
+      graft.operators.Pipeline.curateIncremental(
+          history, b, embeddings, idCol, textCol,
+          vecIdCol = vecIdCol, vecCol = vecCol,
+          nearDupThreshold = nearDupThreshold, semTau = semTau,
+          centroids = Some(centroids), keepCleanedText = true,
+          nbModel = nbModel, minNbScoreU = minNbScoreU,
+          benchmark = benchmark, benchmarkEmb = benchmarkEmb,
+          contamNgramK = contamNgramK, contamCosTau = contamCosTau,
+          media = media, video = video, videoContainer = videoContainer,
+          audio = audio)
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").parquet(path)
+    }
+    ()
   }
 
   /** One relation per trigger (the r16 `curateSink` layout): the verdict
@@ -351,30 +404,41 @@ object StreamingDedup {
       org.apache.spark.sql.streaming.StreamingQuery = {
     batches.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.select(col(idCol), col(vecCol))
-        if (!b.isEmpty) {
-          val hasStore = {
-            val d = new java.io.File(path)
-            d.exists() && Option(d.list()).exists(_.exists(!_.startsWith("_")))
-          }
-          val store =
-            if (hasStore)
-              spark.read.parquet(path).filter(col("kept"))
-                .select(col("id").as(idCol), col(vecCol))
-            else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
-          graft.operators.KMeansOps
-            .incrementalSemDedup(store, b, idCol, vecCol, centroids, tau)
-            .join(b.select(col(idCol).as("__vid"), col(vecCol)),
-              col("id") === col("__vid"))
-            .drop("__vid")
-            .withColumn("batch_id", lit(id))
-            .localCheckpoint(eager = true)
-            .write.mode("append").parquet(path)
-        }
-        ()
+        semDedupBatch(batch.toDF(), id, idCol, vecCol, centroids, tau, path)
       }
       .start()
+  }
+
+  /** The per-trigger body of [[semDedupSink]], exposed so the replay
+    * guard ([[storeHasBatch]]) is testable in isolation. */
+  private[graft] def semDedupBatch(batch: DataFrame, id: Long,
+                                   idCol: String, vecCol: String,
+                                   centroids: Array[Array[Double]],
+                                   tau: Double, path: String): Unit = {
+    val spark = batch.sparkSession
+    val b0 = batch.select(col(idCol), col(vecCol))
+    val hasStore = storeNonEmpty(path)
+    val b =
+      if (hasStore && storeHasBatch(spark, path, id))
+        b0.join(spark.read.parquet(path).select(col("id").as(idCol)),
+          Seq(idCol), "left_anti")
+      else b0
+    if (!b.isEmpty) {
+      val store =
+        if (hasStore)
+          spark.read.parquet(path).filter(col("kept"))
+            .select(col("id").as(idCol), col(vecCol))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+      graft.operators.KMeansOps
+        .incrementalSemDedup(store, b, idCol, vecCol, centroids, tau)
+        .join(b.select(col(idCol).as("__vid"), col(vecCol)),
+          col("id") === col("__vid"))
+        .drop("__vid")
+        .withColumn("batch_id", lit(id))
+        .localCheckpoint(eager = true)
+        .write.mode("append").parquet(path)
+    }
+    ()
   }
 }

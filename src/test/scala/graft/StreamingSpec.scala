@@ -436,4 +436,74 @@ class StreamingSpec extends SparkTestBase {
       assert(merged == 2L, s"merged session sketches should see 2 types, got $merged")
     } finally query.stop()
   }
+
+  test("foreachBatch sinks are replay-idempotent: re-running a committed batchId is a no-op") {
+    // Spark's contract after a driver failure is to RE-INVOKE foreachBatch
+    // with the batchId it could not confirm; because these stores are read
+    // back as admission history, an unguarded double-append would poison
+    // every later trigger. Drive the per-trigger bodies directly so the
+    // replay is deterministic: same data, same id, twice.
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    def snapshot(path: String): (Set[String], Seq[String]) = {
+      val files = Option(new java.io.File(path).list()).get
+        .filterNot(_.startsWith("_")).toSet
+      val rows = spark.read.parquet(path).collect()
+        .map(_.toString).toSeq.sorted
+      (files, rows)
+    }
+
+    // --- semDedupSink body ---
+    val cent = Array(Array(5.0, 0.0), Array(0.0, 5.0))
+    val store1 = java.nio.file.Files.createTempDirectory("graft_replay_sem_").toString
+    try {
+      val b0 = Seq(1L -> Array(10f, 0f), 2L -> Array(10f, 0.1f)).toDF("id", "vec")
+      val b1 = Seq(3L -> Array(10f, 0.2f), 4L -> Array(0f, 10f)).toDF("id", "vec")
+      streaming.StreamingDedup.semDedupBatch(b0, 0L, "id", "vec", cent, 0.9, store1)
+      streaming.StreamingDedup.semDedupBatch(b1, 1L, "id", "vec", cent, 0.9, store1)
+      val before = snapshot(store1)
+      // replay the last trigger (the post-restart case) …
+      streaming.StreamingDedup.semDedupBatch(b1, 1L, "id", "vec", cent, 0.9, store1)
+      assert(snapshot(store1) == before,
+        "replaying batchId 1 must leave the store byte-identical")
+      // … and an older already-committed trigger
+      streaming.StreamingDedup.semDedupBatch(b0, 0L, "id", "vec", cent, 0.9, store1)
+      assert(snapshot(store1) == before,
+        "replaying batchId 0 must leave the store byte-identical")
+      val verdicts = spark.read.parquet(store1).select("id", "kept")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      assert(verdicts == Set((1L, true), (2L, false), (3L, false), (4L, true)),
+        s"replay must not change verdict semantics: $verdicts")
+    } finally rm(new java.io.File(store1))
+
+    // --- curateSink body ---
+    val seed = Seq((0L, "seed corpus document entirely original words")).toDF("doc_id", "text")
+    val embs = Seq(0L -> Array(0f, 1f), 11L -> Array(0f, -1f),
+        13L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cent1 = operators.KMeansOps.fit(
+      embs.filter($"vec_id" === 0L), "vec_id", "embedding", k = 1, iters = 1)
+    val store2 = java.nio.file.Files.createTempDirectory("graft_replay_cur_").toString
+    try {
+      val c0 = Seq((11L, "first stream document with original words")).toDF("doc_id", "text")
+      val c1 = Seq((13L, "second stream document also fully original")).toDF("doc_id", "text")
+      streaming.StreamingDedup.curateBatch(c0, 0L, seed, embs, "doc_id", "text", cent1, store2)
+      streaming.StreamingDedup.curateBatch(c1, 1L, seed, embs, "doc_id", "text", cent1, store2)
+      val before = snapshot(store2)
+      streaming.StreamingDedup.curateBatch(c1, 1L, seed, embs, "doc_id", "text", cent1, store2)
+      assert(snapshot(store2) == before,
+        "replaying curate batchId 1 must leave the store byte-identical")
+      streaming.StreamingDedup.curateBatch(c0, 0L, seed, embs, "doc_id", "text", cent1, store2)
+      assert(snapshot(store2) == before,
+        "replaying curate batchId 0 must leave the store byte-identical")
+      val v = spark.read.parquet(store2).select("doc_id", "decision", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(v == Set((11L, "kept", 0L), (13L, "kept", 1L)), s"$v")
+    } finally rm(new java.io.File(store2))
+  }
 }
