@@ -156,14 +156,21 @@ object MediaOps {
   }
 
   case class MediaStatus(doc_id: Long, ok: Boolean, width: Int, height: Int,
-                         checksum: Long, features: Array[Float])
+                         checksum: Long, features: Array[Float],
+                         uniform: Boolean)
 
   /** [[decodeImages]] with decode FAILURES kept as `ok = false` rows
     * instead of dropped — the one-pass shape a curation gate needs:
     * failed/flagged/clean are all decided from this single decode
     * relation, with no second scan of the (heavy, binary) media table
     * and no anti-join to recover the failure set. Same partition-
-    * parallel `mapPartitions`, no shuffle. */
+    * parallel `mapPartitions`, no shuffle.
+    *
+    * `uniform` is exact per-pixel min == max over the full raster —
+    * tracked inside the checksum loop for free, and the SAME blank-asset
+    * definition as `VideoOps.decodeStatus`. (The former grid-mean
+    * equality proxy silently flagged any balanced raster — e.g. a
+    * checkerboard — whose cell means happen to coincide.) */
   def decodeStatus(media: DataFrame, codec: ImageCodec = ImageIoCodec,
                    grid: Int = 2): Dataset[MediaStatus] = {
     val spark = media.sparkSession
@@ -174,11 +181,21 @@ object MediaOps {
           codec.decode(bytes) match {
             case Some(d) =>
               var sum = 0L
+              var mn = 255
+              var mx = 0
               var i = 0
-              while (i < d.gray.length) { sum += d.gray(i); i += 1 }
-              MediaStatus(id, ok = true, d.width, d.height, sum, gridFeatures(d, grid))
+              while (i < d.gray.length) {
+                val v = d.gray(i)
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              MediaStatus(id, ok = true, d.width, d.height, sum,
+                gridFeatures(d, grid), uniform = d.gray.nonEmpty && mn == mx)
             case None =>
-              MediaStatus(id, ok = false, 0, 0, 0L, Array.empty[Float])
+              MediaStatus(id, ok = false, 0, 0, 0L, Array.empty[Float],
+                uniform = false)
           }
         }
       }

@@ -91,29 +91,36 @@ object MkvContainer extends VideoOps.VideoContainer {
 
   /** Minimal spec-correct MKV writer (the test/ingest half of the
     * round-trip): EBML header (DocType `matroska`), one Segment with
-    * Info (default TimestampScale), one `V_MJPEG` video TrackEntry
-    * (DefaultDuration = 1e9/fps), and one Cluster per frame — cluster
-    * Timestamp = floor(idx·1000/fps) ms, each frame a keyframe
-    * SimpleBlock with relative timestamp 0 and no lacing (the layout
-    * real muxers produce, at one-frame cluster granularity). */
-  def mux(fps: Int, frames: Seq[Array[Byte]], width: Int = 32, height: Int = 24): Array[Byte] = {
+    * Info (TimestampScale), one `V_MJPEG` video TrackEntry
+    * (DefaultDuration = 1e9/fps unless suppressed), and one Cluster per
+    * frame — cluster Timestamp = floor(idx·1e9/fps/scale) TICKS, each
+    * frame a keyframe SimpleBlock with relative timestamp 0 and no
+    * lacing (the layout real muxers produce, at one-frame cluster
+    * granularity). `timestampScaleNs`/`withDefaultDuration` exist to
+    * fixture the fps-from-scaled-tick-deltas fallback path. */
+  def mux(fps: Int, frames: Seq[Array[Byte]], width: Int = 32, height: Int = 24,
+          timestampScaleNs: Long = 1000000L,
+          withDefaultDuration: Boolean = true): Array[Byte] = {
     require(fps > 0, s"fps must be positive, got $fps")
+    require(timestampScaleNs > 0, s"timestampScaleNs must be positive, got $timestampScaleNs")
     val header = el(IdEbml,
       elUint(0x4286L, 1), elUint(0x42F7L, 1), elUint(0x42F2L, 4), elUint(0x42F3L, 8),
       elStr(0x4282L, "matroska"), elUint(0x4287L, 2), elUint(0x4285L, 2))
-    val info = el(IdInfo, elUint(IdTimestampScale, 1000000L))
+    val info = el(IdInfo, elUint(IdTimestampScale, timestampScaleNs))
     val trackEntry = el(IdTrackEntry,
-      elUint(IdTrackNumber, 1), elUint(0x73C5L /* TrackUID */ , 1),
-      elUint(IdTrackType, 1), elStr(IdCodecId, "V_MJPEG"),
-      elUint(IdDefaultDuration, 1000000000L / fps),
-      el(IdVideo, elUint(IdPixelWidth, width.toLong), elUint(IdPixelHeight, height.toLong)))
+      (Seq(
+        elUint(IdTrackNumber, 1), elUint(0x73C5L /* TrackUID */ , 1),
+        elUint(IdTrackType, 1), elStr(IdCodecId, "V_MJPEG")) ++
+       (if (withDefaultDuration) Seq(elUint(IdDefaultDuration, 1000000000L / fps)) else Nil) ++
+       Seq(el(IdVideo, elUint(IdPixelWidth, width.toLong), elUint(IdPixelHeight, height.toLong)))): _*)
     val tracks = el(IdTracks, trackEntry)
     val clusters = frames.zipWithIndex.map { case (f, idx) =>
       // SimpleBlock: track varint, i16 relative timestamp, flags (0x80 =
-      // keyframe, no lacing), then the payload
+      // keyframe, no lacing), then the payload. Cluster Timestamp is in
+      // TICKS of the Info TimestampScale, not milliseconds.
       val blockBody = vint(1L) ++ Array[Byte](0, 0, 0x80.toByte) ++ f
       el(IdCluster,
-        elUint(IdTimestamp, idx.toLong * 1000L / fps),
+        elUint(IdTimestamp, idx.toLong * 1000000000L / fps / timestampScaleNs),
         el(IdSimpleBlock, blockBody))
     }
     val segment = el(IdSegment, (Seq(info, tracks) ++ clusters): _*)
@@ -156,6 +163,11 @@ object MkvContainer extends VideoOps.VideoContainer {
       // state assembled during the walk
       var videoTrack = -1L
       var defaultDurationNs = 0L
+      // Info TimestampScale: ns per timestamp tick (Matroska default
+      // 1,000,000 = 1 ms). Block/cluster timestamps are in TICKS — a
+      // file with a non-default scale and no DefaultDuration would
+      // otherwise derive fps from tick deltas misread as milliseconds.
+      var timestampScaleNs = 1000000L
       var firstTs = -1L
       var secondTs = -1L
       var clusterTs = 0L
@@ -209,6 +221,9 @@ object MkvContainer extends VideoOps.VideoContainer {
             case IdTrackNumber => trackNum = readUint(size.toInt)
             case IdTrackType => trackType = readUint(size.toInt)
             case IdDefaultDuration => trackDd = readUint(size.toInt)
+            case IdTimestampScale =>
+              val s = readUint(size.toInt)
+              if (s > 0) timestampScaleNs = s
             case IdTimestamp => clusterTs = readUint(size.toInt)
             case IdSimpleBlock | IdBlock if videoTrack > 0 => readBlock(next)
             case _ => () // EBML header, CodecID, Video, Cues, SeekHead, …
@@ -232,7 +247,9 @@ object MkvContainer extends VideoOps.VideoContainer {
         if (defaultDurationNs > 0)
           math.max(1, math.round(1e9 / defaultDurationNs)).toInt
         else if (secondTs > firstTs && firstTs >= 0)
-          math.max(1, math.round(1000.0 / (secondTs - firstTs))).toInt
+          // tick delta → ns via the captured TimestampScale, then to fps
+          math.max(1, math.round(1e9 /
+            ((secondTs - firstTs).toDouble * timestampScaleNs))).toInt
         else 1
       Some(VideoOps.VideoStream(fps, frames.toIndexedSeq))
     } catch { case scala.util.control.NonFatal(_) => None }

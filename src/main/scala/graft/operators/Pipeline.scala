@@ -69,7 +69,7 @@ object Pipeline {
       val mean = col("checksum").cast("double") / (col("width") * col("height"))
       MediaOps.decodeStatus(inPlay(m), mediaCodec, mediaGrid).toDF()
         .filter(!col("ok") || mean < minMeanLum || mean > maxMeanLum ||
-          array_max(col("features")) === array_min(col("features")))
+          col("uniform"))
         .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
     }.getOrElse(empty)
     val videoDrops = video.map { v =>
@@ -87,9 +87,19 @@ object Pipeline {
     imageDrops.union(videoDrops).union(audioDrops).distinct()
   }
 
-  private[graft] def widenIfNarrow(df: DataFrame): DataFrame = {
+  private[graft] def widenIfNarrow(df: DataFrame): DataFrame =
+    widenIfNarrow(df, df)
+
+  /** [[widenIfNarrow]] probing `leaf`'s partition count instead of
+    * `df`'s own — for consumers that derive from the materialized `leaf`
+    * through a join or other exchange-bearing step: `df.rdd` on an AQE
+    * plan EXECUTES its shuffles (the documented trap), so probing the
+    * join plan itself would run the join twice. The leaf's count is the
+    * right signal anyway: AQE coalescing the checkpoint to 1–2
+    * partitions is what starves the downstream hashing-scale scan. */
+  private[graft] def widenIfNarrow(df: DataFrame, leaf: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    if (leaf.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
   /** @param knownNearDupPairs pre-mined verified near-dup pair evidence
@@ -460,9 +470,11 @@ object Pipeline {
     //     None → empty drop set, prior shape byte-identical.
     val contamDrops = benchmark.map { b =>
       // widenIfNarrow: the k-gram shingle pass (hash per window) over
-      // the s1 checkpoint is a hashing-scale scan — the helper's case
+      // the s1 checkpoint is a hashing-scale scan — the helper's case.
+      // Probe s1 (the materialized leaf), NOT s1v: s1v is the media
+      // anti-join plan, and probing it would execute that join twice.
       val ng = Decontaminate.contaminatedIds(
-          widenIfNarrow(s1v.select(id, col(textCol))),
+          widenIfNarrow(s1v.select(id, col(textCol)), s1),
           b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))

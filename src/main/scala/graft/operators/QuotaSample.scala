@@ -243,6 +243,16 @@ object QuotaSample {
       .groupBy("__er_src").agg(sum("__er_n").as("__er_m"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
+    // a positive-weight recipe entry naming a source absent from the
+    // corpus would still inflate Σw, silently deflating every real
+    // source's share below totalBudget — a typo'd source name must read
+    // as an error, not a quietly smaller run
+    val present = masses.map(_._1).toSet
+    val phantom = sorted.filter(w => w._2 > 0.0 && !present.contains(w._1))
+    require(phantom.isEmpty,
+      s"weights name sources absent from the corpus (their " +
+        s"${phantom.map(_._2).sum / wsum * 100}%% budget share would be " +
+        s"silently forfeited): ${phantom.map(_._1).mkString(", ")}")
     val plan = masses.map { case (src, m) =>
       val target = totalBudget.toDouble * wmap.getOrElse(src, 0.0) / wsum
       val full = math.floor(target / m).toLong

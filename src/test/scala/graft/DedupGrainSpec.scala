@@ -130,6 +130,34 @@ class DedupGrainSpec extends SparkTestBase {
     val uncapped = SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 8,
       maxGramOccurrences = 0).collect()
     assert(uncapped.length == 6 && uncapped.forall(_.getLong(4) == 10L))
+    // cap boundary: a gram occurring EXACTLY cap times is kept (the old
+    // size(occ) <= cap filter semantics the bounded aggregate replaces)
+    val atCap = SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8, minSpan = 8,
+      maxGramOccurrences = 4).collect()
+    assert(atCap.length == 6 && atCap.forall(_.getLong(4) == 10L))
+  }
+
+  test("BoundedOccListAgg buffer: overflow tombstones, frees memory, survives merge") {
+    val buf = new BoundedOccListAgg.Buf(3)
+    buf.add(1L, 0L); buf.add(2L, 1L); buf.add(3L, 2L)
+    assert(buf.size == 3 && !buf.overflowed)
+    buf.add(4L, 3L) // past the cap: terminal overflow, arrays released
+    assert(buf.overflowed && buf.docs == null && buf.size == 0)
+    buf.add(5L, 4L) // later adds are no-ops
+    assert(buf.overflowed)
+    // merge: clean + clean past the cap overflows; overflow is infectious
+    val a = new BoundedOccListAgg.Buf(3); a.add(1L, 0L); a.add(2L, 0L)
+    val b = new BoundedOccListAgg.Buf(3); b.add(3L, 0L); b.add(4L, 0L)
+    a.mergeFrom(b)
+    assert(a.overflowed, "2 + 2 pairs must overflow a cap-3 buffer")
+    val c = new BoundedOccListAgg.Buf(3); c.add(1L, 0L)
+    c.mergeFrom(buf)
+    assert(c.overflowed, "merging an overflowed partial must tombstone the target")
+    // at-cap merge stays clean
+    val e = new BoundedOccListAgg.Buf(3); e.add(1L, 0L)
+    val f = new BoundedOccListAgg.Buf(3); f.add(2L, 0L); f.add(3L, 0L)
+    e.mergeFrom(f)
+    assert(!e.overflowed && e.size == 3)
   }
 
   test("removeDuplicatedSpans cuts the b-side copy, keeps the lowest-id copy") {

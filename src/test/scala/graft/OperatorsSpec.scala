@@ -1387,6 +1387,17 @@ class OperatorsSpec extends SparkTestBase {
     assert((15L until 19L).forall(out(_)._3 == 0L), out.toString)
     // up-sampling fired: source A docs carry >= 3 whole passes
     assert((0L until 10L).forall(out(_)._3 >= 3L), out.toString)
+    // a POSITIVE-weight recipe entry naming a source absent from the
+    // corpus must be an error (its budget share would silently deflate
+    // every real source's target); a zero-weight phantom is harmless
+    val typo = intercept[IllegalArgumentException] {
+      QuotaSample.epochRepetition(df, "source", "doc_id", "text",
+        Seq("A" -> 3.0, "B" -> 1.0, "Z_TYPO" -> 1.0), totalBudget = 450L)
+    }
+    assert(typo.getMessage.contains("Z_TYPO"), typo.getMessage)
+    val zeroPhantom = QuotaSample.epochRepetition(df, "source", "doc_id", "text",
+      Seq("A" -> 3.0, "B" -> 1.0, "C" -> 0.0, "GONE" -> 0.0), totalBudget = 450L)
+    assert(zeroPhantom.count() == 19)
   }
 
   test("temperatureMixture: budgets follow mass^alpha; selection equals the scalar quota") {
@@ -1447,10 +1458,30 @@ class OperatorsSpec extends SparkTestBase {
       (6L, MediaOps.constPngBytes(6L, 100))     // uniform mid-gray -> blank
     ).toDF("doc_id", "content")
     val st = MediaOps.decodeStatus(media).collect().map(m => m.doc_id -> m).toMap
-    assert(st(0L).ok && st(0L).checksum > 0)
+    assert(st(0L).ok && st(0L).checksum > 0 && !st(0L).uniform)
     assert(!st(3L).ok)
-    assert(st(5L).ok && st(5L).checksum == 0L)
-    assert(st(6L).ok)
+    assert(st(5L).ok && st(5L).checksum == 0L && st(5L).uniform)
+    assert(st(6L).ok && st(6L).uniform)
+    // uniformity is exact per-pixel min==max, NOT grid-mean equality: a
+    // checkerboard's 2x2 grid-cell means coincide (every cell averages
+    // the same mix) but the raster is not uniform and must NOT flag
+    val checker = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until 16; x <- 0 until 16)
+        r.setSample(x, y, 0, if ((x + y) % 2 == 0) 40 else 160)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val cst = MediaOps.decodeStatus(Seq((9L, checker)).toDF("doc_id", "content"))
+      .collect().head
+    assert(cst.ok && !cst.uniform, "balanced checkerboard must not read as uniform")
+    val cf = cst.features
+    assert(cf.forall(_ == cf.head),
+      "fixture sanity: the checkerboard's grid means must coincide " +
+        "(otherwise this test no longer discriminates the two rules")
     // the curateFull gate: docs 3/5/6 drop as bad_media; 0 (healthy
     // image) and 1 (text-only, no media row) pass through to kept
     val corpus = Seq(
@@ -1774,6 +1805,14 @@ class OperatorsSpec extends SparkTestBase {
     val png = (0 until 4).map(i => MediaOps.testPngBytes(i.toLong))
     val vp = MkvContainer.demux(MkvContainer.mux(12, png)).get
     assert(vp.fps == 12 && vp.frames.zip(png).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // non-default TimestampScale (0.5 ms ticks) with NO DefaultDuration:
+    // fps must come from tick deltas CONVERTED via the Info scale — the
+    // 1 ms-tick assumption would misread 8 fps (250-tick deltas) as 4
+    val scaled = MkvContainer.mux(8, frames, timestampScaleNs = 500000L,
+      withDefaultDuration = false)
+    val vscaled = MkvContainer.demux(scaled).get
+    assert(vscaled.fps == 8, s"fps from scaled tick deltas, got ${vscaled.fps}")
+    assert(vscaled.frames.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) })
     // corrupt containers drop, not throw: garbage, missing EBML header;
     // a truncated tail keeps the frames that demuxed before the cut
     assert(MkvContainer.demux("definitely not EBML at all".getBytes("UTF-8")).isEmpty)
