@@ -539,6 +539,24 @@ private[graft] trait TextEntries extends EntryInfra {
         .select(col("doc_a"), col("doc_b"), round(col("wjaccard"), 6).as("wjaccard"))
         .orderBy("doc_a", "doc_b")
     },
+
+    // -- HTML → text extraction, curation stage 0 (r17): real markup
+    //    (title/header/nav/script/aside/footer chrome around an
+    //    <article>) through the in-repo block segmenter + jusText-class
+    //    rules (zone ∨ <5 words ∨ link-dense → boilerplate). The
+    //    fixture muxer keeps the result closed-form: extracted text =
+    //    the normalized document text iff the doc clears the word
+    //    floor, block counts pure arithmetic in w = token count. One
+    //    mapPartitions, zero exchanges. -------------------------------
+    "q142_html_extract" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.HtmlExtract.extract(
+          operators.HtmlExtract.htmlTable(spark.table("documents")),
+          "doc_id", "html")
+        .select(col("doc_id"), col("extracted_text"),
+          col("n_blocks"), col("kept_blocks"))
+        .orderBy("doc_id")
+    },
   )
 
   protected def textOracle: Map[String, String] = Map(
@@ -1286,5 +1304,31 @@ private[graft] trait TextEntries extends EntryInfra {
         |FROM p JOIN tot ta ON ta.doc = p.da JOIN tot tb ON tb.doc = p.db
         |WHERE CAST(ms AS DOUBLE) / (ta.tot + tb.tot - ms) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // closed form of the q142 fixture page (HtmlExtract.testHtml):
+    // chrome (7 blocks: title, header h1, 3 nav items, aside, footer)
+    // never extracts; the article's ≤40-word paragraphs all extract iff
+    // the document has ≥ 5 words (a <5-word tail merges into the
+    // previous paragraph, a <5-word document is one dropped paragraph)
+    "q142_html_extract" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_replace(trim(text), '\s+', ' ', 'g') AS norm,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> '')) AS w
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, norm, w,
+        |         CASE WHEN w < 5 THEN 0
+        |              WHEN w % 40 = 0 THEN w // 40
+        |              WHEN w % 40 < 5 THEN w // 40
+        |              ELSE w // 40 + 1 END AS kept
+        |  FROM t)
+        |SELECT doc_id,
+        |       CASE WHEN w >= 5 THEN norm ELSE '' END AS extracted_text,
+        |       CAST(7 + CASE WHEN w = 0 THEN 0 WHEN w < 5 THEN 1
+        |                     ELSE kept END AS BIGINT) AS n_blocks,
+        |       CAST(kept AS BIGINT) AS kept_blocks
+        |FROM k ORDER BY doc_id""".stripMargin,
   )
 }

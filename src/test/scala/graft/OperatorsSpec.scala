@@ -1919,4 +1919,87 @@ class OperatorsSpec extends SparkTestBase {
       Seq((9L, mixed)).toDF("doc_id", "content"), container = MkvContainer).collect()
     assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
   }
+
+  test("HTML extraction: block segmentation, zones, link density, entities") {
+    import HtmlExtract._
+    val page =
+      """<html><head><title>Nine word title that clears the word floor easily</title>
+        |<style>p { color: red; }</style></head>
+        |<body>
+        |<nav><a href="/">Home</a> <a href="/x">More</a> extra nav words here beyond the floor</nav>
+        |<script>if (1 < 2) { alert("</p> fake close inside string is fine"); }</script>
+        |<p>The first real paragraph carries enough words to clear the floor.</p>
+        |<p>Short one.</p>
+        |<p>Link farm <a href="/a">one two three four five six seven eight nine</a> x</p>
+        |<p>Entities: Tom &amp; Jerry say 1 &lt; 2 &gt; 0 &quot;ok&quot; &#65;</p>
+        |<footer>A long footer sentence with plenty of words stays boilerplate by zone</footer>
+        |</body></html>""".stripMargin
+    val bs = parseBlocks(page)
+    val byText = bs.map(b => b.text.take(12) -> b).toMap
+    // title: ≥5 words, no zone → content (a real page's title block)
+    assert(isContent(byText("Nine word ti")))
+    // nav: zone wins even past the word floor
+    val nav = bs.find(_.text.startsWith("Home")).get
+    assert(nav.zone && !isContent(nav) && nav.n_links == 2)
+    // script subtree (with a fake close tag inside a string) fully skipped
+    assert(!bs.exists(_.text.contains("alert")))
+    assert(!bs.exists(_.text.contains("color")))
+    // plain paragraph: content; short paragraph: dropped by word floor
+    assert(isContent(byText("The first re")))
+    assert(!isContent(byText("Short one.")))
+    // link farm: 9 of 12 words inside <a> → density ≈ .78 > 1/3 → dropped
+    val farm = bs.find(_.text.startsWith("Link farm")).get
+    assert(farm.n_links == 1 && farm.link_chars > 0 &&
+      farm.link_chars.toDouble / farm.total_chars > 0.5 && !isContent(farm))
+    // entity decode in text flow
+    assert(byText("Entities: To").text == "Entities: Tom & Jerry say 1 < 2 > 0 \"ok\" A")
+    // footer: zone
+    assert(bs.find(_.text.startsWith("A long footer")).get.zone)
+
+    // extract over the closed-form fixture: chrome dropped, article kept
+    val spark2 = spark
+    import spark2.implicits._
+    val text = (1 to 87).map(i => s"w$i").mkString(" ")  // 87 words: 40+40+7
+    val df = Seq((5L, text), (6L, "tiny doc"), (7L, "")).toDF("doc_id", "text")
+    val out = HtmlExtract.extract(HtmlExtract.htmlTable(df), "doc_id", "html")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(5L) == ((text, 10L, 3L)), out(5L).toString) // 7 chrome + 3 paras
+    assert(out(6L) == (("", 8L, 0L)), out(6L).toString)    // 2-word para dropped
+    assert(out(7L) == (("", 7L, 0L)), out(7L).toString)    // no paragraphs at all
+    // tail-merge rule: 42 words → ONE 42-word paragraph (40 + 2 merges)
+    val t42 = (1 to 42).map(i => s"v$i").mkString(" ")
+    val m = HtmlExtract.extract(
+      HtmlExtract.htmlTable(Seq((9L, t42)).toDF("doc_id", "text")), "doc_id", "html")
+      .collect().head
+    assert(m.getString(1) == t42 && m.getLong(3) == 1L, m.toString)
+  }
+
+  test("HTML extraction: hostile input never throws, truncation keeps parsed blocks") {
+    import HtmlExtract._
+    val rnd = new scala.util.Random(4217)
+    val base = testHtml(3L, (1 to 60).map(i => s"t$i").mkString(" "))
+    for (trial <- 0 until 300) {
+      val s =
+        if (trial % 3 == 0) {
+          val b = new Array[Byte](rnd.nextInt(400)); rnd.nextBytes(b)
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        } else if (trial % 3 == 1) base.take(rnd.nextInt(base.length + 1))
+        else {
+          val b = base.toCharArray
+          for (_ <- 0 to rnd.nextInt(8))
+            b(rnd.nextInt(b.length)) = rnd.nextPrintableChar()
+          new String(b)
+        }
+      val bs = parseBlocks(s) // must not throw
+      assert(bs.forall(b => b.n_words >= 1 && b.link_chars <= b.total_chars))
+    }
+    // specific hostiles: unclosed everything, orphan closes, nested zones
+    assert(parseBlocks("<p>unterminated <a href=never closes").nonEmpty)
+    assert(parseBlocks("</div></footer></a>stray closers only").nonEmpty)
+    assert(parseBlocks("<script>while(1){}").isEmpty) // unclosed skip eats the rest
+    val z = parseBlocks("<nav><nav><p>deep chrome</p></nav></nav><p>after the double zone</p>")
+    assert(z.find(_.text == "deep chrome").get.zone)
+    assert(!z.find(_.text == "after the double zone").get.zone)
+  }
 }
