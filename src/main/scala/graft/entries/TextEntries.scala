@@ -540,6 +540,48 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc_a", "doc_b")
     },
 
+    // -- BPE tokenizer (r17): token-TRUE accounting. The merge table is
+    //    the FIXED seed artifact (Bpe.SeedModel — trained on the pinned
+    //    seed slice, the q103 stored-geometry discipline), encode is the
+    //    native codegen'd expression; the oracle replays the encode as a
+    //    recursive CTE over (word, merge-index) with the merge table as
+    //    a derived VALUES relation. bpe_text pins the token STREAM for
+    //    the first docs; n_bpe_tokens pins the count corpus-wide. ------
+    "q143_bpe_encode" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val m = operators.Bpe.SeedModel
+      spark.table("documents")
+        .select(col("doc_id"),
+          operators.Bpe.tokenCount(col("text"), m).as("n_bpe_tokens"),
+          when(col("doc_id") < 15,
+              array_join(operators.Bpe.tokens(col("text"), m), " "))
+            .otherwise(lit("")).as("bpe_text"))
+        .orderBy("doc_id")
+    },
+
+    // -- q104's token quota RE-DENOMINATED in BPE tokens: same md5-rank
+    //    selection machinery, the accounting lane swapped via the
+    //    tokenCounter hook — budgets now mean what a training run
+    //    means by "tokens". ------------------------------------------
+    "q146_bpe_quota" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.QuotaSample.tokenQuota(spark.table("documents"),
+          "source", "doc_id", "text", budget = 700L,
+          tokenCounter = c => operators.Bpe.tokenCount(c, operators.Bpe.SeedModel))
+        .orderBy("doc_id")
+    },
+
+    // -- q58's shard packing RE-DENOMINATED in BPE tokens (the shard
+    //    budget a trainer actually fills): same two-level prefix scan. -
+    "q147_bpe_shards" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.Sharding.tokenShards(spark.table("documents"), "doc_id", "text",
+          budget = 2048,
+          tokenCounter = c => operators.Bpe.tokenCount(c, operators.Bpe.SeedModel))
+        .groupBy("shard").agg(count(lit(1)).as("docs"), sum("ntok").as("tokens"))
+        .orderBy("shard")
+    },
+
     // -- HTML → text extraction, curation stage 0 (r17): real markup
     //    (title/header/nav/script/aside/footer chrome around an
     //    <article>) through the in-repo block segmenter + jusText-class
@@ -559,8 +601,78 @@ private[graft] trait TextEntries extends EntryInfra {
     },
   )
 
+  /** Shared BPE-encode oracle prefix: the fixed merge table as a derived
+    * VALUES relation, the sequential-application encode replayed as a
+    * recursive CTE over (word, merge-index) — one leftmost occurrence
+    * merged per step, index advanced when none remains (provably equal
+    * to the rank-based greedy encode, see [[graft.operators.Bpe]]) —
+    * then per-doc token counts/streams via the distinct-word join.
+    * Composed into q143/q146/q147 so the three stay in lockstep. */
+  private lazy val bpeEncCtes: String = {
+    val m = graft.operators.Bpe.SeedModel
+    val nm = m.merges.length
+    s"""m(prio, a, b) AS (VALUES ${graft.operators.Bpe.mergesAsSqlValues(m)}),
+       |w AS (SELECT DISTINCT u AS word FROM (
+       |        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS u FROM documents)
+       |      WHERE u <> ''),
+       |enc AS (
+       |  SELECT word, list_transform(range(1, length(word)+1), i -> word[i]) AS syms, 1 AS k
+       |  FROM w
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN occ IS NOT NULL THEN syms[1:occ-1] || [a||b] || syms[occ+2:] ELSE syms END,
+       |    CASE WHEN occ IS NOT NULL THEN k ELSE k+1 END
+       |  FROM (SELECT e.word, e.syms, e.k, m.a, m.b,
+       |          list_filter(range(1, len(e.syms)),
+       |            i -> e.syms[i] = m.a AND e.syms[i+1] = m.b)[1] AS occ
+       |        FROM enc e LEFT JOIN m ON m.prio = e.k
+       |        WHERE e.k <= $nm)),
+       |tok AS (SELECT word, syms FROM enc WHERE k = ${nm + 1}),
+       |d AS (SELECT doc_id, unnest(toks) AS word, unnest(range(1, len(toks)+1)) AS ord
+       |      FROM (SELECT doc_id,
+       |              list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+       |            FROM documents)),
+       |bagg AS (SELECT d.doc_id, CAST(sum(len(t.syms)) AS BIGINT) AS n_bpe,
+       |                string_agg(array_to_string(t.syms, ' '), ' ' ORDER BY d.ord) AS bpe_text
+       |         FROM d JOIN tok t ON t.word = d.word GROUP BY d.doc_id),
+       |bpen AS (SELECT doc_id, coalesce(n_bpe, 0) AS n_bpe,
+       |                coalesce(bpe_text, '') AS bpe_text
+       |         FROM documents LEFT JOIN bagg USING (doc_id))""".stripMargin
+  }
+
   protected def textOracle: Map[String, String] = Map(
     // ---- pipeline operators ----------------------------------------------
+
+    "q143_bpe_encode" ->
+      s"""WITH RECURSIVE $bpeEncCtes
+         |SELECT doc_id, n_bpe AS n_bpe_tokens,
+         |       CASE WHEN doc_id < 15 THEN bpe_text ELSE '' END AS bpe_text
+         |FROM bpen ORDER BY doc_id""".stripMargin,
+
+    // q104's running-sum selection down (md5(id), id) order, token
+    // counts swapped for the BPE lane
+    "q146_bpe_quota" ->
+      s"""WITH RECURSIVE $bpeEncCtes,
+         |t2 AS (SELECT b.doc_id, documents.source, b.n_bpe AS n_tokens,
+         |              md5(CAST(b.doc_id AS VARCHAR)) AS key
+         |       FROM bpen b JOIN documents USING (doc_id)
+         |       WHERE b.n_bpe >= 1),
+         |w2 AS (SELECT doc_id, source, n_tokens,
+         |              sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS cum,
+         |              row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+         |       FROM t2)
+         |SELECT doc_id, source, n_tokens, (cum <= 700 OR rn = 1) AS kept
+         |FROM w2 ORDER BY doc_id""".stripMargin,
+
+    // q58's global running sum, BPE-denominated
+    "q147_bpe_shards" ->
+      s"""WITH RECURSIVE $bpeEncCtes,
+         |p AS (SELECT doc_id AS doc, n_bpe AS ntok,
+         |             sum(n_bpe) OVER (ORDER BY doc_id) - n_bpe AS prefix
+         |      FROM bpen)
+         |SELECT CAST(floor(prefix / 2048) AS BIGINT) AS shard,
+         |       count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens
+         |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q30_token_stats" ->
       """SELECT source,

@@ -826,4 +826,16 @@ object GraftRuntime {
     }
     key
   }
+
+  /** BPE encode of a whitespace-pretokenized text: flat subword array /
+    * fused count. The compiled model (merge table + per-word memo)
+    * rides into generated code via `addReferenceObj`; bodies live in
+    * [[Bpe]] next to the training loop they must mirror. */
+  def bpeTokens(text: org.apache.spark.unsafe.types.UTF8String,
+                m: Bpe.Compiled): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    Bpe.runtimeTokens(text, m)
+
+  def bpeTokenCount(text: org.apache.spark.unsafe.types.UTF8String,
+                    m: Bpe.Compiled): Long =
+    Bpe.runtimeTokenCount(text, m)
 }

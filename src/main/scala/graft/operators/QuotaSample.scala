@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,10 +83,14 @@ object QuotaSample {
     * disagree with the strict naive ordering. Output: (idCol, groupCol,
     * n_tokens, kept). */
   def tokenQuota(df: DataFrame, groupCol: String, idCol: String,
-                 textCol: String, budget: Long): DataFrame = {
+                 textCol: String, budget: Long,
+                 tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
+    // tokenCounter is the accounting lane: whitespace tokens by default,
+    // Bpe.tokenCount(_, model) for token-TRUE budgets — selection
+    // machinery is denomination-agnostic
     require(budget >= 1, s"token budget must be >= 1, got $budget")
     val base = df.select(col(idCol).as("__tq_doc"), col(groupCol).as("__tq_grp"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        tokenCounter(col(textCol)).cast("long").as("n_tokens"),
         md5(col(idCol).cast("string")).as("__tq_key"))
       .filter(col("n_tokens") >= 1)
       .withColumn("__tq_bkt", conv(substring(col("__tq_key"), 1, 3), 16, 10).cast("int"))

@@ -29,10 +29,14 @@ object Sharding {
 
   /** Per-document shard assignment: (doc, ntok, shard). */
   def tokenShards(df: DataFrame, idCol: String, textCol: String,
-                  budget: Long): DataFrame = {
+                  budget: Long,
+                  tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                    TextOps.tokenCount): DataFrame = {
+    // tokenCounter: whitespace tokens by default, Bpe.tokenCount for
+    // token-TRUE shard budgets — packing is denomination-agnostic
     require(budget > 0, s"shard token budget must be positive, got $budget")
     val toks = df.select(col(idCol).as("doc"),
-      TextOps.tokenCount(col(textCol)).cast("long").as("ntok"))
+      tokenCounter(col(textCol)).cast("long").as("ntok"))
     // step 1: range partitioning makes partition-id order = global order
     val ranged = toks.repartitionByRange(col("doc"))
       .withColumn("pid", spark_partition_id())

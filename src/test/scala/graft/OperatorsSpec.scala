@@ -1920,6 +1920,75 @@ class OperatorsSpec extends SparkTestBase {
     assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
   }
 
+  test("BPE: deterministic training, sequential encode ≡ rank-based greedy, fit parity") {
+    import spark.implicits._
+    // textbook fixture: pair counts and tie-breaks all exercised
+    val m = Bpe.fitOnText("low lower lowest low low", numMerges = 4)
+    // (l,o) ties (o,w) at 5 → lexicographically smallest pair wins;
+    // then (lo,w) 5, (low,e) 2, then a 3-way count-1 tie among
+    // (lowe,r)/(lowe,s)/(s,t) → "lowe r" sorts first
+    assert(m.merges == IndexedSeq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")),
+      m.merges.toString)
+    val c = Bpe.compiled(m)
+    assert(c.encodeWord("lowest").toSeq == Seq("lowe", "s", "t"))
+    assert(c.encodeWord("low").toSeq == Seq("low"))
+    assert(c.encodeWord("zzz").toSeq == Seq("z", "z", "z")) // OOV chars pass through
+
+    // sequential-in-training-order encode ≡ rank-based greedy encode
+    // (the equivalence the oracle's recursive replay relies on)
+    def rankGreedy(model: Bpe.BpeModel, word: String): Seq[String] = {
+      val rank = model.merges.zipWithIndex.toMap
+      var syms = word.map(_.toString).toVector
+      var done = false
+      while (!done && syms.length > 1) {
+        val best = syms.zip(syms.tail).flatMap(p => rank.get(p).map(p -> _))
+          .sortBy(_._2).headOption
+        best match {
+          case None => done = true
+          case Some(((a, b), _)) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.result()
+        }
+      }
+      syms
+    }
+    val rnd = new scala.util.Random(143)
+    for (trial <- 0 until 200) {
+      val alpha = "abc"
+      def rw(len: Int) = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val seed = (0 until 12).map(_ => rw(2 + rnd.nextInt(6))).mkString(" ")
+      val model = Bpe.fitOnText(seed, 1 + rnd.nextInt(8))
+      val word = rw(1 + rnd.nextInt(12))
+      assert(Bpe.compiled(model).encodeWord(word).toSeq == rankGreedy(model, word),
+        s"trial $trial: seed=$seed word=$word merges=${model.merges}")
+    }
+
+    // distributed fit ≡ local fit on the same content
+    val df = Seq("low lower", "lowest low", "low").toDF("text")
+    assert(Bpe.fit(df, "text", numMerges = 4).merges ==
+      Bpe.fitOnText("low lower lowest low low", 4).merges)
+    // expressions: count ≡ tokens length, blanks → 0, codegen path
+    val sm = Bpe.SeedModel
+    val rows = Seq((1L, "the fast table scan"), (2L, "   "), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), Bpe.tokenCount(col("text"), sm).as("n"),
+        size(Bpe.tokens(col("text"), sm)).as("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows.collect { case (1L, n, sz) => n == sz && n >= 4 }.forall(identity))
+    assert(rows.contains((2L, 0L, 0)) && rows.contains((3L, 0L, 0)), rows.toString)
+    // guards
+    intercept[IllegalArgumentException](Bpe.fitOnText("   ", 4))
+    intercept[IllegalArgumentException](Bpe.fitOnText("ab", 0))
+    // model exhausts merges gracefully when the vocab runs dry
+    assert(Bpe.fitOnText("ab", 10).merges == IndexedSeq(("a", "b")))
+  }
+
   test("HTML extraction: block segmentation, zones, link density, entities") {
     import HtmlExtract._
     val page =
