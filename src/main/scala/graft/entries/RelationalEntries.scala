@@ -262,9 +262,70 @@ private[graft] trait RelationalEntries extends EntryInfra {
           container = operators.VideoOps.AutoContainer, every = 2)
         .orderBy("doc_id", "frame_idx")
     },
+
+    // -- PERCEPTUAL image near-dup (r17): aHash over really-decoded
+    //    PNGs through the simhash band core (banded equi-join
+    //    candidates, exact recall by pigeonhole — never all-pairs).
+    //    The fixture's pattern classes make the pair set closed-form:
+    //    class 0 and its ±1-checker perturbation (class 2) collide at
+    //    Hamming 0; cross-class distances are 32/64, so τ=2 separates
+    //    exactly. -----------------------------------------------------
+    "q144_perceptual_dup_pairs" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val media = operators.MediaOps.perceptualTable(
+        spark.table("documents").filter(col("doc_id") < 80))
+      operators.MediaOps.perceptualDupPairs(media, maxDist = 2)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // -- media-dup keep rule (r17): q144's pair evidence → connected
+    //    components → the QUALITY keep rule (qualityKeepClusters with
+    //    luminance checksum as the score): each perceptual cluster
+    //    keeps its brightest member (the ±1-perturbed class-2 copies
+    //    outshine class 0 by exactly 512), ties → min id. ------------
+    "q148_media_dup_keep" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents").filter(col("doc_id") < 80)
+      val media = operators.MediaOps.perceptualTable(docs)
+      val pairs = operators.MediaOps.perceptualDupPairs(media, maxDist = 2)
+        .localCheckpoint(true)
+      val scores = operators.MediaOps.decodeImages(media).toDF()
+        .select(col("doc_id"), col("checksum"))
+      operators.DedupOps.qualityKeepClusters(
+          docs.select(col("doc_id")), pairs, scores, "doc_id",
+          scoreCol = "checksum")
+        .orderBy("doc_id")
+    },
   )
 
   protected def relationalOracle: Map[String, String] = Map(
+    // q144 fixture closed form: aHash equivalence classes by id
+    // arithmetic (class 2 is class 0's ±1-checker perturbation — same
+    // hash), intra-class Hamming 0, cross-class 32/64 → at τ=2 the pair
+    // set is exactly the within-class id pairs
+    "q144_perceptual_dup_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CASE WHEN doc_id % 4 = 2 THEN 0 ELSE doc_id % 4 END AS cls
+        |           FROM documents WHERE doc_id < 80)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS dist
+        |FROM t a JOIN t b ON a.cls = b.cls AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q148: clusters = the q144 equivalence classes (component label =
+    // min member id); keeper = the brightest member — class-2 copies
+    // carry +512 luminance, so eqclass 0 keeps its min class-2 id,
+    // equal-luminance classes fall back to min id
+    "q148_media_dup_keep" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CASE WHEN doc_id % 4 = 2 THEN 0 ELSE doc_id % 4 END AS cls
+        |           FROM documents WHERE doc_id < 80),
+        |c AS (SELECT cls, min(doc_id) AS cluster,
+        |             coalesce(min(doc_id) FILTER (WHERE cls = 0 AND doc_id % 4 = 2),
+        |                      min(doc_id)) AS keeper
+        |      FROM t GROUP BY cls)
+        |SELECT t.doc_id, c.cluster, (t.doc_id = c.keeper) AS kept
+        |FROM t JOIN c USING (cls) ORDER BY doc_id""".stripMargin,
+
     "q40_media_meta" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
         |       count(*) AS cnt,

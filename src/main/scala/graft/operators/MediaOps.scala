@@ -201,6 +201,158 @@ object MediaOps {
       }
   }
 
+  // ------------------------------------------------- perceptual hashing
+
+  /** aHash: 8×8 grid of cell luminance sums; bit (r·8+c) set iff the
+    * cell's mean exceeds the image mean. All-integer cross-multiplied
+    * comparison (cellSum·totalPixels > totalSum·cellPixels) — no float
+    * rounding, so the hash is exactly reproducible by bit arithmetic on
+    * any engine. Ragged grids (width/height not divisible by 8) weight
+    * each cell by its true pixel count. */
+  def aHash64(d: DecodedImage): Long = {
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < d.height) {
+      val r = y * 8 / d.height
+      var x = 0
+      while (x < d.width) {
+        val c = r * 8 + (x * 8 / d.width)
+        val v = d.gray(y * d.width + x)
+        sums(c) += v
+        cnts(c) += 1
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    val pixels = d.width.toLong * d.height
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cnts(i) > 0 && sums(i) * pixels > total * cnts(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** dHash: 9×8 grid (9 column cells × 8 row cells); bit (r·8+c) set
+    * iff cell (r,c) is brighter than its right neighbor (r,c+1) —
+    * gradient direction, the rotation of aHash that survives global
+    * brightness shifts. Same integer cross-multiplied comparison. */
+  def dHash64(d: DecodedImage): Long = {
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < d.height) {
+      val r = y * 8 / d.height
+      var x = 0
+      while (x < d.width) {
+        val c = x * 9 / d.width
+        sums(r)(c) += d.gray(y * d.width + x)
+        cnts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cnts(r)(c) > 0 && cnts(r)(c + 1) > 0 &&
+            sums(r)(c) * cnts(r)(c + 1) > sums(r)(c + 1) * cnts(r)(c))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  final case class PerceptualHashes(doc_id: Long, ok: Boolean,
+                                    ahash: Long, dhash: Long)
+
+  /** One decode pass → 64-bit perceptual signatures per image (decode
+    * failures kept as ok = false, the gate convention). Partition-
+    * parallel, no shuffle. */
+  def perceptualHashes(media: DataFrame,
+                       codec: ImageCodec = ImageIoCodec): Dataset[PerceptualHashes] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          codec.decode(bytes) match {
+            case Some(d) => PerceptualHashes(id, ok = true, aHash64(d), dHash64(d))
+            case None => PerceptualHashes(id, ok = false, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** Perceptual IMAGE near-dup pairs: aHash signatures through the
+    * simhash band core ([[DedupOps.simhashPairsFromSigs]] — banded
+    * equi-join candidates, exact recall at `maxDist` by pigeonhole,
+    * never all-pairs). The text near-dup machinery applied to the
+    * modality the media gates only integrity-check: a multimodal
+    * corpus dedups images too. Returns (doc_a, doc_b, dist). */
+  def perceptualDupPairs(media: DataFrame, codec: ImageCodec = ImageIoCodec,
+                         maxDist: Int = 2): DataFrame =
+    DedupOps.simhashPairsFromSigs(
+      perceptualHashes(media, codec).toDF()
+        .filter(col("ok"))
+        .select(col("doc_id").as("doc"), col("ahash").as("sig")),
+      maxDist)
+
+  /** Deterministic perceptual fixture: 32×32 grayscale PNG, pattern
+    * class by id arithmetic — closed-form aHash equivalence an ANSI
+    * oracle predicts without bit arithmetic over pixels:
+    *  - id % 4 == 0 → horizontal gradient p = 8x   (aHash: right half),
+    *  - id % 4 == 1 → reversed gradient p = 8(31−x) (left half),
+    *  - id % 4 == 2 → class-0 gradient + a ±1 checker perturbation
+    *    (every 4×4 cell's mean shifts by the same +0.5 → IDENTICAL
+    *    aHash to class 0: the near-duplicate class),
+    *  - id % 4 == 3 → vertical gradient p = 8y     (bottom half).
+    * Cross-class Hamming distances are 64 (0↔1), 32 (0↔3) — any
+    * τ < 32 separates exactly; intra-class distance is 0. Class 2's
+    * pixel sum exceeds class 0's by 512, so a luminance-checksum
+    * quality keep-rule deterministically prefers class-2 members. */
+  def perceptualPngBytes(docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    val cls = (docId % 4).toInt
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val v = cls match {
+          case 0 => 8 * x
+          case 1 => 8 * (31 - x)
+          case 2 => 8 * x + (if ((x + y) % 2 == 0) 1 else 0)
+          case _ => 8 * y
+        }
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** (doc_id, content) table of [[perceptualPngBytes]] images. */
+  def perceptualTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, perceptualPngBytes(id))))
+      .toDF("doc_id", "content")
+  }
+
   /** Constant-value grayscale PNG at `docId`'s [[testPngBytes]]
     * dimensions — the "blank asset" fixture (uniform rasters are what a
     * dead camera / placeholder image produce). */

@@ -1920,6 +1920,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
   }
 
+  test("perceptual hashing: aHash/dHash closed forms, Hamming banding, near-miss behavior") {
+    import spark.implicits._
+    def dec(id: Long) = MediaOps.ImageIoCodec.decode(MediaOps.perceptualPngBytes(id)).get
+    val h0 = MediaOps.aHash64(dec(0)); val h1 = MediaOps.aHash64(dec(1))
+    val h2 = MediaOps.aHash64(dec(2)); val h3 = MediaOps.aHash64(dec(3))
+    // the ±1-checker perturbation is invisible to aHash (same cell order)
+    assert(h0 == h2)
+    assert(java.lang.Long.bitCount(h0 ^ h1) == 64) // mirrored gradient
+    assert(java.lang.Long.bitCount(h0 ^ h3) == 32) // horizontal vs vertical
+    // dHash reads gradient DIRECTION: ascending rows → no brighter-than-
+    // right cells; descending → all of them
+    assert(MediaOps.dHash64(dec(0)) == 0L)
+    assert(MediaOps.dHash64(dec(1)) == -1L) // all 64 bits
+    // near-miss: zeroing ONE 4x4 cell flips exactly its bit (τ=2 pairs
+    // it); zeroing three cells is Hamming 3 (dropped at τ=2)
+    def patched(cells: Seq[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val cell = (y / 4) * 8 + x / 4
+        r.setSample(x, y, 0, if (cells.contains(cell)) 0 else 8 * x)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val one = MediaOps.aHash64(MediaOps.ImageIoCodec.decode(patched(Seq(7))).get)
+    val three = MediaOps.aHash64(MediaOps.ImageIoCodec.decode(patched(Seq(5, 6, 7))).get)
+    assert(java.lang.Long.bitCount(h0 ^ one) == 1)
+    assert(java.lang.Long.bitCount(h0 ^ three) == 3)
+    val media = Seq(
+      (0L, MediaOps.perceptualPngBytes(0L)),
+      (1L, patched(Seq(7))),                 // Hamming 1 from doc 0
+      (2L, patched(Seq(5, 6, 7))),           // Hamming 3 — out at τ=2
+      (3L, Array[Byte](9, 9, 9))             // undecodable: excluded, no throw
+    ).toDF("doc_id", "content")
+    val pairs = MediaOps.perceptualDupPairs(media, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (0,2) is Hamming 3 — out; (1,2) differ only at cells 5,6 → in
+    assert(pairs == Set((0L, 1L, 1), (1L, 2L, 2)), pairs.toString)
+  }
+
   test("BPE: deterministic training, sequential encode ≡ rank-based greedy, fit parity") {
     import spark.implicits._
     // textbook fixture: pair counts and tie-breaks all exercised
