@@ -582,6 +582,30 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("shard")
     },
 
+    // -- URL canonicalization + domain curation (r17): messy fixture
+    //    URLs (case noise, tracking params, fragments, default ports —
+    //    all by id arithmetic, so the canonical form is closed-form) →
+    //    canonicalize → domain → blocklist anti-join (broadcast) →
+    //    per-domain token cap (the q104 machinery with domain as the
+    //    group). The whole chain is codegen'd built-ins. --------------
+    "q145_url_curation" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val docs = spark.table("documents")
+      val canon = operators.UrlOps.urlTable(docs)
+        .select(col("doc_id"), operators.UrlOps.canonicalize(col("url")).as("canon_url"))
+        .withColumn("domain", operators.UrlOps.domain(col("canon_url")))
+      val blocklist = Seq("host3.example.com").toDF("domain")
+      val allowed = operators.UrlOps.dropBlockedDomains(canon, "domain", blocklist)
+      val capped = operators.QuotaSample.tokenQuota(
+        allowed.join(docs.select("doc_id", "text"), Seq("doc_id")),
+        "domain", "doc_id", "text", budget = 900L)
+      capped.join(canon.select("doc_id", "canon_url"), Seq("doc_id"))
+        .select(col("doc_id"), col("canon_url"), col("domain"),
+          col("n_tokens"), col("kept"))
+        .orderBy("doc_id")
+    },
+
     // -- HTML → text extraction, curation stage 0 (r17): real markup
     //    (title/header/nav/script/aside/footer chrome around an
     //    <article>) through the in-repo block segmenter + jusText-class
@@ -663,6 +687,34 @@ private[graft] trait TextEntries extends EntryInfra {
          |       FROM t2)
          |SELECT doc_id, source, n_tokens, (cum <= 700 OR rn = 1) AS kept
          |FROM w2 ORDER BY doc_id""".stripMargin,
+
+    // q145 fixture closed form: the canonical URL reconstructed from
+    // the same id arithmetic the messy fixture was built from (scheme/
+    // host lowered, :8080 kept, defaults stripped, tracking params and
+    // fragments gone), blocklist = host3, then the q104 naive window
+    // per domain
+    "q145_url_curation" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'http' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 's' END ||
+        |         '://www.host' || (doc_id % 7) || '.example.com' ||
+        |         CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+        |         '/Articles/Item' || doc_id ||
+        |         CASE WHEN doc_id % 9 = 0 THEN ''
+        |              WHEN doc_id % 2 = 0 THEN '?id=' || doc_id
+        |              ELSE '?page=2' END AS canon_url,
+        |         'host' || (doc_id % 7) || '.example.com' AS domain,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        |f AS (SELECT * FROM u
+        |      WHERE domain <> 'host3.example.com' AND n_tokens >= 1),
+        |w AS (SELECT doc_id, canon_url, domain, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY domain ORDER BY key, doc_id) AS cum,
+        |             row_number() OVER (PARTITION BY domain ORDER BY key, doc_id) AS rn
+        |      FROM f)
+        |SELECT doc_id, canon_url, domain, n_tokens, (cum <= 900 OR rn = 1) AS kept
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // q58's global running sum, BPE-denominated
     "q147_bpe_shards" ->

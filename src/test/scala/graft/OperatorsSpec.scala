@@ -1920,6 +1920,55 @@ class OperatorsSpec extends SparkTestBase {
     assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
   }
 
+  test("URL canonicalization: each rule, rule interactions, hostile inputs, domain") {
+    import spark.implicits._
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("u").select(operators.UrlOps.canonicalize(col("u"))).collect()
+        .map(_.getString(0)).toSeq
+    // scheme+host lowered, PATH case preserved
+    assert(canon("HTTP://WWW.Example.COM/CaseSensitive/Path") ==
+      Seq("http://www.example.com/CaseSensitive/Path"))
+    // default ports stripped; non-default and cross-scheme defaults kept
+    assert(canon("http://a.com:80/x", "https://a.com:443/x",
+        "http://a.com:443/x", "https://a.com:8080/x", "http://a.com:80") ==
+      Seq("http://a.com/x", "https://a.com/x",
+        "http://a.com:443/x", "https://a.com:8080/x", "http://a.com"))
+    // fragments always dropped; tracking params healed in every position
+    assert(canon(
+        "https://a.com/p?id=5#Section",
+        "https://a.com/p?utm_source=x&id=5",
+        "https://a.com/p?id=5&utm_source=x&utm_campaign=y",
+        "https://a.com/p?utm_a=1&utm_b=2",
+        "https://a.com/p?gclid=z&fbclid=w&page=2",
+        "https://a.com/p?page=2&msclkid=q#frag") ==
+      Seq("https://a.com/p?id=5", "https://a.com/p?id=5",
+        "https://a.com/p?id=5", "https://a.com/p",
+        "https://a.com/p?page=2", "https://a.com/p?page=2"))
+    // hostile/degenerate inputs pass through (total, no throw)
+    assert(canon("not a url at all", "", "   x  ") ==
+      Seq("not a url at all", "", "x"))
+    // domain: authority minus userinfo/port/www
+    val doms = Seq("https://www.News.Example.com:8443/a?b=1",
+        "http://user:pw@host.org/x", "no-scheme", "https://plain.io")
+      .toDF("u")
+      .select(operators.UrlOps.domain(operators.UrlOps.canonicalize(col("u"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(doms == Seq("news.example.com", "host.org", "", "plain.io"), doms.toString)
+    // fixture ↔ canonicalizer agreement on every residue class (the
+    // closed form q145's oracle reconstructs)
+    val ids = (0L until 120L).toSeq
+    val got = operators.UrlOps.urlTable(ids.toDF("doc_id"))
+      .select(col("doc_id"), operators.UrlOps.canonicalize(col("url")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      val q = if (id % 9 == 0) "" else if (id % 2 == 0) s"?id=$id" else "?page=2"
+      val port = if (id % 11 == 0) ":8080" else ""
+      val scheme = if (id % 2 == 0) "http" else "https"
+      val expect = s"$scheme://www.host${id % 7}.example.com$port/Articles/Item$id$q"
+      assert(got(id) == expect, s"id=$id: ${got(id)} != $expect")
+    }
+  }
+
   test("perceptual hashing: aHash/dHash closed forms, Hamming banding, near-miss behavior") {
     import spark.implicits._
     def dec(id: Long) = MediaOps.ImageIoCodec.decode(MediaOps.perceptualPngBytes(id)).get
