@@ -349,6 +349,50 @@ private[graft] trait SimilarityEntries extends EntryInfra {
     },
   )
 
+  // ---- Lloyd's-replay oracle fragments (shared by the k-means family:
+  // q100/q101/q103/q105/q106). One assignment step, one centroid-update
+  // step, and the fixed 2-iteration fit chain — composed per query so
+  // the five oracles can never drift apart on the replay itself (the
+  // q136/q140 derived-oracle discipline applied intra-family). Each
+  // helper returns margin-stripped SQL; compose with plain newlines.
+
+  /** Assignment: each `src` row to its nearest `cents` centroid
+    * (expanded-dot-product distance, ties -> smaller cluster id). */
+  private def lloydAssign(outA: String, outS: String, src: String,
+                          cents: String, withV: Boolean): String = {
+    val proj = if (withV) s"$src.vec_id, $src.v" else s"$src.vec_id"
+    val sel = if (withV) "vec_id, v, cl" else "vec_id, cl"
+    s"""$outA AS (SELECT $proj, c.cl,
+       |              row_number() OVER (PARTITION BY $src.vec_id
+       |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product($src.v, c.cv), c.cl) rn
+       |       FROM $src, $cents c),
+       |$outS AS (SELECT $sel FROM $outA WHERE rn = 1)""".stripMargin
+  }
+
+  /** Centroid update: per-cluster component means over 64 dims. */
+  private def lloydUpdate(outC: String, srcS: String): String =
+    s"""$outC AS (SELECT cl, list(m ORDER BY i) cv FROM
+       |        (SELECT cl, i, sum(v[i]) / count(*) m FROM $srcS, range(1, 65) t(i) GROUP BY cl, i)
+       |       GROUP BY cl)""".stripMargin
+
+  /** Deterministic init (k=8 smallest ids) + two Lloyd's iterations
+    * over `fitRel`, ending at centroids `c2`. */
+  private def lloydFit(fitRel: String): String = Seq(
+    s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
+       |       FROM $fitRel ORDER BY vec_id LIMIT 8)""".stripMargin,
+    lloydAssign("a1", "s1", fitRel, "c0", withV = true),
+    lloydUpdate("c1", "s1"),
+    lloydAssign("a2", "s2", fitRel, "c1", withV = true),
+    lloydUpdate("c2", "s2")).mkString(",\n")
+
+  /** Final-assignment cluster profile (q100/q106's shared tail). */
+  private val lloydProfile: String =
+    """SELECT s3.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+      |       CAST(min(vec_id) AS BIGINT) AS min_member,
+      |       round(sqrt(list_inner_product(c2.cv, c2.cv)), 6) AS centroid_norm
+      |FROM s3 JOIN c2 ON s3.cl = c2.cl
+      |GROUP BY s3.cl, c2.cv ORDER BY cluster""".stripMargin
+
   protected def similarityOracle: Map[String, String] = Map(
     "q38_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -430,69 +474,23 @@ private[graft] trait SimilarityEntries extends EntryInfra {
     // 6+ orders above double-fold noise, so argmins match exactly; the
     // centroid norm is rounded like q38's cosine
     "q100_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-        |       FROM e ORDER BY vec_id LIMIT 8),
-        |a1 AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c0 c),
-        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
-        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
-        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
-        |       GROUP BY cl),
-        |a2 AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c1 c),
-        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
-        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
-        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
-        |       GROUP BY cl),
-        |a3 AS (SELECT e.vec_id, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c2 c),
-        |s3 AS (SELECT vec_id, cl FROM a3 WHERE rn = 1)
-        |SELECT s3.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
-        |       CAST(min(vec_id) AS BIGINT) AS min_member,
-        |       round(sqrt(list_inner_product(c2.cv, c2.cv)), 6) AS centroid_norm
-        |FROM s3 JOIN c2 ON s3.cl = c2.cl
-        |GROUP BY s3.cl, c2.cv ORDER BY cluster""".stripMargin,
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),\n" +
+        lloydFit("e") + ",\n" +
+        lloydAssign("a3", "s3", "e", "c2", withV = false) + "\n" +
+        lloydProfile),
 
     // same Lloyd's CTEs + the SemDeDup keep rule: kept iff no SAME-CLUSTER
     // smaller-id row has cosine ≥ τ (min in-cluster |cos−τ| ≥ 3.6e-5 at
     // the checked SFs — far above double-fold noise)
     "q101_semdedup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-        |       FROM e ORDER BY vec_id LIMIT 8),
-        |a1 AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c0 c),
-        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
-        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
-        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
-        |       GROUP BY cl),
-        |a2 AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c1 c),
-        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
-        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
-        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
-        |       GROUP BY cl),
-        |a3 AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c2 c),
-        |s3 AS (SELECT vec_id, v, cl FROM a3 WHERE rn = 1)
-        |SELECT s.vec_id, s.cl AS cluster,
-        |       NOT EXISTS (SELECT 1 FROM s3 a
-        |                   WHERE a.cl = s.cl AND a.vec_id < s.vec_id
-        |                     AND list_cosine_similarity(a.v, s.v) >= 0.35) AS kept
-        |FROM s3 s ORDER BY vec_id""".stripMargin,
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),\n" +
+        lloydFit("e") + ",\n" +
+        lloydAssign("a3", "s3", "e", "c2", withV = true) + "\n" +
+        """SELECT s.vec_id, s.cl AS cluster,
+          |       NOT EXISTS (SELECT 1 FROM s3 a
+          |                   WHERE a.cl = s.cl AND a.vec_id < s.vec_id
+          |                     AND list_cosine_similarity(a.v, s.v) >= 0.35) AS kept
+          |FROM s3 s ORDER BY vec_id""".stripMargin),
 
     // bounded boolean check (the q39/q75 pattern): recall vs the Spark
     // side's own brute-force truth, floor well under the measured 0.93
@@ -511,119 +509,48 @@ private[graft] trait SimilarityEntries extends EntryInfra {
     // within τ (margins: fit ≥2.6e-5, assignment ≥3.8e-5, |cos−τ| ≥2.9e-5
     // across SFs — all far above double-fold noise)
     "q103_incremental_semdedup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
-        |           WHERE vec_id % 4 <> 0),
-        |bt AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
-        |       WHERE vec_id % 4 = 0),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-        |       FROM e ORDER BY vec_id LIMIT 8),
-        |a1 AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c0 c),
-        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
-        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
-        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
-        |       GROUP BY cl),
-        |a2 AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c1 c),
-        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
-        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
-        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
-        |       GROUP BY cl),
-        |hs AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c2 c),
-        |h AS (SELECT vec_id, v, cl FROM hs WHERE rn = 1),
-        |bs AS (SELECT bt.vec_id, bt.v, c.cl,
-        |              row_number() OVER (PARTITION BY bt.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(bt.v, c.cv), c.cl) rn
-        |       FROM bt, c2 c),
-        |b AS (SELECT vec_id, v, cl FROM bs WHERE rn = 1)
-        |SELECT s.vec_id, s.cl AS cluster,
-        |       NOT (EXISTS (SELECT 1 FROM h a
-        |                    WHERE a.cl = s.cl
-        |                      AND list_cosine_similarity(a.v, s.v) >= 0.35)
-        |            OR EXISTS (SELECT 1 FROM b a
-        |                       WHERE a.cl = s.cl AND a.vec_id < s.vec_id
-        |                         AND list_cosine_similarity(a.v, s.v) >= 0.35)) AS kept
-        |FROM b s ORDER BY vec_id""".stripMargin,
+      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+         |           WHERE vec_id % 4 <> 0),
+         |bt AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+         |       WHERE vec_id % 4 = 0),""".stripMargin + "\n" +
+        lloydFit("e") + ",\n" +
+        lloydAssign("hs", "h", "e", "c2", withV = true) + ",\n" +
+        lloydAssign("bs", "b", "bt", "c2", withV = true) + "\n" +
+        """SELECT s.vec_id, s.cl AS cluster,
+          |       NOT (EXISTS (SELECT 1 FROM h a
+          |                    WHERE a.cl = s.cl
+          |                      AND list_cosine_similarity(a.v, s.v) >= 0.35)
+          |            OR EXISTS (SELECT 1 FROM b a
+          |                       WHERE a.cl = s.cl AND a.vec_id < s.vec_id
+          |                         AND list_cosine_similarity(a.v, s.v) >= 0.35)) AS kept
+          |FROM b s ORDER BY vec_id""".stripMargin),
 
     // same Lloyd's CTEs + the PRIORITY keep rule: dropped by any
     // same-cluster mate with more chars (ties → smaller id) within τ;
     // priority comparisons are integer-exact
     "q105_semdedup_priority" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-        |       FROM e ORDER BY vec_id LIMIT 8),
-        |a1 AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c0 c),
-        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
-        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
-        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
-        |       GROUP BY cl),
-        |a2 AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c1 c),
-        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
-        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
-        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
-        |       GROUP BY cl),
-        |a3 AS (SELECT e.vec_id, e.v, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c2 c),
-        |s3 AS (SELECT vec_id, v, cl FROM a3 WHERE rn = 1),
-        |d AS (SELECT s3.vec_id, s3.v, s3.cl, doc.n_chars
-        |      FROM s3 JOIN documents doc ON doc.doc_id = s3.vec_id)
-        |SELECT s.vec_id, s.cl AS cluster, s.n_chars,
-        |       NOT EXISTS (SELECT 1 FROM d a
-        |                   WHERE a.cl = s.cl
-        |                     AND (a.n_chars > s.n_chars
-        |                          OR (a.n_chars = s.n_chars AND a.vec_id < s.vec_id))
-        |                     AND list_cosine_similarity(a.v, s.v) >= 0.35) AS kept
-        |FROM d s ORDER BY vec_id""".stripMargin,
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),\n" +
+        lloydFit("e") + ",\n" +
+        lloydAssign("a3", "s3", "e", "c2", withV = true) + ",\n" +
+        """d AS (SELECT s3.vec_id, s3.v, s3.cl, doc.n_chars
+          |      FROM s3 JOIN documents doc ON doc.doc_id = s3.vec_id)
+          |SELECT s.vec_id, s.cl AS cluster, s.n_chars,
+          |       NOT EXISTS (SELECT 1 FROM d a
+          |                   WHERE a.cl = s.cl
+          |                     AND (a.n_chars > s.n_chars
+          |                          OR (a.n_chars = s.n_chars AND a.vec_id < s.vec_id))
+          |                     AND list_cosine_similarity(a.v, s.v) >= 0.35) AS kept
+          |FROM d s ORDER BY vec_id""".stripMargin),
 
     // Lloyd's fit restricted to the deterministic md5 1/16 sample (es),
     // final assignment + profile over the FULL corpus (margins: fit
     // ≥3.5e-4, full assignment ≥1.1e-5 across SFs)
     "q106_kmeans_sampled" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |es AS (SELECT * FROM e
-        |       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cv
-        |       FROM es ORDER BY vec_id LIMIT 8),
-        |a1 AS (SELECT es.vec_id, es.v, c.cl,
-        |              row_number() OVER (PARTITION BY es.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(es.v, c.cv), c.cl) rn
-        |       FROM es, c0 c),
-        |s1 AS (SELECT vec_id, v, cl FROM a1 WHERE rn = 1),
-        |c1 AS (SELECT cl, list(m ORDER BY i) cv FROM
-        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s1, range(1, 65) t(i) GROUP BY cl, i)
-        |       GROUP BY cl),
-        |a2 AS (SELECT es.vec_id, es.v, c.cl,
-        |              row_number() OVER (PARTITION BY es.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(es.v, c.cv), c.cl) rn
-        |       FROM es, c1 c),
-        |s2 AS (SELECT vec_id, v, cl FROM a2 WHERE rn = 1),
-        |c2 AS (SELECT cl, list(m ORDER BY i) cv FROM
-        |        (SELECT cl, i, sum(v[i]) / count(*) m FROM s2, range(1, 65) t(i) GROUP BY cl, i)
-        |       GROUP BY cl),
-        |a3 AS (SELECT e.vec_id, c.cl,
-        |              row_number() OVER (PARTITION BY e.vec_id
-        |                ORDER BY list_inner_product(c.cv, c.cv) - 2*list_inner_product(e.v, c.cv), c.cl) rn
-        |       FROM e, c2 c),
-        |s3 AS (SELECT vec_id, cl FROM a3 WHERE rn = 1)
-        |SELECT s3.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
-        |       CAST(min(vec_id) AS BIGINT) AS min_member,
-        |       round(sqrt(list_inner_product(c2.cv, c2.cv)), 6) AS centroid_norm
-        |FROM s3 JOIN c2 ON s3.cl = c2.cl
-        |GROUP BY s3.cl, c2.cv ORDER BY cluster""".stripMargin,
+      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |es AS (SELECT * FROM e
+         |       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),""".stripMargin + "\n" +
+        lloydFit("es") + ",\n" +
+        lloydAssign("a3", "s3", "e", "c2", withV = false) + "\n" +
+        lloydProfile),
   )
 }
