@@ -838,4 +838,13 @@ object GraftRuntime {
   def bpeTokenCount(text: org.apache.spark.unsafe.types.UTF8String,
                     m: Bpe.Compiled): Long =
     Bpe.runtimeTokenCount(text, m)
+
+  /** Fused NB document score: (n_feat, nb_score_u) as one struct row —
+    * the whole explode→join→agg scoring plan per document. */
+  def nbDocScore(text: org.apache.spark.unsafe.types.UTF8String,
+                 m: NbDocScore.Compiled): org.apache.spark.sql.catalyst.InternalRow = {
+    val (n, s) = m.score(text)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, s))
+  }
 }

@@ -312,27 +312,34 @@ object TextOps {
     * ever collected) — pulled once. */
   def seedCrawlNbFit(seed: DataFrame, crawl: DataFrame,
                      textCol: String = "text", buckets: Int = 4096): NbModel = {
-    // ONE tagged union feeds both classes' passes: the bucket counting
-    // (feature explode + hash — the expensive scan) runs as a single
-    // job/shuffle keyed (class, bucket) instead of one per class, and
-    // the doc-count priors share a second cheap pre-explode scan —
-    // 2 jobs total where the per-class formulation paid 4. Counts are
-    // identical by construction (same rows, same keys, split by tag).
+    // ONE tagged union, ONE job: a per-doc sentinel row rides the same
+    // explode as the features, so the bucket histogram AND the doc-count
+    // priors come out of a single (class, bucket)-keyed aggregation —
+    // the sentinel lands at bucket -1 (never a feature bucket), and the
+    // former separate doc-count scan (a full second parquet read + job
+    // per fit, ~8 fixed-cost jobs across the q122 pipeline) disappears.
+    // Counts are identical by construction: same rows, same keys.
     def nonBlankTagged(df: DataFrame, cls: Int): DataFrame =
       df.filter(trim(col(textCol)) =!= "")
         .select(lit(cls).as("__cls"), col(textCol))
     val u = nonBlankTagged(seed, 0).unionByName(nonBlankTagged(crawl, 1))
-    val bc = u.select(col("__cls"), explode(wordFeatures(col(textCol))).as("g"))
-      .groupBy(col("__cls"), featBucket(col("g"), buckets).as("b"))
+    val sentinel = " __nb_doc__"
+    val bc = u.select(col("__cls"),
+        explode(concat(array(lit(sentinel)), wordFeatures(col(textCol)))).as("g"))
+      .groupBy(col("__cls"),
+        when(col("g") === sentinel, lit(-1L))
+          .otherwise(featBucket(col("g"), buckets)).as("b"))
       .agg(count(lit(1)).as("c"))
       .collect()
-    val sCounts = bc.filter(_.getInt(0) == 0).map(r => r.getLong(1) -> r.getLong(2)).toMap
-    val rCounts = bc.filter(_.getInt(0) == 1).map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val sCounts = bc.filter(r => r.getInt(0) == 0 && r.getLong(1) >= 0L)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val rCounts = bc.filter(r => r.getInt(0) == 1 && r.getLong(1) >= 0L)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
     val sDenom = (sCounts.values.sum + buckets).toDouble
     val rDenom = (rCounts.values.sum + buckets).toDouble
     // doc-count prior (blank docs carry no features and train nothing)
-    val nd = u.groupBy("__cls").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nd = bc.filter(_.getLong(1) == -1L)
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
     val nSeed = nd.getOrElse(0, 0L)
     val nCrawl = nd.getOrElse(1, 0L)
     require(nSeed > 0 && nCrawl > 0,
@@ -358,7 +365,22 @@ object TextOps {
     * @return one row per non-blank doc: (idCol, n_feat, nb_score_u,
     *         seed_like) */
   def nbScore(model: NbModel, docs: DataFrame,
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), NbDocScore.scoreCol(col(textCol), model).as("__nb"))
+      .select(col(idCol), col("__nb.n_feat").as("n_feat"),
+        col("__nb.nb_score_u").as("nb_score_u"))
+      .withColumn("seed_like", col("nb_score_u") > 0L)
+
+  /** The pre-r17 composed scoring plan (explode → md5 bucket →
+    * broadcast-join the lr table → per-doc integer sum) — kept as the
+    * parity oracle for [[NbDocScore]]: the fused expression must
+    * reproduce it row-for-row (spec-pinned). The composed shape paid
+    * ~2·tokens exploded rows, a join probe per feature, and a hash
+    * aggregate per scoring pass; the fused expression is one map. */
+  private[graft] def nbScoreComposed(model: NbModel, docs: DataFrame,
+                                     idCol: String = "doc_id",
+                                     textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val lr = broadcast(model.lrU.toDF("b", "lr_u"))

@@ -1920,6 +1920,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
   }
 
+  test("fused NB scorer ≡ composed explode/join/agg plan, row for row") {
+    import spark.implicits._
+    // training fixture + adversarial scoring inputs: mixed case, tabs,
+    // multi-space runs, single tokens, unicode, near-sentinel strings
+    val seed = Seq((0L, "the curated encyclopedia article discusses science"),
+      (2L, "reference article covers literature and history")).toDF("doc_id", "text")
+    val crawl = Seq((1L, "click here buy cheap pills now winner"),
+      (3L, "free casino bonus offer today click")).toDF("doc_id", "text")
+    val model = operators.TextOps.seedCrawlNbFit(seed, crawl)
+    val docs = Seq(
+      (10L, "The   Curated\tArticle About Science"),
+      (11L, "buy cheap pills"),
+      (12L, "single"),
+      (13L, "  leading and trailing   "),
+      (14L, "Ünïcode Tökens ärticle"),
+      (15L, "__nb_doc__ feature that looks like the sentinel"),
+      (16L, (1 to 300).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val fused = operators.TextOps.nbScore(model, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val composed = operators.TextOps.nbScoreComposed(model, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(fused == composed,
+      s"fused minus composed: ${fused -- composed}; composed minus fused: ${composed -- fused}")
+    // the fused scoring plan carries no exchange at all
+    val plan = operators.TextOps.nbScore(model, docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused NB scoring must be shuffle-free:\n$plan")
+    // fit parity: the single-job sentinel fold produces the exact model
+    // the two-job formulation did (doc-count priors included)
+    assert(model.priorU == math.floor(math.log(2.0 / 2.0) * 1e6).toLong)
+    val m2 = operators.TextOps.seedCrawlNbFit(seed.unionByName(crawl.limit(0)), crawl)
+    assert(m2 == model)
+  }
+
   test("URL canonicalization: each rule, rule interactions, hostile inputs, domain") {
     import spark.implicits._
     def canon(urls: String*): Seq[String] =
