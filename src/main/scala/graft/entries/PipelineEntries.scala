@@ -21,6 +21,22 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- the WEB pipeline (r17): q112 with HtmlExtract as stage 0 — the
+    //    corpus arrives as real markup (chrome, scripts, link-dense
+    //    asides around the article), extraction recovers the text, and
+    //    every curation stage runs downstream of it. The oracle is
+    //    q112's VERBATIM: on this fixture extraction is exactly
+    //    text-recovering, so any extraction defect breaks the hash. ----
+    "q149_curate_from_html" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val pages = operators.HtmlExtract.htmlTable(docs)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      operators.Pipeline.curateFromHtml(pages, spark.table("embeddings"),
+          "doc_id", "html", "source")
+        .orderBy("doc_id")
+    },
+
     // -- the INCREMENTAL curation pipeline (q112's ingest-time twin):
     //    batch (odd ids) judged against the admitted corpus (even ids)
     //    with the cross/incremental operator variants — exact-vs-history
@@ -1349,6 +1365,14 @@ private[graft] trait PipelineEntries extends EntryInfra {
     ("q131_curate_multimodal_video" -> q131) +
     ("q132_curate_trimodal" -> q131.replace(gateB, gateC).replace(annB, annC)) +
     ("q133_curate_incremental_media" ->
-      q115.replace(incGateA, incGateB).replace(incAnnA, incAnnB))
+      q115.replace(incGateA, incGateB).replace(incAnnA, incAnnB)) +
+    // q149 = q112's oracle VERBATIM: the HTML stage-0 pipeline must land
+    // on exactly the clean-text pipeline's result, because extraction
+    // over the fixture pages recovers every document's text exactly
+    // (all docs clear the 5-word floor and the corpus text is already
+    // whitespace-normalized — both facts the q142 oracle pins
+    // independently). Any extraction defect — a dropped paragraph,
+    // leaked chrome, broken entity — breaks the hash here.
+    ("q149_curate_from_html" -> base("q112_curate_full"))
   }
 }

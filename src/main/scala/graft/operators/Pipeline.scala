@@ -189,6 +189,28 @@ object Pipeline {
     * inside span removal's bounded reassembly join. Centroids are k×dim
     * driver values (the [[KMeansOps.fit]] contract). The final assembly
     * is the docs scan plus five id-keyed left joins. */
+  /** [[curateFull]] with [[HtmlExtract]] as STAGE 0 — the pipeline a
+    * web crawl actually runs: `pages` carries raw markup in `htmlCol`;
+    * block segmentation + jusText-class content rules produce the
+    * clean-text column every later stage consumes. One mapPartitions
+    * prepended to the chain (no shuffle, no extra checkpoint — the
+    * exact stage's scan absorbs it); a page whose markup yields no
+    * content text flows through as an empty doc (its fingerprint groups
+    * with other empties — the exact stage's documented behavior).
+    * Passthrough knobs stay at [[curateFull]] defaults; deployments
+    * needing the full surface call `extract` + `curateFull` directly. */
+  def curateFromHtml(pages: DataFrame, embeddings: DataFrame,
+                     idCol: String, htmlCol: String, sourceCol: String,
+                     minWords: Int = HtmlExtract.DefaultMinWords,
+                     maxLinkDensity: Double = HtmlExtract.DefaultMaxLinkDensity,
+                     textCol: String = "text"): DataFrame = {
+    val extracted = HtmlExtract.extract(pages, idCol, htmlCol,
+        minWords, maxLinkDensity)
+      .select(col(idCol), col("extracted_text").as(textCol))
+      .join(pages.select(col(idCol), col(sourceCol)), Seq(idCol))
+    curateFull(extracted, embeddings, idCol, textCol, sourceCol)
+  }
+
   def curateFull(docs: DataFrame, embeddings: DataFrame,
                  idCol: String, textCol: String, sourceCol: String,
                  vecIdCol: String = "vec_id", vecCol: String = "embedding",

@@ -1920,6 +1920,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
   }
 
+  test("curateFromHtml: extraction is stage 0; chrome-only pages classify as empty") {
+    import spark.implicits._
+    val texts = (
+      Seq((0L, "s0", (1 to 30).map(i => s"a$i").mkString(" ")),    // clean content
+        (1L, "s1", (1 to 30).map(i => s"a$i").mkString(" ")),      // exact dup of 0
+        (2L, "s2", "tiny")) ++                                     // <5 words → no content
+      (3L to 11L).map(k => (k, s"s$k",                             // distinct content
+        (1 to 25).map(i => s"w${k}x$i").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val pages = HtmlExtract.htmlTable(texts)
+      .join(texts.select("doc_id", "source"), Seq("doc_id"))
+    val embs = (0L to 11L).map { k =>
+        k -> Array.tabulate(12)(i => if (i == k.toInt) 1f else 0f)
+      }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Pipeline.curateFromHtml(pages, embs, "doc_id", "html", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // doc 1's EXTRACTED text equals doc 0's → exact_dup through the html
+    // front; doc 2 yields no content blocks → empty; 0 and 3 keep
+    assert(out(0L) == "kept" && out(3L) == "kept", out.toString)
+    assert(out(1L) == "exact_dup", out.toString)
+    assert(out(2L) == "empty", out.toString)
+  }
+
   test("fused NB scorer ≡ composed explode/join/agg plan, row for row") {
     import spark.implicits._
     // training fixture + adversarial scoring inputs: mixed case, tabs,
