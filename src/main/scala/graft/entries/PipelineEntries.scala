@@ -21,6 +21,21 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- MEDIA-DEDUP curation (r17): q112 + the perceptual image
+    //    near-dup stage (1.6) — docs with id<40 carry the closed-form
+    //    pattern-class assets; each perceptual cluster keeps its
+    //    brightest member (the ±1-perturbed class-2 copies outshine
+    //    class 0 by exactly +512), the rest drop as `media_dup` before
+    //    the text stages. --------------------------------------------
+    "q150_curate_media_dup" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val assets = operators.MediaOps.perceptualTable(docs.filter(col("doc_id") < 40))
+      operators.Pipeline.curateFull(docs, spark.table("embeddings"),
+          "doc_id", "text", "source", mediaDup = Some(assets))
+        .orderBy("doc_id")
+    },
+
     // -- the WEB pipeline (r17): q112 with HtmlExtract as stage 0 — the
     //    corpus arrives as real markup (chrome, scripts, link-dense
     //    asides around the article), extraction recovers the text, and
@@ -1366,6 +1381,34 @@ private[graft] trait PipelineEntries extends EntryInfra {
     ("q132_curate_trimodal" -> q131.replace(gateB, gateC).replace(annB, annC)) +
     ("q133_curate_incremental_media" ->
       q115.replace(incGateA, incGateB).replace(incAnnA, incAnnB)) +
+    // q150 = q112's oracle + the perceptual media-dup stage patched in
+    // between exact dedup and the text stages: clusters are the fixture
+    // equivalence classes over IN-PLAY (exact-surviving) id<40 docs,
+    // keeper = brightest (class-2 min id in eqclass 0, min id
+    // elsewhere), losers drop as media_dup. Anchor-asserted derivation
+    // (the q131/q133 pattern).
+    ("q150_curate_media_dup" -> {
+      val q112 = base("q112_curate_full")
+      val s1Anchor = "s1 AS (SELECT * FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),"
+      val toksAnchor = "FROM s1 WHERE trim(text) <> ''"
+      val caseAnchor = "WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'"
+      require(q112.contains(s1Anchor) && q112.contains(toksAnchor) &&
+        q112.contains(caseAnchor),
+        "q112 oracle anchors drifted - update the q150 derivation")
+      q112
+        .replace(s1Anchor, s1Anchor + """
+          |pda AS (SELECT doc_id, CASE WHEN doc_id % 4 = 2 THEN 0 ELSE doc_id % 4 END AS pcls
+          |        FROM s1 WHERE doc_id < 40),
+          |pkeep AS (SELECT pcls, coalesce(min(doc_id) FILTER (WHERE pcls = 0 AND doc_id % 4 = 2),
+          |                                min(doc_id)) AS keeper
+          |          FROM pda GROUP BY pcls),
+          |pdup_drop AS (SELECT pda.doc_id FROM pda JOIN pkeep USING (pcls)
+          |              WHERE pda.doc_id <> pkeep.keeper),
+          |s1pd AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM pdup_drop)),""".stripMargin)
+        .replace(toksAnchor, "FROM s1pd WHERE trim(text) <> ''")
+        .replace(caseAnchor, caseAnchor +
+          "\n              WHEN d.doc_id IN (SELECT doc_id FROM pdup_drop) THEN 'media_dup'")
+    }) +
     // q149 = q112's oracle VERBATIM: the HTML stage-0 pipeline must land
     // on exactly the clean-text pipeline's result, because extraction
     // over the fixture pages recovers every document's text exactly

@@ -227,6 +227,8 @@ object Pipeline {
                  mediaCodec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
                  mediaGrid: Int = 2,
                  minMeanLum: Double = 5.0, maxMeanLum: Double = 250.0,
+                 mediaDup: Option[DataFrame] = None,
+                 mediaDupMaxDist: Int = 2,
                  video: Option[DataFrame] = None,
                  videoContainer: VideoOps.VideoContainer = VideoOps.GvidContainer,
                  videoEvery: Int = 1,
@@ -269,6 +271,31 @@ object Pipeline {
       docs.limit(0).select(id.as("__media_drop")))
     val s1m = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
 
+    // 1.6 (optional, r17) perceptual MEDIA near-dup: integrity
+    //     survivors' image assets hash (aHash) through the banded
+    //     Hamming join ([[MediaOps.perceptualDupPairs]]); each
+    //     perceptual cluster keeps its brightest member (luminance-
+    //     checksum argmax via [[DedupOps.qualityKeepClusters]], ties →
+    //     min id) and the rest drop as `media_dup` — the modality twin
+    //     of the text near-dup stage, run BEFORE the text stages (a
+    //     duplicate image's caption must not feed gram statistics
+    //     twice). One decode pass over asset-bearing in-play docs;
+    //     docs without an asset row pass untouched. None → empty drop
+    //     set, prior shape byte-identical.
+    val mediaDupDrops = mediaDup.map { md =>
+      val inPlay = md.select(col(idCol).as("doc_id"), col("content"))
+        .join(s1m.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+      val pairs = MediaOps.perceptualDupPairs(inPlay, mediaCodec, mediaDupMaxDist)
+        .localCheckpoint(eager = true)
+      val scores = MediaOps.decodeImages(inPlay, mediaCodec).toDF()
+        .select(col("doc_id"), col("checksum"))
+      DedupOps.qualityKeepClusters(inPlay.select(col("doc_id")), pairs, scores,
+          "doc_id", scoreCol = "checksum")
+        .filter(!col("kept"))
+        .select(col("doc_id").as("__mdup_drop")).localCheckpoint(eager = true)
+    }.getOrElse(docs.limit(0).select(id.as("__mdup_drop")))
+    val s1d = s1m.join(mediaDupDrops, id === col("__mdup_drop"), "left_anti")
+
     // 1.75 (optional, r16) benchmark decontamination: exact/media
     //     survivors sharing a k-gram shingle with the benchmark
     //     ([[Decontaminate.contaminatedIds]] — membership implies every
@@ -282,13 +309,13 @@ object Pipeline {
     //     contract). None → empty drop set, prior shape byte-identical.
     val contamDrops = benchmark.map { b =>
       val ng = Decontaminate.contaminatedIds(
-          s1m.select(id, col(textCol)), b.select(col(idCol), col(textCol)),
+          s1d.select(id, col(textCol)), b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))
       val bEmb = benchmarkEmb.getOrElse(sys.error(
         "benchmark decontamination needs benchmarkEmb for the semantic grain"))
       val sem = embeddings
-        .join(s1m.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .join(s1d.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
         .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
           SimilarityOps.norm(col(vecCol)).as("__cnrm"))
         .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
@@ -301,7 +328,7 @@ object Pipeline {
       ng.union(sem).distinct()
         .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__contam_drop")))
-    val s1c = s1m.join(contamDrops, id === col("__contam_drop"), "left_anti")
+    val s1c = s1d.join(contamDrops, id === col("__contam_drop"), "left_anti")
 
     // 2. span removal over exact survivors (blank docs fall out here and
     //    are decided `empty` in the assembly, matching removeDuplicatedSpans'
@@ -380,6 +407,7 @@ object Pipeline {
     docs.select(id, col(sourceCol))
       .join(exactDrops, id === col("__exact_drop"), "left")
       .join(mediaDrops, id === col("__media_drop"), "left")
+      .join(mediaDupDrops, id === col("__mdup_drop"), "left")
       .join(contamDrops, id === col("__contam_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
@@ -390,6 +418,7 @@ object Pipeline {
       .withColumn("decision",
         when(col("__exact_drop").isNotNull, "exact_dup")
           .when(col("__media_drop").isNotNull, "bad_media")
+          .when(col("__mdup_drop").isNotNull, "media_dup")
           .when(col("__contam_drop").isNotNull, "contaminated")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__quality_drop").isNotNull, "low_quality")

@@ -106,27 +106,24 @@ class PlanSpec extends SparkTestBase {
       s"partial aggregate must run above Expand, before the exchange:\n$plan")
   }
 
-  test("NB scoring (q119): model broadcasts, doc sums aggregate partial before the exchange") {
-    // The classifier's 100 TB properties: the ≤buckets-row model joins as
-    // a BROADCAST on the LONG bucket id (never a shuffle of feature
-    // rows), and the per-doc integer sum runs partial map-side so only
-    // (doc, partial-sum) rows cross the wire — exploded feature rows
-    // never enter an exchange.
+  test("NB scoring (q119): fused expression, zero exchanges, one codegen stage") {
+    // The classifier's 100 TB property since r17: scoring is ONE
+    // codegen'd map over the scan — the model rides into generated code
+    // as a reference object, so there is no explode, no join of any
+    // kind, no aggregate, and NOTHING crosses the wire. (The pre-r17
+    // composed plan — broadcast join + partial aggregation — survives
+    // as nbScoreComposed, parity-pinned in OperatorsSpec.)
     val d = docs
     val model = operators.TextOps.seedCrawlNbFit(
       d.filter(col("lang") === "en" && col("doc_id") % 4 === 0),
       d.filter(col("doc_id") % 4 === 1))
     val plan = planOf(operators.TextOps.nbScore(model, d))
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
-    val firstAgg = plan.indexOf("HashAggregate")
-    assert(firstAgg >= 0 && plan.indexOf("HashAggregate", firstAgg + 1) > 0,
-      s"expected partial+final HashAggregate:\n$plan")
-    val iExchange = plan.indexOf("Exchange hashpartitioning")
-    val iGenerate = plan.indexOf("Generate") // the feature explode
-    assert(iExchange >= 0 && iGenerate > iExchange,
-      s"the explode must run below (after) the exchange boundary — partial sums, " +
-        s"not feature rows, cross the wire:\n$plan")
+    assert(plan.contains("nb_doc_score"), plan)
+    assert(!plan.contains("Exchange"), s"fused NB scoring must be shuffle-free:\n$plan")
+    assert(!plan.contains("Join"), s"fused NB scoring must join nothing:\n$plan")
+    assert(!plan.contains("Generate"), s"fused NB scoring must not explode:\n$plan")
+    assert(plan.contains("*(1)"),
+      s"the scoring projection must stay inside whole-stage codegen:\n$plan")
   }
 
   test("sketch scalar projection stays one whole-stage-codegen stage") {
