@@ -606,6 +606,28 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- WARC ingestion (r17): the wire format a crawl corpus actually
+    //    arrives in. Spec-correct fixture archives (warcinfo + request/
+    //    response pairs, every third archive whole-stream gzip'd — the
+    //    Common-Crawl layout) parse in one mapPartitions; 200-responses
+    //    feed URL canonicalization AND HTML extraction, so the full
+    //    web-ingest chain (WARC → URL → text) runs end-to-end with the
+    //    q142/q145 closed forms as the oracle. --------------------------
+    "q151_warc_ingest" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val archives = operators.WarcIo.warcTable(spark.table("documents"))
+      val withIds = operators.WarcIo.pages(archives)
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "Item([0-9]+)", 1).cast("long"))
+        .localCheckpoint(true)
+      val meta = withIds.select(col("doc_id"),
+          operators.UrlOps.canonicalize(col("target_uri")).as("canon_url"))
+        .withColumn("domain", operators.UrlOps.domain(col("canon_url")))
+      val ex = operators.HtmlExtract.extract(withIds, "doc_id", "html")
+        .select(col("doc_id"), col("extracted_text"), col("kept_blocks"))
+      meta.join(ex, Seq("doc_id")).orderBy("doc_id")
+    },
+
     // -- HTML → text extraction, curation stage 0 (r17): real markup
     //    (title/header/nav/script/aside/footer chrome around an
     //    <article>) through the in-repo block segmenter + jusText-class
@@ -1468,6 +1490,32 @@ private[graft] trait TextEntries extends EntryInfra {
         |FROM p JOIN tot ta ON ta.doc = p.da JOIN tot tb ON tb.doc = p.db
         |WHERE CAST(ms AS DOUBLE) / (ta.tot + tb.tot - ms) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the q145 canonical-URL and q142 extraction closed forms composed:
+    // WARC parsing must deliver each page's exact URI and HTML through
+    // the gzip'd/plain archive mix, or these per-doc forms break
+    "q151_warc_ingest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_replace(trim(text), '\s+', ' ', 'g') AS norm,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> '')) AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |       'http' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 's' END ||
+        |       '://www.host' || (doc_id % 7) || '.example.com' ||
+        |       CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+        |       '/Articles/Item' || doc_id ||
+        |       CASE WHEN doc_id % 9 = 0 THEN ''
+        |            WHEN doc_id % 2 = 0 THEN '?id=' || doc_id
+        |            ELSE '?page=2' END AS canon_url,
+        |       'host' || (doc_id % 7) || '.example.com' AS domain,
+        |       CASE WHEN w >= 5 THEN norm ELSE '' END AS extracted_text,
+        |       CAST(CASE WHEN w < 5 THEN 0
+        |                 WHEN w % 40 = 0 THEN w // 40
+        |                 WHEN w % 40 < 5 THEN w // 40
+        |                 ELSE w // 40 + 1 END AS BIGINT) AS kept_blocks
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // closed form of the q142 fixture page (HtmlExtract.testHtml):
     // chrome (7 blocks: title, header h1, 3 nav items, aside, footer)

@@ -1920,6 +1920,53 @@ class OperatorsSpec extends SparkTestBase {
     assert(dec.map(_.getInt(1)).sorted.toSeq == Seq(0, 2), dec.mkString(","))
   }
 
+  test("WARC reader: round-trip, gzip path, non-response skipping, hostile input") {
+    import spark.implicits._
+    import WarcIo._
+    val pagesFix = Seq(
+      "http://a.example.com/one" -> "<p>alpha beta gamma delta epsilon</p>",
+      "https://b.example.com/two" -> "<p>one two three four five six</p>")
+    for (gz <- Seq(false, true)) {
+      val recs = parse(mux(pagesFix, gzip = gz))
+      // warcinfo + (request + response) per page
+      assert(recs.map(_.warc_type) ==
+        IndexedSeq("warcinfo", "request", "response", "request", "response"), recs.toString)
+      val resp = recs.filter(_.warc_type == "response")
+      assert(resp.map(_.target_uri) == pagesFix.map(_._1).toIndexedSeq)
+      assert(resp.map(_.body) == pagesFix.map(_._2).toIndexedSeq,
+        "response bodies must round-trip byte-exact")
+      assert(resp.forall(_.http_status == 200))
+      // non-response records carry no body
+      assert(recs.filter(_.warc_type != "response").forall(_.body == ""))
+    }
+    // hostile input: garbage, truncations, corruptions — never throws,
+    // truncation keeps the records already parsed
+    val base = mux(pagesFix)
+    val rnd = new scala.util.Random(151)
+    for (trial <- 0 until 200) {
+      val bytes =
+        if (trial % 3 == 0) { val b = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(b); b }
+        else if (trial % 3 == 1) base.take(rnd.nextInt(base.length + 1))
+        else {
+          val b = base.clone()
+          for (_ <- 0 to rnd.nextInt(6)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+        }
+      parse(bytes) // must not throw
+    }
+    val cut = parse(base.take(base.length - 10))
+    assert(cut.nonEmpty && cut.length < 5, s"truncation keeps the parsed prefix: ${cut.length}")
+    // a bad Content-Length ends the parse instead of throwing
+    val bad = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("Content-Length: [0-9]+", "Content-Length: 999999")
+    assert(parse(bad.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).isEmpty)
+    // distributed: records() explodes archives, pages() keeps 200-responses
+    val archives = Seq((0L, mux(pagesFix)), (1L, mux(pagesFix.take(1), gzip = true)),
+      (2L, Array[Byte](1, 2, 3))).toDF("file_id", "content")
+    val pg = WarcIo.pages(archives).collect()
+    assert(pg.length == 3 && pg.forall(_.getString(1).startsWith("<p>")))
+  }
+
   test("curateFromHtml: extraction is stage 0; chrome-only pages classify as empty") {
     import spark.implicits._
     val texts = (
