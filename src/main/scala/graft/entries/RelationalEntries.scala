@@ -278,6 +278,19 @@ private[graft] trait RelationalEntries extends EntryInfra {
         .orderBy("doc_a", "doc_b")
     },
 
+    // -- PERCEPTUAL audio near-dup (r17): envelope hash (64-segment
+    //    mean profile) over really-decoded WAVs through the same
+    //    simhash band core — class-2 clips are class-0 plus a uniform
+    //    gain shift, which the mean-relative hash is invariant to by
+    //    construction; cross-class Hamming 32/64. -----------------------
+    "q152_audio_dup_pairs" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val clips = operators.MediaOps.audioDupTable(
+        spark.table("documents").filter(col("doc_id") < 80))
+      operators.MediaOps.audioDupPairs(clips, maxDist = 2)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // -- media-dup keep rule (r17): q144's pair evidence → connected
     //    components → the QUALITY keep rule (qualityKeepClusters with
     //    luminance checksum as the score): each perceptual cluster
@@ -304,6 +317,17 @@ private[graft] trait RelationalEntries extends EntryInfra {
     // hash), intra-class Hamming 0, cross-class 32/64 → at τ=2 the pair
     // set is exactly the within-class id pairs
     "q144_perceptual_dup_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CASE WHEN doc_id % 4 = 2 THEN 0 ELSE doc_id % 4 END AS cls
+        |           FROM documents WHERE doc_id < 80)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS dist
+        |FROM t a JOIN t b ON a.cls = b.cls AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q152 fixture closed form: envelope equivalence classes by id
+    // arithmetic (class 2 = class 0 + a uniform gain shift the
+    // mean-relative hash cannot see), intra-class Hamming 0
+    "q152_audio_dup_pairs" ->
       """WITH t AS (SELECT doc_id,
         |                  CASE WHEN doc_id % 4 = 2 THEN 0 ELSE doc_id % 4 END AS cls
         |           FROM documents WHERE doc_id < 80)

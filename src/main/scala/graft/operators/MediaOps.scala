@@ -306,6 +306,110 @@ object MediaOps {
         .select(col("doc_id").as("doc"), col("ahash").as("sig")),
       maxDist)
 
+  /** Audio envelope hash — the aHash analog for the third modality:
+    * 64 equal time segments; bit s set iff the segment's mean sample
+    * value exceeds the clip mean (all-integer cross-multiplied, exactly
+    * [[aHash64]]'s comparison). Robust to uniform gain shifts by
+    * construction (every segment moves with the mean); banded through
+    * the same Hamming core for near-dup mining. */
+  def audioHash64(d: DecodedAudio): Long = {
+    val n = d.samples.length
+    if (n == 0) 0L
+    else {
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < n) {
+        val s = (i.toLong * 64 / n).toInt
+        val v = d.samples(i)
+        sums(s) += v
+        cnts(s) += 1
+        total += v
+        i += 1
+      }
+      var hash = 0L
+      var s = 0
+      while (s < 64) {
+        if (cnts(s) > 0 && sums(s) * n > total * cnts(s)) hash |= 1L << s
+        s += 1
+      }
+      hash
+    }
+  }
+
+  final case class AudioHash(doc_id: Long, ok: Boolean, ahash: Long)
+
+  /** One decode pass → envelope signatures (failures kept ok=false). */
+  def audioHashes(clips: DataFrame,
+                  codec: AudioCodec = JavaSoundCodec): Dataset[AudioHash] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          codec.decode(bytes) match {
+            case Some(d) => AudioHash(id, ok = true, audioHash64(d))
+            case None => AudioHash(id, ok = false, 0L)
+          }
+        }
+      }
+  }
+
+  /** Perceptual AUDIO near-dup pairs via the simhash band core — same
+    * contract as [[perceptualDupPairs]]: exact recall at `maxDist` by
+    * pigeonhole, never all-pairs. */
+  def audioDupPairs(clips: DataFrame, codec: AudioCodec = JavaSoundCodec,
+                    maxDist: Int = 2): DataFrame =
+    DedupOps.simhashPairsFromSigs(
+      audioHashes(clips, codec).toDF()
+        .filter(col("ok"))
+        .select(col("doc_id").as("doc"), col("ahash").as("sig")),
+      maxDist)
+
+  /** Deterministic audio-dedup fixture: 512-sample 8-bit mono WAV,
+    * envelope class by id arithmetic (integer margins hand-verified —
+    * no segment ever ties the clip mean):
+    *  - id % 4 == 0 → ascending ramp ⌊i/4⌋        (bits 32..63),
+    *  - id % 4 == 1 → descending ramp              (bits 0..31),
+    *  - id % 4 == 2 → class-0 ramp + 1 everywhere (uniform gain shift —
+    *    IDENTICAL hash to class 0: the near-duplicate class),
+    *  - id % 4 == 3 → triangle ⌊min(i,511−i)/2⌋  (bits 16..47).
+    * Cross-class Hamming: 64 (0↔1), 32 (0↔3); intra-class 0. */
+  def audioDupWavBytes(docId: Long): Array[Byte] = {
+    val n = 512
+    val cls = (docId % 4).toInt
+    val b = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1); b.putShort(1); b.putInt(8000); b.putInt(8000)
+    b.putShort(1); b.putShort(8)
+    b.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) {
+      val v = cls match {
+        case 0 => i / 4
+        case 1 => (511 - i) / 4
+        case 2 => i / 4 + 1
+        case _ => math.min(i, 511 - i) / 2
+      }
+      b.put(v.toByte)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** (doc_id, content) table of [[audioDupWavBytes]] clips. */
+  def audioDupTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, audioDupWavBytes(id))))
+      .toDF("doc_id", "content")
+  }
+
   /** Deterministic perceptual fixture: 32×32 grayscale PNG, pattern
     * class by id arithmetic — closed-form aHash equivalence an ANSI
     * oracle predicts without bit arithmetic over pixels:

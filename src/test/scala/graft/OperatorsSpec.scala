@@ -2116,6 +2116,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L, 1), (1L, 2L, 2)), pairs.toString)
   }
 
+  test("audio envelope hash: closed forms, gain invariance, banding") {
+    import spark.implicits._
+    def h(id: Long) = MediaOps.audioHash64(
+      MediaOps.JavaSoundCodec.decode(MediaOps.audioDupWavBytes(id)).get)
+    val (h0, h1, h2, h3) = (h(0), h(1), h(2), h(3))
+    // hand-derived bit patterns: ramp → upper half, reversed → lower
+    // half, triangle → middle 32; uniform gain shift invisible
+    assert(h0 == -1L << 32, f"ramp bits 32..63, got $h0%016x")
+    assert(h1 == (1L << 32) - 1, f"reversed bits 0..31, got $h1%016x")
+    assert(h2 == h0, "uniform +1 gain must not move any envelope bit")
+    assert(h3 == (((1L << 48) - 1) & ~((1L << 16) - 1)), f"triangle bits 16..47, got $h3%016x")
+    assert(java.lang.Long.bitCount(h0 ^ h1) == 64 &&
+      java.lang.Long.bitCount(h0 ^ h3) == 32)
+    // pairs: classes pair at Hamming 0; undecodable clips excluded
+    val clips = Seq((0L, MediaOps.audioDupWavBytes(0)),
+      (2L, MediaOps.audioDupWavBytes(2)), (5L, MediaOps.audioDupWavBytes(5)),
+      (9L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+    val pairs = MediaOps.audioDupPairs(clips, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((0L, 2L, 0)), pairs.toString)
+  }
+
   test("BPE: deterministic training, sequential encode ≡ rank-based greedy, fit parity") {
     import spark.implicits._
     // textbook fixture: pair counts and tie-breaks all exercised
