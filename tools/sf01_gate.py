@@ -77,6 +77,8 @@ SLOW_ORACLE = {
     "q123_curate_incremental_quality": "q115 chain + NB calibration/scoring stages",
     "q126_curate_decontaminated": "q112 chain + contamination CTEs",
     "q127_curate_incremental_decontaminated": "q115 chain + contamination CTEs",
+    "q149_curate_from_html": "q112 chain verbatim (the HTML stage-0 twin)",
+    "q150_curate_media_dup": "q112 chain + perceptual media-dup CTEs",
 }
 
 ORACLE_TIMEOUT_S = int(os.environ.get("SF01_GATE_TIMEOUT_S", "240"))
