@@ -291,6 +291,21 @@ private[graft] trait RelationalEntries extends EntryInfra {
         .orderBy("doc_a", "doc_b")
     },
 
+    // -- VIDEO segment near-dup (r17): the exact-substring dedup core
+    //    over per-frame perceptual hashes — frame-hash rows through the
+    //    same inverted-index + diagonal-islands plan as text spans
+    //    (k=1), finding ≥4-frame aligned shared segments through REAL
+    //    MP4 demux + decode. The scene-sequence fixture makes the
+    //    segment set pure id arithmetic. ------------------------------
+    "q153_video_dup_segments" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val vids = operators.VideoOps.sceneVideoTable(
+        spark.table("documents").filter(col("doc_id") < 60))
+      operators.VideoOps.videoDupSegments(vids,
+          container = operators.Mp4Container, minFrames = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // -- media-dup keep rule (r17): q144's pair evidence → connected
     //    components → the QUALITY keep rule (qualityKeepClusters with
     //    luminance checksum as the score): each perceptual cluster
@@ -322,6 +337,24 @@ private[graft] trait RelationalEntries extends EntryInfra {
         |           FROM documents WHERE doc_id < 80)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS dist
         |FROM t a JOIN t b ON a.cls = b.cls AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q153 fixture closed form: doc id's frames are scenes (id+f) mod 7,
+    // so matches lie on the single diagonal δ ≡ (db−da) mod 7 and the
+    // maximal shared segment is 6−|δ| frames — ≥4 iff the residue is in
+    // {0,1,2} (δ = residue, starts (δ,0)) or {5,6} (δ = residue−7,
+    // starts (0,−δ))
+    "q153_video_dup_segments" ->
+      """WITH t AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |             CAST((b.doc_id - a.doc_id) % 7 AS INT) AS d0
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |m(d0, delta) AS (VALUES (0, 0), (1, 1), (2, 2), (6, -1), (5, -2))
+        |SELECT p.da AS doc_a, p.db AS doc_b,
+        |       CAST(CASE WHEN m.delta >= 0 THEN m.delta ELSE 0 END AS BIGINT) AS a_start,
+        |       CAST(CASE WHEN m.delta >= 0 THEN 0 ELSE -m.delta END AS BIGINT) AS b_start,
+        |       CAST(6 - abs(m.delta) AS BIGINT) AS shared_frames
+        |FROM p JOIN m ON p.d0 = m.d0
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q152 fixture closed form: envelope equivalence classes by id

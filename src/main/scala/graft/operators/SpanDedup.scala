@@ -142,8 +142,21 @@ object SpanDedup {
     * cap trade-off, identical to the inverted-index DF cap). */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, minSpan: Int = 20,
-                      maxGramOccurrences: Int = 1000): DataFrame = {
-    val m = selfMatches(gramRelation(df, idCol, textCol, k), maxGramOccurrences)
+                      maxGramOccurrences: Int = 1000): DataFrame =
+    duplicatedSpansFromGrams(gramRelation(df, idCol, textCol, k), k,
+      minSpan, maxGramOccurrences)
+
+  /** The span machinery over ANY positional symbol relation — (doc,
+    * pos, g) rows in, maximal aligned runs out. `k` is the symbol
+    * window width the relation was built with (text k-grams: spans are
+    * `runLen + k − 1` tokens; single-symbol relations like per-frame
+    * perceptual hashes pass k = 1 so a span IS its run length). This is
+    * what lets the exact-substring dedup core drive other modalities:
+    * [[VideoOps.videoDupSegments]] feeds frame-hash rows through it to
+    * find shared video SEGMENTS. */
+  def duplicatedSpansFromGrams(grams: DataFrame, k: Int, minSpan: Int,
+                               maxGramOccurrences: Int): DataFrame = {
+    val m = selfMatches(grams, maxGramOccurrences)
     islandSpans(m, k, minSpan)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("a_start"), col("b_start"), col("span_tokens"))

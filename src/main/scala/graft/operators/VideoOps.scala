@@ -271,4 +271,95 @@ object VideoOps {
       }
       .toDF()
   }
+
+  /** Per-frame perceptual signatures: (doc, pos, g) — frame index as
+    * position, [[MediaOps.aHash64]] of the decoded raster as the
+    * symbol. One demux+decode pass, no shuffle; this is the positional
+    * relation [[graft.operators.SpanDedup.duplicatedSpansFromGrams]]
+    * consumes. */
+  def frameHashes(media: DataFrame,
+                  container: VideoContainer = GvidContainer,
+                  codec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
+                  every: Int = 1): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          container.demux(bytes).iterator.flatMap { vs =>
+            vs.frames.iterator.zipWithIndex
+              .filter(_._2 % every == 0)
+              .flatMap { case (payload, idx) =>
+                codec.decode(payload).map(d => (id, idx.toLong, MediaOps.aHash64(d)))
+              }
+          }
+        }
+      }
+      .toDF("doc", "pos", "g")
+  }
+
+  /** Shared video SEGMENTS — near-dup detection at sequence grain: two
+    * videos sharing ≥ `minFrames` consecutive perceptually-identical
+    * frames (same aHash, aligned run) are reported with their start
+    * offsets — re-encoded clips, intros/outros, and spliced footage,
+    * which a single whole-video signature cannot see. This is the
+    * exact-substring dedup core over frame hashes: the frame-hash
+    * relation feeds the same inverted-index + diagonal-islands plan as
+    * text spans (k = 1: a span IS its frame run), so the scale shape is
+    * identical — one shuffle of (doc, pos, 64-bit hash) rows behind the
+    * hot-frame cap (black frames / station logos are the boilerplate
+    * grams of video).
+    *
+    * Returns (doc_a, doc_b, a_start, b_start, shared_frames). */
+  def videoDupSegments(media: DataFrame,
+                       container: VideoContainer = GvidContainer,
+                       codec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
+                       minFrames: Int = 4,
+                       maxFrameOccurrences: Int = 1000): DataFrame =
+    SpanDedup.duplicatedSpansFromGrams(
+        frameHashes(media, container, codec), k = 1,
+        minSpan = minFrames, maxGramOccurrences = maxFrameOccurrences)
+      .withColumnRenamed("span_tokens", "shared_frames")
+
+  /** Scene raster `s` ∈ 0..6: the first 4·s pixel columns bright —
+    * cell-aligned, so aHash(s) has exactly 8·s bits set (all distinct
+    * across scenes, margins exact: bright cells 200 > mean 25·s, dark
+    * 0 < mean; s = 0 is all-dark, hash 0). */
+  private[graft] def scenePngBytes(s: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        raster.setSample(x, y, 0, if (x / 4 < s) 200 else 0)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic scene-sequence fixture: doc `id`'s video is 6 frames
+    * of scene `(id + f) mod 7` through a REAL MP4 container. Two docs'
+    * frame hashes match exactly on the diagonal δ ≡ (id_b − id_a)
+    * mod 7, giving one maximal shared segment of `6 − |δ|` frames for
+    * δ ∈ [−5, 5] — so the pair/segment set is pure id arithmetic for
+    * the oracle: pairs with (id_b − id_a) mod 7 ∈ {0,1,2} share
+    * 6/5/4 frames at (a_start, b_start) = (δ, 0); {6,5} mirror at
+    * (0, −δ). */
+  def sceneVideoTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map { id =>
+        val frames = (0 until 6).map(f => scenePngBytes(((id + f) % 7).toInt))
+        (id, Mp4Container.mux(6, frames))
+      })
+      .toDF("doc_id", "content")
+  }
 }

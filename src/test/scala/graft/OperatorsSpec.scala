@@ -2116,6 +2116,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == Set((0L, 1L, 1), (1L, 2L, 2)), pairs.toString)
   }
 
+  test("video segment near-dup: aligned frame-hash runs through real MP4 demux") {
+    import spark.implicits._
+    // scene hashes are distinct and exactly 8·s bits
+    val hashes = (0 to 6).map(s => MediaOps.aHash64(
+      MediaOps.ImageIoCodec.decode(VideoOps.scenePngBytes(s)).get))
+    assert(hashes.map(java.lang.Long.bitCount) == (0 to 6).map(_ * 8))
+    assert(hashes.distinct.size == 7)
+    // handcrafted: A = scenes 1..6, B = scenes 3..6 then 1,2 → the
+    // aligned overlap is A[2..5] = B[0..3] (4 frames); the trailing
+    // B-frames 1,2 match A positions 0,1 on a DIFFERENT diagonal (run
+    // 2 < 4 → filtered)
+    def vid(scenes: Seq[Int]) = Mp4Container.mux(6, scenes.map(VideoOps.scenePngBytes))
+    val vids = Seq(
+      (1L, vid(Seq(1, 2, 3, 4, 5, 6))),
+      (2L, vid(Seq(3, 4, 5, 6, 1, 2))),
+      (3L, vid(Seq(0, 0, 0, 0, 0, 0))),   // black video: no partner here
+      (9L, Array[Byte](1, 2, 3))          // corrupt container: excluded
+    ).toDF("doc_id", "content")
+    val segs = VideoOps.videoDupSegments(vids, container = Mp4Container, minFrames = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(segs.toSet == Set((1L, 2L, 2L, 0L, 4L)), segs.mkString(","))
+    // the hot-frame cap excludes boilerplate frames (the black scene):
+    // two all-black videos pair only when the cap allows the black hash
+    val blacks = Seq((1L, vid(Seq(0, 0, 0, 0, 0, 0))),
+      (2L, vid(Seq(0, 0, 0, 0, 0, 0)))).toDF("doc_id", "content")
+    assert(VideoOps.videoDupSegments(blacks, container = Mp4Container,
+      minFrames = 4, maxFrameOccurrences = 4).count() == 0)
+    val uncapped = VideoOps.videoDupSegments(blacks, container = Mp4Container,
+      minFrames = 4, maxFrameOccurrences = 0).collect()
+    assert(uncapped.nonEmpty)
+  }
+
   test("audio envelope hash: closed forms, gain invariance, banding") {
     import spark.implicits._
     def h(id: Long) = MediaOps.audioHash64(
