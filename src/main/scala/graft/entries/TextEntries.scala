@@ -606,6 +606,19 @@ private[graft] trait TextEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- q135's epoch-repetition recipe RE-DENOMINATED in BPE tokens
+    //    (r17): the tokenCounter lane threaded through the masses, the
+    //    emitted counts, AND the fractional head's quota — a recipe's
+    //    "50k tokens of src17" now means what the training run means. -
+    "q154_bpe_epoch_mixture" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val recipe = (0 until 20).map(k => (s"src$k", 1.0 + k % 4))
+      operators.QuotaSample.epochRepetition(spark.table("documents"),
+          "source", "doc_id", "text", recipe, totalBudget = 50000L,
+          tokenCounter = c => operators.Bpe.tokenCount(c, operators.Bpe.SeedModel))
+        .orderBy("doc_id")
+    },
+
     // -- WARC ingestion (r17): the wire format a crawl corpus actually
     //    arrives in. Spec-correct fixture archives (warcinfo + request/
     //    response pairs, every third archive whole-stream gzip'd — the
@@ -685,6 +698,30 @@ private[graft] trait TextEntries extends EntryInfra {
        |                coalesce(bpe_text, '') AS bpe_text
        |         FROM documents LEFT JOIN bagg USING (doc_id))""".stripMargin
   }
+
+  private lazy val q135OracleSql: String =
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |                  md5(CAST(doc_id AS VARCHAR)) AS key
+        |           FROM documents),
+        |f AS (SELECT * FROM t WHERE n_tokens >= 1),
+        |wt AS (SELECT source, 1.0 + CAST(substr(source, 4) AS INT) % 4 AS w
+        |       FROM (SELECT DISTINCT source FROM f)),
+        |wsum AS (SELECT list_sum(list(w ORDER BY source)) AS s FROM wt),
+        |mass AS (SELECT source, sum(n_tokens) AS m FROM f GROUP BY source),
+        |plan AS (SELECT mass.source, m, 50000 * w / (SELECT s FROM wsum) AS target
+        |         FROM mass JOIN wt USING (source)),
+        |e AS (SELECT source, m, CAST(floor(target / m) AS BIGINT) AS full_e,
+        |             CAST(floor(target - CAST(floor(target / m) AS BIGINT) * m) AS BIGINT) AS rem
+        |      FROM plan),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS cum,
+        |             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+        |      FROM f)
+        |SELECT r.doc_id, r.source, r.n_tokens,
+        |       CAST(e.full_e + CASE WHEN e.rem >= 1 AND (r.cum <= e.rem OR r.rn = 1)
+        |                            THEN 1 ELSE 0 END AS BIGINT) AS epochs
+        |FROM r JOIN e USING (source) ORDER BY r.doc_id""".stripMargin
 
   protected def textOracle: Map[String, String] = Map(
     // ---- pipeline operators ----------------------------------------------
@@ -1446,29 +1483,27 @@ private[graft] trait TextEntries extends EntryInfra {
     // name, wsum folded in name-sorted list order (the q116 convention),
     // IEEE multiply-divide-floor in the same operand order, the q104
     // running-sum head with the rem>=1 participation rule
-    "q135_epoch_mixture" ->
-      """WITH t AS (SELECT doc_id, source,
-        |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |                  md5(CAST(doc_id AS VARCHAR)) AS key
-        |           FROM documents),
-        |f AS (SELECT * FROM t WHERE n_tokens >= 1),
-        |wt AS (SELECT source, 1.0 + CAST(substr(source, 4) AS INT) % 4 AS w
-        |       FROM (SELECT DISTINCT source FROM f)),
-        |wsum AS (SELECT list_sum(list(w ORDER BY source)) AS s FROM wt),
-        |mass AS (SELECT source, sum(n_tokens) AS m FROM f GROUP BY source),
-        |plan AS (SELECT mass.source, m, 50000 * w / (SELECT s FROM wsum) AS target
-        |         FROM mass JOIN wt USING (source)),
-        |e AS (SELECT source, m, CAST(floor(target / m) AS BIGINT) AS full_e,
-        |             CAST(floor(target - CAST(floor(target / m) AS BIGINT) * m) AS BIGINT) AS rem
-        |      FROM plan),
-        |r AS (SELECT doc_id, source, n_tokens,
-        |             sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id) AS cum,
-        |             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
-        |      FROM f)
-        |SELECT r.doc_id, r.source, r.n_tokens,
-        |       CAST(e.full_e + CASE WHEN e.rem >= 1 AND (r.cum <= e.rem OR r.rn = 1)
-        |                            THEN 1 ELSE 0 END AS BIGINT) AS epochs
-        |FROM r JOIN e USING (source) ORDER BY r.doc_id""".stripMargin,
+    "q135_epoch_mixture" -> q135OracleSql,
+
+    // q135's recipe arithmetic verbatim, the token lane swapped for the
+    // recursive BPE counts (anchor-asserted derivation — the two recipes
+    // stay in lockstep)
+    "q154_bpe_epoch_mixture" -> {
+      val anchor =
+        """WITH t AS (SELECT doc_id, source,
+          |                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          |                  md5(CAST(doc_id AS VARCHAR)) AS key
+          |           FROM documents),""".stripMargin
+      require(q135OracleSql.startsWith(anchor),
+        "q135 oracle anchor drifted - update the q154 derivation")
+      s"WITH RECURSIVE $bpeEncCtes,\n" +
+        """t AS (SELECT b.doc_id, documents.source, b.n_bpe AS n_tokens,
+          |             md5(CAST(b.doc_id AS VARCHAR)) AS key
+          |      FROM bpen b JOIN documents USING (doc_id)),""".stripMargin +
+        q135OracleSql.substring(anchor.length)
+    },
+
+    
 
     // exact weighted Jaccard over word term frequencies, all-pairs (the
     // naive truth the inverted-index + ratio-prune plan reproduces);

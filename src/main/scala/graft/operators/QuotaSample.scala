@@ -126,11 +126,12 @@ object QuotaSample {
     * first-doc guarantee, same 4096-bucket scale shape; the only change
     * is that every budget comparison reads the group's own row. */
   def tokenQuotaBudgets(df: DataFrame, groupCol: String, idCol: String,
-                        textCol: String, budgets: DataFrame): DataFrame = {
+                        textCol: String, budgets: DataFrame,
+                        tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
     val bud = budgets.select(col(groupCol).as("__tq_grp"),
       col("budget").cast("long").as("__tq_bud"))
     val base = df.select(col(idCol).as("__tq_doc"), col(groupCol).as("__tq_grp"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        tokenCounter(col(textCol)).cast("long").as("n_tokens"),
         md5(col(idCol).cast("string")).as("__tq_key"))
       .filter(col("n_tokens") >= 1)
       .withColumn("__tq_bkt", conv(substring(col("__tq_key"), 1, 3), 16, 10).cast("int"))
@@ -175,13 +176,14 @@ object QuotaSample {
     * (idCol, sourceCol, n_tokens, budget, kept). */
   def temperatureMixture(df: DataFrame, sourceCol: String, idCol: String,
                          textCol: String, alpha: Double,
-                         totalBudget: Long): DataFrame = {
+                         totalBudget: Long,
+                         tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     require(totalBudget >= 1, s"totalBudget must be >= 1, got $totalBudget")
     def weight(mass: Double): Double =
       if (alpha == 0.5) math.sqrt(mass) else math.pow(mass, alpha)
     val masses = df.groupBy(col(sourceCol))
-      .agg(sum(TextOps.tokenCount(col(textCol)).cast("long")).as("mass"))
+      .agg(sum(tokenCounter(col(textCol)).cast("long")).as("mass"))
       .collect()
       .map(r => (r.get(0), r.getLong(1)))
       .sortBy(_._1.toString)
@@ -229,7 +231,12 @@ object QuotaSample {
     * rows, AQE-broadcast. */
   def epochRepetition(df: DataFrame, sourceCol: String, idCol: String,
                       textCol: String, weights: Seq[(String, Double)],
-                      totalBudget: Long): DataFrame = {
+                      totalBudget: Long,
+                      tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
+    // tokenCounter: the accounting lane (whitespace default, BPE for
+    // token-TRUE recipes) — threaded into the masses, the emitted
+    // n_tokens, AND the fractional head's quota so the three can never
+    // denominate differently
     require(totalBudget >= 1, s"totalBudget must be >= 1, got $totalBudget")
     require(weights.nonEmpty, "weights recipe must not be empty")
     require(weights.forall(_._2 >= 0.0), s"weights must be >= 0: $weights")
@@ -242,7 +249,7 @@ object QuotaSample {
     // one bounded aggregation: #sources rows (the documented pull)
     val masses = df
       .select(col(sourceCol).cast("string").as("__er_src"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("__er_n"))
+        tokenCounter(col(textCol)).cast("long").as("__er_n"))
       .filter(col("__er_n") >= 1)
       .groupBy("__er_src").agg(sum("__er_n").as("__er_m"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -268,10 +275,10 @@ object QuotaSample {
       .toDF(sourceCol, "budget")
     val extra =
       if (budDf.isEmpty) df.limit(0).select(col(idCol).as("__er_extra"))
-      else tokenQuotaBudgets(df, sourceCol, idCol, textCol, budDf)
+      else tokenQuotaBudgets(df, sourceCol, idCol, textCol, budDf, tokenCounter)
         .filter(col("kept")).select(col(idCol).as("__er_extra"))
     df.select(col(idCol), col(sourceCol),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        tokenCounter(col(textCol)).cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= 1)
       .join(fullDf, Seq(sourceCol)) // #sources rows: AQE broadcast
       .join(extra, col(idCol) === col("__er_extra"), "left")
