@@ -2237,6 +2237,27 @@ class OperatorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Bpe.fitOnText("ab", 0))
     // model exhausts merges gracefully when the vocab runs dry
     assert(Bpe.fitOnText("ab", 10).merges == IndexedSeq(("a", "b")))
+    // SnapshotStore artifact round-trip (the q119 model discipline):
+    // byte shape is stable and the stored model encodes identically
+    assert(Bpe.modelFromBytes(Bpe.modelToBytes(sm)) == sm)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_store_").toString
+    try {
+      val store = new operators.SnapshotStore(spark, dir)
+      val stored = Bpe.modelFromBytes(
+        store.getOrBuildBytes("/root/testdata/sf0.001/documents.parquet", "bpe_seed_model")(Bpe.modelToBytes(sm)))
+      assert(stored == sm)
+      // second read hits the store (build must not run again)
+      var built = false
+      val again = store.getOrBuildBytes("/root/testdata/sf0.001/documents.parquet", "bpe_seed_model") {
+        built = true; Bpe.modelToBytes(sm)
+      }
+      assert(!built && Bpe.modelFromBytes(again) == sm)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("HTML extraction: block segmentation, zones, link density, entities") {

@@ -126,6 +126,20 @@ class PlanSpec extends SparkTestBase {
       s"the scoring projection must stay inside whole-stage codegen:\n$plan")
   }
 
+  test("BPE token counting (q146/q147/q154's lane): codegen'd map, no exchange") {
+    // The accounting lane's 100 TB property: counting is one codegen'd
+    // projection over the scan — the merge table rides as a reference
+    // object, so no join, no explode, nothing crosses the wire before
+    // the consumer's own aggregation.
+    val plan = planOf(docs.select(col("doc_id"),
+      operators.Bpe.tokenCount(col("text"), operators.Bpe.SeedModel)))
+    assert(plan.contains("bpe_token_count"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Generate"), s"BPE counting must be a pure map:\n$plan")
+    assert(plan.contains("*(1)"),
+      s"the counting projection must stay inside whole-stage codegen:\n$plan")
+  }
+
   test("sketch scalar projection stays one whole-stage-codegen stage") {
     // SketchScalar implements doGenCode (boxed-args call through a
     // reference object) instead of CodegenFallback — a single fallback
