@@ -137,6 +137,51 @@ class DedupGrainSpec extends SparkTestBase {
     assert(atCap.length == 6 && atCap.forall(_.getLong(4) == 10L))
   }
 
+  test("duplicatedSpans ≡ naive quadratic span finder on random corpora") {
+    import spark.implicits._
+    // ground truth: for every doc pair, every maximal aligned run of
+    // ≥ minSpan identical tokens — O(n²·len²), fine at test size
+    def naive(docs: Seq[(Long, String)], k: Int, minSpan: Int): Set[(Long, Long, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toIndexedSeq }
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+      for ((ida, ta) <- toks; (idb, tb) <- toks if ida < idb) {
+        // diagonal d = posA - posB; runs of token equality along it
+        for (d <- -(tb.length - 1) to (ta.length - 1)) {
+          var pb = math.max(0, -d)
+          while (pb + d < ta.length && pb < tb.length) {
+            if (ta(pb + d) == tb(pb)) {
+              val start = pb
+              while (pb + d < ta.length && pb < tb.length && ta(pb + d) == tb(pb)) pb += 1
+              val run = pb - start
+              if (run >= minSpan)
+                out += ((ida, idb, (start + d).toLong, start.toLong, run.toLong))
+            } else pb += 1
+          }
+        }
+      }
+      out.toSet
+    }
+    val rnd = new scala.util.Random(8517)
+    for (trial <- 0 until 6) {
+      val vocabSize = 3 + rnd.nextInt(4) // small vocab → plenty of chance runs
+      val docs = (0L until 10L).map { id =>
+        id -> (0 until (15 + rnd.nextInt(25)))
+          .map(_ => s"t${rnd.nextInt(vocabSize)}").mkString(" ")
+      }
+      // k = 1: positional token relation, spans = raw runs — the naive
+      // finder's exact grain (k > 1 gram spans are unions of k-windows,
+      // covered by the closed-form tests above)
+      val got = SpanDedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k = 1, minSpan = 4, maxGramOccurrences = 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val want = naive(docs, 1, 4)
+      assert(got == want,
+        s"trial $trial: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("BoundedOccListAgg buffer: overflow tombstones, frees memory, survives merge") {
     val buf = new BoundedOccListAgg.Buf(3)
     buf.add(1L, 0L); buf.add(2L, 1L); buf.add(3L, 2L)
