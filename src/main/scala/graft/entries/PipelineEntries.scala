@@ -36,6 +36,32 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- INCREMENTAL media-dedup curation (r17): curateFull's stage 1.6
+    //    at ingest grain under the incremental keep rule — a batch doc
+    //    drops as media_dup when its asset is perceptually within τ of
+    //    ANY history asset (history is immutable) or of a smaller-id
+    //    batch mate's. History assets carry pattern class 1 only
+    //    (idShift=1 over ids ≡ 0 mod 4), batch assets classes 1 and 3 —
+    //    so the class-1 arm exercises the cross join and the class-3
+    //    arm the batch-mate rule, closed-form. ------------------------
+    "q155_curate_incremental_media_dup" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val histAssets = operators.MediaOps.perceptualTable(
+        docs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 24), idShift = 1L)
+      val batchAssets = operators.MediaOps.perceptualTable(
+        docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 40))
+      operators.Pipeline.curateIncremental(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          spark.table("embeddings"), "doc_id", "text",
+          historyBloom = sharedHistoryBloom(spark, dir),
+          centroids = sharedHistoryCentroids(spark, dir),
+          mediaDupHistory = Some(histAssets),
+          mediaDupBatch = Some(batchAssets))
+        .orderBy("doc_id")
+    },
+
     // -- the WEB pipeline (r17): q112 with HtmlExtract as stage 0 — the
     //    corpus arrives as real markup (chrome, scripts, link-dense
     //    asides around the article), extraction recovers the text, and
@@ -1376,7 +1402,31 @@ private[graft] trait PipelineEntries extends EntryInfra {
     "OR (b.doc_id % 3 = 0 AND b.doc_id % 11 IN (4, 7, 9)) THEN 'bad_media'"
   require(q115.contains(incGateA) && q115.contains(incAnnA),
     "q115 oracle anchors drifted - update the q133 derivation")
+  // q155 = q115's oracle + the incremental perceptual-dedup stage: the
+  // class-1 in-play batch docs (<40) drop against the class-1 history
+  // assets, the class-3 ones keep only their min in-play id (the
+  // batch-mate rule); both CTEs derive from s1 so exact-dup interplay
+  // is exact. Anchor-asserted (the q133 pattern).
+  val incToksA = "UNION ALL SELECT doc_id, text FROM s1)"
+  require(q115.contains(incGateA) && q115.contains(incToksA) &&
+    q115.contains(incAnnA),
+    "q115 oracle anchors drifted - update the q155 derivation")
+  val q155 = q115
+    .replace(incGateA, incGateA + """
+      |pdh AS (SELECT doc_id FROM s1 WHERE doc_id < 40 AND doc_id % 4 = 1),
+      |pk3 AS (SELECT min(doc_id) AS keeper FROM s1
+      |        WHERE doc_id < 40 AND doc_id % 4 = 3),
+      |pdup_drop AS (SELECT doc_id FROM pdh
+      |              UNION
+      |              SELECT s1.doc_id FROM s1, pk3
+      |              WHERE s1.doc_id < 40 AND s1.doc_id % 4 = 3
+      |                AND s1.doc_id <> pk3.keeper),
+      |s1pd AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM pdup_drop)),""".stripMargin)
+    .replace(incToksA, "UNION ALL SELECT doc_id, text FROM s1pd)")
+    .replace(incAnnA, incAnnA +
+      "\n              WHEN b.doc_id IN (SELECT doc_id FROM pdup_drop) THEN 'media_dup'")
   base +
+    ("q155_curate_incremental_media_dup" -> q155) +
     ("q131_curate_multimodal_video" -> q131) +
     ("q132_curate_trimodal" -> q131.replace(gateB, gateC).replace(annB, annC)) +
     ("q133_curate_incremental_media" ->

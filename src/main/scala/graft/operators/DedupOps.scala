@@ -517,6 +517,35 @@ object DedupOps {
     simhashPairsFromSigs(
       df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig")), maxDist)
 
+  /** CROSS-relation variant of [[simhashPairsFromSigs]]: Hamming-≤
+    * maxDist pairs BETWEEN two (doc, sig) relations (no id ordering —
+    * id spaces are the caller's contract, the [[SpanDedup.crossSpans]]
+    * convention). Same banded equi-join, same exact pigeonhole recall;
+    * the ingest-time shape: per-batch cost is the batch's bands joined
+    * into the (persistable) history band relation. Returns
+    * (doc_a, doc_b, dist) with doc_a from `left`. */
+  def simhashCrossPairsFromSigs(left: DataFrame, right: DataFrame,
+                                maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    def banded(df: DataFrame): DataFrame = {
+      val bandCols = (0 until chunks).map { c =>
+        struct(lit(c).as("band"),
+          shiftright(col("sig"), c * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+      }
+      df.select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc"), col("sig"), col("bb.band"), col("bb.chunk"))
+    }
+    banded(left).as("a")
+      .join(banded(right).as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        hamming(col("a.sig"), col("b.sig")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Banded Hamming-≤ maxDist pairs over a precomputed (doc, sig)
     * signature relation — the join core of [[simhashPairs]], reusable
     * with any 64-bit signature scheme. Exact recall (pigeonhole),

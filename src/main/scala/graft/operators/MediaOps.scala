@@ -448,12 +448,16 @@ object MediaOps {
     out.toByteArray
   }
 
-  /** (doc_id, content) table of [[perceptualPngBytes]] images. */
-  def perceptualTable(documents: DataFrame): DataFrame = {
+  /** (doc_id, content) table of [[perceptualPngBytes]] images;
+    * `idShift` offsets the PATTERN id (not the doc id) so fixtures can
+    * place chosen pattern classes on chosen doc slices (the
+    * incremental media-dup fixture wants history assets whose classes
+    * overlap only part of the batch's). */
+  def perceptualTable(documents: DataFrame, idShift: Long = 0L): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
-      .mapPartitions(it => it.map(id => (id, perceptualPngBytes(id))))
+      .mapPartitions(it => it.map(id => (id, perceptualPngBytes(id + idShift))))
       .toDF("doc_id", "content")
   }
 

@@ -489,6 +489,9 @@ object Pipeline {
                         mediaCodec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
                         mediaGrid: Int = 2,
                         minMeanLum: Double = 5.0, maxMeanLum: Double = 250.0,
+                        mediaDupHistory: Option[DataFrame] = None,
+                        mediaDupBatch: Option[DataFrame] = None,
+                        mediaDupMaxDist: Int = 2,
                         video: Option[DataFrame] = None,
                         videoContainer: VideoOps.VideoContainer = VideoOps.GvidContainer,
                         videoEvery: Int = 1,
@@ -512,6 +515,41 @@ object Pipeline {
       batch.limit(0).select(id.as("__media_drop")))
     val s1v = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
 
+    // 1.6 (optional, r17) incremental perceptual MEDIA dedup — the
+    //     ingest twin of [[curateFull]]'s stage 1.6 under the
+    //     incremental keep rule: a batch doc drops as `media_dup` when
+    //     its image asset is within `mediaDupMaxDist` of ANY history
+    //     asset (history is immutable — its copy survives) or of a
+    //     SMALLER-id batch mate's asset. Hashing is one decode pass
+    //     per side; candidates come from the banded cross join
+    //     ([[DedupOps.simhashCrossPairsFromSigs]] — the history band
+    //     relation is snapshot-persistable, so per-batch cost is the
+    //     batch's bands only). Both None → empty drop set, prior shape
+    //     byte-identical.
+    val mediaDupDrops = (mediaDupHistory, mediaDupBatch) match {
+      case (Some(hist), Some(ba)) =>
+        val inPlay = ba.select(col(idCol).as("doc_id"), col("content"))
+          .join(s1v.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+        val hb = MediaOps.perceptualHashes(inPlay, mediaCodec).toDF()
+          .filter(col("ok"))
+          .select(col("doc_id").as("doc"), col("ahash").as("sig"))
+          .localCheckpoint(eager = true)
+        val hh = MediaOps.perceptualHashes(
+            hist.select(col(idCol).as("doc_id"), col("content")), mediaCodec).toDF()
+          .filter(col("ok"))
+          .select(col("doc_id").as("doc"), col("ahash").as("sig"))
+        val cross = DedupOps.simhashCrossPairsFromSigs(hb, hh, mediaDupMaxDist)
+          .select(col("doc_a"))
+        val mates = DedupOps.simhashPairsFromSigs(hb, mediaDupMaxDist)
+          .select(col("doc_b").as("doc_a"))
+        cross.union(mates).distinct()
+          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true)
+      case (None, None) => batch.limit(0).select(id.as("__mdup_drop"))
+      case _ => sys.error(
+        "incremental media dedup needs BOTH mediaDupHistory and mediaDupBatch")
+    }
+    val s1pd = s1v.join(mediaDupDrops, id === col("__mdup_drop"), "left_anti")
+
     // 1.9 (optional, r16) eval-suite decontamination — the ingest twin
     //     of [[curateFull]]'s stage 1.75, judged per batch against the
     //     SAME fixed benchmark (k-gram membership implies span hits; the
@@ -525,14 +563,14 @@ object Pipeline {
       // Probe s1 (the materialized leaf), NOT s1v: s1v is the media
       // anti-join plan, and probing it would execute that join twice.
       val ng = Decontaminate.contaminatedIds(
-          widenIfNarrow(s1v.select(id, col(textCol)), s1),
+          widenIfNarrow(s1pd.select(id, col(textCol)), s1),
           b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))
       val bEmb = benchmarkEmb.getOrElse(sys.error(
         "benchmark decontamination needs benchmarkEmb for the semantic grain"))
       val sem = embeddings
-        .join(s1v.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .join(s1pd.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
         .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
           SimilarityOps.norm(col(vecCol)).as("__cnrm"))
         .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
@@ -545,7 +583,7 @@ object Pipeline {
       ng.union(sem).distinct()
         .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
     }.getOrElse(batch.limit(0).select(id.as("__contam_drop")))
-    val s1c = s1v.join(contamDrops, id === col("__contam_drop"), "left_anti")
+    val s1c = s1pd.join(contamDrops, id === col("__contam_drop"), "left_anti")
 
     // 2. cross-span contamination removal vs history
     val cleaned = SpanDedup.removeCrossSpans(history, s1c, idCol, textCol,
@@ -602,6 +640,7 @@ object Pipeline {
     val ann = batch.select(id)
       .join(s1.select(id.as("__adm")), id === col("__adm"), "left")
       .join(mediaDrops, id === col("__media_drop"), "left")
+      .join(mediaDupDrops, id === col("__mdup_drop"), "left")
       .join(contamDrops, id === col("__contam_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
@@ -611,6 +650,7 @@ object Pipeline {
       .withColumn("decision",
         when(col("__adm").isNull, "exact_dup")
           .when(col("__media_drop").isNotNull, "bad_media")
+          .when(col("__mdup_drop").isNotNull, "media_dup")
           .when(col("__contam_drop").isNotNull, "contaminated")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__quality_drop").isNotNull, "low_quality")

@@ -1967,6 +1967,44 @@ class OperatorsSpec extends SparkTestBase {
     assert(pg.length == 3 && pg.forall(_.getString(1).startsWith("<p>")))
   }
 
+  test("incremental media dedup: history wins, smaller batch mate wins, asset-less pass") {
+    import spark.implicits._
+    val history = Seq((0L, "history doc zero entirely original words here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "batch doc one with its own words entirely"),
+      (3L, "batch doc three other words all fresh here"),
+      (5L, "batch doc five more distinct content words"),
+      (7L, "batch doc seven no asset attached at all"))
+      .toDF("doc_id", "text")
+    val embs = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f), 3L -> Array(-1f, 0f),
+        5L -> Array(0f, -1f), 7L -> Array(0.7f, 0.7f)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cent = operators.KMeansOps.fit(
+      embs.filter($"vec_id" === 0L), "vec_id", "embedding", k = 1, iters = 1)
+    // history asset = pattern class 1; batch: doc 1 class 1 (history
+    // dup), docs 3 and 5 class 3 (mates — smaller id 3 keeps), doc 7
+    // asset-less
+    val histAssets = Seq((0L, MediaOps.perceptualPngBytes(1L))).toDF("doc_id", "content")
+    val batchAssets = Seq(
+      (1L, MediaOps.perceptualPngBytes(1L)),
+      (3L, MediaOps.perceptualPngBytes(3L)),
+      (5L, MediaOps.perceptualPngBytes(3L))).toDF("doc_id", "content")
+    val out = Pipeline.curateIncremental(history, batch, embs, "doc_id", "text",
+        semK = 1, semTau = 0.99,
+        mediaDupHistory = Some(histAssets), mediaDupBatch = Some(batchAssets))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "media_dup", out.toString)  // history copy survives
+    assert(out(3L) == "kept", out.toString)       // the smaller mate keeps
+    assert(out(5L) == "media_dup", out.toString)
+    assert(out(7L) == "kept", out.toString)       // no asset → untouched
+    // the hook is all-or-nothing
+    intercept[RuntimeException] {
+      Pipeline.curateIncremental(history, batch, embs, "doc_id", "text",
+        semK = 1, mediaDupHistory = Some(histAssets))
+    }
+  }
+
   test("curateFromHtml: extraction is stage 0; chrome-only pages classify as empty") {
     import spark.implicits._
     val texts = (

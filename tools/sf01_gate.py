@@ -79,6 +79,7 @@ SLOW_ORACLE = {
     "q127_curate_incremental_decontaminated": "q115 chain + contamination CTEs",
     "q149_curate_from_html": "q112 chain verbatim (the HTML stage-0 twin)",
     "q150_curate_media_dup": "q112 chain + perceptual media-dup CTEs",
+    "q155_curate_incremental_media_dup": "q115 chain + incremental perceptual-dedup CTEs",
 }
 
 ORACLE_TIMEOUT_S = int(os.environ.get("SF01_GATE_TIMEOUT_S", "240"))
