@@ -1528,29 +1528,46 @@ private[graft] trait TextEntries extends EntryInfra {
 
     // the q145 canonical-URL and q142 extraction closed forms composed:
     // WARC parsing must deliver each page's exact URI and HTML through
-    // the gzip'd/plain archive mix, or these per-doc forms break
+    // the gzip'd/plain archive mix, or these per-doc forms break. The
+    // second branch is the r18 multibyte page each archive carries
+    // (WarcIo.intlText — accented Latin + CJK, 8 words so kept=1, with
+    // the charset declaration rotating by fid%3): if the reader
+    // mojibakes UTF-8 on ANY of the three decode paths, these rows
+    // hash-mismatch.
     "q151_warc_ingest" ->
       """WITH t AS (
         |  SELECT doc_id,
         |         regexp_replace(trim(text), '\s+', ' ', 'g') AS norm,
         |         len(list_filter(string_split_regex(trim(text), '\s+'),
         |             x -> x <> '')) AS w
-        |  FROM documents)
-        |SELECT doc_id,
-        |       'http' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 's' END ||
-        |       '://www.host' || (doc_id % 7) || '.example.com' ||
-        |       CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
-        |       '/Articles/Item' || doc_id ||
-        |       CASE WHEN doc_id % 9 = 0 THEN ''
-        |            WHEN doc_id % 2 = 0 THEN '?id=' || doc_id
-        |            ELSE '?page=2' END AS canon_url,
-        |       'host' || (doc_id % 7) || '.example.com' AS domain,
-        |       CASE WHEN w >= 5 THEN norm ELSE '' END AS extracted_text,
-        |       CAST(CASE WHEN w < 5 THEN 0
-        |                 WHEN w % 40 = 0 THEN w // 40
-        |                 WHEN w % 40 < 5 THEN w // 40
-        |                 ELSE w // 40 + 1 END AS BIGINT) AS kept_blocks
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |  FROM documents),
+        |f AS (SELECT DISTINCT doc_id // 4 AS fid FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id,
+        |         'http' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 's' END ||
+        |         '://www.host' || (doc_id % 7) || '.example.com' ||
+        |         CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+        |         '/Articles/Item' || doc_id ||
+        |         CASE WHEN doc_id % 9 = 0 THEN ''
+        |              WHEN doc_id % 2 = 0 THEN '?id=' || doc_id
+        |              ELSE '?page=2' END AS canon_url,
+        |         'host' || (doc_id % 7) || '.example.com' AS domain,
+        |         CASE WHEN w >= 5 THEN norm ELSE '' END AS extracted_text,
+        |         CAST(CASE WHEN w < 5 THEN 0
+        |                   WHEN w % 40 = 0 THEN w // 40
+        |                   WHEN w % 40 < 5 THEN w // 40
+        |                   ELSE w // 40 + 1 END AS BIGINT) AS kept_blocks
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 1000000000 + fid AS doc_id,
+        |         'https://intl.example.org/Articles/Item' ||
+        |         (1000000000 + fid) || '?page=2' AS canon_url,
+        |         'intl.example.org' AS domain,
+        |         'Café número ' || fid ||
+        |         ' 你好 世界 naïve résumé données' AS extracted_text,
+        |         CAST(1 AS BIGINT) AS kept_blocks
+        |  FROM f)
+        |ORDER BY doc_id""".stripMargin,
 
     // closed form of the q142 fixture page (HtmlExtract.testHtml):
     // chrome (7 blocks: title, header h1, 3 nav items, aside, footer)

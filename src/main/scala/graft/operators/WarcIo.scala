@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   *  - `response` records with an `application/http` payload split at
   *    the first CRLF CRLF into HTTP headers (status parsed from the
   *    status line) and the entity BODY (the HTML);
+  *  - the entity body is CHARSET-DECODED: structural parsing runs on
+  *    the byte-preserving ISO-8859-1 view (1 byte = 1 char, so
+  *    `Content-Length` offsets stay exact), then the body's BYTES are
+  *    re-decoded per the HTTP `Content-Type` charset, else the HTML
+  *    `<meta charset>` / `<meta http-equiv>` declaration (scanned in
+  *    the first 2 KB, the browser convention), else sniffed — strict
+  *    UTF-8 when the bytes are valid UTF-8 (real crawls are
+  *    majority-UTF-8 and often undeclared), byte-preserving Latin-1
+  *    otherwise. A declared-but-bogus charset label falls through to
+  *    the sniff; a declared charset with malformed content decodes
+  *    with U+FFFD replacement. Total either way, and byte-identical
+  *    to the old reader on pure-ASCII corpora;
   *  - every other record type (warcinfo, request, metadata, …) is
   *    surfaced with an empty body — callers filter on `warc_type`;
   *  - whole-stream gzip (including multi-member, the
@@ -74,7 +86,8 @@ object WarcIo {
                   val httpHeaders = if (split < 0) payload else payload.substring(0, split)
                   val st = httpHeaders.split("\r\n").headOption
                     .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption).getOrElse(0)
-                  (st, if (split < 0) "" else payload.substring(split + Crlf2.length))
+                  val raw = if (split < 0) "" else payload.substring(split + Crlf2.length)
+                  (st, decodeBody(raw, httpHeaders))
                 } else (0, "")
               out += WarcRecord(wtype, uri, status, body)
               i = payloadStart + len.toInt
@@ -84,6 +97,67 @@ object WarcIo {
       }
       out.toIndexedSeq
     } catch { case scala.util.control.NonFatal(_) => IndexedSeq.empty }
+  }
+
+  /** `charset=<label>` in an HTTP `Content-Type` header value or an
+    * HTML `<meta charset=…>` / `<meta http-equiv … charset=…>` tag —
+    * one pattern covers both shapes. */
+  private val CharsetLabel =
+    java.util.regex.Pattern.compile(
+      "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+\\-]+)")
+
+  /** Declared charset of a response: HTTP header first (authoritative
+    * per RFC 9110), else a `<meta>` declaration in the first 2 KB of
+    * the (byte-preserving Latin-1 view of the) body. */
+  private[operators] def declaredCharset(httpHeaders: String,
+                                         latin1Body: String): Option[String] = {
+    val fromHttp = httpHeaders.split("\r\n")
+      .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
+      .flatMap { h =>
+        val m = CharsetLabel.matcher(h)
+        if (m.find()) Some(m.group(1)) else None
+      }
+    fromHttp.orElse {
+      val head = latin1Body.substring(0, math.min(latin1Body.length, 2048))
+      val metaAt = head.toLowerCase(java.util.Locale.ROOT).indexOf("<meta")
+      if (metaAt < 0) None
+      else {
+        val m = CharsetLabel.matcher(head)
+        if (m.find(metaAt)) Some(m.group(1)) else None
+      }
+    }
+  }
+
+  /** Re-decode an entity body from its byte-preserving Latin-1 parse
+    * view into real text (see the reader contract above). ASCII bodies
+    * short-circuit unchanged, so the fast path — and every pre-r18
+    * fixture — is byte-identical. */
+  private[operators] def decodeBody(latin1Body: String,
+                                    httpHeaders: String): String = {
+    var ascii = true
+    var j = 0
+    while (ascii && j < latin1Body.length) {
+      if (latin1Body.charAt(j) >= 0x80) ascii = false
+      j += 1
+    }
+    if (ascii) return latin1Body
+    val bytes = latin1Body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val declared = declaredCharset(httpHeaders, latin1Body).flatMap { label =>
+      try Some(java.nio.charset.Charset.forName(label))
+      catch { case _: Exception => None } // bogus label → sniff below
+    }
+    declared match {
+      case Some(cs) => new String(bytes, cs) // malformed input → U+FFFD
+      case None =>
+        try { // sniff: strict UTF-8, else keep the byte-preserving view
+          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        } catch {
+          case _: java.nio.charset.CharacterCodingException => latin1Body
+        }
+    }
   }
 
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
@@ -135,22 +209,37 @@ object WarcIo {
 
   /** Spec-correct WARC writer: a warcinfo record, then per page a
     * request/response pair (the crawler layout) — response payload is a
-    * full HTTP/1.1 message whose entity body is the HTML. */
-  def mux(pagesSeq: Seq[(String, String)], gzip: Boolean = false): Array[Byte] = {
+    * full HTTP/1.1 message whose entity body is the HTML, encoded as
+    * UTF-8 OCTETS (held in the byte-preserving Latin-1 view so
+    * `Content-Length` counts bytes; ASCII pages are byte-identical to
+    * the pre-r18 writer). Charset-declaration mode per page:
+    * 0 = `charset=utf-8` on the HTTP `Content-Type` (the common case),
+    * 1 = bare `text/html` (the page declares via `<meta charset>`),
+    * 2 = bare `text/html` and no meta — the reader must sniff. */
+  def mux(pagesSeq: Seq[(String, String)], gzip: Boolean = false): Array[Byte] =
+    muxModes(pagesSeq.map { case (u, h) => (u, h, 0) }, gzip)
+
+  def muxModes(pagesSeq: Seq[(String, String, Int)],
+               gzip: Boolean = false): Array[Byte] = {
     val sb = new StringBuilder
     sb.append(record(Seq(
       "WARC-Type" -> "warcinfo",
       "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>",
       "Content-Type" -> "application/warc-fields"),
       "software: graft-fixture-writer/1.0\r\n"))
-    pagesSeq.foreach { case (uri, html) =>
+    pagesSeq.foreach { case (uri, html, mode) =>
       sb.append(record(Seq(
         "WARC-Type" -> "request",
         "WARC-Target-URI" -> uri,
         "Content-Type" -> "application/http; msgtype=request"),
         s"GET $uri HTTP/1.1\r\nHost: fixture\r\n\r\n"))
-      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
-        Crlf2 + html
+      val contentType =
+        if (mode == 0) "text/html; charset=utf-8" else "text/html"
+      val bodyWire = new String(
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: $contentType" +
+        Crlf2 + bodyWire
       sb.append(record(Seq(
         "WARC-Type" -> "response",
         "WARC-Target-URI" -> uri,
@@ -167,13 +256,32 @@ object WarcIo {
     }
   }
 
+  /** Synthetic doc ids for the per-archive multibyte page sit above any
+    * real corpus id so the two ranges never collide. */
+  val IntlDocBase = 1000000000L
+
+  /** The multibyte fixture page text: 8 words mixing accented Latin and
+    * CJK — closed-form for the oracle
+    * (`'Café número ' || fid || ' 你好 世界 naïve résumé données'`). */
+  def intlText(fid: Long): String =
+    s"Café número $fid 你好 世界 naïve résumé données"
+
+  /** Clean URL for the multibyte page (no mangling — the charset path
+    * is what's under test; canonicalization passes it through). */
+  def intlUrl(fid: Long): String =
+    s"https://intl.example.org/Articles/Item${IntlDocBase + fid}?page=2"
+
   /** (file_id, content) WARC archives over the documents relation:
     * `docsPerFile` pages per archive (file_id = doc_id / docsPerFile),
     * page URI = [[UrlOps.testUrl]], page HTML = [[HtmlExtract.testHtml]]
     * — every doc's web identity derives from its id, so the whole
     * WARC → URL → extraction chain stays closed-form. Every third
     * archive is written whole-stream-gzip'd (the Common-Crawl layout),
-    * exercising both reader paths in one corpus. */
+    * exercising both reader paths in one corpus. Each archive also
+    * carries one MULTIBYTE page ([[intlText]], doc id
+    * [[IntlDocBase]]+fid) whose charset declaration rotates by
+    * fid%3 — HTTP header / `<meta charset>` / undeclared-sniff — so
+    * all three decode paths run against real non-ASCII content. */
   def warcTable(documents: DataFrame, docsPerFile: Int = 4): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -182,9 +290,16 @@ object WarcIo {
       .groupByKey(_._1 / docsPerFile)
       .mapGroups { (fid, it) =>
         val pagesSeq = it.toSeq.sortBy(_._1).map { case (id, text) =>
-          (UrlOps.testUrl(id), HtmlExtract.testHtml(id, text))
+          (UrlOps.testUrl(id), HtmlExtract.testHtml(id, text), 0)
         }
-        (fid, mux(pagesSeq, gzip = fid % 3 == 0))
+        val intlHtml0 = HtmlExtract.testHtml(IntlDocBase + fid, intlText(fid))
+        val intl = (fid % 3) match {
+          case 0 => (intlUrl(fid), intlHtml0, 0)
+          case 1 => (intlUrl(fid),
+            intlHtml0.replaceFirst("<head>", "<head><meta charset=\"UTF-8\">"), 1)
+          case _ => (intlUrl(fid), intlHtml0, 2)
+        }
+        (fid, muxModes(pagesSeq :+ intl, gzip = fid % 3 == 0))
       }
       .toDF("file_id", "content")
   }

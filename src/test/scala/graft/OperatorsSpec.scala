@@ -1967,6 +1967,68 @@ class OperatorsSpec extends SparkTestBase {
     assert(pg.length == 3 && pg.forall(_.getString(1).startsWith("<p>")))
   }
 
+  test("WARC reader: charset-correct body decode on all three declaration paths") {
+    import WarcIo._
+    val multi = "<p>Café 你好世界 naïve résumé déjà-vu ﬁve</p>" // non-BMP-free but multi-byte
+    // 1) charset on the HTTP header, 2) <meta charset> only, 3) undeclared → sniff
+    val metaPage = "<html><head><meta charset=\"UTF-8\"></head><body>" + multi + "</body></html>"
+    for (gz <- Seq(false, true)) {
+      val recs = parse(muxModes(Seq(
+        ("http://a/hdr", multi, 0),
+        ("http://a/meta", metaPage, 1),
+        ("http://a/sniff", multi, 2)), gzip = gz))
+      val resp = recs.filter(_.warc_type == "response")
+      assert(resp.map(_.body) == IndexedSeq(multi, metaPage, multi),
+        "UTF-8 bodies must survive all three charset-declaration paths")
+    }
+    // declared legacy charset: latin-1 bytes decode per the label
+    val latinBody = "café naïve" // as ISO-8859-1 bytes on the wire
+    val latinWire = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1" +
+      "\r\n\r\n" + latinBody // latin-1 view == declared encoding here
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a/l1\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${latinWire.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1).length}" +
+      "\r\n\r\n" + latinWire + "\r\n\r\n"
+    val got = parse(rec.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(got.head.body == latinBody, got.head.body)
+    // undeclared NON-UTF-8 bytes: sniff fails strict UTF-8 → byte-preserving latin-1
+    val rawWire = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + latinBody
+    val rec2 = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a/raw\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${rawWire.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1).length}" +
+      "\r\n\r\n" + rawWire + "\r\n\r\n"
+    val got2 = parse(rec2.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(got2.head.body == latinBody, got2.head.body)
+    // bogus charset label falls through to the sniff (UTF-8 bytes here) — total
+    val u8 = new String(multi.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val bogusWire = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=not-a-charset" +
+      "\r\n\r\n" + u8
+    val rec3 = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://a/bogus\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${bogusWire.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1).length}" +
+      "\r\n\r\n" + bogusWire + "\r\n\r\n"
+    assert(parse(rec3.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).head.body == multi)
+    // the warcTable multibyte page round-trips through the full distributed chain
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, s"alpha beta gamma delta epsilon doc$i"))
+      .toDF("doc_id", "text")
+    val intl = WarcIo.pages(WarcIo.warcTable(docs))
+      .filter(col("target_uri").contains("intl.example.org"))
+      .collect()
+    assert(intl.length == 3, s"one intl page per archive: ${intl.length}")
+    val exIntl = HtmlExtract.extract(
+      WarcIo.pages(WarcIo.warcTable(docs))
+        .filter(col("target_uri").contains("intl.example.org"))
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "Item([0-9]+)", 1).cast("long")),
+      "doc_id", "html").collect()
+    exIntl.foreach { r =>
+      val fid = r.getLong(0) - WarcIo.IntlDocBase
+      assert(r.getString(1) == WarcIo.intlText(fid), r.getString(1))
+    }
+  }
+
   test("incremental media dedup: history wins, smaller batch mate wins, asset-less pass") {
     import spark.implicits._
     val history = Seq((0L, "history doc zero entirely original words here"))
