@@ -203,6 +203,18 @@ object MediaOps {
 
   // ------------------------------------------------- perceptual hashing
 
+  /** Exact 128-bit comparison of `a*b` vs `c*d` — the cross-multiplied
+    * mean comparisons below would overflow Long for extreme inputs
+    * (≳400 MP rasters, multi-hour clips), silently flipping hash bits.
+    * `Math.multiplyHigh` (an intrinsic) keeps the compare exact at any
+    * raster/sample count with no hot-path cost. */
+  private def mulCmp(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
+  }
+
   /** aHash: 8×8 grid of cell luminance sums; bit (r·8+c) set iff the
     * cell's mean exceeds the image mean. All-integer cross-multiplied
     * comparison (cellSum·totalPixels > totalSum·cellPixels) — no float
@@ -231,7 +243,7 @@ object MediaOps {
     var hash = 0L
     var i = 0
     while (i < 64) {
-      if (cnts(i) > 0 && sums(i) * pixels > total * cnts(i)) hash |= 1L << i
+      if (cnts(i) > 0 && mulCmp(sums(i), pixels, total, cnts(i)) > 0) hash |= 1L << i
       i += 1
     }
     hash
@@ -262,7 +274,7 @@ object MediaOps {
       var c = 0
       while (c < 8) {
         if (cnts(r)(c) > 0 && cnts(r)(c + 1) > 0 &&
-            sums(r)(c) * cnts(r)(c + 1) > sums(r)(c + 1) * cnts(r)(c))
+            mulCmp(sums(r)(c), cnts(r)(c + 1), sums(r)(c + 1), cnts(r)(c)) > 0)
           hash |= 1L << (r * 8 + c)
         c += 1
       }
@@ -331,7 +343,7 @@ object MediaOps {
       var hash = 0L
       var s = 0
       while (s < 64) {
-        if (cnts(s) > 0 && sums(s) * n > total * cnts(s)) hash |= 1L << s
+        if (cnts(s) > 0 && mulCmp(sums(s), n, total, cnts(s)) > 0) hash |= 1L << s
         s += 1
       }
       hash

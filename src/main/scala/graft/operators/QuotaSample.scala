@@ -223,7 +223,11 @@ object QuotaSample {
     * driver pull); target/epoch arithmetic is plain IEEE
     * multiply-divide-floor in the same operand order on both engines.
     * Sources absent from the recipe weigh 0 (full_epochs = 0, no head);
-    * a fractional head under `1` token is dropped UNLESS the source has
+    * conversely a positive-weight recipe entry naming a source ABSENT
+    * from the corpus is a hard error (r17+): it would inflate Σw and
+    * silently deflate every real source's share — a typo'd source name
+    * must fail loudly, not run smaller.
+    * A fractional head under `1` token is dropped UNLESS the source has
     * a positive remainder ≥ 1, where the quota's first-doc guarantee
     * keeps one doc even when it overshoots — budget floors, not
     * truncation. Scale shape: the only non-equi-join work is the quota's
@@ -261,8 +265,8 @@ object QuotaSample {
     val present = masses.map(_._1).toSet
     val phantom = sorted.filter(w => w._2 > 0.0 && !present.contains(w._1))
     require(phantom.isEmpty,
-      s"weights name sources absent from the corpus (their " +
-        s"${phantom.map(_._2).sum / wsum * 100}%% budget share would be " +
+      f"weights name sources absent from the corpus (their " +
+        f"${phantom.map(_._2).sum / wsum * 100}%.1f%% budget share would be " +
         s"silently forfeited): ${phantom.map(_._1).mkString(", ")}")
     val plan = masses.map { case (src, m) =>
       val target = totalBudget.toDouble * wmap.getOrElse(src, 0.0) / wsum

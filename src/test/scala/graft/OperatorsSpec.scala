@@ -2270,6 +2270,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == Set((0L, 2L, 0)), pairs.toString)
   }
 
+  test("BPE: incremental trainer ≡ spec trainer, code-point symbols, 4096-merge scale") {
+    // randomized parity: the incremental pair-count trainer must emit
+    // the exact merge table of the recount-per-merge spec form,
+    // including tie-breaks, exhaustion, and pair-reappearance cases
+    val rnd = new scala.util.Random(181)
+    for (trial <- 0 until 150) {
+      val alpha = "abcd"
+      def rw(len: Int) = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val vocab = (0 until (3 + rnd.nextInt(10)))
+        .map(_ => (rw(1 + rnd.nextInt(8)), 1L + rnd.nextInt(5))).toSeq
+      val nm = 1 + rnd.nextInt(12)
+      assert(Bpe.train(vocab, nm).merges == Bpe.trainReference(vocab, nm).merges,
+        s"trial $trial vocab=$vocab nm=$nm")
+    }
+    // non-BMP characters are ONE symbol (code points, not UTF-16 units):
+    // the merge table never contains unpaired surrogates
+    val emoji = Bpe.fitOnText("😀x 😀x 😀x", 1)
+    assert(emoji.merges == IndexedSeq(("😀", "x")), emoji.merges.toString)
+    assert(Bpe.compiled(emoji).encodeWord("😀x").toSeq == Seq("😀x"))
+    assert(Bpe.compiled(emoji).encodeWord("😀y").toSeq == Seq("😀", "y"))
+    // a GPT-2-class merge budget completes in bounded time on a real-
+    // shaped vocabulary (the spec form would be O(merges × symbols))
+    val big = new scala.util.Random(4096)
+    val bigVocab = (0 until 30000).map { i =>
+      val len = 4 + big.nextInt(12)
+      ((0 until len).map(_ => ('a' + big.nextInt(26)).toChar).mkString,
+        1L + big.nextInt(1000))
+    }.distinct.toSeq
+    val t0 = System.nanoTime()
+    val m4k = Bpe.train(bigVocab, 4096)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m4k.merges.length == 4096, m4k.merges.length.toString)
+    assert(secs < 120.0, s"4096-merge fit took ${secs}s")
+    info(f"4096 merges over ${bigVocab.size} words: $secs%.1f s")
+  }
+
   test("BPE: deterministic training, sequential encode ≡ rank-based greedy, fit parity") {
     import spark.implicits._
     // textbook fixture: pair counts and tie-breaks all exercised
