@@ -1535,13 +1535,17 @@ private[graft] trait TextEntries extends EntryInfra {
     // mojibakes UTF-8 on ANY of the three decode paths, these rows
     // hash-mismatch.
     "q151_warc_ingest" ->
-      """WITH t AS (
+      ("""WITH t AS (
         |  SELECT doc_id,
         |         regexp_replace(trim(text), '\s+', ' ', 'g') AS norm,
         |         len(list_filter(string_split_regex(trim(text), '\s+'),
         |             x -> x <> '')) AS w
         |  FROM documents),
-        |f AS (SELECT DISTINCT doc_id // 4 AS fid FROM documents)
+        |f AS (SELECT DISTINCT doc_id // """ +
+       // the per-archive fid derives from warcTable's page grouping —
+       // interpolate its constant so the coupling can't silently drift
+       operators.WarcIo.DefaultDocsPerFile +
+       """ AS fid FROM documents)
         |SELECT * FROM (
         |  SELECT doc_id,
         |         'http' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 's' END ||
@@ -1567,7 +1571,7 @@ private[graft] trait TextEntries extends EntryInfra {
         |         ' 你好 世界 naïve résumé données' AS extracted_text,
         |         CAST(1 AS BIGINT) AS kept_blocks
         |  FROM f)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""").stripMargin,
 
     // closed form of the q142 fixture page (HtmlExtract.testHtml):
     // chrome (7 blocks: title, header h1, 3 nav items, aside, footer)

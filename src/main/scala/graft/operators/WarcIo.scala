@@ -118,14 +118,33 @@ object WarcIo {
         if (m.find()) Some(m.group(1)) else None
       }
     fromHttp.orElse {
+      // HTML5-prescan discipline: a charset label only counts INSIDE a
+      // <meta …> tag's bounds — a URL or text like <a href="?charset=…">
+      // appearing earlier in the head must not win.
       val head = latin1Body.substring(0, math.min(latin1Body.length, 2048))
-      val metaAt = head.toLowerCase(java.util.Locale.ROOT).indexOf("<meta")
-      if (metaAt < 0) None
-      else {
-        val m = CharsetLabel.matcher(head)
-        if (m.find(metaAt)) Some(m.group(1)) else None
+      val lower = head.toLowerCase(java.util.Locale.ROOT)
+      var at = lower.indexOf("<meta")
+      var found: Option[String] = None
+      while (found.isEmpty && at >= 0) {
+        val gt = head.indexOf('>', at)
+        val tag = if (gt < 0) head.substring(at) else head.substring(at, gt + 1)
+        val m = CharsetLabel.matcher(tag)
+        if (m.find()) found = Some(m.group(1))
+        at = lower.indexOf("<meta", at + 5)
       }
+      found
     }
+  }
+
+  /** True when `cs` decodes ASCII bytes to themselves (the RFC 9110
+    * "ASCII-compatible" families). UTF-16/32 and EBCDIC code pages are
+    * not — an all-ASCII-range byte body declared in one of those must
+    * still be decoded per its label, never short-circuited. */
+  private def asciiCompatible(cs: java.nio.charset.Charset): Boolean = {
+    val probe = "Ab0<&; \r\n"
+    try new String(probe.getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII), cs) == probe
+    catch { case _: Exception => false }
   }
 
   /** Re-decode an entity body from its byte-preserving Latin-1 parse
@@ -134,18 +153,21 @@ object WarcIo {
     * fixture — is byte-identical. */
   private[operators] def decodeBody(latin1Body: String,
                                     httpHeaders: String): String = {
+    val declared = declaredCharset(httpHeaders, latin1Body).flatMap { label =>
+      try Some(java.nio.charset.Charset.forName(label))
+      catch { case _: Exception => None } // bogus label → sniff below
+    }
     var ascii = true
     var j = 0
     while (ascii && j < latin1Body.length) {
       if (latin1Body.charAt(j) >= 0x80) ascii = false
       j += 1
     }
-    if (ascii) return latin1Body
+    // The shortcut is only sound for ASCII-compatible declarations:
+    // ASCII text in utf-16 interleaves 0x00 bytes all < 0x80, and the
+    // declared label — not the byte view — is authoritative.
+    if (ascii && declared.forall(asciiCompatible)) return latin1Body
     val bytes = latin1Body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    val declared = declaredCharset(httpHeaders, latin1Body).flatMap { label =>
-      try Some(java.nio.charset.Charset.forName(label))
-      catch { case _: Exception => None } // bogus label → sniff below
-    }
     declared match {
       case Some(cs) => new String(bytes, cs) // malformed input → U+FFFD
       case None =>
@@ -260,6 +282,11 @@ object WarcIo {
     * real corpus id so the two ranges never collide. */
   val IntlDocBase = 1000000000L
 
+  /** Pages per fixture archive. The q151 oracle's `doc_id // N` fid
+    * derivation interpolates THIS constant — change it here and the
+    * oracle follows; never restate the literal. */
+  val DefaultDocsPerFile = 4
+
   /** The multibyte fixture page text: 8 words mixing accented Latin and
     * CJK — closed-form for the oracle
     * (`'Café número ' || fid || ' 你好 世界 naïve résumé données'`). */
@@ -275,14 +302,19 @@ object WarcIo {
     * `docsPerFile` pages per archive (file_id = doc_id / docsPerFile),
     * page URI = [[UrlOps.testUrl]], page HTML = [[HtmlExtract.testHtml]]
     * — every doc's web identity derives from its id, so the whole
-    * WARC → URL → extraction chain stays closed-form. Every third
+    * WARC → URL → extraction chain stays closed-form. Every second
     * archive is written whole-stream-gzip'd (the Common-Crawl layout),
     * exercising both reader paths in one corpus. Each archive also
     * carries one MULTIBYTE page ([[intlText]], doc id
     * [[IntlDocBase]]+fid) whose charset declaration rotates by
     * fid%3 — HTTP header / `<meta charset>` / undeclared-sniff — so
-    * all three decode paths run against real non-ASCII content. */
-  def warcTable(documents: DataFrame, docsPerFile: Int = 4): DataFrame = {
+    * all three decode paths run against real non-ASCII content. The
+    * gzip cycle (fid%2) is deliberately coprime to the charset cycle
+    * (fid%3): over a 6-archive period every decode mode runs through
+    * BOTH reader paths end-to-end (r18 had them correlated — gzip'd
+    * archives only ever carried header-declared intl pages). */
+  def warcTable(documents: DataFrame,
+                docsPerFile: Int = DefaultDocsPerFile): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id").cast("long"), col("text").cast("string"))
@@ -299,7 +331,7 @@ object WarcIo {
             intlHtml0.replaceFirst("<head>", "<head><meta charset=\"UTF-8\">"), 1)
           case _ => (intlUrl(fid), intlHtml0, 2)
         }
-        (fid, muxModes(pagesSeq :+ intl, gzip = fid % 3 == 0))
+        (fid, muxModes(pagesSeq :+ intl, gzip = fid % 2 == 0))
       }
       .toDF("file_id", "content")
   }

@@ -33,19 +33,21 @@ def table_key(rows, cols):
     return out
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, report_path=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = bad = skipped = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
         # Verify dumps oracle_sql.json in full even under
         # SPARK_GRAFT_VERIFY_ONLY; skip queries that were not dumped.
         import os
         if not os.path.isdir(f"{outdir}/{name}"):
             skipped += 1
+            report[name] = {"status": "not_dumped"}
             continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
@@ -64,17 +66,24 @@ def main(outdir, sfdir):
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             bad += 1
+            report[name] = {"status": "fail", "err": str(e)[:500]}
             continue
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"FAIL {name}: columns {sorted(spark_cols)} != {sorted(duck_cols)}")
             bad += 1
+            report[name] = {"status": "fail", "err": "schema mismatch",
+                            "spark_cols": sorted(spark_cols),
+                            "oracle_cols": sorted(duck_cols)}
             continue
         a = table_key(spark_rows, spark_cols)
         b = table_key(duck_rows, duck_cols)
         if a == b:
             print(f"OK   {name} ({len(a)} rows)")
             ok += 1
+            report[name] = {"status": "ok", "rows": len(a)}
         else:
+            report[name] = {"status": "fail", "err": "value mismatch",
+                            "spark_rows": len(a), "oracle_rows": len(b)}
             print(f"FAIL {name}: value mismatch ({len(a)} vs {len(b)} rows)")
             for i, (x, y) in enumerate(zip(a, b)):
                 if x != y:
@@ -88,8 +97,15 @@ def main(outdir, sfdir):
             bad += 1
     print(f"\n{ok} ok, {bad} fail" +
           (f", {skipped} not dumped (VERIFY_ONLY filter)" if skipped else ""))
+    if report_path:
+        summary = {"sf_dir": sfdir,
+                   "counts": {"ok": ok, "fail": bad, "not_dumped": skipped},
+                   "queries": report}
+        with open(report_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"report -> {report_path}")
     return 1 if bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(*sys.argv[1:4]))
