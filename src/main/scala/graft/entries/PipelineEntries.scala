@@ -62,6 +62,69 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- TRI-MODAL perceptual-dedup curation (r19): q112 + ALL THREE
+    //    arms of stage 1.6 on disjoint asset slices — images (id<40,
+    //    q144's pattern classes, brightest keeper), audio clips
+    //    (40≤id<80, q152's envelope classes, min-id keeper), scene
+    //    videos (80≤id<108, q153's (id+f)%7 sequences; at minFrames=6
+    //    only identical sequences pair, so classes are id%7, min-id
+    //    keeper). Drops union-DISTINCT as `media_dup` before the text
+    //    stages. --------------------------------------------------------
+    "q158_curate_multimodal_dup" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val images = operators.MediaOps.perceptualTable(docs.filter(col("doc_id") < 40))
+      val clips = operators.MediaOps.audioDupTable(
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 80))
+      val vids = operators.VideoOps.sceneVideoTable(
+        docs.filter(col("doc_id") >= 80 && col("doc_id") < 108))
+      operators.Pipeline.curateFull(docs, spark.table("embeddings"),
+          "doc_id", "text", "source",
+          mediaDup = Some(images), audioDup = Some(clips),
+          videoDup = Some(vids), videoContainer = operators.Mp4Container)
+        .orderBy("doc_id")
+    },
+
+    // -- TRI-MODAL incremental perceptual dedup (r19): q155's image
+    //    fixture + the audio and video arms at ingest grain. History
+    //    assets: images/audio idShift=1 (pattern class 1) on id%4==0
+    //    slices, scene videos on {80,84,88,92} (residues {3,0,4,1}
+    //    mod 7). Batch (odd ids): class-1 assets drop via the CROSS
+    //    join (history's copy survives), class-3 via the batch-mate
+    //    rule (min in-play id keeps); batch videos drop when their
+    //    residue matches history or a smaller odd mate. ---------------
+    "q159_curate_incremental_multimodal_dup" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val histImg = operators.MediaOps.perceptualTable(
+        docs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 24), idShift = 1L)
+      val batImg = operators.MediaOps.perceptualTable(
+        docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 40))
+      val histAud = operators.MediaOps.audioDupTable(
+        docs.filter(col("doc_id") % 4 === 0 &&
+          col("doc_id") >= 40 && col("doc_id") < 64), idShift = 1L)
+      val batAud = operators.MediaOps.audioDupTable(
+        docs.filter(col("doc_id") % 2 === 1 &&
+          col("doc_id") >= 40 && col("doc_id") < 80))
+      val histVid = operators.VideoOps.sceneVideoTable(
+        docs.filter(col("doc_id") % 4 === 0 &&
+          col("doc_id") >= 80 && col("doc_id") < 96))
+      val batVid = operators.VideoOps.sceneVideoTable(
+        docs.filter(col("doc_id") % 2 === 1 &&
+          col("doc_id") >= 80 && col("doc_id") < 108))
+      operators.Pipeline.curateIncremental(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          spark.table("embeddings"), "doc_id", "text",
+          historyBloom = sharedHistoryBloom(spark, dir),
+          centroids = sharedHistoryCentroids(spark, dir),
+          mediaDupHistory = Some(histImg), mediaDupBatch = Some(batImg),
+          audioDupHistory = Some(histAud), audioDupBatch = Some(batAud),
+          videoDupHistory = Some(histVid), videoDupBatch = Some(batVid),
+          videoContainer = operators.Mp4Container)
+        .orderBy("doc_id")
+    },
+
     // -- the WEB pipeline (r17): q112 with HtmlExtract as stage 0 — the
     //    corpus arrives as real markup (chrome, scripts, link-dense
     //    asides around the article), extraction recovers the text, and
@@ -1425,8 +1488,49 @@ private[graft] trait PipelineEntries extends EntryInfra {
     .replace(incToksA, "UNION ALL SELECT doc_id, text FROM s1pd)")
     .replace(incAnnA, incAnnA +
       "\n              WHEN b.doc_id IN (SELECT doc_id FROM pdup_drop) THEN 'media_dup'")
+  // q159 = q115's oracle + ALL THREE incremental perceptual arms (the
+  // q155 patch widened): image/audio class-1 batch docs drop via the
+  // history cross join (history assets carry pattern class 1 only,
+  // idShift=1), class-3 via the batch-mate min-id rule; batch videos
+  // drop when their id%7 residue matches a history video's
+  // ({80,84,88,92} → residues {3,0,4,1}) or a smaller in-play odd
+  // mate's. All CTEs derive from s1 so exact-dup interplay is exact.
+  val q159 = q115
+    .replace(incGateA, incGateA + """
+      |pdh AS (SELECT doc_id FROM s1 WHERE doc_id < 40 AND doc_id % 4 = 1),
+      |pk3 AS (SELECT min(doc_id) AS keeper FROM s1
+      |        WHERE doc_id < 40 AND doc_id % 4 = 3),
+      |adh AS (SELECT doc_id FROM s1
+      |        WHERE doc_id >= 40 AND doc_id < 80 AND doc_id % 4 = 1),
+      |ak3 AS (SELECT min(doc_id) AS keeper FROM s1
+      |        WHERE doc_id >= 40 AND doc_id < 80 AND doc_id % 4 = 3),
+      |vda AS (SELECT doc_id, doc_id % 7 AS r FROM s1
+      |        WHERE doc_id >= 80 AND doc_id < 108),
+      |vdh AS (SELECT DISTINCT doc_id % 7 AS r FROM documents
+      |        WHERE doc_id % 4 = 0 AND doc_id >= 80 AND doc_id < 96),
+      |pdup_drop AS (SELECT doc_id FROM pdh
+      |              UNION
+      |              SELECT s1.doc_id FROM s1, pk3
+      |              WHERE s1.doc_id < 40 AND s1.doc_id % 4 = 3
+      |                AND s1.doc_id <> pk3.keeper
+      |              UNION
+      |              SELECT doc_id FROM adh
+      |              UNION
+      |              SELECT s1.doc_id FROM s1, ak3
+      |              WHERE s1.doc_id >= 40 AND s1.doc_id < 80
+      |                AND s1.doc_id % 4 = 3 AND s1.doc_id <> ak3.keeper
+      |              UNION
+      |              SELECT vda.doc_id FROM vda WHERE vda.r IN (SELECT r FROM vdh)
+      |              UNION
+      |              SELECT a.doc_id FROM vda a
+      |              JOIN vda b ON a.r = b.r AND b.doc_id < a.doc_id),
+      |s1pd AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM pdup_drop)),""".stripMargin)
+    .replace(incToksA, "UNION ALL SELECT doc_id, text FROM s1pd)")
+    .replace(incAnnA, incAnnA +
+      "\n              WHEN b.doc_id IN (SELECT doc_id FROM pdup_drop) THEN 'media_dup'")
   base +
     ("q155_curate_incremental_media_dup" -> q155) +
+    ("q159_curate_incremental_multimodal_dup" -> q159) +
     ("q131_curate_multimodal_video" -> q131) +
     ("q132_curate_trimodal" -> q131.replace(gateB, gateC).replace(annB, annC)) +
     ("q133_curate_incremental_media" ->
@@ -1454,6 +1558,48 @@ private[graft] trait PipelineEntries extends EntryInfra {
           |          FROM pda GROUP BY pcls),
           |pdup_drop AS (SELECT pda.doc_id FROM pda JOIN pkeep USING (pcls)
           |              WHERE pda.doc_id <> pkeep.keeper),
+          |s1pd AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM pdup_drop)),""".stripMargin)
+        .replace(toksAnchor, "FROM s1pd WHERE trim(text) <> ''")
+        .replace(caseAnchor, caseAnchor +
+          "\n              WHEN d.doc_id IN (SELECT doc_id FROM pdup_drop) THEN 'media_dup'")
+    }) +
+    // q158 = q112's oracle + the three-arm perceptual stage patched in
+    // between exact dedup and the text stages (the q150 derivation,
+    // widened): image clusters on in-play id<40 (brightest keeper —
+    // q150's rule), audio envelope classes on in-play 40≤id<80 (min-id
+    // keeper: the higher id of every pair drops), video scene classes
+    // id%7 on in-play 80≤id<108 (min-id keeper; minFrames=6 pairs only
+    // identical sequences). Arms judge the same in-play set; drops
+    // union-DISTINCT as media_dup.
+    ("q158_curate_multimodal_dup" -> {
+      val q112 = base("q112_curate_full")
+      val s1Anchor = "s1 AS (SELECT * FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),"
+      val toksAnchor = "FROM s1 WHERE trim(text) <> ''"
+      val caseAnchor = "WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'"
+      require(q112.contains(s1Anchor) && q112.contains(toksAnchor) &&
+        q112.contains(caseAnchor),
+        "q112 oracle anchors drifted - update the q158 derivation")
+      q112
+        .replace(s1Anchor, s1Anchor + """
+          |pda AS (SELECT doc_id, CASE WHEN doc_id % 4 = 2 THEN 0 ELSE doc_id % 4 END AS pcls
+          |        FROM s1 WHERE doc_id < 40),
+          |pkeep AS (SELECT pcls, coalesce(min(doc_id) FILTER (WHERE pcls = 0 AND doc_id % 4 = 2),
+          |                                min(doc_id)) AS keeper
+          |          FROM pda GROUP BY pcls),
+          |idrop AS (SELECT pda.doc_id FROM pda JOIN pkeep USING (pcls)
+          |          WHERE pda.doc_id <> pkeep.keeper),
+          |ada AS (SELECT doc_id, CASE WHEN doc_id % 4 = 2 THEN 0 ELSE doc_id % 4 END AS acls
+          |        FROM s1 WHERE doc_id >= 40 AND doc_id < 80),
+          |adrop AS (SELECT a.doc_id FROM ada a
+          |          JOIN (SELECT acls, min(doc_id) AS m FROM ada GROUP BY acls) k USING (acls)
+          |          WHERE a.doc_id <> k.m),
+          |vda AS (SELECT doc_id, doc_id % 7 AS vcls FROM s1
+          |        WHERE doc_id >= 80 AND doc_id < 108),
+          |vdrop AS (SELECT a.doc_id FROM vda a
+          |          JOIN (SELECT vcls, min(doc_id) AS m FROM vda GROUP BY vcls) k USING (vcls)
+          |          WHERE a.doc_id <> k.m),
+          |pdup_drop AS (SELECT doc_id FROM idrop UNION SELECT doc_id FROM adrop
+          |              UNION SELECT doc_id FROM vdrop),
           |s1pd AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM pdup_drop)),""".stripMargin)
         .replace(toksAnchor, "FROM s1pd WHERE trim(text) <> ''")
         .replace(caseAnchor, caseAnchor +

@@ -413,12 +413,15 @@ object MediaOps {
     b.array()
   }
 
-  /** (doc_id, content) table of [[audioDupWavBytes]] clips. */
-  def audioDupTable(documents: DataFrame): DataFrame = {
+  /** (doc_id, content) table of [[audioDupWavBytes]] clips; `idShift`
+    * offsets the ENVELOPE-class id (not the doc id), the
+    * [[perceptualTable]] convention — so incremental fixtures can give
+    * history clips classes that overlap only part of the batch's. */
+  def audioDupTable(documents: DataFrame, idShift: Long = 0L): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
-      .mapPartitions(it => it.map(id => (id, audioDupWavBytes(id))))
+      .mapPartitions(it => it.map(id => (id, audioDupWavBytes(id + idShift))))
       .toDF("doc_id", "content")
   }
 

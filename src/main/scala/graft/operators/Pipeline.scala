@@ -229,6 +229,10 @@ object Pipeline {
                  minMeanLum: Double = 5.0, maxMeanLum: Double = 250.0,
                  mediaDup: Option[DataFrame] = None,
                  mediaDupMaxDist: Int = 2,
+                 audioDup: Option[DataFrame] = None,
+                 audioDupMaxDist: Int = 2,
+                 videoDup: Option[DataFrame] = None,
+                 videoDupMinFrames: Int = 6,
                  video: Option[DataFrame] = None,
                  videoContainer: VideoOps.VideoContainer = VideoOps.GvidContainer,
                  videoEvery: Int = 1,
@@ -271,20 +275,35 @@ object Pipeline {
       docs.limit(0).select(id.as("__media_drop")))
     val s1m = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
 
-    // 1.6 (optional, r17) perceptual MEDIA near-dup: integrity
-    //     survivors' image assets hash (aHash) through the banded
-    //     Hamming join ([[MediaOps.perceptualDupPairs]]); each
-    //     perceptual cluster keeps its brightest member (luminance-
-    //     checksum argmax via [[DedupOps.qualityKeepClusters]], ties →
-    //     min id) and the rest drop as `media_dup` — the modality twin
-    //     of the text near-dup stage, run BEFORE the text stages (a
-    //     duplicate image's caption must not feed gram statistics
-    //     twice). One decode pass over asset-bearing in-play docs;
-    //     docs without an asset row pass untouched. None → empty drop
-    //     set, prior shape byte-identical.
-    val mediaDupDrops = mediaDup.map { md =>
-      val inPlay = md.select(col(idCol).as("doc_id"), col("content"))
+    // 1.6 (optional, r17; r19: three modality arms) perceptual MEDIA
+    //     near-dup — the modality twin of the text near-dup stage, run
+    //     BEFORE the text stages (a duplicate asset's caption must not
+    //     feed gram statistics twice). Each arm judges the SAME
+    //     integrity-survivor set independently (modalities are
+    //     independent duplicate evidence, the [[mediaGateDrops]]
+    //     discipline) and the drops union-DISTINCT as `media_dup`:
+    //      - image (`mediaDup`): aHash through the banded Hamming join
+    //        ([[MediaOps.perceptualDupPairs]]); each perceptual cluster
+    //        keeps its brightest member (luminance-checksum argmax via
+    //        [[DedupOps.qualityKeepClusters]], ties → min id),
+    //      - audio (`audioDup`): envelope hash through the same band
+    //        core ([[MediaOps.audioDupPairs]]); the higher id of every
+    //        pair drops (the text near-dup keep rule — no luminance
+    //        analog for clips),
+    //      - video (`videoDup`): per-frame perceptual hashes through
+    //        the exact-substring core ([[VideoOps.videoDupSegments]]);
+    //        clips sharing ≥ `videoDupMinFrames` aligned frames pair,
+    //        higher id drops.
+    //     One decode pass per arm over asset-bearing in-play docs;
+    //     docs without an asset row pass untouched. All None → empty
+    //     drop set; a single arm keeps its exchange-free drop relation
+    //     (no distinct added), so the prior image-only shape is
+    //     unchanged.
+    def inPlayAssets(assets: DataFrame): DataFrame =
+      assets.select(col(idCol).as("doc_id"), col("content"))
         .join(s1m.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+    val imageDupDrops = mediaDup.map { md =>
+      val inPlay = inPlayAssets(md)
       val pairs = MediaOps.perceptualDupPairs(inPlay, mediaCodec, mediaDupMaxDist)
         .localCheckpoint(eager = true)
       val scores = MediaOps.decodeImages(inPlay, mediaCodec).toDF()
@@ -293,7 +312,24 @@ object Pipeline {
           "doc_id", scoreCol = "checksum")
         .filter(!col("kept"))
         .select(col("doc_id").as("__mdup_drop")).localCheckpoint(eager = true)
-    }.getOrElse(docs.limit(0).select(id.as("__mdup_drop")))
+    }
+    val audioDupDrops = audioDup.map { ad =>
+      MediaOps.audioDupPairs(inPlayAssets(ad), audioCodec, audioDupMaxDist)
+        .select(col("doc_b").as("__mdup_drop")).distinct()
+        .localCheckpoint(eager = true)
+    }
+    val videoDupDrops = videoDup.map { vd =>
+      VideoOps.videoDupSegments(inPlayAssets(vd), videoContainer, mediaCodec,
+          videoDupMinFrames)
+        .select(col("doc_b").as("__mdup_drop")).distinct()
+        .localCheckpoint(eager = true)
+    }
+    val mediaDupDrops =
+      Seq(imageDupDrops, audioDupDrops, videoDupDrops).flatten match {
+        case Nil => docs.limit(0).select(id.as("__mdup_drop"))
+        case one :: Nil => one
+        case several => several.reduce(_ union _).distinct()
+      }
     val s1d = s1m.join(mediaDupDrops, id === col("__mdup_drop"), "left_anti")
 
     // 1.75 (optional, r16) benchmark decontamination: exact/media
@@ -492,6 +528,12 @@ object Pipeline {
                         mediaDupHistory: Option[DataFrame] = None,
                         mediaDupBatch: Option[DataFrame] = None,
                         mediaDupMaxDist: Int = 2,
+                        audioDupHistory: Option[DataFrame] = None,
+                        audioDupBatch: Option[DataFrame] = None,
+                        audioDupMaxDist: Int = 2,
+                        videoDupHistory: Option[DataFrame] = None,
+                        videoDupBatch: Option[DataFrame] = None,
+                        videoDupMinFrames: Int = 6,
                         video: Option[DataFrame] = None,
                         videoContainer: VideoOps.VideoContainer = VideoOps.GvidContainer,
                         videoEvery: Int = 1,
@@ -515,22 +557,32 @@ object Pipeline {
       batch.limit(0).select(id.as("__media_drop")))
     val s1v = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
 
-    // 1.6 (optional, r17) incremental perceptual MEDIA dedup — the
-    //     ingest twin of [[curateFull]]'s stage 1.6 under the
-    //     incremental keep rule: a batch doc drops as `media_dup` when
-    //     its image asset is within `mediaDupMaxDist` of ANY history
-    //     asset (history is immutable — its copy survives) or of a
-    //     SMALLER-id batch mate's asset. Hashing is one decode pass
-    //     per side; candidates come from the banded cross join
-    //     ([[DedupOps.simhashCrossPairsFromSigs]] — the history band
-    //     relation is snapshot-persistable, so per-batch cost is the
-    //     batch's bands only). Both None → empty drop set, prior shape
-    //     byte-identical.
-    val mediaDupDrops = (mediaDupHistory, mediaDupBatch) match {
+    // 1.6 (optional, r17; r19: three modality arms) incremental
+    //     perceptual MEDIA dedup — the ingest twin of [[curateFull]]'s
+    //     stage 1.6 under the incremental keep rule: a batch doc drops
+    //     as `media_dup` when its asset is a perceptual duplicate of
+    //     ANY history asset (history is immutable — its copy survives)
+    //     or of a SMALLER-id batch mate's. Per arm:
+    //      - image: aHash bands, candidates from the banded cross join
+    //        ([[DedupOps.simhashCrossPairsFromSigs]] — the history band
+    //        relation is snapshot-persistable, so per-batch cost is the
+    //        batch's bands only),
+    //      - audio: envelope hash ([[MediaOps.audioHashes]]) through
+    //        the same cross + batch-mate band joins,
+    //      - video: per-frame hashes through the exact-substring core's
+    //        cross twin ([[SpanDedup.crossSpansFromGrams]], k = 1) for
+    //        history segments and its self form for batch mates —
+    //        ≥ `videoDupMinFrames` aligned shared frames drop the batch
+    //        copy.
+    //     Arms judge the SAME in-play batch independently; drops
+    //     union-DISTINCT. Each arm needs BOTH its history and batch
+    //     sides; all None → empty drop set, prior shape byte-identical.
+    def inPlayBatchAssets(assets: DataFrame): DataFrame =
+      assets.select(col(idCol).as("doc_id"), col("content"))
+        .join(s1v.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+    val imageDupDrops = (mediaDupHistory, mediaDupBatch) match {
       case (Some(hist), Some(ba)) =>
-        val inPlay = ba.select(col(idCol).as("doc_id"), col("content"))
-          .join(s1v.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-        val hb = MediaOps.perceptualHashes(inPlay, mediaCodec).toDF()
+        val hb = MediaOps.perceptualHashes(inPlayBatchAssets(ba), mediaCodec).toDF()
           .filter(col("ok"))
           .select(col("doc_id").as("doc"), col("ahash").as("sig"))
           .localCheckpoint(eager = true)
@@ -542,12 +594,60 @@ object Pipeline {
           .select(col("doc_a"))
         val mates = DedupOps.simhashPairsFromSigs(hb, mediaDupMaxDist)
           .select(col("doc_b").as("doc_a"))
-        cross.union(mates).distinct()
-          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true)
-      case (None, None) => batch.limit(0).select(id.as("__mdup_drop"))
+        Some(cross.union(mates).distinct()
+          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true))
+      case (None, None) => None
       case _ => sys.error(
         "incremental media dedup needs BOTH mediaDupHistory and mediaDupBatch")
     }
+    val audioDupDrops = (audioDupHistory, audioDupBatch) match {
+      case (Some(hist), Some(ba)) =>
+        val hb = MediaOps.audioHashes(inPlayBatchAssets(ba), audioCodec).toDF()
+          .filter(col("ok"))
+          .select(col("doc_id").as("doc"), col("ahash").as("sig"))
+          .localCheckpoint(eager = true)
+        val hh = MediaOps.audioHashes(
+            hist.select(col(idCol).as("doc_id"), col("content")), audioCodec).toDF()
+          .filter(col("ok"))
+          .select(col("doc_id").as("doc"), col("ahash").as("sig"))
+        val cross = DedupOps.simhashCrossPairsFromSigs(hb, hh, audioDupMaxDist)
+          .select(col("doc_a"))
+        val mates = DedupOps.simhashPairsFromSigs(hb, audioDupMaxDist)
+          .select(col("doc_b").as("doc_a"))
+        Some(cross.union(mates).distinct()
+          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true))
+      case (None, None) => None
+      case _ => sys.error(
+        "incremental audio dedup needs BOTH audioDupHistory and audioDupBatch")
+    }
+    val videoDupDrops = (videoDupHistory, videoDupBatch) match {
+      case (Some(hist), Some(ba)) =>
+        // frame-hash relations: batch hashed ONCE (feeds both the cross
+        // and the mate join), history as its own relation — a snapshot-
+        // persistable artifact, like the image band relation
+        val bg = VideoOps.frameHashes(inPlayBatchAssets(ba), videoContainer,
+          mediaCodec).localCheckpoint(eager = true)
+        val hg = VideoOps.frameHashes(
+          hist.select(col(idCol).as("doc_id"), col("content")),
+          videoContainer, mediaCodec)
+        val cross = SpanDedup.crossSpansFromGrams(hg, bg, k = 1,
+            minSpan = videoDupMinFrames, maxGramOccurrences = 1000)
+          .select(col("right_id").as("doc_a"))
+        val mates = SpanDedup.duplicatedSpansFromGrams(bg, k = 1,
+            minSpan = videoDupMinFrames, maxGramOccurrences = 1000)
+          .select(col("doc_b").as("doc_a"))
+        Some(cross.union(mates).distinct()
+          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true))
+      case (None, None) => None
+      case _ => sys.error(
+        "incremental video dedup needs BOTH videoDupHistory and videoDupBatch")
+    }
+    val mediaDupDrops =
+      Seq(imageDupDrops, audioDupDrops, videoDupDrops).flatten match {
+        case Nil => batch.limit(0).select(id.as("__mdup_drop"))
+        case one :: Nil => one
+        case several => several.reduce(_ union _).distinct()
+      }
     val s1pd = s1v.join(mediaDupDrops, id === col("__mdup_drop"), "left_anti")
 
     // 1.9 (optional, r16) eval-suite decontamination — the ingest twin

@@ -177,10 +177,22 @@ object SpanDedup {
   def crossSpans(left: DataFrame, right: DataFrame,
                  idCol: String, textCol: String,
                  k: Int = 8, minSpan: Int = 20,
-                 maxGramOccurrences: Int = 1000): DataFrame = {
-    val m = crossMatches(
+                 maxGramOccurrences: Int = 1000): DataFrame =
+    crossSpansFromGrams(
       gramRelation(left, idCol, textCol, k),
-      gramRelation(right, idCol, textCol, k), maxGramOccurrences)
+      gramRelation(right, idCol, textCol, k), k, minSpan, maxGramOccurrences)
+
+  /** [[crossSpans]] over pre-built positional symbol relations — the
+    * cross-corpus twin of [[duplicatedSpansFromGrams]], for modalities
+    * whose symbols are not text k-grams: [[VideoOps]] feeds per-frame
+    * perceptual hashes (k = 1) through it so an ingest batch's videos
+    * can be judged for shared segments against an immutable history
+    * side without re-mining history-vs-history pairs (per-batch cost =
+    * batch grams joined into the history gram relation, never
+    * batch × history). Same cap-over-union contract as [[crossSpans]]. */
+  def crossSpansFromGrams(gl: DataFrame, gr: DataFrame, k: Int, minSpan: Int,
+                          maxGramOccurrences: Int): DataFrame = {
+    val m = crossMatches(gl, gr, maxGramOccurrences)
     islandSpans(m, k, minSpan)
       .select(col("da").as("left_id"), col("db").as("right_id"),
         col("a_start").as("left_start"), col("b_start").as("right_start"),

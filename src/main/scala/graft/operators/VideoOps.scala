@@ -322,6 +322,24 @@ object VideoOps {
         minSpan = minFrames, maxGramOccurrences = maxFrameOccurrences)
       .withColumnRenamed("span_tokens", "shared_frames")
 
+  /** Shared segments BETWEEN two video corpora — [[videoDupSegments]]'s
+    * cross twin ([[SpanDedup.crossSpansFromGrams]] at k = 1): an ingest
+    * batch's clips judged for aligned frame runs against an immutable
+    * history side, per-batch cost = the batch's frame hashes joined into
+    * the history frame relation, never batch × history.
+    *
+    * Returns (left_id, right_id, left_start, right_start, shared_frames). */
+  def videoDupSegmentsCross(left: DataFrame, right: DataFrame,
+                            container: VideoContainer = GvidContainer,
+                            codec: MediaOps.ImageCodec = MediaOps.ImageIoCodec,
+                            minFrames: Int = 4,
+                            maxFrameOccurrences: Int = 1000): DataFrame =
+    SpanDedup.crossSpansFromGrams(
+        frameHashes(left, container, codec),
+        frameHashes(right, container, codec), k = 1,
+        minSpan = minFrames, maxGramOccurrences = maxFrameOccurrences)
+      .withColumnRenamed("span_tokens", "shared_frames")
+
   /** Scene raster `s` ∈ 0..6: the first 4·s pixel columns bright —
     * cell-aligned, so aHash(s) has exactly 8·s bits set (all distinct
     * across scenes, margins exact: bright cells 200 > mean 25·s, dark
