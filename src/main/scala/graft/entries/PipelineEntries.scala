@@ -190,6 +190,62 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- TRAINED language ID (r19): the q119 NB machinery over hashed
+    //    CHAR-TRIGRAM buckets, multiclass — per-language models fit on
+    //    the labeled doc_id%4==0 slice (add-one smoothing, µ-quantized
+    //    per-bucket log-probs + doc-count priors), every document scored
+    //    by exact integer sums and assigned the argmax language (ties →
+    //    lexicographically smaller). The CCNet-style lang-id-FIRST
+    //    primitive the per-language curation lanes build on. ----------
+    "q156_lang_classifier" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val model = operators.TextOps.langNbFit(
+        docs.filter(col("doc_id") % 4 === 0), buckets = 1024)
+      operators.TextOps.langNbPredict(model, docs)
+        .orderBy("doc_id")
+    },
+
+    // -- LANGUAGE-GATED curation (r19): q112 + the trained lang-id gate
+    //    as stage 1.7 — the q156 model (fit on the labeled doc_id%4==0
+    //    slice) predicts every exact-dedup survivor's language on RAW
+    //    text; predictions outside the allow-list drop as `wrong_lang`
+    //    BEFORE the text stages (CCNet curates per language — a
+    //    monolingual lane must not let other languages feed its gram
+    //    statistics). --------------------------------------------------
+    "q157_curate_lang" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val model = operators.TextOps.langNbFit(
+        docs.filter(col("doc_id") % 4 === 0), buckets = 1024)
+      operators.Pipeline.curateFull(docs, spark.table("embeddings"),
+          "doc_id", "text", "source",
+          langModel = Some(model), langAllow = Seq("en"))
+        .orderBy("doc_id")
+    },
+
+    // -- LANGUAGE-GATED incremental curation (r19): q115 + the stored
+    //    lang model at ingest grain — the model is a per-snapshot
+    //    artifact fit on the HISTORY slice's labels, so admission
+    //    language decisions never drift with batch composition (the
+    //    centroid/NB-model discipline). Batch docs predicted outside
+    //    the allow-list drop as `wrong_lang` before the history
+    //    stages. --------------------------------------------------------
+    "q160_curate_incremental_lang" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val model = operators.TextOps.langNbFit(
+        docs.filter(col("doc_id") % 2 === 0), buckets = 1024)
+      operators.Pipeline.curateIncremental(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          spark.table("embeddings"), "doc_id", "text",
+          historyBloom = sharedHistoryBloom(spark, dir),
+          centroids = sharedHistoryCentroids(spark, dir),
+          langModel = Some(model), langAllow = Seq("en"))
+        .orderBy("doc_id")
+    },
+
     // -- MULTIMODAL curation (q112 + the media-integrity gate): even-id
     //    docs carry a deterministic image asset; id%7∈{3,5,6} assets are
     //    corrupt / black / uniform by construction, so those docs drop
@@ -840,6 +896,48 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |       (pri.p + sum(lrm.lr_u)) > 0 AS seed_like
         |FROM bk JOIN lrm ON bk.b = lrm.b CROSS JOIN pri
         |GROUP BY bk.doc_id, pri.p ORDER BY bk.doc_id""".stripMargin,
+
+    // the q119 model discipline generalized to MULTICLASS over char
+    // trigrams: per-language add-one bucket log-probs + doc-count priors
+    // (both µ-quantized BIGINTs, so per-class doc scores are exact
+    // integer sums), argmax with ties toward the lexicographically
+    // smaller language. llrm derives every bucket the corpus produces;
+    // training-unseen buckets fall to the c=0 formula = the model's
+    // materialized default.
+    "q156_lang_classifier" ->
+      """WITH lnorm AS (SELECT doc_id, lang,
+        |                      lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS lt
+        |               FROM documents),
+        |ltri AS (SELECT doc_id, lang, substr(lt, CAST(i AS INT), 3) AS tri
+        |         FROM lnorm, UNNEST(range(1, greatest(length(lt) - 1, 1))) AS u(i)),
+        |lbk AS (SELECT doc_id, lang,
+        |               ('0x' || substr(md5(tri), 1, 8))::UBIGINT % 1024 AS b
+        |        FROM ltri),
+        |ltr AS (SELECT * FROM lbk WHERE doc_id % 4 = 0),
+        |lcc AS (SELECT lang, b, count(*) AS c FROM ltr GROUP BY lang, b),
+        |ldn AS (SELECT lang, CAST(sum(c) + 1024 AS DOUBLE) AS d FROM lcc GROUP BY lang),
+        |lnd AS (SELECT lang, count(DISTINCT doc_id) AS n FROM ltr GROUP BY lang),
+        |lnt AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM lnd),
+        |lpr AS (SELECT lnd.lang,
+        |               CAST(floor(ln(CAST(lnd.n AS DOUBLE) / lnt.tot) * 1000000) AS BIGINT) AS p
+        |        FROM lnd CROSS JOIN lnt),
+        |llrm AS (SELECT l.lang, ab.b,
+        |                CAST(floor(ln((coalesce(lcc.c, 0) + 1.0) / ldn.d) * 1000000) AS BIGINT) AS lp
+        |         FROM (SELECT DISTINCT b FROM lbk) ab
+        |         CROSS JOIN (SELECT lang FROM lnd) l
+        |         JOIN ldn ON ldn.lang = l.lang
+        |         LEFT JOIN lcc ON lcc.lang = l.lang AND lcc.b = ab.b),
+        |lsc AS (SELECT lbk.doc_id, llrm.lang, count(*) AS n_tri,
+        |               lpr.p + sum(llrm.lp) AS s
+        |        FROM lbk JOIN llrm ON lbk.b = llrm.b
+        |        JOIN lpr ON lpr.lang = llrm.lang
+        |        GROUP BY lbk.doc_id, llrm.lang, lpr.p),
+        |lpick AS (SELECT doc_id, n_tri, lang, s,
+        |                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+        |          FROM lsc)
+        |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri, lang AS pred_lang,
+        |       CAST(s AS BIGINT) AS score_u
+        |FROM lpick WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // q112's chained stage oracle + the q119 NB model as stage 2.5:
     // model trained on RAW documents slices, span survivors scored on
@@ -1528,9 +1626,74 @@ private[graft] trait PipelineEntries extends EntryInfra {
     .replace(incToksA, "UNION ALL SELECT doc_id, text FROM s1pd)")
     .replace(incAnnA, incAnnA +
       "\n              WHEN b.doc_id IN (SELECT doc_id FROM pdup_drop) THEN 'media_dup'")
+  // The trained-lang-gate CTE block (q157/q160 derivations): the q156
+  // multiclass model re-derived inline — `trainPred` selects the labeled
+  // training slice (full-corpus doc_id%4=0 for the batch pipeline, the
+  // history parity for the incremental snapshot artifact) — scoring only
+  // the IN-PLAY docs (members of s1), predictions outside the allow list
+  // dropping as wrong_lang. CTE names are l-prefixed to stay disjoint
+  // from every base-chain name.
+  def langBlock(trainPred: String): String = s"""
+    |lnorm AS (SELECT doc_id, lang,
+    |                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS lt
+    |          FROM documents),
+    |ltri AS (SELECT doc_id, lang, substr(lt, CAST(i AS INT), 3) AS tri
+    |         FROM lnorm, UNNEST(range(1, greatest(length(lt) - 1, 1))) AS u(i)),
+    |lbk AS (SELECT doc_id, lang,
+    |               ('0x' || substr(md5(tri), 1, 8))::UBIGINT % 1024 AS b
+    |        FROM ltri),
+    |ltr AS (SELECT * FROM lbk WHERE $trainPred),
+    |lcc AS (SELECT lang, b, count(*) AS c FROM ltr GROUP BY lang, b),
+    |ldn AS (SELECT lang, CAST(sum(c) + 1024 AS DOUBLE) AS d FROM lcc GROUP BY lang),
+    |lnd AS (SELECT lang, count(DISTINCT doc_id) AS n FROM ltr GROUP BY lang),
+    |lnt AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM lnd),
+    |lpr AS (SELECT lnd.lang,
+    |               CAST(floor(ln(CAST(lnd.n AS DOUBLE) / lnt.tot) * 1000000) AS BIGINT) AS p
+    |        FROM lnd CROSS JOIN lnt),
+    |llrm AS (SELECT l.lang, ab.b,
+    |                CAST(floor(ln((coalesce(lcc.c, 0) + 1.0) / ldn.d) * 1000000) AS BIGINT) AS lp
+    |         FROM (SELECT DISTINCT b FROM lbk) ab
+    |         CROSS JOIN (SELECT lang FROM lnd) l
+    |         JOIN ldn ON ldn.lang = l.lang
+    |         LEFT JOIN lcc ON lcc.lang = l.lang AND lcc.b = ab.b),
+    |lsc AS (SELECT lbk.doc_id, llrm.lang, lpr.p + sum(llrm.lp) AS s
+    |        FROM lbk JOIN llrm ON lbk.b = llrm.b
+    |        JOIN lpr ON lpr.lang = llrm.lang
+    |        WHERE lbk.doc_id IN (SELECT doc_id FROM s1)
+    |        GROUP BY lbk.doc_id, llrm.lang, lpr.p),
+    |lpick AS (SELECT doc_id, lang,
+    |                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+    |          FROM lsc),
+    |lang_drop AS (SELECT doc_id FROM lpick WHERE rn = 1 AND lang <> 'en'),
+    |s1lg AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM lang_drop)),""".stripMargin
+  // q157 = q112's oracle + the trained lang gate patched in between the
+  // exact stage and everything downstream (anchor-asserted, the q150
+  // pattern); q160 = the same over q115's batch chain with the
+  // history-fit snapshot model.
+  val q157 = {
+    val q112 = base("q112_curate_full")
+    val s1Anchor = "s1 AS (SELECT * FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),"
+    val toksAnchor = "FROM s1 WHERE trim(text) <> ''"
+    val caseAnchor = "WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'"
+    require(q112.contains(s1Anchor) && q112.contains(toksAnchor) &&
+      q112.contains(caseAnchor),
+      "q112 oracle anchors drifted - update the q157 derivation")
+    q112
+      .replace(s1Anchor, s1Anchor + langBlock("doc_id % 4 = 0"))
+      .replace(toksAnchor, "FROM s1lg WHERE trim(text) <> ''")
+      .replace(caseAnchor, caseAnchor +
+        "\n              WHEN d.doc_id IN (SELECT doc_id FROM lang_drop) THEN 'wrong_lang'")
+  }
+  val q160 = q115
+    .replace(incGateA, incGateA + langBlock("doc_id % 2 = 0"))
+    .replace(incToksA, "UNION ALL SELECT doc_id, text FROM s1lg)")
+    .replace(incAnnA, incAnnA +
+      "\n              WHEN b.doc_id IN (SELECT doc_id FROM lang_drop) THEN 'wrong_lang'")
   base +
     ("q155_curate_incremental_media_dup" -> q155) +
     ("q159_curate_incremental_multimodal_dup" -> q159) +
+    ("q157_curate_lang" -> q157) +
+    ("q160_curate_incremental_lang" -> q160) +
     ("q131_curate_multimodal_video" -> q131) +
     ("q132_curate_trimodal" -> q131.replace(gateB, gateC).replace(annB, annC)) +
     ("q133_curate_incremental_media" ->

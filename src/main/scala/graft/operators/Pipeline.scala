@@ -178,8 +178,8 @@ object Pipeline {
     *
     * One row out per input document: (id, source, decision,
     * removed_tokens, n_tokens, final_md5), decision ∈ {exact_dup,
-    * bad_media, contaminated, empty, low_quality, near_dup, sem_dup,
-    * over_quota, kept}; n_tokens/final_md5 are
+    * bad_media, media_dup, wrong_lang, contaminated, empty, low_quality,
+    * near_dup, sem_dup, over_quota, kept}; n_tokens/final_md5 are
     * non-null for kept rows only, so the result IS the survivor corpus
     * fingerprint and the per-stage decision counts in one relation.
     *
@@ -240,7 +240,9 @@ object Pipeline {
                  audioCodec: MediaOps.AudioCodec = MediaOps.JavaSoundCodec,
                  benchmark: Option[DataFrame] = None,
                  benchmarkEmb: Option[DataFrame] = None,
-                 contamNgramK: Int = 3, contamCosTau: Double = 0.3): DataFrame = {
+                 contamNgramK: Int = 3, contamCosTau: Double = 0.3,
+                 langModel: Option[TextOps.LangNbModel] = None,
+                 langAllow: Seq[String] = Seq("en")): DataFrame = {
     val id = col(idCol)
 
     // Each stage output is EAGERLY localCheckpoint'ed — the Components
@@ -332,6 +334,25 @@ object Pipeline {
       }
     val s1d = s1m.join(mediaDupDrops, id === col("__mdup_drop"), "left_anti")
 
+    // 1.7 (optional, r19) trained LANGUAGE gate — the CCNet discipline:
+    //     lang-id runs FIRST among the text-reading stages, so a
+    //     monolingual curation lane never lets other languages feed its
+    //     gram/span/near-dup statistics. `langModel` is the per-snapshot
+    //     multiclass char-trigram NB artifact ([[TextOps.langNbFit]],
+    //     stored/loaded through [[SnapshotStore]] as (lang, k, v) rows);
+    //     survivors whose argmax language falls outside `langAllow` drop
+    //     as `wrong_lang`. Scoring is one trigram pass + a broadcast
+    //     join on C·buckets integer rows — per-row scan work, no text
+    //     in any exchange. A doc with no trigram carries no evidence
+    //     and passes through (it dies as `empty` downstream). None →
+    //     empty drop set, prior shape byte-identical.
+    val langDrops = langModel.map { lm =>
+      TextOps.langNbPredict(lm, s1d.select(id, col(textCol)), idCol, textCol)
+        .filter(!col("pred_lang").isin(langAllow: _*))
+        .select(col(idCol).as("__lang_drop")).localCheckpoint(eager = true)
+    }.getOrElse(docs.limit(0).select(id.as("__lang_drop")))
+    val s1lg = s1d.join(langDrops, id === col("__lang_drop"), "left_anti")
+
     // 1.75 (optional, r16) benchmark decontamination: exact/media
     //     survivors sharing a k-gram shingle with the benchmark
     //     ([[Decontaminate.contaminatedIds]] — membership implies every
@@ -345,13 +366,13 @@ object Pipeline {
     //     contract). None → empty drop set, prior shape byte-identical.
     val contamDrops = benchmark.map { b =>
       val ng = Decontaminate.contaminatedIds(
-          s1d.select(id, col(textCol)), b.select(col(idCol), col(textCol)),
+          s1lg.select(id, col(textCol)), b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))
       val bEmb = benchmarkEmb.getOrElse(sys.error(
         "benchmark decontamination needs benchmarkEmb for the semantic grain"))
       val sem = embeddings
-        .join(s1d.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .join(s1lg.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
         .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
           SimilarityOps.norm(col(vecCol)).as("__cnrm"))
         .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
@@ -364,7 +385,7 @@ object Pipeline {
       ng.union(sem).distinct()
         .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__contam_drop")))
-    val s1c = s1d.join(contamDrops, id === col("__contam_drop"), "left_anti")
+    val s1c = s1lg.join(contamDrops, id === col("__contam_drop"), "left_anti")
 
     // 2. span removal over exact survivors (blank docs fall out here and
     //    are decided `empty` in the assembly, matching removeDuplicatedSpans'
@@ -444,6 +465,7 @@ object Pipeline {
       .join(exactDrops, id === col("__exact_drop"), "left")
       .join(mediaDrops, id === col("__media_drop"), "left")
       .join(mediaDupDrops, id === col("__mdup_drop"), "left")
+      .join(langDrops, id === col("__lang_drop"), "left")
       .join(contamDrops, id === col("__contam_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
@@ -455,6 +477,7 @@ object Pipeline {
         when(col("__exact_drop").isNotNull, "exact_dup")
           .when(col("__media_drop").isNotNull, "bad_media")
           .when(col("__mdup_drop").isNotNull, "media_dup")
+          .when(col("__lang_drop").isNotNull, "wrong_lang")
           .when(col("__contam_drop").isNotNull, "contaminated")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__quality_drop").isNotNull, "low_quality")
@@ -491,8 +514,8 @@ object Pipeline {
     *      centroids fit on — or passed in from — the history snapshot).
     *
     * One row per BATCH document: (id, decision ∈ {exact_dup, bad_media,
-    * contaminated, empty, low_quality, near_dup, sem_dup, kept},
-    * removed_tokens, n_tokens, final_md5).
+    * media_dup, wrong_lang, contaminated, empty, low_quality, near_dup,
+    * sem_dup, kept}, removed_tokens, n_tokens, final_md5).
     * Intra-batch dedup and quotas are deliberately out of scope — run
     * [[curateFull]] over the admitted batch for those; this operator is
     * the contamination gate against history.
@@ -538,7 +561,9 @@ object Pipeline {
                         videoContainer: VideoOps.VideoContainer = VideoOps.GvidContainer,
                         videoEvery: Int = 1,
                         audio: Option[DataFrame] = None,
-                        audioCodec: MediaOps.AudioCodec = MediaOps.JavaSoundCodec): DataFrame = {
+                        audioCodec: MediaOps.AudioCodec = MediaOps.JavaSoundCodec,
+                        langModel: Option[TextOps.LangNbModel] = None,
+                        langAllow: Seq[String] = Seq("en")): DataFrame = {
     val id = col(idCol)
 
     // 1. exact vs history (bloom candidates + exact verify = the anti-join)
@@ -650,6 +675,20 @@ object Pipeline {
       }
     val s1pd = s1v.join(mediaDupDrops, id === col("__mdup_drop"), "left_anti")
 
+    // 1.7 (optional, r19) trained LANGUAGE gate at ingest grain —
+    //     [[curateFull]]'s stage 1.7 with the per-SNAPSHOT model
+    //     artifact (fit on the admitted corpus's labels via
+    //     [[TextOps.langNbFit]], the stored-model discipline of the NB
+    //     quality gate): batch docs whose argmax language falls outside
+    //     `langAllow` drop as `wrong_lang` before any history stage.
+    //     None → empty drop set, prior shape byte-identical.
+    val langDrops = langModel.map { lm =>
+      TextOps.langNbPredict(lm, s1pd.select(id, col(textCol)), idCol, textCol)
+        .filter(!col("pred_lang").isin(langAllow: _*))
+        .select(col(idCol).as("__lang_drop")).localCheckpoint(eager = true)
+    }.getOrElse(batch.limit(0).select(id.as("__lang_drop")))
+    val s1lg = s1pd.join(langDrops, id === col("__lang_drop"), "left_anti")
+
     // 1.9 (optional, r16) eval-suite decontamination — the ingest twin
     //     of [[curateFull]]'s stage 1.75, judged per batch against the
     //     SAME fixed benchmark (k-gram membership implies span hits; the
@@ -660,17 +699,17 @@ object Pipeline {
     val contamDrops = benchmark.map { b =>
       // widenIfNarrow: the k-gram shingle pass (hash per window) over
       // the s1 checkpoint is a hashing-scale scan — the helper's case.
-      // Probe s1 (the materialized leaf), NOT s1v: s1v is the media
-      // anti-join plan, and probing it would execute that join twice.
+      // Probe s1 (the materialized leaf), NOT s1lg: s1lg is an
+      // anti-join plan, and probing it would execute those joins twice.
       val ng = Decontaminate.contaminatedIds(
-          widenIfNarrow(s1pd.select(id, col(textCol)), s1),
+          widenIfNarrow(s1lg.select(id, col(textCol)), s1),
           b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))
       val bEmb = benchmarkEmb.getOrElse(sys.error(
         "benchmark decontamination needs benchmarkEmb for the semantic grain"))
       val sem = embeddings
-        .join(s1pd.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .join(s1lg.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
         .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
           SimilarityOps.norm(col(vecCol)).as("__cnrm"))
         .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
@@ -683,7 +722,7 @@ object Pipeline {
       ng.union(sem).distinct()
         .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
     }.getOrElse(batch.limit(0).select(id.as("__contam_drop")))
-    val s1c = s1pd.join(contamDrops, id === col("__contam_drop"), "left_anti")
+    val s1c = s1lg.join(contamDrops, id === col("__contam_drop"), "left_anti")
 
     // 2. cross-span contamination removal vs history
     val cleaned = SpanDedup.removeCrossSpans(history, s1c, idCol, textCol,
@@ -741,6 +780,7 @@ object Pipeline {
       .join(s1.select(id.as("__adm")), id === col("__adm"), "left")
       .join(mediaDrops, id === col("__media_drop"), "left")
       .join(mediaDupDrops, id === col("__mdup_drop"), "left")
+      .join(langDrops, id === col("__lang_drop"), "left")
       .join(contamDrops, id === col("__contam_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
@@ -751,6 +791,7 @@ object Pipeline {
         when(col("__adm").isNull, "exact_dup")
           .when(col("__media_drop").isNotNull, "bad_media")
           .when(col("__mdup_drop").isNotNull, "media_dup")
+          .when(col("__lang_drop").isNotNull, "wrong_lang")
           .when(col("__contam_drop").isNotNull, "contaminated")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__quality_drop").isNotNull, "low_quality")

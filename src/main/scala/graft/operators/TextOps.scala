@@ -437,6 +437,125 @@ object TextOps {
       .filter(col("__grk") === k).select("nb_score_u").head().getLong(0)
   }
 
+  /** A trained multiclass language-ID model — the [[NbModel]] discipline
+    * generalized to C classes over hashed CHAR-TRIGRAM buckets (character
+    * n-grams carry the orthographic signal language ID separates on,
+    * where the seed/crawl classifier's word n-grams carry topic):
+    * µ-quantized per-(class, bucket) log-probabilities plus per-class
+    * doc-count priors, all BIGINTs, so a document's per-class score is
+    * prior + an exact INTEGER sum — hash-identical across engines and
+    * partition orders. `lpU(c)` covers ALL `buckets` buckets (training-
+    * unseen buckets carry the add-one c=0 value), so scoring is a single
+    * inner join. KB-sized (C × buckets longs) by construction — the
+    * [[SnapshotStore]] artifact lifecycle via [[langNbModelToRows]]. */
+  final case class LangNbModel(buckets: Int, langs: Seq[String],
+                               priorsU: Seq[Long],
+                               lpU: Seq[Array[Long]]) extends Serializable {
+    require(langs.nonEmpty && langs == langs.sorted,
+      s"langs must be non-empty and sorted, got $langs")
+    require(priorsU.length == langs.length && lpU.length == langs.length,
+      "per-class arrays must align with langs")
+  }
+
+  /** Serialize a [[LangNbModel]] to (lang, k, v) rows: k = −1 carries the
+    * class prior, k = −2 the bucket count (repeated per class — bucket
+    * ids are ≥ 0, so namespaces cannot collide), k ∈ [0, buckets) the
+    * per-bucket log-probs. */
+  def langNbModelToRows(m: LangNbModel): Seq[(String, Long, Long)] =
+    m.langs.indices.flatMap { i =>
+      Seq((m.langs(i), -1L, m.priorsU(i)), (m.langs(i), -2L, m.buckets.toLong)) ++
+        m.lpU(i).zipWithIndex.map { case (v, b) => (m.langs(i), b.toLong, v) }
+    }
+
+  def langNbModelFromRows(rows: Seq[(String, Long, Long)]): LangNbModel = {
+    val langs = rows.map(_._1).distinct.sorted
+    val byLang = rows.groupBy(_._1)
+    val buckets = rows.collectFirst { case (_, -2L, v) => v.toInt }
+      .getOrElse(sys.error("missing bucket-count row (k = -2)"))
+    LangNbModel(buckets, langs,
+      langs.map(l => byLang(l).collectFirst { case (_, -1L, v) => v }
+        .getOrElse(sys.error(s"missing prior row for $l"))),
+      langs.map { l =>
+        val a = new Array[Long](buckets)
+        byLang(l).foreach { case (_, k, v) => if (k >= 0) a(k.toInt) = v }
+        a
+      })
+  }
+
+  /** Fit the multiclass language-ID NB model on a LABELED slice: per
+    * class c, add-one-smoothed bucket log-probs
+    * ln((count(c, b) + 1) / (total(c) + buckets)) and doc-count prior
+    * ln(n_c / n_total), each µ-quantized (`floor(x·10⁶)`). A class's
+    * docs are those with ≥ 1 trigram (a blank or 2-char doc trains
+    * nothing and counts toward no prior — mirroring the scoring join,
+    * which emits no row for it).
+    *
+    * Scale shape: bucket hashing runs distributed IN the plan
+    * ([[featBucket]] over [[charTrigrams]] — codegen'd built-ins); the
+    * pulls are one ≤ C·buckets-row aggregate and one C-row doc count,
+    * both bounded by construction regardless of corpus size. */
+  def langNbFit(labeled: DataFrame, langCol: String = "lang",
+                textCol: String = "text", buckets: Int = 1024): LangNbModel = {
+    val withTri = labeled.filter(length(normText(col(textCol))) >= 3)
+    val nd = withTri.groupBy(col(langCol).as("l")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(nd.nonEmpty, "training slice has no trigram-bearing documents")
+    val langs = nd.keySet.toSeq.sorted
+    val nTot = nd.values.sum.toDouble
+    val cc = withTri
+      .select(col(langCol).as("l"),
+        explode(charTrigrams(col(textCol))).as("tri"))
+      .groupBy(col("l"), featBucket(col("tri"), buckets).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    val totals = cc.groupMapReduce(_._1._1)(_._2)(_ + _)
+    LangNbModel(buckets, langs,
+      langs.map(l => math.floor(math.log(nd(l) / nTot) * 1e6).toLong),
+      langs.map { l =>
+        val d = (totals.getOrElse(l, 0L) + buckets).toDouble
+        Array.tabulate(buckets)(b =>
+          math.floor(math.log((cc.getOrElse((l, b), 0L) + 1.0) / d) * 1e6).toLong)
+      })
+  }
+
+  /** Score documents with a trained [[LangNbModel]] and pick the argmax
+    * class: one pass — explode trigrams → hash → broadcast inner join on
+    * the (bucket → per-class log-prob) rows → per-(doc, class) integer
+    * sum with map-side partials → per-doc argmax (ties break toward the
+    * lexicographically smaller language — deterministic across engines).
+    * Documents with no trigram emit no row (they carry no evidence; the
+    * pipeline's lang gate passes them through to die as `empty` later).
+    *
+    * @return one row per trigram-bearing doc:
+    *         (idCol, n_tri, pred_lang, score_u) */
+  def langNbPredict(model: LangNbModel, docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val c = model.langs.length
+    val rows = for {
+      li <- 0 until c
+      b <- 0 until model.buckets
+    } yield (b.toLong, li, model.lpU(li)(b))
+    val m = broadcast(rows.toDF("b", "li", "lp_u"))
+    val priors = typedLit(model.priorsU)
+    val langsLit = typedLit(model.langs)
+    docs
+      .select(col(idCol), explode(charTrigrams(col(textCol))).as("tri"))
+      .select(col(idCol), featBucket(col("tri"), model.buckets).as("b"))
+      .join(m, Seq("b"))
+      .groupBy(col(idCol), col("li"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("lp_u")).as("lsum"))
+      .select(col(idCol), col("n_tri"), col("li"),
+        (col("lsum") + element_at(priors, col("li") + 1)).as("s"))
+      .groupBy(col(idCol))
+      .agg(max(col("n_tri")).as("n_tri"),
+        max(struct(col("s"), (lit(c) - col("li")).as("inv"))).as("m"))
+      .select(col(idCol), col("n_tri"),
+        element_at(langsLit, lit(c) - col("m.inv") + 1).as("pred_lang"),
+        col("m.s").as("score_u"))
+  }
+
   /** Trained seed-vs-crawl quality classifier (the CCNet/fastText-style
     * discriminative curation stage): a multinomial Naive-Bayes model over
     * hashed word uni+bigram features, trained on a curated SEED slice vs a

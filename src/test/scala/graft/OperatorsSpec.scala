@@ -2505,4 +2505,59 @@ class OperatorsSpec extends SparkTestBase {
     assert(z.find(_.text == "deep chrome").get.zone)
     assert(!z.find(_.text == "after the double zone").get.zone)
   }
+
+  test("trained lang-id: fit/round-trip/tie-break and blank-doc prior semantics") {
+    val spark2 = spark
+    import spark2.implicits._
+    val train = Seq(
+      (0L, "aaa aab aba baa aaa aab", "xx"),
+      (1L, "aab aaa aba aaa baa aab", "xx"),
+      (2L, "zzz zzy zyz yzz zzz zzy", "yy"),
+      (3L, "zzy zzz zyz zzz yzz zzy", "yy")).toDF("doc_id", "text", "lang")
+    val m = TextOps.langNbFit(train, buckets = 64)
+    assert(m.langs == Seq("xx", "yy"))
+    assert(m.lpU.forall(_.length == 64))
+    // (lang, k, v) row serialization round-trips exactly (the
+    // SnapshotStore artifact shape)
+    val m2 = TextOps.langNbModelFromRows(TextOps.langNbModelToRows(m))
+    assert(m2.buckets == m.buckets && m2.langs == m.langs &&
+      m2.priorsU == m.priorsU &&
+      m2.lpU.map(_.toSeq) == m.lpU.map(_.toSeq))
+    // blank and sub-trigram docs train nothing and count toward no prior
+    val m3 = TextOps.langNbFit(
+      train.union(Seq((9L, "", "xx"), (10L, "zq", "yy")).toDF("doc_id", "text", "lang")),
+      buckets = 64)
+    assert(m3.priorsU == m.priorsU && m3.lpU.map(_.toSeq) == m.lpU.map(_.toSeq))
+    // predictions: orthography separates; a doc with no trigram emits no row
+    val probe = Seq((10L, "aaa aab aba"), (11L, "zzz zzy yzz"), (12L, "q"))
+      .toDF("doc_id", "text")
+    val out = TextOps.langNbPredict(m, probe).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(10L) == "xx" && out(11L) == "yy" && !out.contains(12L), out.toString)
+    // exact score ties break toward the lexicographically smaller language
+    val tie = TextOps.LangNbModel(4, Seq("aa", "bb"), Seq(0L, 0L),
+      Seq(Array.fill(4)(-5L), Array.fill(4)(-5L)))
+    val t = TextOps.langNbPredict(tie, Seq((1L, "hello world")).toDF("doc_id", "text"))
+      .collect().head
+    assert(t.getString(2) == "aa", t.toString)
+  }
+
+  test("crossSpansFromGrams: cross twin agrees with the text-level crossSpans") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((0L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val right = Seq(
+      (100L, (5 to 30).map(i => s"w$i").mkString(" ") + " tail distinct words here"),
+      (101L, "no overlap at all in this one")).toDF("doc_id", "text")
+    val viaText = SpanDedup.crossSpans(left, right, "doc_id", "text", k = 8, minSpan = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val viaGrams = SpanDedup.crossSpansFromGrams(
+        SpanDedup.gramRelation(left, "doc_id", "text", 8),
+        SpanDedup.gramRelation(right, "doc_id", "text", 8), k = 8, minSpan = 20,
+        maxGramOccurrences = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(viaText == viaGrams && viaText.nonEmpty, s"$viaText vs $viaGrams")
+    assert(viaText.head == ((0L, 100L, 4L, 0L, 26L)), viaText.toString)
+  }
 }
+
