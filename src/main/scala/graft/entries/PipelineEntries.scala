@@ -141,6 +141,28 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- WEB pipeline with per-DOMAIN curation (r19): q149's chain +
+    //    stage 0.5 — each page's canonical domain (the q145 closed-form
+    //    URL fixture) drives a blocklist anti-join (host3 banned) and a
+    //    900-token per-domain cap (q145's budget) BETWEEN extraction
+    //    and exact dedup, so one crawl host can neither dominate the
+    //    mix nor feed the dedup/gram statistics past its cap. Dropped
+    //    pages keep their audit row. -----------------------------------
+    "q161_curate_web_domains" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val docs = spark.table("documents")
+      val pages = operators.HtmlExtract.htmlTable(docs)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .join(operators.UrlOps.urlTable(docs), Seq("doc_id"))
+      operators.Pipeline.curateFromHtml(pages, spark.table("embeddings"),
+          "doc_id", "html", "source",
+          urlCol = Some("url"),
+          domainBlocklist = Some(Seq("host3.example.com").toDF("domain")),
+          domainTokenBudget = 900L)
+        .orderBy("doc_id")
+    },
+
     // -- the INCREMENTAL curation pipeline (q112's ingest-time twin):
     //    batch (odd ids) judged against the admitted corpus (even ids)
     //    with the cross/incremental operator variants — exact-vs-history
@@ -1775,6 +1797,46 @@ private[graft] trait PipelineEntries extends EntryInfra {
     // whitespace-normalized — both facts the q142 oracle pins
     // independently). Any extraction defect — a dropped paragraph,
     // leaked chrome, broken entity — breaks the hash here.
-    ("q149_curate_from_html" -> base("q112_curate_full"))
+    ("q149_curate_from_html" -> base("q112_curate_full")) +
+    // q161 = q112's oracle + the per-domain stage patched in BEFORE the
+    // exact stage: domain from the q145 closed-form URL arithmetic,
+    // blocklist = host3, then q145's 900-token per-domain running cap
+    // (md5-rank order) over the non-blocked pages; the whole downstream
+    // chain runs on the domain survivors, and dropped pages get their
+    // audit decisions ahead of every other class. Anchor-asserted.
+    ("q161_curate_web_domains" -> {
+      val q112 = base("q112_curate_full")
+      val withAnchor = "WITH norm AS ("
+      val fromAnchor = "  FROM documents),"
+      val caseAnchor = "CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'"
+      require(q112.contains(withAnchor) && q112.contains(fromAnchor) &&
+        q112.contains(caseAnchor),
+        "q112 oracle anchors drifted - update the q161 derivation")
+      q112
+        // norm's source filter FIRST: scala's replace hits every
+        // occurrence, and the dom CTE inserted below carries its own
+        // "FROM documents)," line that must stay unfiltered
+        .replace(fromAnchor,
+          "  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dom_drop)),")
+        .replace(withAnchor, """WITH dom AS (
+          |  SELECT doc_id, 'host' || (doc_id % 7) || '.example.com' AS domain,
+          |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok,
+          |         md5(CAST(doc_id AS VARCHAR)) AS dkey
+          |  FROM documents),
+          |blocked AS (SELECT doc_id FROM dom WHERE domain = 'host3.example.com'),
+          |domq AS (SELECT doc_id,
+          |                sum(ntok) OVER (PARTITION BY domain ORDER BY dkey, doc_id) AS cum,
+          |                row_number() OVER (PARTITION BY domain ORDER BY dkey, doc_id) AS rn
+          |         FROM dom
+          |         WHERE doc_id NOT IN (SELECT doc_id FROM blocked) AND ntok >= 1),
+          |domq_drop AS (SELECT doc_id FROM domq WHERE NOT (cum <= 900 OR rn = 1)),
+          |dom_drop AS (SELECT doc_id FROM blocked
+          |             UNION ALL SELECT doc_id FROM domq_drop),
+          |norm AS (""".stripMargin)
+        .replace(caseAnchor,
+          "CASE WHEN d.doc_id IN (SELECT doc_id FROM blocked) THEN 'blocked_domain'\n" +
+          "              WHEN d.doc_id IN (SELECT doc_id FROM domq_drop) THEN 'over_domain_quota'\n" +
+          "              WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'")
+    })
   }
 }

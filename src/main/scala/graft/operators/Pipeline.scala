@@ -198,17 +198,69 @@ object Pipeline {
     * content text flows through as an empty doc (its fingerprint groups
     * with other empties — the exact stage's documented behavior).
     * Passthrough knobs stay at [[curateFull]] defaults; deployments
-    * needing the full surface call `extract` + `curateFull` directly. */
+    * needing the full surface call `extract` + `curateFull` directly.
+    *
+    * STAGE 0.5 (optional, r19) — per-DOMAIN curation, the web-pipeline
+    * gate between extraction and exact dedup: when `urlCol` names the
+    * pages' raw-URL column, each page's canonical domain
+    * ([[UrlOps.canonicalize]] → [[UrlOps.domain]], codegen'd built-ins)
+    * drives two drops BEFORE any cross-document statistics:
+    *  - `domainBlocklist` (a (domain) relation, AQE-broadcast
+    *    anti-join) → decision `blocked_domain`,
+    *  - `domainTokenBudget` > 0 → the deterministic per-domain token
+    *    cap ([[QuotaSample.tokenQuota]] with domain as the group — the
+    *    4096-bucket two-level scan, no per-domain straggler window) →
+    *    decision `over_domain_quota`.
+    * One crawl host can neither dominate the mix nor feed the dedup/
+    * gram statistics past its cap. Dropped pages still get their one
+    * output row (the audit contract); both knobs off → prior shape
+    * byte-identical. */
   def curateFromHtml(pages: DataFrame, embeddings: DataFrame,
                      idCol: String, htmlCol: String, sourceCol: String,
                      minWords: Int = HtmlExtract.DefaultMinWords,
                      maxLinkDensity: Double = HtmlExtract.DefaultMaxLinkDensity,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     urlCol: Option[String] = None,
+                     domainBlocklist: Option[DataFrame] = None,
+                     domainTokenBudget: Long = 0L): DataFrame = {
+    val id = col(idCol)
     val extracted = HtmlExtract.extract(pages, idCol, htmlCol,
         minWords, maxLinkDensity)
       .select(col(idCol), col("extracted_text").as(textCol))
       .join(pages.select(col(idCol), col(sourceCol)), Seq(idCol))
-    curateFull(extracted, embeddings, idCol, textCol, sourceCol)
+    if (urlCol.isEmpty) return curateFull(extracted, embeddings, idCol, textCol, sourceCol)
+    require(domainBlocklist.nonEmpty || domainTokenBudget > 0,
+      "urlCol given but neither domainBlocklist nor domainTokenBudget is set")
+    val domains = pages.select(col(idCol),
+      UrlOps.domain(UrlOps.canonicalize(col(urlCol.get))).as("__domain"))
+    val withDom = extracted.join(domains, Seq(idCol))
+    val blockedDrops = domainBlocklist.map { bl =>
+      withDom.join(broadcast(bl.select(col("domain").as("__domain"))),
+          Seq("__domain"), "left_semi")
+        .select(id.as("__blocked_drop")).localCheckpoint(eager = true)
+    }.getOrElse(pages.limit(0).select(id.as("__blocked_drop")))
+    val s0 = withDom.join(blockedDrops, id === col("__blocked_drop"), "left_anti")
+    val domQuotaDrops =
+      if (domainTokenBudget <= 0) pages.limit(0).select(id.as("__domq_drop"))
+      else QuotaSample.tokenQuota(s0, "__domain", idCol, textCol, domainTokenBudget)
+        .filter(!col("kept")).select(id.as("__domq_drop"))
+        .localCheckpoint(eager = true)
+    val survivors = s0.join(domQuotaDrops, id === col("__domq_drop"), "left_anti")
+      .drop("__domain")
+    val curated = curateFull(survivors, embeddings, idCol, textCol, sourceCol)
+    // dropped pages keep their one audit row, ahead of every downstream
+    // decision class (they never entered the corpus the stages judged)
+    val droppedRows = pages.select(id, col(sourceCol))
+      .join(blockedDrops, id === col("__blocked_drop"), "left")
+      .join(domQuotaDrops, id === col("__domq_drop"), "left")
+      .filter(col("__blocked_drop").isNotNull || col("__domq_drop").isNotNull)
+      .select(id, col(sourceCol),
+        when(col("__blocked_drop").isNotNull, "blocked_domain")
+          .otherwise("over_domain_quota").as("decision"),
+        lit(0L).as("removed_tokens"),
+        lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("string").as("final_md5"))
+    curated.unionByName(droppedRows)
   }
 
   def curateFull(docs: DataFrame, embeddings: DataFrame,
