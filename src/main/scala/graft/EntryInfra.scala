@@ -328,6 +328,15 @@ private[graft] trait EntryInfra {
     sharedAsset(spark, dir, 2)(operators.VideoOps.curatedVideoTable)
   protected def sharedCuratedAudio(spark: SparkSession, dir: String): DataFrame =
     sharedAsset(spark, dir, 3)(operators.MediaOps.curatedAudioTable)
+  /** The WEB-ingest fixtures (markup pages, WARC archives) on the same
+    * memo: a crawl corpus READS its pages/archives from storage — the
+    * synthesis (mux + gzip) is fixture setup, not pipeline work, so the
+    * q142/q149/q151/q161 bench floors should measure extraction/demux/
+    * curation only (r17 task #5 / r18 verdict #6). */
+  protected def sharedHtmlPages(spark: SparkSession, dir: String): DataFrame =
+    sharedAsset(spark, dir, 4)(operators.HtmlExtract.htmlTable(_))
+  protected def sharedWarcArchives(spark: SparkSession, dir: String): DataFrame =
+    sharedAsset(spark, dir, 5)(operators.WarcIo.warcTable(_))
 
   protected val pairsMemo: RowsMemo = scala.collection.mutable.Map.empty
   protected def sharedJaccardPairs(spark: SparkSession, dir: String,

@@ -131,10 +131,14 @@ private[graft] trait PipelineEntries extends EntryInfra {
     //    every curation stage runs downstream of it. The oracle is
     //    q112's VERBATIM: on this fixture extraction is exactly
     //    text-recovering, so any extraction defect breaks the hash. ----
-    "q149_curate_from_html" -> qd { spark =>
+    // page fixtures ride the corpus-snapshot memo (sharedHtmlPages): a
+    // crawl corpus reads its markup from storage, it never re-muxes it
+    // per query — the floor measures extraction + curation, which is
+    // what recurs
+    "q149_curate_from_html" -> qdd { (spark, dir) =>
       import org.apache.spark.sql.functions._
       val docs = spark.table("documents")
-      val pages = operators.HtmlExtract.htmlTable(docs)
+      val pages = sharedHtmlPages(spark, dir)
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
       operators.Pipeline.curateFromHtml(pages, spark.table("embeddings"),
           "doc_id", "html", "source")
@@ -148,11 +152,11 @@ private[graft] trait PipelineEntries extends EntryInfra {
     //    and exact dedup, so one crawl host can neither dominate the
     //    mix nor feed the dedup/gram statistics past its cap. Dropped
     //    pages keep their audit row. -----------------------------------
-    "q161_curate_web_domains" -> qd { spark =>
+    "q161_curate_web_domains" -> qdd { (spark, dir) =>
       import org.apache.spark.sql.functions._
       import spark.implicits._
       val docs = spark.table("documents")
-      val pages = operators.HtmlExtract.htmlTable(docs)
+      val pages = sharedHtmlPages(spark, dir)
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
         .join(operators.UrlOps.urlTable(docs), Seq("doc_id"))
       operators.Pipeline.curateFromHtml(pages, spark.table("embeddings"),

@@ -626,9 +626,12 @@ private[graft] trait TextEntries extends EntryInfra {
     //    feed URL canonicalization AND HTML extraction, so the full
     //    web-ingest chain (WARC → URL → text) runs end-to-end with the
     //    q142/q145 closed forms as the oracle. --------------------------
-    "q151_warc_ingest" -> qd { spark =>
+    // archive fixtures ride the corpus-snapshot memo (sharedWarcArchives):
+    // a crawl reads its WARCs from storage — the floor measures the
+    // demux + parse + extraction chain, not the fixture mux
+    "q151_warc_ingest" -> qdd { (spark, dir) =>
       import org.apache.spark.sql.functions._
-      val archives = operators.WarcIo.warcTable(spark.table("documents"))
+      val archives = sharedWarcArchives(spark, dir)
       val withIds = operators.WarcIo.pages(archives)
         .withColumn("doc_id",
           regexp_extract(col("target_uri"), "Item([0-9]+)", 1).cast("long"))
@@ -649,10 +652,10 @@ private[graft] trait TextEntries extends EntryInfra {
     //    the normalized document text iff the doc clears the word
     //    floor, block counts pure arithmetic in w = token count. One
     //    mapPartitions, zero exchanges. -------------------------------
-    "q142_html_extract" -> qd { spark =>
+    "q142_html_extract" -> qdd { (spark, dir) =>
       import org.apache.spark.sql.functions._
       operators.HtmlExtract.extract(
-          operators.HtmlExtract.htmlTable(spark.table("documents")),
+          sharedHtmlPages(spark, dir),
           "doc_id", "html")
         .select(col("doc_id"), col("extracted_text"),
           col("n_blocks"), col("kept_blocks"))

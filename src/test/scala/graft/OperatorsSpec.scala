@@ -2559,5 +2559,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(viaText == viaGrams && viaText.nonEmpty, s"$viaText vs $viaGrams")
     assert(viaText.head == ((0L, 100L, 4L, 0L, 26L)), viaText.toString)
   }
-}
 
+  test("BPE: production-scale 32k-merge fit, sampled parity, snapshot round-trip") {
+    // r18 verdict #5: prove the incremental trainer at a GPT-2-class
+    // merge budget over a REALISTIC (Zipf-weighted) vocabulary, not just
+    // the 4k probe. 100k distinct words, weight ~ N/rank.
+    val rnd = new scala.util.Random(32768)
+    val zipfVocab = (0 until 100000).map { i =>
+      val len = 3 + rnd.nextInt(13)
+      ((0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString,
+        math.max(1L, 1000000L / (i + 1)))
+    }.distinct.toSeq
+    val t0 = System.nanoTime()
+    val m32k = Bpe.train(zipfVocab, 32768)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m32k.merges.length == 32768, m32k.merges.length.toString)
+    // wall-clock recorded for the log/BASELINE note only (no flaky assert)
+    info(f"32768 merges over ${zipfVocab.size} words: $secs%.1f s")
+    // sampled parity at a scale the 150 small trials never reach: the
+    // incremental trainer's merge table must equal the recount-per-merge
+    // spec form on Zipf-shaped vocabularies too
+    for (trial <- 0 until 3) {
+      val r2 = new scala.util.Random(500 + trial)
+      val v = (0 until 1500).map { i =>
+        val len = 2 + r2.nextInt(9)
+        ((0 until len).map(_ => ('a' + r2.nextInt(8)).toChar).mkString,
+          math.max(1L, 10000L / (i + 1)))
+      }.distinct.toSeq
+      assert(Bpe.train(v, 400).merges == Bpe.trainReference(v, 400).merges,
+        s"scale-parity trial $trial")
+    }
+    // the fitted 32k model round-trips through the SnapshotStore shape
+    val rt = Bpe.modelFromBytes(Bpe.modelToBytes(m32k))
+    assert(rt.merges == m32k.merges)
+    // and drives the compiled encoder (sanity: a hot word encodes whole)
+    val hot = zipfVocab.head._1
+    assert(Bpe.compiled(m32k).encodeWord(hot).nonEmpty)
+  }
+}
