@@ -847,4 +847,81 @@ object GraftRuntime {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](n, s))
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** featBucket's definition on digest bytes: first 8 md5 hex digits =
+    * first 4 digest bytes as an unsigned 32-bit value, mod `buckets`
+    * (exactly [[NbDocScore.Compiled]]'s lookup and the composed plan's
+    * `conv(substring(md5(g), 1, 8), 16, 10) % buckets`). */
+  @inline private def md5Bucket(feature: String, buckets: Int): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(feature.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((b(0) & 0xFFL) << 24) | ((b(1) & 0xFFL) << 16) |
+      ((b(2) & 0xFFL) << 8) | (b(3) & 0xFFL)
+    v % buckets
+  }
+
+  /** The NB FIT side's feature stream, fused: md5-prefix bucket ids of
+    * every uni+bigram word feature of the normalized text — replaces
+    * `explode(wordFeatures) → md5 → conv → %` whose higher-order
+    * transform/element_at lambdas run INTERPRETED and dominated the fit
+    * pass. Normalization replicates normText exactly (Spark trim →
+    * java-regex whitespace squeeze → UTF8String lowercase — the
+    * [[NbDocScore.Compiled.score]] path, parity-pinned). Blank text →
+    * empty array. */
+  def nbFeatBuckets(text: org.apache.spark.unsafe.types.UTF8String,
+                    buckets: Int): ArrayData = {
+    val squeezed = text.trim().toString.replaceAll("\\s+", " ")
+    val norm = org.apache.spark.unsafe.types.UTF8String
+      .fromString(squeezed).toLowerCase.toString
+    if (norm.isEmpty) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val toks = norm.split(" ", -1)
+      val n = toks.length
+      val out = new Array[Long](2 * n - 1)
+      var i = 0
+      var j = 0
+      while (i < n) {
+        out(j) = md5Bucket(toks(i), buckets)
+        j += 1
+        if (i + 1 < n) {
+          out(j) = md5Bucket(toks(i) + " " + toks(i + 1), buckets)
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Char-TRIGRAM bucket stream — [[nbFeatBuckets]]'s orthographic twin
+    * for the multiclass lang-id fit/predict passes: md5-prefix bucket of
+    * every 3-code-point window of the normalized text (the CharWindows
+    * slicing, the featBucket hash). Texts under 3 code points → empty. */
+  def triBuckets(text: org.apache.spark.unsafe.types.UTF8String,
+                 buckets: Int): ArrayData = {
+    val squeezed = text.trim().toString.replaceAll("\\s+", " ")
+    val norm = org.apache.spark.unsafe.types.UTF8String
+      .fromString(squeezed).toLowerCase.toString
+    val nCp = norm.codePointCount(0, norm.length)
+    if (nCp < 3) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](nCp - 2)
+      var start = 0
+      var end = norm.offsetByCodePoints(0, 3)
+      var k = 0
+      while (k < out.length) {
+        out(k) = md5Bucket(norm.substring(start, end), buckets)
+        start = norm.offsetByCodePoints(start, 1)
+        if (k + 1 < out.length) end = norm.offsetByCodePoints(end, 1)
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }

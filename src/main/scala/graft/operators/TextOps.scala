@@ -312,34 +312,71 @@ object TextOps {
     * ever collected) — pulled once. */
   def seedCrawlNbFit(seed: DataFrame, crawl: DataFrame,
                      textCol: String = "text", buckets: Int = 4096): NbModel = {
-    // ONE tagged union, ONE job: a per-doc sentinel row rides the same
-    // explode as the features, so the bucket histogram AND the doc-count
-    // priors come out of a single (class, bucket)-keyed aggregation —
-    // the sentinel lands at bucket -1 (never a feature bucket), and the
-    // former separate doc-count scan (a full second parquet read + job
-    // per fit, ~8 fixed-cost jobs across the q122 pipeline) disappears.
-    // Counts are identical by construction: same rows, same keys.
-    def nonBlankTagged(df: DataFrame, cls: Int): DataFrame =
-      df.filter(trim(col(textCol)) =!= "")
-        .select(lit(cls).as("__cls"), col(textCol))
-    val u = nonBlankTagged(seed, 0).unionByName(nonBlankTagged(crawl, 1))
-    val sentinel = " __nb_doc__"
-    val bc = u.select(col("__cls"),
+    // ONE tagged union, ONE job: a per-doc sentinel element rides the
+    // same explode as the features, so the bucket histogram AND the
+    // doc-count priors come out of a single (class, bucket)-keyed
+    // aggregation -- the sentinel lands at bucket -1 (never a feature
+    // bucket), and the former separate doc-count scan (a full second
+    // parquet read + job per fit, ~8 fixed-cost jobs across the q122
+    // pipeline) disappears. Counts are identical by construction: same
+    // rows, same keys.
+    // r19: the feature stream is the fused [[NbFeatBuckets]] expression.
+    // The composed explode(wordFeatures) -> md5 -> conv chain ran its
+    // higher-order lambdas INTERPRETED (HOFs never enter whole-stage
+    // codegen) and dominated the pass -- 2.2 s of q119's 2.7 s at
+    // sf0.1; retained as [[seedCrawlNbFitComposed]], the spec parity pin.
+    fitFromCounts(tagBuckets(seed, crawl, textCol,
+      t => NbDocScore.featBucketsCol(t, buckets)), buckets)
+  }
+
+  /** The pre-r19 composed fit (explode(wordFeatures) -> md5-prefix
+    * bucket in the plan) -- the executable parity reference for
+    * [[NbFeatBuckets]]: the fused fit must emit the identical model
+    * (spec-pinned, multibyte corpora included). */
+  private[graft] def seedCrawlNbFitComposed(seed: DataFrame, crawl: DataFrame,
+                                            textCol: String = "text",
+                                            buckets: Int = 4096): NbModel = {
+    val sentinel = " __nb_doc__"
+    val bc = taggedUnion(seed, crawl, textCol)
+      .select(col("__cls"),
         explode(concat(array(lit(sentinel)), wordFeatures(col(textCol)))).as("g"))
       .groupBy(col("__cls"),
         when(col("g") === sentinel, lit(-1L))
           .otherwise(featBucket(col("g"), buckets)).as("b"))
       .agg(count(lit(1)).as("c"))
-      .collect()
-    val sCounts = bc.filter(r => r.getInt(0) == 0 && r.getLong(1) >= 0L)
-      .map(r => r.getLong(1) -> r.getLong(2)).toMap
-    val rCounts = bc.filter(r => r.getInt(0) == 1 && r.getLong(1) >= 0L)
-      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    fitFromCounts(bc, buckets)
+  }
+
+  private def taggedUnion(seed: DataFrame, crawl: DataFrame,
+                          textCol: String): DataFrame = {
+    def nonBlankTagged(df: DataFrame, cls: Int): DataFrame =
+      df.filter(trim(col(textCol)) =!= "")
+        .select(lit(cls).as("__cls"), col(textCol))
+    nonBlankTagged(seed, 0).unionByName(nonBlankTagged(crawl, 1))
+  }
+
+  /** (class, bucket, count) aggregation of the fused fit: sentinel -1
+    * prepended to each doc's LONG bucket array, one distributed job,
+    * bounded (<= 2*buckets + 2 rows) collect. */
+  private def tagBuckets(seed: DataFrame, crawl: DataFrame, textCol: String,
+                         bucketsOf: Column => Column): Seq[(Int, Long, Long)] =
+    taggedUnion(seed, crawl, textCol)
+      .select(col("__cls"),
+        explode(concat(array(lit(-1L)), bucketsOf(col(textCol)))).as("b"))
+      .groupBy(col("__cls"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+
+  private def fitFromCounts(bc: Seq[(Int, Long, Long)], buckets: Int): NbModel = {
+    val sCounts = bc.filter(r => r._1 == 0 && r._2 >= 0L)
+      .map(r => r._2 -> r._3).toMap
+    val rCounts = bc.filter(r => r._1 == 1 && r._2 >= 0L)
+      .map(r => r._2 -> r._3).toMap
     val sDenom = (sCounts.values.sum + buckets).toDouble
     val rDenom = (rCounts.values.sum + buckets).toDouble
     // doc-count prior (blank docs carry no features and train nothing)
-    val nd = bc.filter(_.getLong(1) == -1L)
-      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val nd = bc.filter(_._2 == -1L).map(r => r._1 -> r._3).toMap
     val nSeed = nd.getOrElse(0, 0L)
     val nCrawl = nd.getOrElse(1, 0L)
     require(nSeed > 0 && nCrawl > 0,
@@ -347,7 +384,7 @@ object TextOps {
     val priorU = math.floor(math.log(nSeed.toDouble / nCrawl) * 1e6).toLong
     // the quantized model: lr_u per bucket seen in training; a bucket
     // unseen in BOTH classes falls to the same formula at c=0 (the
-    // scoring coalesce default) — identical to the oracle's all-buckets
+    // scoring coalesce default) -- identical to the oracle's all-buckets
     // derivation
     def lrU(sc: Long, rc: Long): Long =
       math.floor((math.log((sc + 1.0) / sDenom) -
@@ -502,10 +539,13 @@ object TextOps {
     require(nd.nonEmpty, "training slice has no trigram-bearing documents")
     val langs = nd.keySet.toSeq.sorted
     val nTot = nd.values.sum.toDouble
+    // fused [[TriBuckets]] stream (the NbFeatBuckets rationale: the
+    // composed explode(charTrigrams) → md5 → conv chain pays per-trigram
+    // string materialization + hex parsing; the spec pins parity)
     val cc = withTri
       .select(col(langCol).as("l"),
-        explode(charTrigrams(col(textCol))).as("tri"))
-      .groupBy(col("l"), featBucket(col("tri"), buckets).as("b"))
+        explode(NbDocScore.triBucketsCol(col(textCol), buckets)).as("b"))
+      .groupBy(col("l"), col("b"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
     val totals = cc.groupMapReduce(_._1._1)(_._2)(_ + _)
@@ -541,8 +581,8 @@ object TextOps {
     val priors = typedLit(model.priorsU)
     val langsLit = typedLit(model.langs)
     docs
-      .select(col(idCol), explode(charTrigrams(col(textCol))).as("tri"))
-      .select(col(idCol), featBucket(col("tri"), model.buckets).as("b"))
+      .select(col(idCol),
+        explode(NbDocScore.triBucketsCol(col(textCol), model.buckets)).as("b"))
       .join(m, Seq("b"))
       .groupBy(col(idCol), col("li"))
       .agg(count(lit(1)).as("n_tri"), sum(col("lp_u")).as("lsum"))

@@ -2596,4 +2596,37 @@ class OperatorsSpec extends SparkTestBase {
     val hot = zipfVocab.head._1
     assert(Bpe.compiled(m32k).encodeWord(hot).nonEmpty)
   }
+
+  test("fused NB fit and TriBuckets match their composed formulations (multibyte)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // multibyte + mixed-whitespace corpus: the fused normalization and
+    // md5 bucketing must agree with the in-plan composed chain exactly
+    val seed = Seq((0L, "Caf\u00e9 au lait tr\u00e8s bon caf\u00e9"),
+      (1L, "  Stra\u00dfe   und\tweg  "), (2L, "\u65e5\u672c\u8a9e \u30c6\u30b9\u30c8 \u6587\u66f8"),
+      (3L, "")).toDF("doc_id", "text")
+    val crawl = Seq((10L, "plain ascii words here"),
+      (11L, "\ud83d\ude00 emoji mixed caf\u00e9 text"), (12L, "one")).toDF("doc_id", "text")
+    val fused = TextOps.seedCrawlNbFit(seed, crawl, buckets = 512)
+    val composed = TextOps.seedCrawlNbFitComposed(seed, crawl, buckets = 512)
+    assert(fused == composed)
+    // TriBuckets vs the composed featBucket(charTrigrams) chain
+    val docs = seed.union(crawl)
+    val viaFused = docs.select(col("doc_id"),
+        NbDocScore.triBucketsCol(col("text"), 512).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaComposed = docs.select(col("doc_id"),
+        TextOps.charTrigrams(col("text")).as("tris"))
+      .collect().map { r =>
+        val tris = r.getSeq[String](1)
+        r.getLong(0) -> tris.map { t =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+            ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % 512
+        }
+      }.toMap
+    assert(viaFused == viaComposed)
+  }
 }
+

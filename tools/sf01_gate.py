@@ -80,6 +80,11 @@ SLOW_ORACLE = {
     "q149_curate_from_html": "q112 chain verbatim (the HTML stage-0 twin)",
     "q150_curate_media_dup": "q112 chain + perceptual media-dup CTEs",
     "q155_curate_incremental_media_dup": "q115 chain + incremental perceptual-dedup CTEs",
+    "q157_curate_lang": "q112 chain + multiclass lang-NB CTEs",
+    "q158_curate_multimodal_dup": "q112 chain + three perceptual-arm CTEs",
+    "q159_curate_incremental_multimodal_dup": "q115 chain + three incremental perceptual-arm CTEs",
+    "q160_curate_incremental_lang": "q115 chain + multiclass lang-NB CTEs",
+    "q161_curate_web_domains": "q112 chain + per-domain window CTEs",
 }
 
 ORACLE_TIMEOUT_S = int(os.environ.get("SF01_GATE_TIMEOUT_S", "240"))
