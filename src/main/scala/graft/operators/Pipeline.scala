@@ -224,10 +224,18 @@ object Pipeline {
                      domainBlocklist: Option[DataFrame] = None,
                      domainTokenBudget: Long = 0L): DataFrame = {
     val id = col(idCol)
+    // Extraction is eagerly checkpointed (r19): curateFull's stages each
+    // keep their `docs` input in lineage (only DROP SETS checkpoint), so
+    // an uncheckpointed extraction chain re-parses every page once PER
+    // STAGE — measured 2× on the q149 floor once the page fixture moved
+    // to the memo (the replayed local relation re-shuffles its bytes on
+    // every lineage re-execution where a parquet scan only re-reads
+    // cached footers). One parse pass, stages read a leaf.
     val extracted = HtmlExtract.extract(pages, idCol, htmlCol,
         minWords, maxLinkDensity)
       .select(col(idCol), col("extracted_text").as(textCol))
       .join(pages.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .localCheckpoint(eager = true)
     if (urlCol.isEmpty) return curateFull(extracted, embeddings, idCol, textCol, sourceCol)
     require(domainBlocklist.nonEmpty || domainTokenBudget > 0,
       "urlCol given but neither domainBlocklist nor domainTokenBudget is set")
@@ -245,8 +253,9 @@ object Pipeline {
       else QuotaSample.tokenQuota(s0, "__domain", idCol, textCol, domainTokenBudget)
         .filter(!col("kept")).select(id.as("__domq_drop"))
         .localCheckpoint(eager = true)
+    // same rationale: the domain survivors feed every curateFull stage
     val survivors = s0.join(domQuotaDrops, id === col("__domq_drop"), "left_anti")
-      .drop("__domain")
+      .drop("__domain").localCheckpoint(eager = true)
     val curated = curateFull(survivors, embeddings, idCol, textCol, sourceCol)
     // dropped pages keep their one audit row, ahead of every downstream
     // decision class (they never entered the corpus the stages judged)
