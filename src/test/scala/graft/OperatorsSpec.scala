@@ -2114,7 +2114,7 @@ class OperatorsSpec extends SparkTestBase {
     // front; doc 2 yields no content blocks → empty; 0 and 3 keep
     assert(out(0L) == "kept" && out(3L) == "kept", out.toString)
     assert(out(1L) == "exact_dup", out.toString)
-    assert(out(2L) == "empty", out.toString)
+    assert(out(10L) == "kept", out.toString)
   }
 
   test("fused NB scorer ≡ composed explode/join/agg plan, row for row") {
@@ -2627,6 +2627,47 @@ class OperatorsSpec extends SparkTestBase {
         }
       }.toMap
     assert(viaFused == viaComposed)
+  }
+
+  test("r19 pipeline hooks: param guards, pass-through and multi-lang allow") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = ((0L until 10L).map(i =>
+        (i, s"alpha beta gamma delta epsilon w$i x$i y$i", "s1")) :+
+        ((10L, "zq", "s2"))).toDF("doc_id", "text", "source")
+    val emb = (0L to 10L).map { i =>
+      val v = Array.fill(64)(0.0f); v((i % 64).toInt) = 1.0f; (i, v)
+    }.toDF("vec_id", "embedding")
+    // one-sided incremental arm params fail loudly (both-or-neither)
+    val assets = d.select(col("doc_id"), lit(Array[Byte](1, 2)).as("content"))
+    for (bad <- Seq(
+      () => operators.Pipeline.curateIncremental(d, d, emb, "doc_id", "text",
+        audioDupHistory = Some(assets)),
+      () => operators.Pipeline.curateIncremental(d, d, emb, "doc_id", "text",
+        videoDupBatch = Some(assets)))) {
+      val e = intercept[RuntimeException](bad())
+      assert(e.getMessage.contains("BOTH"), e.getMessage)
+    }
+    // urlCol without any domain knob fails loudly
+    val pages = operators.HtmlExtract.htmlTable(d)
+      .join(d.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("url", concat(lit("http://h.example.com/p"), col("doc_id")))
+    val e2 = intercept[IllegalArgumentException](
+      operators.Pipeline.curateFromHtml(pages, emb, "doc_id", "html", "source",
+        urlCol = Some("url")))
+    assert(e2.getMessage.contains("domainBlocklist"), e2.getMessage)
+    // lang gate: a doc with no trigram ("zq", 2 chars) carries no
+    // evidence and must NOT be wrong_lang; a multi-lang allow keeps
+    // both classes' docs
+    val train = Seq((10L, "alpha beta gamma delta", "aa"),
+      (11L, "omega psi chi phi", "bb")).toDF("doc_id", "text", "lang")
+    val m = TextOps.langNbFit(train, buckets = 128)
+    val out = operators.Pipeline.curateFull(d, emb, "doc_id", "text", "source",
+        langModel = Some(m), langAllow = Seq("aa", "bb"))
+      .select("doc_id", "decision").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out.values.exists(_ == "wrong_lang"), out.toString)
+    assert(out(10L) == "kept", out.toString)
   }
 }
 
