@@ -2669,5 +2669,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(!out.values.exists(_ == "wrong_lang"), out.toString)
     assert(out(10L) == "kept", out.toString)
   }
+
+  test("videoDupSegmentsCross: closed-form scene fixture, history never drops") {
+    val spark2 = spark
+    import spark2.implicits._
+    // left (history) ids {0, 7} (same residue class), right (batch) ids
+    // {1, 7+7=14? keep <: } — use residues: cross segments exist iff
+    // (right - left) mod 7 == 0 at minFrames=6 (identical sequences)
+    val hist = operators.VideoOps.sceneVideoTable(Seq(0L, 3L).toDF("doc_id"))
+    val bat = operators.VideoOps.sceneVideoTable(Seq(7L, 10L, 12L).toDF("doc_id"))
+    val segs = operators.VideoOps.videoDupSegmentsCross(hist, bat,
+        container = operators.Mp4Container, minFrames = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // 7 ≡ 0 and 10 ≡ 3 (mod 7) share all 6 frames; 12 ≡ 5 matches nothing
+    assert(segs == Set((0L, 7L, 6L), (3L, 10L, 6L)), segs.toString)
+    // at minFrames=4 the |delta| <= 2 diagonals appear too (6-|d| >= 4)
+    val segs4 = operators.VideoOps.videoDupSegmentsCross(hist, bat,
+        container = operators.Mp4Container, minFrames = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(segs4.contains((0L, 12L, 4L)), segs4.toString) // delta 5 ≡ -2: 4 shared
+    assert(segs4((0L, 7L, 6L)) || segs4.contains((0L, 7L, 6L)))
+  }
 }
 
