@@ -661,7 +661,113 @@ private[graft] trait TextEntries extends EntryInfra {
           col("n_blocks"), col("kept_blocks"))
         .orderBy("doc_id")
     },
+
+    // -- Gopher/C4 heuristic quality rules (r19): the page-level rule
+    //    set over the STRUCTURED page fixture ([[pageTextCol]] — lines,
+    //    bullets, ellipses, terminal punctuation, duplicate lines,
+    //    lorem-ipsum/brace bans, PII tails), each rule its own audit
+    //    column plus the conjunction. Per-row scan work, no shuffle;
+    //    minStopHits=1 because the corpus vocabulary carries one Gopher
+    //    stopword ('the'). ----------------------------------------------
+    "q162_quality_rules" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val page = spark.table("documents").select(col("doc_id"),
+        pageTextCol(col("doc_id"), col("text")).as("page_text"))
+      operators.QualityFilters.ruleReport(page, "doc_id", "page_text",
+          operators.QualityFilters.RuleParams(minStopHits = 1))
+        .drop("page_text")
+        .orderBy("doc_id")
+    },
+
+    // -- PII detection + redaction over the structured page fixture
+    //    (r19): the q62 pattern tier (email/IPv4/E.164, native byte
+    //    scanners) on a corpus whose PII tails are closed-form, plus the
+    //    md5 of the REDACTED text — pins the sequential-pass redaction
+    //    end-to-end (email first; placeholders can't re-match). --------
+    "q165_pii_redact" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val page = spark.table("documents").select(col("doc_id"),
+        pageTextCol(col("doc_id"), col("text")).as("page_text"))
+      val c = operators.Privacy.piiCounts(col("page_text"))
+      page.select(col("doc_id"),
+          c.getField("emails").cast("long").as("emails"),
+          c.getField("ips").cast("long").as("ips"),
+          c.getField("phones").cast("long").as("phones"),
+          md5(operators.Privacy.redact(col("page_text")).cast("binary"))
+            .as("redacted_md5"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** Closed-form STRUCTURED page-text fixture for the heuristic-rule and
+    * PII operators (q162/q165): the document's tokens re-laid-out as
+    * 8-token lines with deterministic decorations keyed on doc_id —
+    * '# ' on line 1 (id%11==0), bullet '- ' ((id+line)%5==0), terminal
+    * '.' vs ' ...' by (id+line)%4 ∈ {0,2} vs 1, line 2 a verbatim copy
+    * of line 1 (id%7==0) — plus tail lines: 'lorem ipsum' (id%13),
+    * a code brace (id%17), and PII (email id%9, IPv4 id%15, E.164
+    * phone id%21). Pure Column composition mirrored expression-for-
+    * expression by [[pageTextCtes]], so every rule and the redaction
+    * have exact positive AND negative rows at any SF. Like the
+    * HTML/WARC fixtures, this is fixture synthesis — a real corpus
+    * READS its pages — but it is pure per-row codegen'd work (no mux,
+    * no IO), so it needs no memo. */
+  private def pageTextCol(docId: org.apache.spark.sql.Column,
+                          text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val tk = operators.TextOps.tokens(text)
+    val nLines = ceil(size(tk) / lit(8.0))
+    val lines = transform(
+      transform(sequence(lit(1L), nLines),
+        j => when(docId % 7 === 0 && j === 2, lit(1L)).otherwise(j)),
+      e => concat(
+        when(docId % 11 === 0 && e === 1, lit("# ")).otherwise(lit("")),
+        when((docId + e) % 5 === 0, lit("- ")).otherwise(lit("")),
+        array_join(slice(tk, ((e - lit(1L)) * 8 + 1).cast("int"), lit(8)), " "),
+        when(((docId + e) % 4).isin(0L, 2L), lit("."))
+          .when((docId + e) % 4 === 1, lit(" ...")).otherwise(lit(""))))
+    def extraLine(cond: org.apache.spark.sql.Column,
+                  line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(cond, array(line)).otherwise(array().cast("array<string>"))
+    val withExtras = concat(lines,
+      extraLine(docId % 13 === 0, lit("lorem ipsum dolor sit.")),
+      extraLine(docId % 17 === 0, lit("var f = function() {")),
+      extraLine(docId % 9 === 0,
+        concat(lit("contact user"), docId.cast("string"), lit("@example.com now"))),
+      extraLine(docId % 15 === 0,
+        concat(lit("server 10."), (docId % 256).cast("string"), lit(".0.1 up"))),
+      extraLine(docId % 21 === 0,
+        concat(lit("call +1415555"), (lit(1000L) + docId % 1000).cast("string"),
+          lit(" now"))))
+    when(size(tk) === 0, lit("")).otherwise(array_join(withExtras, "\n"))
+  }
+
+  /** The SQL twin of [[pageTextCol]] — CTEs ending in
+    * `page(doc_id, page_text)`. Composed into the q162/q165 oracles. */
+  protected lazy val pageTextCtes: String =
+    """tk0 AS (SELECT doc_id,
+      |        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |             ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |        FROM documents),
+      |pt AS (SELECT doc_id, tk, len(tk) AS n,
+      |              CAST(ceil(len(tk) / 8.0) AS BIGINT) AS nl FROM tk0),
+      |page AS (SELECT doc_id,
+      |  CASE WHEN n = 0 THEN '' ELSE array_to_string(
+      |    list_transform(
+      |      list_transform(range(1, nl + 1),
+      |        j -> CASE WHEN doc_id % 7 = 0 AND j = 2 THEN 1 ELSE j END),
+      |      e -> (CASE WHEN doc_id % 11 = 0 AND e = 1 THEN '# ' ELSE '' END) ||
+      |           (CASE WHEN (doc_id + e) % 5 = 0 THEN '- ' ELSE '' END) ||
+      |           array_to_string(tk[(e-1)*8+1 : e*8], ' ') ||
+      |           (CASE WHEN (doc_id + e) % 4 IN (0, 2) THEN '.'
+      |                 WHEN (doc_id + e) % 4 = 1 THEN ' ...' ELSE '' END))
+      |    || (CASE WHEN doc_id % 13 = 0 THEN ['lorem ipsum dolor sit.'] ELSE []::VARCHAR[] END)
+      |    || (CASE WHEN doc_id % 17 = 0 THEN ['var f = function() {'] ELSE []::VARCHAR[] END)
+      |    || (CASE WHEN doc_id % 9 = 0 THEN ['contact user' || doc_id || '@example.com now'] ELSE []::VARCHAR[] END)
+      |    || (CASE WHEN doc_id % 15 = 0 THEN ['server 10.' || (doc_id % 256) || '.0.1 up'] ELSE []::VARCHAR[] END)
+      |    || (CASE WHEN doc_id % 21 = 0 THEN ['call +1415555' || (1000 + doc_id % 1000) || ' now'] ELSE []::VARCHAR[] END),
+      |    chr(10)) END AS page_text
+      |  FROM pt)""".stripMargin
 
   /** Shared BPE-encode oracle prefix: the fixed merge table as a derived
     * VALUES relation, the sequential-application encode replayed as a
@@ -1601,5 +1707,76 @@ private[graft] trait TextEntries extends EntryInfra {
         |                     ELSE kept END AS BIGINT) AS n_blocks,
         |       CAST(kept AS BIGINT) AS kept_blocks
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // full re-derivation of the Gopher/C4 rule set over the structured
+    // page fixture; ratio thresholds forced to DOUBLE so both engines
+    // run the same IEEE multiply at the boundaries
+    "q162_quality_rules" ->
+      (s"WITH $pageTextCtes,\n" +
+      """st AS (SELECT doc_id,
+         |       CASE WHEN trim(page_text) = '' THEN []::VARCHAR[]
+         |            ELSE string_split_regex(trim(page_text), '\s+') END AS ptk,
+         |       list_filter(list_transform(string_split(page_text, chr(10)),
+         |                                  l -> trim(l)),
+         |                   l -> l <> '') AS lns,
+         |       page_text AS pg
+         |       FROM page),
+         |sc AS (SELECT doc_id,
+         |       CAST(len(ptk) AS BIGINT) AS n_tokens,
+         |       coalesce(list_aggregate(list_transform(ptk, t -> length(t)), 'sum'), 0) AS n_chars,
+         |       len(list_filter(ptk, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+         |       len(list_intersect(list_distinct(ptk),
+         |           ['the','be','to','of','and','that','have','with'])) AS n_stop,
+         |       (length(pg) - length(replace(pg, '#', ''))) +
+         |       (length(pg) - length(replace(pg, '…', ''))) +
+         |       (length(pg) - length(replace(pg, '...', ''))) / 3 AS n_symbols,
+         |       len(lns) AS n_lines,
+         |       len(list_filter(lns, l -> l[1] IN ('-', '*', '•'))) AS n_bullet,
+         |       len(list_filter(lns, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS n_ell,
+         |       len(list_filter(lns, l -> l[-1] IN ('.', '!', '?', '"'))) AS n_term,
+         |       len(lns) - len(list_distinct(lns)) AS n_dup,
+         |       contains(lower(pg), 'lorem ipsum') AS has_lorem,
+         |       contains(pg, '{') AS has_brace
+         |       FROM st)
+         |SELECT doc_id, n_tokens,
+         |       n_tokens BETWEEN 50 AND 100000 AS r_words,
+         |       n_tokens > 0 AND n_chars >= 3.0::DOUBLE * n_tokens
+         |                    AND n_chars <= 10.0::DOUBLE * n_tokens AS r_mean_len,
+         |       n_symbols <= 0.1::DOUBLE * n_tokens AS r_symbols,
+         |       n_bullet <= 0.9::DOUBLE * n_lines AS r_bullets,
+         |       n_ell <= 0.3::DOUBLE * n_lines AS r_ellipsis,
+         |       n_alpha >= 0.8::DOUBLE * n_tokens AS r_alpha,
+         |       n_stop >= 1 AS r_stopwords,
+         |       n_dup <= 0.3::DOUBLE * n_lines AS r_dup_lines,
+         |       n_term >= 1 AS r_terminal,
+         |       NOT has_lorem AS r_lorem,
+         |       NOT has_brace AS r_brace,
+         |       (n_tokens BETWEEN 50 AND 100000)
+         |        AND (n_tokens > 0 AND n_chars >= 3.0::DOUBLE * n_tokens
+         |                          AND n_chars <= 10.0::DOUBLE * n_tokens)
+         |        AND n_symbols <= 0.1::DOUBLE * n_tokens
+         |        AND n_bullet <= 0.9::DOUBLE * n_lines
+         |        AND n_ell <= 0.3::DOUBLE * n_lines
+         |        AND n_alpha >= 0.8::DOUBLE * n_tokens
+         |        AND n_stop >= 1
+         |        AND n_dup <= 0.3::DOUBLE * n_lines
+         |        AND n_term >= 1
+         |        AND NOT has_lorem AND NOT has_brace AS rule_pass
+         |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // q62's pattern tier over the structured page fixture, plus the
+    // md5 of the redacted text (email pass first, then IPv4, then
+    // phone — the Privacy.redact pass order)
+    "q165_pii_redact" ->
+      (s"WITH $pageTextCtes\n" +
+      """SELECT doc_id,
+         |       CAST(len(regexp_extract_all(page_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+         |       CAST(len(regexp_extract_all(page_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ips,
+         |       CAST(len(regexp_extract_all(page_text, '\+\d{7,15}')) AS BIGINT) AS phones,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(page_text,
+         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         |           '\+\d{7,15}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM page ORDER BY doc_id""".stripMargin),
   )
 }

@@ -93,4 +93,129 @@ object QualityFilters {
         count(lit(1)).as("grams"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("shared_grams"))
   }
+
+  /** The Gopher stopword probe set (Rae et al. 2021 §A1.1: a document
+    * must contain ≥2 of these to count as running English prose). Exact
+    * token match — the corpora this gate runs on are case-normalized
+    * upstream, and an exact probe keeps the DuckDB oracle trivial. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Thresholds for the [[ruleReport]] heuristic gate. Defaults are the
+    * published Gopher repetition/quality values (Rae et al. 2021 §A1.1)
+    * and C4's page-level bans (Raffel et al. 2020 §2.2); every knob is a
+    * plain number so a curation lane can re-tune per corpus. A
+    * `minTermLines` of 0 disables the terminal-punctuation floor (single-
+    * line corpora have no sentence structure to probe). */
+  case class RuleParams(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletLineRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopHits: Int = 2,
+      maxDupLineRatio: Double = 0.3,
+      minTermLines: Int = 1,
+      banLoremIpsum: Boolean = true,
+      banBrace: Boolean = true)
+
+  /** One-pass per-row counters for the Gopher/C4 page-level rules, as a
+    * struct of exact integers/booleans (the [[repetitionStats]]
+    * discipline: rule verdicts and any downstream aggregate stay exactly
+    * oracle-comparable):
+    *
+    *  - `n_tokens` / `n_chars` — whitespace tokens and their summed
+    *    lengths (mean word length = n_chars/n_tokens),
+    *  - `n_alpha_tokens` — tokens containing ≥1 ASCII letter,
+    *  - `n_stop_hits` — DISTINCT [[GopherStopwords]] present,
+    *  - `n_symbols` — '#' chars + '…' chars + non-overlapping "..."
+    *    runs (Gopher's symbol-to-word ratio numerator),
+    *  - `n_lines` — non-blank lines; `n_bullet_lines` (trimmed line
+    *    starts '-'/'*'/'•'), `n_ellipsis_lines` (ends "..."/'…'),
+    *    `n_term_lines` (ends '.'/'!'/'?'/'"'), `n_dup_lines`
+    *    (occurrences beyond first of a trimmed line),
+    *  - `has_lorem` ("lorem ipsum" case-folded), `has_brace` ('{').
+    *
+    * Pure built-in composition: the line/token folds are higher-order
+    * array functions (interpreted lambdas), which is fine off the hot
+    * path — the gate runs ONCE per doc per curation run, and the scan
+    * parallelizes per-partition with zero exchanges. */
+  def ruleStats(text: Column): Column = {
+    val tk = TextOps.tokens(text)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    def countChar(c: String): Column =
+      length(text) - length(replace(text, lit(c), lit("")))
+    struct(
+      size(tk).as("n_tokens"),
+      aggregate(tk, lit(0), (a, t) => a + length(t)).as("n_chars"),
+      size(filter(tk, t => t.rlike("[A-Za-z]"))).as("n_alpha_tokens"),
+      size(array_intersect(array_distinct(tk),
+        array(GopherStopwords.map(lit): _*))).as("n_stop_hits"),
+      (countChar("#") + countChar("…") +
+        (length(text) - length(replace(text, lit("..."), lit("")))) / 3)
+        .as("n_symbols"),
+      size(lines).as("n_lines"),
+      size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•")))
+        .as("n_bullet_lines"),
+      size(filter(lines, l => endswith(l, lit("...")) || endswith(l, lit("…"))))
+        .as("n_ellipsis_lines"),
+      size(filter(lines, l => substring(l, -1, 1).isin(".", "!", "?", "\"")))
+        .as("n_term_lines"),
+      (size(lines) - size(array_distinct(lines))).as("n_dup_lines"),
+      lower(text).contains("lorem ipsum").as("has_lorem"),
+      text.contains("{").as("has_brace"))
+  }
+
+  /** Per-rule verdicts over a [[ruleStats]] struct: true = the document
+    * PASSES that rule. Ratio rules compare exact integer counters
+    * against `threshold × denominator` in doubles — integer-to-double
+    * conversion and one IEEE multiply/divide are bit-reproducible, so
+    * the DuckDB oracle computes identical booleans. A zero denominator
+    * passes its ratio rules (the empty case is `r_words`' job). */
+  def ruleVerdicts(st: Column, p: RuleParams): Column = {
+    val n = st.getField("n_tokens").cast("double")
+    val nl = st.getField("n_lines").cast("double")
+    struct(
+      (st.getField("n_tokens") >= p.minWords &&
+        st.getField("n_tokens") <= p.maxWords).as("r_words"),
+      (st.getField("n_tokens") > 0 &&
+        st.getField("n_chars") >= lit(p.minMeanWordLen) * n &&
+        st.getField("n_chars") <= lit(p.maxMeanWordLen) * n).as("r_mean_len"),
+      (st.getField("n_symbols") <= lit(p.maxSymbolRatio) * n).as("r_symbols"),
+      (st.getField("n_bullet_lines") <= lit(p.maxBulletLineRatio) * nl)
+        .as("r_bullets"),
+      (st.getField("n_ellipsis_lines") <= lit(p.maxEllipsisLineRatio) * nl)
+        .as("r_ellipsis"),
+      (st.getField("n_alpha_tokens") >= lit(p.minAlphaWordRatio) * n)
+        .as("r_alpha"),
+      (st.getField("n_stop_hits") >= p.minStopHits).as("r_stopwords"),
+      (st.getField("n_dup_lines") <= lit(p.maxDupLineRatio) * nl)
+        .as("r_dup_lines"),
+      (st.getField("n_term_lines") >= p.minTermLines).as("r_terminal"),
+      (!(lit(p.banLoremIpsum) && st.getField("has_lorem"))).as("r_lorem"),
+      (!(lit(p.banBrace) && st.getField("has_brace"))).as("r_brace"))
+  }
+
+  /** The document-level heuristic quality gate: every [[ruleVerdicts]]
+    * rule as its own audit column plus `rule_pass` (their conjunction) —
+    * the Gopher/C4 page-filter composition a 100 TB pipeline runs as its
+    * cheapest text stage. Per-row scan work only: no shuffle, no model,
+    * pushes down with the enclosing projection. */
+  def ruleReport(df: DataFrame, idCol: String, textCol: String,
+                 params: RuleParams = RuleParams()): DataFrame = {
+    val st = ruleStats(col(textCol))
+    val withStats = df.withColumn("__rst", st)
+      .withColumn("__rv", ruleVerdicts(col("__rst"), params))
+    val ruleCols = Seq("r_words", "r_mean_len", "r_symbols", "r_bullets",
+      "r_ellipsis", "r_alpha", "r_stopwords", "r_dup_lines", "r_terminal",
+      "r_lorem", "r_brace")
+    val out: Seq[Column] =
+      df.columns.toSeq.map(col) ++
+        Seq(col("__rst").getField("n_tokens").cast("long").as("n_tokens")) ++
+        ruleCols.map(r => col("__rv").getField(r).as(r)) ++
+        Seq(ruleCols.map(r => col("__rv").getField(r)).reduce(_ && _).as("rule_pass"))
+    withStats.select(out: _*)
+  }
 }

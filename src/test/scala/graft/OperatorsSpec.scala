@@ -769,6 +769,64 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Seq((1L, 5L, 1L), (2L, 5L, 1L), (3L, 5L, 0L)))
   }
 
+  test("rule stats count lines, bullets, ellipses, terminals, and dups exactly") {
+    val text = "the cat sat.\n- bullet line ...\nthe cat sat.\n* another bullet!\nplain line"
+    val r = spark.range(1).select(lit(text).as("text"))
+      .select(QualityFilters.ruleStats(col("text")).as("r"))
+      .select("r.n_tokens", "r.n_chars", "r.n_alpha_tokens", "r.n_stop_hits",
+        "r.n_symbols", "r.n_lines", "r.n_bullet_lines", "r.n_ellipsis_lines",
+        "r.n_term_lines", "r.n_dup_lines", "r.has_lorem", "r.has_brace")
+      .head()
+    assert(r.getInt(0) == 15)          // whitespace tokens across newlines
+    assert(r.getInt(1) == 58)          // summed token lengths
+    assert(r.getInt(2) == 12)          // '-', '*', '...' carry no letter
+    assert(r.getInt(3) == 1)           // 'the' is the only Gopher stopword
+    assert(r.getDouble(4) == 1.0)      // one '...' run, no '#'/'…'
+    assert(r.getInt(5) == 5)
+    assert(r.getInt(6) == 2)           // '-' and '*' starters
+    assert(r.getInt(7) == 1)           // one line ends '...'
+    assert(r.getInt(8) == 4)           // '.'x2, '!', and the '...' tail's '.'
+    assert(r.getInt(9) == 1)           // 'the cat sat.' repeats once
+    assert(!r.getBoolean(10) && !r.getBoolean(11))
+  }
+
+  test("rule report flags exactly the violated Gopher/C4 rules per doc") {
+    val p = QualityFilters.RuleParams(minWords = 3, maxWords = 100,
+      minMeanWordLen = 2.0, maxMeanWordLen = 8.0, maxSymbolRatio = 0.2,
+      maxBulletLineRatio = 0.5, maxEllipsisLineRatio = 0.4,
+      minAlphaWordRatio = 0.7, minStopHits = 1, maxDupLineRatio = 0.4,
+      minTermLines = 1)
+    val cases: Seq[(Long, String, Set[String])] = Seq(
+      (1L, "the of and.", Set.empty),
+      (2L, "to the.", Set("r_words")),     // 'the.' misses the exact probe; 'to' hits
+      (3L, "a b the c.", Set("r_mean_len")),
+      (4L, "the cathedral keeps many markers going # strong #.", Set("r_symbols")),
+      (5L, "- the cat sat.\n- the dog ran.\nplain end.", Set("r_bullets")),
+      // two of eight tokens are '...' runs, so the symbol ratio trips too
+      (6L, "the cat ...\nthe dog ...\nplain end.", Set("r_ellipsis", "r_symbols")),
+      (7L, "the 123 456 789 000.", Set("r_alpha")),
+      (8L, "cats dogs run fast.", Set("r_stopwords")),
+      (9L, "the cat sat.\nthe cat sat.\nthe cat sat.", Set("r_dup_lines")),
+      (10L, "the cat sat", Set("r_terminal")),
+      (11L, "the Lorem Ipsum generator sat.", Set("r_lorem")),
+      (12L, "the code block { sat.", Set("r_brace")),
+      (13L, ("the " * 100) + "end.", Set("r_words")),              // 101 > maxWords
+      (14L, "", Set("r_words", "r_mean_len", "r_stopwords", "r_terminal")))
+    val df = spark.createDataFrame(cases.map(c => (c._1, c._2)))
+      .toDF("doc_id", "text")
+    val got = QualityFilters.ruleReport(df, "doc_id", "text", p).collect()
+      .map { row =>
+        val failed = row.schema.fieldNames
+          .filter(n => n.startsWith("r_") && !row.getAs[Boolean](n)).toSet
+        (row.getAs[Long]("doc_id"), failed, row.getAs[Boolean]("rule_pass"))
+      }.sortBy(_._1)
+    cases.foreach { case (id, _, want) =>
+      val (_, failed, pass) = got(id.toInt - 1)
+      assert(failed == want, s"doc $id")
+      assert(pass == want.isEmpty, s"doc $id pass flag")
+    }
+  }
+
   test("incremental dedup == plain anti-join; empty history admits all") {
     val hist = docs.filter(col("doc_id") % 3 === 0)
     val batch = docs.filter(col("doc_id") % 3 =!= 0)
