@@ -272,6 +272,65 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- RULE-GATED curation (r19): q112 + the Gopher/C4 heuristic gate
+    //    as stage 1.8 — the full 11-rule page filter on RAW exact-dedup
+    //    survivors; failures drop as `rule_filtered` before every
+    //    pairwise stage. minStopHits=1 (the corpus vocabulary carries
+    //    one Gopher stopword) and minTermLines=0 (single-line corpus —
+    //    no sentence structure to probe); everything else the published
+    //    defaults, so the word floor and the stopword probe do the
+    //    discriminating here while q162 pins the full rule surface. ---
+    "q163_curate_rules" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      operators.Pipeline.curateFull(spark.table("documents"),
+          spark.table("embeddings"), "doc_id", "text", "source",
+          ruleParams = Some(operators.QualityFilters.RuleParams(
+            minStopHits = 1, minTermLines = 0)))
+        .orderBy("doc_id")
+    },
+
+    // -- RULE-GATED incremental curation (r19): q115 + the same fixed
+    //    rule contract at ingest grain — thresholds travel with the
+    //    deployment, so admission never drifts with batch composition.
+    "q164_curate_incremental_rules" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      operators.Pipeline.curateIncremental(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          spark.table("embeddings"), "doc_id", "text",
+          historyBloom = sharedHistoryBloom(spark, dir),
+          centroids = sharedHistoryCentroids(spark, dir),
+          ruleParams = Some(operators.QualityFilters.RuleParams(
+            minStopHits = 1, minTermLines = 0)))
+        .orderBy("doc_id")
+    },
+
+    // -- PII-REDACTED curation (r19): q112 over a corpus with closed-
+    //    form PII tails (email id%9 / IPv4 id%15 / E.164 phone id%21
+    //    appended to the raw text) with `piiRedactOutput` on — every
+    //    stage judges the ORIGINAL text (a masked token must not change
+    //    dedup or gram statistics), and only the released text is
+    //    scrubbed, pinned end-to-end by final_md5 over the redacted
+    //    cleaned text. -------------------------------------------------
+    "q166_curate_pii" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents").withColumn("text", concat(col("text"),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 15 === 0,
+          concat(lit(" server 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.1"))).otherwise(lit("")),
+        when(col("doc_id") % 21 === 0,
+          concat(lit(" call +1415555"),
+            (lit(1000L) + col("doc_id") % 1000).cast("string")))
+          .otherwise(lit(""))))
+      operators.Pipeline.curateFull(docs, spark.table("embeddings"),
+          "doc_id", "text", "source", piiRedactOutput = true)
+        .orderBy("doc_id")
+    },
+
     // -- MULTIMODAL curation (q112 + the media-integrity gate): even-id
     //    docs carry a deterministic image asset; id%7∈{3,5,6} assets are
     //    corrupt / black / uniform by construction, so those docs drop
@@ -1715,11 +1774,110 @@ private[graft] trait PipelineEntries extends EntryInfra {
     .replace(incToksA, "UNION ALL SELECT doc_id, text FROM s1lg)")
     .replace(incAnnA, incAnnA +
       "\n              WHEN b.doc_id IN (SELECT doc_id FROM lang_drop) THEN 'wrong_lang'")
+  // The Gopher/C4 rule-gate CTE block (q163/q164 derivations): the q162
+  // rule set re-derived over RAW text of the in-play docs (`src` is the
+  // exact-stage survivor CTE in either chain). Entry params minStopHits=1
+  // and minTermLines=0 (the latter's conjunct is identically true and
+  // omitted); every other threshold the published default, all forced to
+  // DOUBLE so both engines run the same IEEE multiply at the boundaries.
+  // CTE names are r-prefixed to stay disjoint from every base-chain name.
+  def ruleBlock(src: String): String = s"""
+    |rtk AS (SELECT doc_id,
+    |        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+    |             ELSE string_split_regex(trim(text), '\\s+') END AS tk,
+    |        list_filter(list_transform(string_split(text, chr(10)),
+    |                                   l -> trim(l)),
+    |                    l -> l <> '') AS lns,
+    |        text AS rtx
+    |        FROM $src),
+    |rsc AS (SELECT doc_id,
+    |        CAST(len(tk) AS BIGINT) AS rn,
+    |        coalesce(list_aggregate(list_transform(tk, t -> length(t)), 'sum'), 0) AS rnc,
+    |        len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS rna,
+    |        len(list_intersect(list_distinct(tk),
+    |            ['the','be','to','of','and','that','have','with'])) AS rns,
+    |        (length(rtx) - length(replace(rtx, '#', ''))) +
+    |        (length(rtx) - length(replace(rtx, '…', ''))) +
+    |        (length(rtx) - length(replace(rtx, '...', ''))) / 3 AS rsym,
+    |        len(lns) AS rnl,
+    |        len(list_filter(lns, l -> l[1] IN ('-', '*', '•'))) AS rbul,
+    |        len(list_filter(lns, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS rell,
+    |        len(lns) - len(list_distinct(lns)) AS rdup,
+    |        contains(lower(rtx), 'lorem ipsum') AS rlor,
+    |        contains(rtx, '{') AS rbra
+    |        FROM rtk),
+    |rule_drop AS (SELECT doc_id FROM rsc WHERE NOT (
+    |        rn BETWEEN 50 AND 100000
+    |        AND rn > 0 AND rnc >= 3.0::DOUBLE * rn AND rnc <= 10.0::DOUBLE * rn
+    |        AND rsym <= 0.1::DOUBLE * rn
+    |        AND rbul <= 0.9::DOUBLE * rnl
+    |        AND rell <= 0.3::DOUBLE * rnl
+    |        AND rna >= 0.8::DOUBLE * rn
+    |        AND rns >= 1
+    |        AND rdup <= 0.3::DOUBLE * rnl
+    |        AND NOT rlor AND NOT rbra)),
+    |s1rl AS (SELECT * FROM $src WHERE doc_id NOT IN (SELECT doc_id FROM rule_drop)),""".stripMargin
+  // q163 = q112's oracle + the rule gate patched in between the exact
+  // stage and everything downstream (the q157 pattern); q164 = the same
+  // over q115's batch chain.
+  val q163 = {
+    val q112 = base("q112_curate_full")
+    val s1Anchor = "s1 AS (SELECT * FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),"
+    val toksAnchor = "FROM s1 WHERE trim(text) <> ''"
+    val caseAnchor = "WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'"
+    require(q112.contains(s1Anchor) && q112.contains(toksAnchor) &&
+      q112.contains(caseAnchor),
+      "q112 oracle anchors drifted - update the q163 derivation")
+    q112
+      .replace(s1Anchor, s1Anchor + ruleBlock("s1"))
+      .replace(toksAnchor, "FROM s1rl WHERE trim(text) <> ''")
+      .replace(caseAnchor, caseAnchor +
+        "\n              WHEN d.doc_id IN (SELECT doc_id FROM rule_drop) THEN 'rule_filtered'")
+  }
+  val q164 = q115
+    .replace(incGateA, incGateA + ruleBlock("s1"))
+    .replace(incToksA, "UNION ALL SELECT doc_id, text FROM s1rl)")
+    .replace(incAnnA, incAnnA +
+      "\n              WHEN b.doc_id IN (SELECT doc_id FROM rule_drop) THEN 'rule_filtered'")
+  // q166 = q112's oracle over the PII-injected corpus (norm re-sourced
+  // to the pdoc CTE; the injection mirrors the entry expression term
+  // for term) with final_md5 over the REDACTED cleaned text — the
+  // email → IPv4 → phone pass order of Privacy.redact.
+  val q166 = {
+    val q112 = base("q112_curate_full")
+    val withAnchor = "WITH norm AS ("
+    val fromAnchor = "  FROM documents),"
+    val md5Anchor = "CASE WHEN decision = 'kept' THEN md5(cleaned_text) END AS final_md5"
+    require(q112.contains(withAnchor) && q112.contains(fromAnchor) &&
+      q112.contains(md5Anchor),
+      "q112 oracle anchors drifted - update the q166 derivation")
+    q112
+      // norm's source swap FIRST: the pdoc CTE inserted below carries
+      // its own "FROM documents)," line that must stay untouched
+      .replace(fromAnchor, "  FROM pdoc),")
+      .replace(withAnchor, """WITH pdoc AS (
+        |  SELECT doc_id, source,
+        |         text ||
+        |         (CASE WHEN doc_id % 9 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+        |         (CASE WHEN doc_id % 15 = 0 THEN ' server 10.' || (doc_id % 256) || '.0.1' ELSE '' END) ||
+        |         (CASE WHEN doc_id % 21 = 0 THEN ' call +1415555' || (1000 + doc_id % 1000) ELSE '' END) AS text
+        |  FROM documents),
+        |norm AS (""".stripMargin)
+      .replace(md5Anchor,
+        """CASE WHEN decision = 'kept' THEN
+          |         md5(regexp_replace(regexp_replace(regexp_replace(cleaned_text,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          |           '\+\d{7,15}', '<PHONE>', 'g')) END AS final_md5""".stripMargin)
+  }
   base +
     ("q155_curate_incremental_media_dup" -> q155) +
     ("q159_curate_incremental_multimodal_dup" -> q159) +
     ("q157_curate_lang" -> q157) +
     ("q160_curate_incremental_lang" -> q160) +
+    ("q163_curate_rules" -> q163) +
+    ("q164_curate_incremental_rules" -> q164) +
+    ("q166_curate_pii" -> q166) +
     ("q131_curate_multimodal_video" -> q131) +
     ("q132_curate_trimodal" -> q131.replace(gateB, gateC).replace(annB, annC)) +
     ("q133_curate_incremental_media" ->

@@ -303,7 +303,9 @@ object Pipeline {
                  benchmarkEmb: Option[DataFrame] = None,
                  contamNgramK: Int = 3, contamCosTau: Double = 0.3,
                  langModel: Option[TextOps.LangNbModel] = None,
-                 langAllow: Seq[String] = Seq("en")): DataFrame = {
+                 langAllow: Seq[String] = Seq("en"),
+                 ruleParams: Option[QualityFilters.RuleParams] = None,
+                 piiRedactOutput: Boolean = false): DataFrame = {
     val id = col(idCol)
 
     // Each stage output is EAGERLY localCheckpoint'ed — the Components
@@ -414,6 +416,22 @@ object Pipeline {
     }.getOrElse(docs.limit(0).select(id.as("__lang_drop")))
     val s1lg = s1d.join(langDrops, id === col("__lang_drop"), "left_anti")
 
+    // 1.8 (optional, r19) Gopher/C4 heuristic RULE gate
+    //     ([[QualityFilters.ruleReport]]): the cheapest text stage — a
+    //     per-row scan over raw text, no model, no shuffle — so it runs
+    //     right after the language gate to shrink every pairwise stage's
+    //     candidate set. Judged on RAW text (the published rule sets are
+    //     page-level filters over the crawl, not over span-cleaned
+    //     output); failures drop as `rule_filtered`, each rule's verdict
+    //     one audit `GROUP BY` away via the standalone report. None →
+    //     empty drop set, prior shape byte-identical.
+    val ruleDrops = ruleParams.map { rp =>
+      QualityFilters.ruleReport(s1lg.select(id, col(textCol)), idCol, textCol, rp)
+        .filter(!col("rule_pass"))
+        .select(id.as("__rule_drop")).localCheckpoint(eager = true)
+    }.getOrElse(docs.limit(0).select(id.as("__rule_drop")))
+    val s1rl = s1lg.join(ruleDrops, id === col("__rule_drop"), "left_anti")
+
     // 1.75 (optional, r16) benchmark decontamination: exact/media
     //     survivors sharing a k-gram shingle with the benchmark
     //     ([[Decontaminate.contaminatedIds]] — membership implies every
@@ -427,13 +445,13 @@ object Pipeline {
     //     contract). None → empty drop set, prior shape byte-identical.
     val contamDrops = benchmark.map { b =>
       val ng = Decontaminate.contaminatedIds(
-          s1lg.select(id, col(textCol)), b.select(col(idCol), col(textCol)),
+          s1rl.select(id, col(textCol)), b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))
       val bEmb = benchmarkEmb.getOrElse(sys.error(
         "benchmark decontamination needs benchmarkEmb for the semantic grain"))
       val sem = embeddings
-        .join(s1lg.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .join(s1rl.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
         .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
           SimilarityOps.norm(col(vecCol)).as("__cnrm"))
         .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
@@ -446,7 +464,7 @@ object Pipeline {
       ng.union(sem).distinct()
         .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__contam_drop")))
-    val s1c = s1lg.join(contamDrops, id === col("__contam_drop"), "left_anti")
+    val s1c = s1rl.join(contamDrops, id === col("__contam_drop"), "left_anti")
 
     // 2. span removal over exact survivors (blank docs fall out here and
     //    are decided `empty` in the assembly, matching removeDuplicatedSpans'
@@ -527,6 +545,7 @@ object Pipeline {
       .join(mediaDrops, id === col("__media_drop"), "left")
       .join(mediaDupDrops, id === col("__mdup_drop"), "left")
       .join(langDrops, id === col("__lang_drop"), "left")
+      .join(ruleDrops, id === col("__rule_drop"), "left")
       .join(contamDrops, id === col("__contam_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
@@ -539,6 +558,7 @@ object Pipeline {
           .when(col("__media_drop").isNotNull, "bad_media")
           .when(col("__mdup_drop").isNotNull, "media_dup")
           .when(col("__lang_drop").isNotNull, "wrong_lang")
+          .when(col("__rule_drop").isNotNull, "rule_filtered")
           .when(col("__contam_drop").isNotNull, "contaminated")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__quality_drop").isNotNull, "low_quality")
@@ -549,9 +569,19 @@ object Pipeline {
       .select(id, col(sourceCol), col("decision"),
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
         when(col("decision") === "kept", col("kept_tokens")).as("n_tokens"),
-        when(col("decision") === "kept", md5(col("cleaned_text").cast("binary")))
+        when(col("decision") === "kept",
+          md5(outputText(col("cleaned_text"), piiRedactOutput).cast("binary")))
           .as("final_md5"))
   }
+
+  /** The released text of a kept document: identity, or PII-redacted
+    * ([[Privacy.redact]] — email → IPv4 → phone, the q62 pattern tier)
+    * when the caller opts in. Redaction is an OUTPUT transform only:
+    * every stage judges the original text (a masked token must not
+    * change dedup/gram statistics), and counts stay pre-redaction. */
+  private def outputText(cleaned: org.apache.spark.sql.Column,
+                         piiRedact: Boolean): org.apache.spark.sql.Column =
+    if (piiRedact) Privacy.redact(cleaned) else cleaned
 
   /** INCREMENTAL curation — [[curateFull]]'s ingest-time twin: a new
     * crawl batch judged against the ADMITTED corpus, stage by stage with
@@ -575,8 +605,9 @@ object Pipeline {
     *      centroids fit on — or passed in from — the history snapshot).
     *
     * One row per BATCH document: (id, decision ∈ {exact_dup, bad_media,
-    * media_dup, wrong_lang, contaminated, empty, low_quality, near_dup,
-    * sem_dup, kept}, removed_tokens, n_tokens, final_md5).
+    * media_dup, wrong_lang, rule_filtered, contaminated, empty,
+    * low_quality, near_dup, sem_dup, kept}, removed_tokens, n_tokens,
+    * final_md5).
     * Intra-batch dedup and quotas are deliberately out of scope — run
     * [[curateFull]] over the admitted batch for those; this operator is
     * the contamination gate against history.
@@ -624,7 +655,9 @@ object Pipeline {
                         audio: Option[DataFrame] = None,
                         audioCodec: MediaOps.AudioCodec = MediaOps.JavaSoundCodec,
                         langModel: Option[TextOps.LangNbModel] = None,
-                        langAllow: Seq[String] = Seq("en")): DataFrame = {
+                        langAllow: Seq[String] = Seq("en"),
+                        ruleParams: Option[QualityFilters.RuleParams] = None,
+                        piiRedactOutput: Boolean = false): DataFrame = {
     val id = col(idCol)
 
     // 1. exact vs history (bloom candidates + exact verify = the anti-join)
@@ -750,6 +783,20 @@ object Pipeline {
     }.getOrElse(batch.limit(0).select(id.as("__lang_drop")))
     val s1lg = s1pd.join(langDrops, id === col("__lang_drop"), "left_anti")
 
+    // 1.8 (optional, r19) Gopher/C4 heuristic RULE gate at ingest grain
+    //     — [[curateFull]]'s stage 1.8 judged per batch: the rule set is
+    //     a fixed page-level contract (thresholds travel with the
+    //     deployment, not the data), so admission decisions can't drift
+    //     with batch composition by construction. Raw batch text,
+    //     failures drop as `rule_filtered` before any history stage.
+    //     None → empty drop set, prior shape byte-identical.
+    val ruleDrops = ruleParams.map { rp =>
+      QualityFilters.ruleReport(s1lg.select(id, col(textCol)), idCol, textCol, rp)
+        .filter(!col("rule_pass"))
+        .select(id.as("__rule_drop")).localCheckpoint(eager = true)
+    }.getOrElse(batch.limit(0).select(id.as("__rule_drop")))
+    val s1rl = s1lg.join(ruleDrops, id === col("__rule_drop"), "left_anti")
+
     // 1.9 (optional, r16) eval-suite decontamination — the ingest twin
     //     of [[curateFull]]'s stage 1.75, judged per batch against the
     //     SAME fixed benchmark (k-gram membership implies span hits; the
@@ -760,17 +807,17 @@ object Pipeline {
     val contamDrops = benchmark.map { b =>
       // widenIfNarrow: the k-gram shingle pass (hash per window) over
       // the s1 checkpoint is a hashing-scale scan — the helper's case.
-      // Probe s1 (the materialized leaf), NOT s1lg: s1lg is an
+      // Probe s1 (the materialized leaf), NOT s1rl: s1rl is an
       // anti-join plan, and probing it would execute those joins twice.
       val ng = Decontaminate.contaminatedIds(
-          widenIfNarrow(s1lg.select(id, col(textCol)), s1),
+          widenIfNarrow(s1rl.select(id, col(textCol)), s1),
           b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))
       val bEmb = benchmarkEmb.getOrElse(sys.error(
         "benchmark decontamination needs benchmarkEmb for the semantic grain"))
       val sem = embeddings
-        .join(s1lg.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .join(s1rl.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
         .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
           SimilarityOps.norm(col(vecCol)).as("__cnrm"))
         .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
@@ -783,7 +830,7 @@ object Pipeline {
       ng.union(sem).distinct()
         .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
     }.getOrElse(batch.limit(0).select(id.as("__contam_drop")))
-    val s1c = s1lg.join(contamDrops, id === col("__contam_drop"), "left_anti")
+    val s1c = s1rl.join(contamDrops, id === col("__contam_drop"), "left_anti")
 
     // 2. cross-span contamination removal vs history
     val cleaned = SpanDedup.removeCrossSpans(history, s1c, idCol, textCol,
@@ -842,6 +889,7 @@ object Pipeline {
       .join(mediaDrops, id === col("__media_drop"), "left")
       .join(mediaDupDrops, id === col("__mdup_drop"), "left")
       .join(langDrops, id === col("__lang_drop"), "left")
+      .join(ruleDrops, id === col("__rule_drop"), "left")
       .join(contamDrops, id === col("__contam_drop"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
@@ -853,6 +901,7 @@ object Pipeline {
           .when(col("__media_drop").isNotNull, "bad_media")
           .when(col("__mdup_drop").isNotNull, "media_dup")
           .when(col("__lang_drop").isNotNull, "wrong_lang")
+          .when(col("__rule_drop").isNotNull, "rule_filtered")
           .when(col("__contam_drop").isNotNull, "contaminated")
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__quality_drop").isNotNull, "low_quality")
@@ -862,11 +911,14 @@ object Pipeline {
     val base = ann.select(id, col("decision"),
       coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
       when(col("decision") === "kept", col("kept_tokens")).as("n_tokens"),
-      when(col("decision") === "kept", md5(col("cleaned_text").cast("binary")))
+      when(col("decision") === "kept",
+        md5(outputText(col("cleaned_text"), piiRedactOutput).cast("binary")))
         .as("final_md5"))
     if (!keepCleanedText) base
     else base.join(
-      ann.filter(col("decision") === "kept").select(id, col("cleaned_text")),
+      ann.filter(col("decision") === "kept")
+        .select(id, outputText(col("cleaned_text"), piiRedactOutput)
+          .as("cleaned_text")),
       Seq(idCol), "left")
   }
 }

@@ -2728,6 +2728,53 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(10L) == "kept", out.toString)
   }
 
+  test("rule gate: stage order and audit; PII redaction only touches released text") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = "the alpha beta gamma delta epsilon zeta eta theta."
+    val corpus = Seq(
+      (0L, "s0", base),                         // clean keeper
+      (1L, "s1", "zz yy xx"),                   // no stopword -> rule_filtered
+      (2L, "s2", "zz yy xx"),                   // exact dup of 1 (precedence pin)
+      (3L, "s3", base + " {"),                  // brace ban; near-dup of 0 otherwise
+      (4L, "s4", "the contact is user4@example.com and ip 10.1.2.3 ok.")
+    ).toDF("doc_id", "source", "text")
+    val emb = Seq(0L, 1L, 2L, 3L, 4L).map { i =>
+      val v = Array.fill(8)(0.0f); v(i.toInt) = 1.0f; (i, v)
+    }.toDF("vec_id", "embedding")
+    val rp = operators.QualityFilters.RuleParams(minWords = 3, minStopHits = 1,
+      minTermLines = 0)
+    def run(rules: Option[operators.QualityFilters.RuleParams], pii: Boolean) =
+      operators.Pipeline.curateFull(corpus, emb, "doc_id", "text", "source",
+          nearDupThreshold = 0.5, semK = 2, tokenBudget = 1000L,
+          ruleParams = rules, piiRedactOutput = pii)
+        .collect().map(r => r.getLong(0) -> r).toMap
+    val on = run(Some(rp), pii = false)
+    assert(on(1L).getString(2) == "rule_filtered")
+    assert(on(2L).getString(2) == "exact_dup")     // exact dedup precedes the gate
+    assert(on(3L).getString(2) == "rule_filtered") // gate fires before near-dup
+    assert(on(0L).getString(2) == "kept" && on(4L).getString(2) == "kept")
+    val off = run(None, pii = false)
+    assert(off.values.forall(_.getString(2) != "rule_filtered"))
+    assert(off(3L).getString(2) == "near_dup")     // without the gate it pairs with 0
+    // PII flag: decisions identical; only the PII doc's released md5 moves
+    val red = run(Some(rp), pii = true)
+    assert(on.keys.forall(k => on(k).getString(2) == red(k).getString(2)))
+    assert(red(0L).getString(5) == on(0L).getString(5))
+    assert(red(4L).getString(5) != on(4L).getString(5))
+    // incremental: released cleaned text is scrubbed, originals never leak
+    val inc = operators.Pipeline.curateIncremental(
+        corpus.filter(col("doc_id") === 0L), corpus.filter(col("doc_id") === 4L),
+        emb, "doc_id", "text", semK = 2, keepCleanedText = true,
+        centroids = Some(Array(Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0))),
+        piiRedactOutput = true)
+      .filter(col("decision") === "kept").select("cleaned_text").collect()
+    assert(inc.nonEmpty)
+    val txt = inc.head.getString(0)
+    assert(txt.contains("<EMAIL>") && txt.contains("<IP>") &&
+      !txt.contains("@example.com"), txt)
+  }
+
   test("videoDupSegmentsCross: closed-form scene fixture, history never drops") {
     val spark2 = spark
     import spark2.implicits._
