@@ -924,4 +924,113 @@ object GraftRuntime {
       new GenericArrayData(out)
     }
   }
+
+  // ---- RuleStats (Gopher/C4 heuristic gate) -------------------------------
+
+  private val LoremNeedle = UTF8String.fromString("lorem ipsum")
+
+  /** One-pass counters for [[QualityFilters.ruleStats]], exactly
+    * equivalent to the composed built-in formulation
+    * ([[QualityFilters.ruleStatsArrayOps]], the parity pin):
+    *  - token machine = [[tokenStats]]' whitespace split; n_chars counts
+    *    CODE POINTS per token (`length()` semantics, not bytes);
+    *  - alpha = token carries ≥1 ASCII letter (multibyte UTF-8 bytes are
+    *    ≥ 0x80, so the byte probe can't false-positive);
+    *  - stop hits = DISTINCT Gopher stopwords, tracked as a bitmask;
+    *  - symbols: '#' chars + '…' chars + LEFT-TO-RIGHT NON-OVERLAPPING
+    *    "..." runs (the `replace(s,'...','')` length-delta semantics);
+    *    the three patterns are byte-disjoint so one fused scan is exact;
+    *  - lines split on 0x0A, trimmed of 0x20 only (Spark `trim`), blank
+    *    dropped; bullet = first code point in {'-','*','•'}, terminal =
+    *    last BYTE in {'.','!','?','"'} (ASCII — a multibyte tail byte is
+    *    ≥ 0x80 and can't collide), ellipsis = byte suffix "..." or '…',
+    *    dup = occurrences beyond first of the trimmed line;
+    *  - lorem probe = full Unicode toLowerCase then byte search, the
+    *    `lower(text).contains(...)` semantics (NOT an ASCII-folded scan:
+    *    exotic case mappings must behave identically to the pin). */
+  def ruleStats(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // token pass, mirroring `split(trim(text), '\s+')` EXACTLY: trim
+    // strips 0x20 only, and a regex split keeps ONE empty leading/
+    // trailing field when the trimmed string starts/ends with non-space
+    // whitespace (\t, \n, \v, \f, \r) — a phantom zero-char token that
+    // the composed pin (and the DuckDB oracle) count toward n_tokens
+    var a0 = 0
+    var z0 = n
+    while (a0 < z0 && bytes(a0) == ' ') a0 += 1
+    while (z0 > a0 && bytes(z0 - 1) == ' ') z0 -= 1
+    var nTokens, nAlpha, nChars, stopMask = 0
+    if (a0 < z0 && isWs(bytes(a0))) nTokens += 1
+    if (a0 < z0 && isWs(bytes(z0 - 1))) nTokens += 1
+    var i = a0
+    while (i < z0) {
+      while (i < z0 && isWs(bytes(i))) i += 1
+      val start = i
+      var alpha = false
+      while (i < z0 && !isWs(bytes(i))) {
+        val b = bytes(i)
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alpha = true
+        i += 1
+      }
+      if (i > start) {
+        nTokens += 1
+        if (alpha) nAlpha += 1
+        val t = UTF8String.fromBytes(bytes, start, i - start)
+        nChars += t.numChars()
+        val gi = QualityFilters.gopherIndex(t)
+        if (gi >= 0) stopMask |= 1 << gi
+      }
+    }
+    // symbol pass ('#', '…', non-overlapping "..."; byte-disjoint)
+    var hashes, ellChars, dotRuns = 0
+    var hasBrace = false
+    i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b == '#') { hashes += 1; i += 1 }
+      else if (b == '{') { hasBrace = true; i += 1 }
+      else if (b == '.' && i + 2 < n && bytes(i + 1) == '.' && bytes(i + 2) == '.') {
+        dotRuns += 1; i += 3
+      } else if (b == 0xE2.toByte && i + 2 < n &&
+          bytes(i + 1) == 0x80.toByte && bytes(i + 2) == 0xA6.toByte) {
+        ellChars += 1; i += 3
+      } else i += 1
+    }
+    // line pass
+    var nLines, nBullet, nEll, nTerm = 0
+    val seen = new java.util.HashSet[UTF8String]()
+    var dups = 0
+    var lineStart = 0
+    var p = 0
+    while (p <= n) {
+      if (p == n || bytes(p) == '\n') {
+        var a = lineStart
+        var z = p
+        while (a < z && bytes(a) == ' ') a += 1
+        while (z > a && bytes(z - 1) == ' ') z -= 1
+        if (z > a) {
+          nLines += 1
+          val first = bytes(a)
+          if (first == '-' || first == '*' ||
+              (first == 0xE2.toByte && a + 2 < z &&
+               bytes(a + 1) == 0x80.toByte && bytes(a + 2) == 0xA2.toByte))
+            nBullet += 1
+          val last = bytes(z - 1)
+          if (last == '.' || last == '!' || last == '?' || last == '"') nTerm += 1
+          if ((z - a >= 3 && bytes(z - 3) == '.' && bytes(z - 2) == '.' && last == '.') ||
+              (z - a >= 3 && bytes(z - 3) == 0xE2.toByte &&
+               bytes(z - 2) == 0x80.toByte && last == 0xA6.toByte))
+            nEll += 1
+          if (!seen.add(UTF8String.fromBytes(bytes, a, z - a))) dups += 1
+        }
+        lineStart = p + 1
+      }
+      p += 1
+    }
+    val hasLorem = s.toLowerCase.contains(LoremNeedle)
+    InternalRow(nTokens, nChars, nAlpha, Integer.bitCount(stopMask),
+      (hashes + ellChars + dotRuns).toDouble, nLines, nBullet, nEll, nTerm,
+      dups, hasLorem, hasBrace)
+  }
 }

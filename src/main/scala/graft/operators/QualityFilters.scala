@@ -1,8 +1,13 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Repetition-based quality filters — the Gopher/C4-style signals that
   * catch boilerplate, template spam, and stuck-generator text.
@@ -137,11 +142,22 @@ object QualityFilters {
     *    (occurrences beyond first of a trimmed line),
     *  - `has_lorem` ("lorem ipsum" case-folded), `has_brace` ('{').
     *
-    * Pure built-in composition: the line/token folds are higher-order
-    * array functions (interpreted lambdas), which is fine off the hot
-    * path — the gate runs ONCE per doc per curation run, and the scan
-    * parallelizes per-partition with zero exchanges. */
+    * Native one-scan expression ([[RuleStats]] →
+    * [[GraftRuntime.ruleStats]]): the composed built-in formulation
+    * ([[ruleStatsArrayOps]], kept as the parity pin) evaluates ~10
+    * higher-order array lambdas per row INTERPRETED — HOFs never enter
+    * whole-stage codegen — which is real money on the gate's place in
+    * the pipeline (the cheapest text stage, run over every raw doc). */
   def ruleStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(RuleStats(GraftShims.expression(text)))
+  }
+
+  /** Built-in-composition formulation of [[ruleStats]] — the parity-test
+    * reference for the native expression (NULL handling differs: the
+    * native returns a null STRUCT on null text, this returns a struct of
+    * nulls — callers gate on non-null corpora). */
+  private[graft] def ruleStatsArrayOps(text: Column): Column = {
     val tk = TextOps.tokens(text)
     val lines = filter(transform(split(text, "\n"), l => trim(l)),
       l => length(l) > 0)
@@ -218,4 +234,50 @@ object QualityFilters {
         Seq(ruleCols.map(r => col("__rv").getField(r)).reduce(_ && _).as("rule_pass"))
     withStats.select(out: _*)
   }
+
+  /** Index of `t` in [[GopherStopwords]], or -1 — the native scan tracks
+    * DISTINCT hits as a bitmask. */
+  private[operators] def gopherIndex(t: UTF8String): Int = {
+    val boxed = gopherMap.get(t)
+    if (boxed == null) -1 else boxed.intValue()
+  }
+  private val gopherMap: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](16)
+    GopherStopwords.zipWithIndex.foreach { case (w, i) =>
+      m.put(UTF8String.fromString(w), Integer.valueOf(i))
+    }
+    m
+  }
+}
+
+/** Native one-scan Gopher/C4 rule counters — see
+  * [[QualityFilters.ruleStats]]. */
+case class RuleStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_rule_stats"
+  override def dataType: DataType = RuleStats.schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_rule_stats requires a string column, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.ruleStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.operators.GraftRuntime.ruleStats($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RuleStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_alpha_tokens", IntegerType, nullable = false),
+    StructField("n_stop_hits", IntegerType, nullable = false),
+    StructField("n_symbols", DoubleType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet_lines", IntegerType, nullable = false),
+    StructField("n_ellipsis_lines", IntegerType, nullable = false),
+    StructField("n_term_lines", IntegerType, nullable = false),
+    StructField("n_dup_lines", IntegerType, nullable = false),
+    StructField("has_lorem", BooleanType, nullable = false),
+    StructField("has_brace", BooleanType, nullable = false)))
 }

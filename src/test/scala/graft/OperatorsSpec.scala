@@ -769,6 +769,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Seq((1L, 5L, 1L), (2L, 5L, 1L), (3L, 5L, 0L)))
   }
 
+  test("native RuleStats matches the composed formulation, edge strings included") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a structured variant of the corpus docs: lines, bullets, ellipses,
+    // dup lines, PII-ish tails — the q162 fixture's ingredient list
+    val structured = docs.limit(60).select(concat(
+      col("text"), lit("\n- bullet tail ...\n"), col("text"),
+      lit("\n# the end.\ncontact user9@example.com now\nlorem IPSUM { x")).as("text"))
+    val edge = Seq("", "   ", "a", "...", "…", "....", ".....", "# #",
+      "x\n\n\n", " - x ", "•", "• dot", "the The THE the", "lorem IPSUM",
+      "LOREM İPSUM", "Lorem\nipsum", "a{b", "tail ...", "tail …",
+      "line \r", "ends.\nends.\n  ends. ", "? ! \" .", "..", ". . .",
+      "…… …", "-", "*x", "the\tbe to\nof and that have with")
+      .toDF("text")
+    for (d <- Seq(structured, edge)) {
+      val both = d.select(
+        QualityFilters.ruleStats(col("text")).as("fast"),
+        QualityFilters.ruleStatsArrayOps(col("text")).as("ref"))
+      assert(both.filter(col("fast") =!= col("ref")).count() == 0,
+        both.filter(col("fast") =!= col("ref")).collect().mkString("\n"))
+    }
+  }
+
   test("rule stats count lines, bullets, ellipses, terminals, and dups exactly") {
     val text = "the cat sat.\n- bullet line ...\nthe cat sat.\n* another bullet!\nplain line"
     val r = spark.range(1).select(lit(text).as("text"))
