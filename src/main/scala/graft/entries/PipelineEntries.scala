@@ -167,6 +167,30 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- FULL web lane (r19): q161's chain + the Gopher/C4 rule gate —
+    //    the composition a crawl pipeline actually runs (the rule sets
+    //    were designed for web pages): extraction → domain curation →
+    //    exact dedup → heuristic rules → the text stages. Rules judge
+    //    the EXTRACTED text of domain survivors; on this fixture
+    //    extraction is exactly text-recovering, so the oracle rules run
+    //    on the document text verbatim (the q149 equivalence). ---------
+    "q167_curate_web_rules" -> qdd { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val docs = spark.table("documents")
+      val pages = sharedHtmlPages(spark, dir)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .join(operators.UrlOps.urlTable(docs), Seq("doc_id"))
+      operators.Pipeline.curateFromHtml(pages, spark.table("embeddings"),
+          "doc_id", "html", "source",
+          urlCol = Some("url"),
+          domainBlocklist = Some(Seq("host3.example.com").toDF("domain")),
+          domainTokenBudget = 900L,
+          ruleParams = Some(operators.QualityFilters.RuleParams(
+            minStopHits = 1, minTermLines = 0)))
+        .orderBy("doc_id")
+    },
+
     // -- the INCREMENTAL curation pipeline (q112's ingest-time twin):
     //    batch (odd ids) judged against the admitted corpus (even ids)
     //    with the cross/incremental operator variants — exact-vs-history
@@ -1870,6 +1894,42 @@ private[graft] trait PipelineEntries extends EntryInfra {
           |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
           |           '\+\d{7,15}', '<PHONE>', 'g')) END AS final_md5""".stripMargin)
   }
+    // q161 = q112's oracle + the per-domain stage patched in BEFORE the
+  // exact stage (see the map assembly comment).
+  val q161Sql: String = {
+      val q112 = base("q112_curate_full")
+      val withAnchor = "WITH norm AS ("
+      val fromAnchor = "  FROM documents),"
+      val caseAnchor = "CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'"
+      require(q112.contains(withAnchor) && q112.contains(fromAnchor) &&
+        q112.contains(caseAnchor),
+        "q112 oracle anchors drifted - update the q161 derivation")
+      q112
+        // norm's source filter FIRST: scala's replace hits every
+        // occurrence, and the dom CTE inserted below carries its own
+        // "FROM documents)," line that must stay unfiltered
+        .replace(fromAnchor,
+          "  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dom_drop)),")
+        .replace(withAnchor, """WITH dom AS (
+          |  SELECT doc_id, 'host' || (doc_id % 7) || '.example.com' AS domain,
+          |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok,
+          |         md5(CAST(doc_id AS VARCHAR)) AS dkey
+          |  FROM documents),
+          |blocked AS (SELECT doc_id FROM dom WHERE domain = 'host3.example.com'),
+          |domq AS (SELECT doc_id,
+          |                sum(ntok) OVER (PARTITION BY domain ORDER BY dkey, doc_id) AS cum,
+          |                row_number() OVER (PARTITION BY domain ORDER BY dkey, doc_id) AS rn
+          |         FROM dom
+          |         WHERE doc_id NOT IN (SELECT doc_id FROM blocked) AND ntok >= 1),
+          |domq_drop AS (SELECT doc_id FROM domq WHERE NOT (cum <= 900 OR rn = 1)),
+          |dom_drop AS (SELECT doc_id FROM blocked
+          |             UNION ALL SELECT doc_id FROM domq_drop),
+          |norm AS (""".stripMargin)
+        .replace(caseAnchor,
+          "CASE WHEN d.doc_id IN (SELECT doc_id FROM blocked) THEN 'blocked_domain'\n" +
+          "              WHEN d.doc_id IN (SELECT doc_id FROM domq_drop) THEN 'over_domain_quota'\n" +
+          "              WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'")
+  }
   base +
     ("q155_curate_incremental_media_dup" -> q155) +
     ("q159_curate_incremental_multimodal_dup" -> q159) +
@@ -1966,39 +2026,23 @@ private[graft] trait PipelineEntries extends EntryInfra {
     // (md5-rank order) over the non-blocked pages; the whole downstream
     // chain runs on the domain survivors, and dropped pages get their
     // audit decisions ahead of every other class. Anchor-asserted.
-    ("q161_curate_web_domains" -> {
-      val q112 = base("q112_curate_full")
-      val withAnchor = "WITH norm AS ("
-      val fromAnchor = "  FROM documents),"
-      val caseAnchor = "CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'"
-      require(q112.contains(withAnchor) && q112.contains(fromAnchor) &&
-        q112.contains(caseAnchor),
-        "q112 oracle anchors drifted - update the q161 derivation")
-      q112
-        // norm's source filter FIRST: scala's replace hits every
-        // occurrence, and the dom CTE inserted below carries its own
-        // "FROM documents)," line that must stay unfiltered
-        .replace(fromAnchor,
-          "  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dom_drop)),")
-        .replace(withAnchor, """WITH dom AS (
-          |  SELECT doc_id, 'host' || (doc_id % 7) || '.example.com' AS domain,
-          |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok,
-          |         md5(CAST(doc_id AS VARCHAR)) AS dkey
-          |  FROM documents),
-          |blocked AS (SELECT doc_id FROM dom WHERE domain = 'host3.example.com'),
-          |domq AS (SELECT doc_id,
-          |                sum(ntok) OVER (PARTITION BY domain ORDER BY dkey, doc_id) AS cum,
-          |                row_number() OVER (PARTITION BY domain ORDER BY dkey, doc_id) AS rn
-          |         FROM dom
-          |         WHERE doc_id NOT IN (SELECT doc_id FROM blocked) AND ntok >= 1),
-          |domq_drop AS (SELECT doc_id FROM domq WHERE NOT (cum <= 900 OR rn = 1)),
-          |dom_drop AS (SELECT doc_id FROM blocked
-          |             UNION ALL SELECT doc_id FROM domq_drop),
-          |norm AS (""".stripMargin)
-        .replace(caseAnchor,
-          "CASE WHEN d.doc_id IN (SELECT doc_id FROM blocked) THEN 'blocked_domain'\n" +
-          "              WHEN d.doc_id IN (SELECT doc_id FROM domq_drop) THEN 'over_domain_quota'\n" +
-          "              WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'")
+    ("q161_curate_web_domains" -> q161Sql) +
+    // q167 = q161's oracle + the rule gate patched in after the exact
+    // stage (the q163 block verbatim — rules on the domain survivors'
+    // text, which extraction recovers exactly on this fixture).
+    ("q167_curate_web_rules" -> {
+      val s1Anchor = "s1 AS (SELECT * FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),"
+      val toksAnchor = "FROM s1 WHERE trim(text) <> ''"
+      val caseAnchor = "WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'"
+      require(q161Sql.contains(s1Anchor) && q161Sql.contains(toksAnchor) &&
+        q161Sql.contains(caseAnchor),
+        "q161 oracle anchors drifted - update the q167 derivation")
+      q161Sql
+        .replace(s1Anchor, s1Anchor + ruleBlock("s1"))
+        .replace(toksAnchor, "FROM s1rl WHERE trim(text) <> ''")
+        .replace(caseAnchor, caseAnchor +
+          "\n              WHEN d.doc_id IN (SELECT doc_id FROM rule_drop) THEN 'rule_filtered'")
     })
   }
+
 }

@@ -222,7 +222,11 @@ object Pipeline {
                      textCol: String = "text",
                      urlCol: Option[String] = None,
                      domainBlocklist: Option[DataFrame] = None,
-                     domainTokenBudget: Long = 0L): DataFrame = {
+                     domainTokenBudget: Long = 0L,
+                     langModel: Option[TextOps.LangNbModel] = None,
+                     langAllow: Seq[String] = Seq("en"),
+                     ruleParams: Option[QualityFilters.RuleParams] = None,
+                     piiRedactOutput: Boolean = false): DataFrame = {
     val id = col(idCol)
     // Extraction is eagerly checkpointed (r19): curateFull's stages each
     // keep their `docs` input in lineage (only DROP SETS checkpoint), so
@@ -236,7 +240,10 @@ object Pipeline {
       .select(col(idCol), col("extracted_text").as(textCol))
       .join(pages.select(col(idCol), col(sourceCol)), Seq(idCol))
       .localCheckpoint(eager = true)
-    if (urlCol.isEmpty) return curateFull(extracted, embeddings, idCol, textCol, sourceCol)
+    if (urlCol.isEmpty)
+      return curateFull(extracted, embeddings, idCol, textCol, sourceCol,
+        langModel = langModel, langAllow = langAllow,
+        ruleParams = ruleParams, piiRedactOutput = piiRedactOutput)
     require(domainBlocklist.nonEmpty || domainTokenBudget > 0,
       "urlCol given but neither domainBlocklist nor domainTokenBudget is set")
     val domains = pages.select(col(idCol),
@@ -256,7 +263,9 @@ object Pipeline {
     // same rationale: the domain survivors feed every curateFull stage
     val survivors = s0.join(domQuotaDrops, id === col("__domq_drop"), "left_anti")
       .drop("__domain").localCheckpoint(eager = true)
-    val curated = curateFull(survivors, embeddings, idCol, textCol, sourceCol)
+    val curated = curateFull(survivors, embeddings, idCol, textCol, sourceCol,
+      langModel = langModel, langAllow = langAllow,
+      ruleParams = ruleParams, piiRedactOutput = piiRedactOutput)
     // dropped pages keep their one audit row, ahead of every downstream
     // decision class (they never entered the corpus the stages judged)
     val droppedRows = pages.select(id, col(sourceCol))
