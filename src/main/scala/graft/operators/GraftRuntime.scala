@@ -1033,4 +1033,10 @@ object GraftRuntime {
       (hashes + ellChars + dotRuns).toDouble, nLines, nBullet, nEll, nTerm,
       dups, hasLorem, hasBrace)
   }
+
+  /** One-call gate verdict: [[ruleStats]] + the threshold conjunction —
+    * see [[QualityFilters.rulePass]] for why the pipeline filter needs a
+    * single-expression boolean. */
+  def rulePass(s: UTF8String, p: QualityFilters.RuleParams): Boolean =
+    QualityFilters.passes(ruleStats(s), p)
 }

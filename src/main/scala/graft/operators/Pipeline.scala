@@ -435,8 +435,12 @@ object Pipeline {
     //     one audit `GROUP BY` away via the standalone report. None →
     //     empty drop set, prior shape byte-identical.
     val ruleDrops = ruleParams.map { rp =>
-      QualityFilters.ruleReport(s1lg.select(id, col(textCol)), idCol, textCol, rp)
-        .filter(!col("rule_pass"))
+      // single-expression verdict (QualityFilters.rulePass): the pushed
+      // filter evaluates the byte scan ONCE per row — filtering the
+      // ruleReport's rule_pass would inline graft_rule_stats per rule
+      // conjunct (FilterExec has no subexpression elimination)
+      s1lg.select(id, col(textCol))
+        .filter(!QualityFilters.rulePass(col(textCol), rp))
         .select(id.as("__rule_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__rule_drop")))
     val s1rl = s1lg.join(ruleDrops, id === col("__rule_drop"), "left_anti")
@@ -800,8 +804,9 @@ object Pipeline {
     //     failures drop as `rule_filtered` before any history stage.
     //     None → empty drop set, prior shape byte-identical.
     val ruleDrops = ruleParams.map { rp =>
-      QualityFilters.ruleReport(s1lg.select(id, col(textCol)), idCol, textCol, rp)
-        .filter(!col("rule_pass"))
+      // single-expression verdict — see curateFull's stage 1.8 note
+      s1lg.select(id, col(textCol))
+        .filter(!QualityFilters.rulePass(col(textCol), rp))
         .select(id.as("__rule_drop")).localCheckpoint(eager = true)
     }.getOrElse(batch.limit(0).select(id.as("__rule_drop")))
     val s1rl = s1lg.join(ruleDrops, id === col("__rule_drop"), "left_anti")

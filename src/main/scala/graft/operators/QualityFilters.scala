@@ -235,6 +235,45 @@ object QualityFilters {
     withStats.select(out: _*)
   }
 
+  /** The gate verdict as ONE boolean expression ([[RuleGate]]): the
+    * conjunction of [[ruleVerdicts]] computed INSIDE the native scan.
+    *
+    * Why not `ruleReport(...).filter(!col("rule_pass"))` on the pipeline
+    * path: predicate pushdown rewrites the filter condition in terms of
+    * the scan output, inlining `graft_rule_stats(text)` once per rule
+    * conjunct — and `FilterExec` does no subexpression elimination, so
+    * the byte scan would run up to ~20× per row (ProjectExec DOES
+    * eliminate, which is why the report path is fine). A single-field
+    * verdict keeps the filter to ONE evaluation per row, pushed all the
+    * way to the scan. Parity with the composed conjunction is
+    * spec-pinned; the threshold arithmetic is the same IEEE ops. */
+  def rulePass(text: Column, params: RuleParams = RuleParams()): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(RuleGate(GraftShims.expression(text), params))
+  }
+
+  /** [[rulePass]]'s body over a pre-computed stats row — shared by the
+    * expression runtime; arithmetic mirrors [[ruleVerdicts]] op for op
+    * (int→double casts, threshold × denominator multiplies). */
+  private[operators] def passes(r: org.apache.spark.sql.catalyst.InternalRow,
+                                p: RuleParams): Boolean = {
+    val nTokens = r.getInt(0)
+    val n = nTokens.toDouble
+    val nl = r.getInt(5).toDouble
+    nTokens >= p.minWords && nTokens <= p.maxWords &&
+      (nTokens > 0 && r.getInt(1).toDouble >= p.minMeanWordLen * n &&
+        r.getInt(1).toDouble <= p.maxMeanWordLen * n) &&
+      r.getDouble(4) <= p.maxSymbolRatio * n &&
+      r.getInt(6).toDouble <= p.maxBulletLineRatio * nl &&
+      r.getInt(7).toDouble <= p.maxEllipsisLineRatio * nl &&
+      r.getInt(2).toDouble >= p.minAlphaWordRatio * n &&
+      r.getInt(3) >= p.minStopHits &&
+      r.getInt(9).toDouble <= p.maxDupLineRatio * nl &&
+      r.getInt(8) >= p.minTermLines &&
+      !(p.banLoremIpsum && r.getBoolean(10)) &&
+      !(p.banBrace && r.getBoolean(11))
+  }
+
   /** Index of `t` in [[GopherStopwords]], or -1 — the native scan tracks
     * DISTINCT hits as a bitmask. */
   private[operators] def gopherIndex(t: UTF8String): Int = {
@@ -263,6 +302,27 @@ case class RuleStats(child: Expression) extends UnaryExpression {
     GraftRuntime.ruleStats(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.operators.GraftRuntime.ruleStats($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Native single-boolean Gopher/C4 gate verdict — see
+  * [[QualityFilters.rulePass]]. Thresholds ride into generated code via
+  * `addReferenceObj` (the Bpe-encode pattern). */
+case class RuleGate(child: Expression, params: QualityFilters.RuleParams)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_rule_gate"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_rule_gate requires a string column, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.rulePass(input.asInstanceOf[UTF8String], params)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ruleParams", params,
+      "graft.operators.QualityFilters.RuleParams")
+    defineCodeGen(ctx, ev, a => s"graft.operators.GraftRuntime.rulePass($a, $ref)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -789,6 +789,23 @@ class OperatorsSpec extends SparkTestBase {
         QualityFilters.ruleStatsArrayOps(col("text")).as("ref"))
       assert(both.filter(col("fast") =!= col("ref")).count() == 0,
         both.filter(col("fast") =!= col("ref")).collect().mkString("\n"))
+      // the single-boolean gate verdict == the report's conjunction,
+      // across two distinct threshold operating points
+      for (p <- Seq(QualityFilters.RuleParams(),
+          QualityFilters.RuleParams(minWords = 3, maxWords = 60,
+            minMeanWordLen = 2.5, maxMeanWordLen = 7.5, maxSymbolRatio = 0.05,
+            maxBulletLineRatio = 0.2, maxEllipsisLineRatio = 0.1,
+            minAlphaWordRatio = 0.95, minStopHits = 1, maxDupLineRatio = 0.0,
+            minTermLines = 2, banLoremIpsum = false, banBrace = false))) {
+        val g = d.select(QualityFilters.rulePass(col("text"), p).as("gate"),
+          QualityFilters.ruleVerdicts(
+            QualityFilters.ruleStatsArrayOps(col("text")), p).as("v"))
+        val mism = g.filter(col("gate") =!= (col("v.r_words") && col("v.r_mean_len") &&
+          col("v.r_symbols") && col("v.r_bullets") && col("v.r_ellipsis") &&
+          col("v.r_alpha") && col("v.r_stopwords") && col("v.r_dup_lines") &&
+          col("v.r_terminal") && col("v.r_lorem") && col("v.r_brace")))
+        assert(mism.count() == 0, mism.collect().mkString("\n"))
+      }
     }
   }
 
