@@ -299,14 +299,19 @@ object StreamingDedup {
                  video: Option[DataFrame] = None,
                  videoContainer: graft.operators.VideoOps.VideoContainer =
                    graft.operators.VideoOps.GvidContainer,
-                 audio: Option[DataFrame] = None):
+                 audio: Option[DataFrame] = None,
+                 langModel: Option[graft.operators.TextOps.LangNbModel] = None,
+                 langAllow: Seq[String] = Seq("en"),
+                 ruleParams: Option[graft.operators.QualityFilters.RuleParams] = None,
+                 piiRedactOutput: Boolean = false):
       org.apache.spark.sql.streaming.StreamingQuery = {
     batches.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         curateBatch(batch.toDF(), id, seedHistory, embeddings, idCol, textCol,
           centroids, path, vecIdCol, vecCol, nearDupThreshold, semTau,
           nbModel, minNbScoreU, benchmark, benchmarkEmb, contamNgramK,
-          contamCosTau, media, video, videoContainer, audio)
+          contamCosTau, media, video, videoContainer, audio,
+          langModel, langAllow, ruleParams, piiRedactOutput)
       }
       .start()
   }
@@ -356,7 +361,11 @@ object StreamingDedup {
                  video: Option[DataFrame] = None,
                  videoContainer: graft.operators.VideoOps.VideoContainer =
                    graft.operators.VideoOps.GvidContainer,
-                 audio: Option[DataFrame] = None): Unit = {
+                 audio: Option[DataFrame] = None,
+                 langModel: Option[graft.operators.TextOps.LangNbModel] = None,
+                 langAllow: Seq[String] = Seq("en"),
+                 ruleParams: Option[graft.operators.QualityFilters.RuleParams] = None,
+                 piiRedactOutput: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val b0 = batch.select(col(idCol), col(textCol))
     val hasStore = storeNonEmpty(path)
@@ -382,7 +391,8 @@ object StreamingDedup {
           benchmark = benchmark, benchmarkEmb = benchmarkEmb,
           contamNgramK = contamNgramK, contamCosTau = contamCosTau,
           media = media, video = video, videoContainer = videoContainer,
-          audio = audio)
+          audio = audio, langModel = langModel, langAllow = langAllow,
+          ruleParams = ruleParams, piiRedactOutput = piiRedactOutput)
         .withColumn("batch_id", lit(id))
         .write.mode("append").parquet(path)
     }

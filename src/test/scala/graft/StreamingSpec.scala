@@ -248,6 +248,55 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming curation with the rule gate + PII release: filtered docs never admitted, store text scrubbed") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val seed = Seq(
+      (0L, "the seed article covers science history and literature alpha"))
+      .toDF("doc_id", "text")
+    val embs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 11L -> Array(0f, 1f, 0f, 0f),
+      13L -> Array(0f, 0f, 1f, 0f), 15L -> Array(0f, 0f, 0f, 1f))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cent = Array(Array(1.0, 0.0, 0.0, 0.0))
+    val rp = operators.QualityFilters.RuleParams(minWords = 3, minStopHits = 1,
+      minTermLines = 0)
+    val mem = MemoryStream[(Long, String)]
+    val store = java.nio.file.Files.createTempDirectory("graft_rule_store_").toString
+    val query = streaming.StreamingDedup.curateSink(
+      mem.toDF().toDF("doc_id", "text"), seed, embs, "doc_id", "text",
+      cent, store, ruleParams = Some(rp), piiRedactOutput = true)
+    try {
+      mem.addData(
+        (11L, "the contact line is user11@example.com at 10.0.0.1 ok"),
+        (13L, "zz yy xx ww vv"))                    // no stopword -> rule_filtered
+      query.processAllAvailable()
+      mem.addData((15L, "the next article mentions science and history too"))
+      query.processAllAvailable()
+      val v = spark.read.parquet(store)
+        .select("doc_id", "decision", "cleaned_text")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(v(11L)._1 == "kept" && v(15L)._1 == "kept" &&
+        v(13L)._1 == "rule_filtered", s"$v")
+      // released store text is scrubbed; the raw PII never lands on disk
+      assert(v(11L)._2.contains("<EMAIL>") && v(11L)._2.contains("<IP>") &&
+        !v(11L)._2.contains("@example.com"), v(11L)._2)
+      // the kept slice (later batches' history) excludes the filtered doc
+      val kept = spark.read.parquet(store).filter(col("decision") === "kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 15L))
+    } finally {
+      query.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(store))
+    }
+  }
+
   test("streaming curation with a benchmark: contaminated docs never enter the store") {
     val spark2 = spark
     import spark2.implicits._
