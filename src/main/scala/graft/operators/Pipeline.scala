@@ -539,9 +539,21 @@ object Pipeline {
     val emb3 = embeddings.join(s3.select(id.as("__sid")),
         col(vecIdCol) === col("__sid"), "left_semi")
       .localCheckpoint(eager = true)
-    val cent = KMeansOps.fit(emb3, vecIdCol, vecCol, semK, semIters)
-    val semDrops = KMeansOps.semDedup(emb3, vecIdCol, vecCol, cent, semTau)
-      .filter(!col("kept")).select(col("id").as("__sem_drop"))
+    // graceful degradation when the gate cascade shrinks the embedded
+    // survivor set below semK (a heavy rule/lang/quota configuration can
+    // legally do this): fit on min(k, survivors) clusters, or skip the
+    // stage when nothing embedded survives — a crash here would take a
+    // 100 TB run down at its LAST stage. The count is a metadata read on
+    // the checkpointed leaf. Fixtures with survivors >= semK (every
+    // pinned oracle) are byte-identical: min() is the identity there.
+    val nEmb3 = emb3.count()
+    val semDrops = (if (nEmb3 == 0L) emb3.select(col(vecIdCol).as("id"))
+      else {
+        val cent = KMeansOps.fit(emb3, vecIdCol, vecCol,
+          math.min(semK.toLong, nEmb3).toInt, semIters)
+        KMeansOps.semDedup(emb3, vecIdCol, vecCol, cent, semTau)
+          .filter(!col("kept")).select(col("id"))
+      }).select(col("id").as("__sem_drop"))
       .localCheckpoint(eager = true)
     val s4 = s3.join(semDrops, id === col("__sem_drop"), "left_anti")
 
@@ -888,10 +900,22 @@ object Pipeline {
     val embBatch = embeddings.join(s3.select(id.as("__sid")),
         col(vecIdCol) === col("__sid"), "left_semi")
       .localCheckpoint(eager = true)
-    val cent = centroids.getOrElse(KMeansOps.fit(embHist, vecIdCol, vecCol, semK, semIters))
-    val semDrops = KMeansOps.incrementalSemDedup(embHist, embBatch,
-        vecIdCol, vecCol, cent, semTau)
-      .filter(!col("kept")).select(col("id").as("__sem_drop"))
+    // inline-fit clamp: same graceful degradation as curateFull's stage
+    // 4 — a small admitted history must not crash the ingest gate. A
+    // provided snapshot artifact (the production path) skips the count.
+    val cent = centroids.getOrElse {
+      val nHist = embHist.count()
+      if (nHist == 0L) Array.empty[Array[Double]]
+      else KMeansOps.fit(embHist, vecIdCol, vecCol,
+        math.min(semK.toLong, nHist).toInt, semIters)
+    }
+    // empty history (no centroids, nothing admitted yet) => nothing to
+    // dup against: the drop set is EMPTY, every batch vector survives
+    val semDrops = (if (cent.isEmpty) embBatch.limit(0).select(col(vecIdCol).as("id"))
+      else KMeansOps.incrementalSemDedup(embHist, embBatch,
+          vecIdCol, vecCol, cent, semTau)
+        .filter(!col("kept")).select(col("id")))
+      .select(col("id").as("__sem_drop"))
       .localCheckpoint(eager = true)
 
     // assembly over the batch. `keepCleanedText` adds the survivor text

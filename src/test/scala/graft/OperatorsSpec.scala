@@ -2768,6 +2768,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(10L) == "kept", out.toString)
   }
 
+  test("semantic stage degrades gracefully when gates shrink survivors below semK") {
+    val spark2 = spark
+    import spark2.implicits._
+    // only docs 0 and 1 survive the rule gate (minWords=3), and only doc
+    // 0 carries an embedding -> 1 embedded survivor < semK=8 (the q167
+    // sf1 crash shape: fit must clamp, not require-fail)
+    val corpus = Seq(
+      (0L, "s0", "the alpha beta gamma delta."),
+      (1L, "s1", "the epsilon zeta eta theta iota."),
+      (2L, "s2", "zz")
+    ).toDF("doc_id", "source", "text")
+    val emb = Seq(0L -> Array.tabulate(4)(i => if (i == 0) 1.0f else 0.0f))
+      .toDF("vec_id", "embedding")
+    val rp = operators.QualityFilters.RuleParams(minWords = 3, minStopHits = 1,
+      minTermLines = 0)
+    val out = operators.Pipeline.curateFull(corpus, emb, "doc_id", "text", "source",
+        tokenBudget = 1000L, ruleParams = Some(rp))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(0L) == "kept" && out(1L) == "kept" && out(2L) == "rule_filtered", s"$out")
+    // incremental inline fit on a 1-doc history clamps too; an EMPTY
+    // history (nothing admitted yet) means an empty drop set, not a
+    // dropped batch
+    val inc = operators.Pipeline.curateIncremental(
+        corpus.filter(col("doc_id") === 0L), corpus.filter(col("doc_id") === 1L),
+        emb, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(inc(1L) == "kept", s"$inc")
+    val incEmpty = operators.Pipeline.curateIncremental(
+        corpus.limit(0), corpus.filter(col("doc_id") === 1L),
+        emb, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(incEmpty(1L) == "kept", s"$incEmpty")
+  }
+
   test("rule gate: stage order and audit; PII redaction only touches released text") {
     val spark2 = spark
     import spark2.implicits._
