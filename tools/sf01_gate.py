@@ -85,6 +85,10 @@ SLOW_ORACLE = {
     "q159_curate_incremental_multimodal_dup": "q115 chain + three incremental perceptual-arm CTEs",
     "q160_curate_incremental_lang": "q115 chain + multiclass lang-NB CTEs",
     "q161_curate_web_domains": "q112 chain + per-domain window CTEs",
+    "q163_curate_rules": "q112 chain + rule-gate CTEs",
+    "q164_curate_incremental_rules": "q115 chain + rule-gate CTEs",
+    "q166_curate_pii": "q112 chain over the PII-injected corpus",
+    "q167_curate_web_rules": "q112 chain + per-domain + rule-gate CTEs",
 }
 
 ORACLE_TIMEOUT_S = int(os.environ.get("SF01_GATE_TIMEOUT_S", "240"))
