@@ -91,7 +91,10 @@ SLOW_ORACLE = {
     "q167_curate_web_rules": "q112 chain + per-domain + rule-gate CTEs",
 }
 
-ORACLE_TIMEOUT_S = int(os.environ.get("SF01_GATE_TIMEOUT_S", "240"))
+# 480 not 240: r19 session 2 lost a full close cycle to a freak child-
+# process stall on q18 (a trivial GROUP BY that normally runs in <1 s) —
+# a genuinely hung oracle still fails loudly, just four minutes later.
+ORACLE_TIMEOUT_S = int(os.environ.get("SF01_GATE_TIMEOUT_S", "480"))
 
 
 def canon(v):
