@@ -484,4 +484,43 @@ class PropertiesSpec extends SparkTestBase {
     val rt = operators.TextOps.nbModelFromRows(operators.TextOps.nbModelToRows(mixed))
     assert(rt == mixed)
   }
+
+  test("RuleStats/RuleGate: native == composed on 400 seeded adversarial strings") {
+    val spark2 = spark
+    import spark2.implicits._
+    val r = new Random(20260816)
+    // alphabet biased toward every special the scanner cares about:
+    // whitespace variants, bullets, symbol runs, multibyte, stopwords,
+    // lorem/brace fragments, PII-ish shapes
+    val atoms = Vector(
+      " ", " ", "\t", "\n", "\n", "\r", "the", "be", "to", "of", "and",
+      "that", "have", "with", "word", "alpha", "x1", "#", "...", "..",
+      ".", "!", "?", "\"", "-", "*", "\u2022", "\u2026", "{", "}",
+      "lorem", "ipsum", "Lorem Ipsum", "caf\u00e9", "\u4f60\u597d",
+      "a@b.co", "10.0.0.1", "+12345678", "")
+    val texts = Seq.fill(400) {
+      val n = r.nextInt(40)
+      (0 until n).map(_ => atoms(r.nextInt(atoms.length)))
+        .mkString(if (r.nextBoolean()) " " else "")
+    }
+    val d = texts.toDF("text")
+    val both = d.select(
+      operators.QualityFilters.ruleStats(col("text")).as("fast"),
+      operators.QualityFilters.ruleStatsArrayOps(col("text")).as("ref"),
+      col("text"))
+    val bad = both.filter(col("fast") =!= col("ref"))
+    assert(bad.count() == 0, bad.collect().take(5).mkString("\n"))
+    val p = operators.QualityFilters.RuleParams(minWords = 2, maxWords = 30,
+      minMeanWordLen = 1.5, maxMeanWordLen = 9.0, maxSymbolRatio = 0.15,
+      maxBulletLineRatio = 0.4, maxEllipsisLineRatio = 0.25,
+      minAlphaWordRatio = 0.6, minStopHits = 1, maxDupLineRatio = 0.2,
+      minTermLines = 1)
+    val g = d.select(operators.QualityFilters.rulePass(col("text"), p).as("gate"),
+      operators.QualityFilters.ruleVerdicts(operators.QualityFilters.ruleStatsArrayOps(col("text")), p).as("v"))
+    val mism = g.filter(col("gate") =!= (col("v.r_words") && col("v.r_mean_len") &&
+      col("v.r_symbols") && col("v.r_bullets") && col("v.r_ellipsis") &&
+      col("v.r_alpha") && col("v.r_stopwords") && col("v.r_dup_lines") &&
+      col("v.r_terminal") && col("v.r_lorem") && col("v.r_brace")))
+    assert(mism.count() == 0, mism.collect().take(5).mkString("\n"))
+  }
 }
