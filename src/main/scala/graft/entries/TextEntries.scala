@@ -674,7 +674,8 @@ private[graft] trait TextEntries extends EntryInfra {
       val page = spark.table("documents").select(col("doc_id"),
         pageTextCol(col("doc_id"), col("text")).as("page_text"))
       operators.QualityFilters.ruleReport(page, "doc_id", "page_text",
-          operators.QualityFilters.RuleParams(minStopHits = 1))
+          operators.QualityFilters.RuleParams(minStopHits = 1,
+            checkRepetition = true))
         .drop("page_text")
         .orderBy("doc_id")
     },
@@ -741,6 +742,61 @@ private[graft] trait TextEntries extends EntryInfra {
           lit(" now"))))
     when(size(tk) === 0, lit("")).otherwise(array_join(withExtras, "\n"))
   }
+
+
+  /** Generated SQL for the Gopher repetition tier (q162): per n, the
+    * gram relation, then top-coverage (n = 2..4: max count x gram-token-
+    * chars) or dup position-union coverage (n = 5..10). Thresholds are
+    * the RuleParams defaults, ::DOUBLE-forced. */
+  private lazy val repNs: Seq[Int] = 2 to 10
+  private lazy val repThresholds: Map[Int, String] = Map(
+    2 -> "0.20", 3 -> "0.18", 4 -> "0.16", 5 -> "0.15", 6 -> "0.14",
+    7 -> "0.13", 8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
+  private def repFracName(n: Int): String =
+    if (n <= 4) s"top${n}_frac" else s"dup${n}_frac"
+  private def repRuleName(n: Int): String =
+    if (n <= 4) s"r_top${n}_chars" else s"r_dup${n}_chars"
+  private lazy val repBlocksSql: String = repNs.map { n =>
+    val gram = s"""
+      |g$n AS (SELECT doc_id, i AS s, array_to_string(ptk[i:i+${n - 1}], ' ') AS g
+      |        FROM st, UNNEST(range(1, len(ptk) - $n + 2)) AS u$n(i)
+      |        WHERE len(ptk) >= $n),""".stripMargin
+    val agg =
+      if (n <= 4) s"""
+        |t$n AS (SELECT doc_id, max(c * gc) AS best FROM (
+        |          SELECT doc_id, g, count(*) AS c, length(g) - ${n - 1} AS gc
+        |          FROM g$n GROUP BY doc_id, g) GROUP BY doc_id),""".stripMargin
+      else s"""
+        |d$n AS (SELECT doc_id, g FROM g$n GROUP BY doc_id, g HAVING count(*) >= 2),
+        |c$n AS (SELECT DISTINCT g$n.doc_id AS doc_id, v.p AS p
+        |        FROM g$n JOIN d$n USING (doc_id, g),
+        |             UNNEST(range(g$n.s, g$n.s + $n)) AS v(p)),
+        |f$n AS (SELECT c$n.doc_id, sum(length(tokpos.tok)) AS cov
+        |        FROM c$n JOIN tokpos ON tokpos.doc_id = c$n.doc_id AND tokpos.p = c$n.p
+        |        GROUP BY c$n.doc_id),""".stripMargin
+    gram + agg
+  }.mkString
+  private lazy val repFracSelectSql: String = repNs.map { n =>
+    val src = if (n <= 4) s"t$n.best" else s"f$n.cov"
+    s"""
+      |        CASE WHEN n_chars > 0
+      |             THEN coalesce($src, 0)::DOUBLE / n_chars
+      |             ELSE 0.0 END AS ${repFracName(n)},""".stripMargin
+  }.mkString.dropRight(1)
+  private lazy val repJoinSql: String = repNs.map { n =>
+    val t = if (n <= 4) s"t$n" else s"f$n"
+    s"""
+      |      LEFT JOIN $t USING (doc_id)""".stripMargin
+  }.mkString
+  private lazy val repOutSelectSql: String = repNs.map { n =>
+    s"""
+      |       ${repFracName(n)},
+      |       ${repFracName(n)} <= ${repThresholds(n)}::DOUBLE AS ${repRuleName(n)},""".stripMargin
+  }.mkString
+  private lazy val repPassSql: String = repNs.map { n =>
+    s"""
+      |        AND ${repFracName(n)} <= ${repThresholds(n)}::DOUBLE""".stripMargin
+  }.mkString
 
   /** The SQL twin of [[pageTextCol]] — CTEs ending in
     * `page(doc_id, page_text)`. Composed into the q162/q165 oracles. */
@@ -1710,7 +1766,10 @@ private[graft] trait TextEntries extends EntryInfra {
 
     // full re-derivation of the Gopher/C4 rule set over the structured
     // page fixture; ratio thresholds forced to DOUBLE so both engines
-    // run the same IEEE multiply at the boundaries
+    // run the same IEEE multiply at the boundaries. The repetition tier
+    // (top 2-4-gram / dup 5-10-gram char fractions) is generated per n:
+    // top = max over distinct grams of count × gram-token-chars; dup =
+    // position-union coverage of grams occurring >= 2 times.
     "q162_quality_rules" ->
       (s"WITH $pageTextCtes,\n" +
       """st AS (SELECT doc_id,
@@ -1737,7 +1796,13 @@ private[graft] trait TextEntries extends EntryInfra {
          |       len(lns) - len(list_distinct(lns)) AS n_dup,
          |       contains(lower(pg), 'lorem ipsum') AS has_lorem,
          |       contains(pg, '{') AS has_brace
-         |       FROM st)
+         |       FROM st),
+         |tokpos AS (SELECT doc_id, i AS p, ptk[i] AS tok
+         |           FROM st, UNNEST(range(1, len(ptk) + 1)) AS u0(i)),""".stripMargin +
+      repBlocksSql +
+      """
+         |j AS (SELECT sc.*,""".stripMargin + repFracSelectSql + """
+         |      FROM sc""".stripMargin + repJoinSql + """)
          |SELECT doc_id, n_tokens,
          |       n_tokens BETWEEN 50 AND 100000 AS r_words,
          |       n_tokens > 0 AND n_chars >= 3.0::DOUBLE * n_tokens
@@ -1750,7 +1815,7 @@ private[graft] trait TextEntries extends EntryInfra {
          |       n_dup <= 0.3::DOUBLE * n_lines AS r_dup_lines,
          |       n_term >= 1 AS r_terminal,
          |       NOT has_lorem AS r_lorem,
-         |       NOT has_brace AS r_brace,
+         |       NOT has_brace AS r_brace,""".stripMargin + repOutSelectSql + """
          |       (n_tokens BETWEEN 50 AND 100000)
          |        AND (n_tokens > 0 AND n_chars >= 3.0::DOUBLE * n_tokens
          |                          AND n_chars <= 10.0::DOUBLE * n_tokens)
@@ -1761,8 +1826,9 @@ private[graft] trait TextEntries extends EntryInfra {
          |        AND n_stop >= 1
          |        AND n_dup <= 0.3::DOUBLE * n_lines
          |        AND n_term >= 1
-         |        AND NOT has_lorem AND NOT has_brace AS rule_pass
-         |FROM sc ORDER BY doc_id""".stripMargin),
+         |        AND NOT has_lorem AND NOT has_brace""".stripMargin + repPassSql + """
+         |        AS rule_pass
+         |FROM j ORDER BY doc_id""".stripMargin),
 
     // q62's pattern tier over the structured page fixture, plus the
     // md5 of the redacted text (email pass first, then IPv4, then

@@ -1034,9 +1034,93 @@ object GraftRuntime {
       dups, hasLorem, hasBrace)
   }
 
-  /** One-call gate verdict: [[ruleStats]] + the threshold conjunction —
+  /** One-call gate verdict: [[ruleStats]] (+ [[repFractions]] when the
+    * params enable the repetition tier) + the threshold conjunctions —
     * see [[QualityFilters.rulePass]] for why the pipeline filter needs a
     * single-expression boolean. */
   def rulePass(s: UTF8String, p: QualityFilters.RuleParams): Boolean =
-    QualityFilters.passes(ruleStats(s), p)
+    QualityFilters.passes(ruleStats(s), p) &&
+      (!p.checkRepetition || QualityFilters.repPasses(repFractions(s), p))
+
+  /** Gopher §A1.1 repetition fractions in one tokenize pass (9 doubles):
+    *  - n ∈ {2,3,4}: TOP n-gram character fraction = max over distinct
+    *    n-grams g of occurrences(g) × gramChars(g), over total token
+    *    chars — deterministic by construction (a max of products; the
+    *    paper's "most frequent n-gram" is tie-ambiguous, so we take the
+    *    gram covering the most characters — documented deviation),
+    *  - n ∈ {5..10}: DUPLICATE n-gram character fraction = chars of
+    *    token positions covered by ≥1 n-gram occurring ≥2 times, over
+    *    total token chars (position-union — overlaps counted once).
+    * Gram identity = the space-joined token window (tokens carry no
+    * whitespace, so the join is injective — the [[repetitionStats]]
+    * bigram convention); char counts are CODE POINTS. Fewer than n
+    * tokens (or an empty doc) ⇒ 0.0 for that n. */
+  def repFractions(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val toks = new java.util.ArrayList[UTF8String](64)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) toks.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    val m = toks.size()
+    val charLen = new Array[Int](m)
+    var totalChars = 0L
+    i = 0
+    while (i < m) { charLen(i) = toks.get(i).numChars(); totalChars += charLen(i); i += 1 }
+    val out = new Array[Double](9)
+    if (totalChars > 0L) {
+      val Space = UTF8String.fromString(" ")
+      var g = 2
+      while (g <= 10) {
+        if (m >= g) {
+          // count occurrences per distinct gram (space-joined window)
+          val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+          var p = 0
+          while (p <= m - g) {
+            var key = toks.get(p)
+            var j = 1
+            while (j < g) { key = UTF8String.concat(key, Space, toks.get(p + j)); j += 1 }
+            val c = counts.get(key)
+            if (c == null) counts.put(key, Array(1)) else c(0) += 1
+            p += 1
+          }
+          if (g <= 4) {
+            var best = 0L
+            val it = counts.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val gramChars = e.getKey.numChars().toLong - (g - 1)
+              val prod = e.getValue()(0).toLong * gramChars
+              if (prod > best) best = prod
+            }
+            out(g - 2) = best.toDouble / totalChars.toDouble
+          } else {
+            val covered = new Array[Boolean](m)
+            p = 0
+            while (p <= m - g) {
+              var key = toks.get(p)
+              var j = 1
+              while (j < g) { key = UTF8String.concat(key, Space, toks.get(p + j)); j += 1 }
+              if (counts.get(key)(0) >= 2) {
+                j = 0
+                while (j < g) { covered(p + j) = true; j += 1 }
+              }
+              p += 1
+            }
+            var covChars = 0L
+            i = 0
+            while (i < m) { if (covered(i)) covChars += charLen(i); i += 1 }
+            out(g - 2) = covChars.toDouble / totalChars.toDouble
+          }
+        }
+        g += 1
+      }
+    }
+    InternalRow(out(0), out(1), out(2), out(3), out(4), out(5), out(6),
+      out(7), out(8))
+  }
 }

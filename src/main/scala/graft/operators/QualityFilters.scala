@@ -123,7 +123,20 @@ object QualityFilters {
       maxDupLineRatio: Double = 0.3,
       minTermLines: Int = 1,
       banLoremIpsum: Boolean = true,
-      banBrace: Boolean = true)
+      banBrace: Boolean = true,
+      // Gopher §A1.1 repetition tier (r19 session 2): OFF by default so
+      // the 11-rule gate's committed oracles are invariant; thresholds
+      // are the paper's published values when enabled.
+      checkRepetition: Boolean = false,
+      maxTop2GramCharRatio: Double = 0.20,
+      maxTop3GramCharRatio: Double = 0.18,
+      maxTop4GramCharRatio: Double = 0.16,
+      maxDup5GramCharRatio: Double = 0.15,
+      maxDup6GramCharRatio: Double = 0.14,
+      maxDup7GramCharRatio: Double = 0.13,
+      maxDup8GramCharRatio: Double = 0.12,
+      maxDup9GramCharRatio: Double = 0.11,
+      maxDup10GramCharRatio: Double = 0.10)
 
   /** One-pass per-row counters for the Gopher/C4 page-level rules, as a
     * struct of exact integers/booleans (the [[repetitionStats]]
@@ -223,15 +236,28 @@ object QualityFilters {
                  params: RuleParams = RuleParams()): DataFrame = {
     val st = ruleStats(col(textCol))
     val withStats = df.withColumn("__rst", st)
+      .withColumn("__rep", repFractions(col(textCol)))
       .withColumn("__rv", ruleVerdicts(col("__rst"), params))
+      .withColumn("__rpv", repVerdicts(col("__rep"), params))
     val ruleCols = Seq("r_words", "r_mean_len", "r_symbols", "r_bullets",
       "r_ellipsis", "r_alpha", "r_stopwords", "r_dup_lines", "r_terminal",
       "r_lorem", "r_brace")
+    val fracCols = RepFractions.schema.fieldNames.toSeq
+    val repCols = Seq("r_top2_chars", "r_top3_chars", "r_top4_chars") ++
+      (5 to 10).map(n => s"r_dup${n}_chars")
+    // the repetition columns are always REPORTED (the audit's value is
+    // seeing every signal); they join the rule_pass conjunction only
+    // when the params enable the tier — matching RuleGate exactly
+    val pass = (ruleCols.map(r => col("__rv").getField(r)) ++
+      (if (params.checkRepetition) repCols.map(r => col("__rpv").getField(r))
+       else Nil)).reduce(_ && _)
     val out: Seq[Column] =
       df.columns.toSeq.map(col) ++
         Seq(col("__rst").getField("n_tokens").cast("long").as("n_tokens")) ++
         ruleCols.map(r => col("__rv").getField(r).as(r)) ++
-        Seq(ruleCols.map(r => col("__rv").getField(r)).reduce(_ && _).as("rule_pass"))
+        fracCols.map(f => col("__rep").getField(f).as(f)) ++
+        repCols.map(r => col("__rpv").getField(r).as(r)) ++
+        Seq(pass.as("rule_pass"))
     withStats.select(out: _*)
   }
 
@@ -251,6 +277,45 @@ object QualityFilters {
     import org.apache.spark.sql.GraftShims
     GraftShims.column(RuleGate(GraftShims.expression(text), params))
   }
+
+  /** Gopher §A1.1 repetition fractions as a 9-double struct (native
+    * [[RepFractions]] → [[GraftRuntime.repFractions]]): top n-gram
+    * character fractions (n = 2..4, max-coverage tie-break — see the
+    * runtime scaladoc for the documented deviation from the paper's
+    * tie-ambiguous "most frequent") and duplicate n-gram character
+    * fractions (n = 5..10, position-union coverage). Spec-pinned against
+    * an independent Scala reference and the q162 SQL re-derivation. */
+  def repFractions(text: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(RepFractions(GraftShims.expression(text)))
+  }
+
+  /** Per-rule verdicts over a [[repFractions]] struct (true = passes);
+    * the repetition twin of [[ruleVerdicts]]. */
+  def repVerdicts(rep: Column, p: RuleParams): Column = struct(
+    (rep.getField("top2_frac") <= p.maxTop2GramCharRatio).as("r_top2_chars"),
+    (rep.getField("top3_frac") <= p.maxTop3GramCharRatio).as("r_top3_chars"),
+    (rep.getField("top4_frac") <= p.maxTop4GramCharRatio).as("r_top4_chars"),
+    (rep.getField("dup5_frac") <= p.maxDup5GramCharRatio).as("r_dup5_chars"),
+    (rep.getField("dup6_frac") <= p.maxDup6GramCharRatio).as("r_dup6_chars"),
+    (rep.getField("dup7_frac") <= p.maxDup7GramCharRatio).as("r_dup7_chars"),
+    (rep.getField("dup8_frac") <= p.maxDup8GramCharRatio).as("r_dup8_chars"),
+    (rep.getField("dup9_frac") <= p.maxDup9GramCharRatio).as("r_dup9_chars"),
+    (rep.getField("dup10_frac") <= p.maxDup10GramCharRatio).as("r_dup10_chars"))
+
+  /** [[repVerdicts]]' conjunction over a pre-computed fractions row —
+    * shared by the [[RuleGate]] runtime. */
+  private[operators] def repPasses(r: org.apache.spark.sql.catalyst.InternalRow,
+                                   p: RuleParams): Boolean =
+    r.getDouble(0) <= p.maxTop2GramCharRatio &&
+      r.getDouble(1) <= p.maxTop3GramCharRatio &&
+      r.getDouble(2) <= p.maxTop4GramCharRatio &&
+      r.getDouble(3) <= p.maxDup5GramCharRatio &&
+      r.getDouble(4) <= p.maxDup6GramCharRatio &&
+      r.getDouble(5) <= p.maxDup7GramCharRatio &&
+      r.getDouble(6) <= p.maxDup8GramCharRatio &&
+      r.getDouble(7) <= p.maxDup9GramCharRatio &&
+      r.getDouble(8) <= p.maxDup10GramCharRatio
 
   /** [[rulePass]]'s body over a pre-computed stats row — shared by the
     * expression runtime; arithmetic mirrors [[ruleVerdicts]] op for op
@@ -303,6 +368,29 @@ case class RuleStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.operators.GraftRuntime.ruleStats($a)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Native Gopher repetition fractions — see
+  * [[QualityFilters.repFractions]]. */
+case class RepFractions(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_rep_fractions"
+  override def dataType: DataType = RepFractions.schema
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_rep_fractions requires a string column, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.repFractions(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.operators.GraftRuntime.repFractions($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RepFractions {
+  val schema: StructType = StructType(
+    (Seq("top2_frac", "top3_frac", "top4_frac") ++
+      (5 to 10).map(n => s"dup${n}_frac"))
+      .map(StructField(_, DoubleType, nullable = false)))
 }
 
 /** Native single-boolean Gopher/C4 gate verdict — see

@@ -809,6 +809,47 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("repetition fractions match an independent Scala reference exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ref(text: String): Seq[Double] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val lens = toks.map(t => t.codePointCount(0, t.length))
+      val total = lens.map(_.toLong).sum.toDouble
+      (2 to 10).map { n =>
+        if (total == 0 || toks.length < n) 0.0
+        else {
+          val grams = toks.sliding(n).map(_.mkString(" ")).toVector
+          val counts = grams.groupBy(identity).map { case (g, o) => g -> o.size }
+          if (n <= 4)
+            counts.map { case (g, c) =>
+              c.toLong * (g.codePointCount(0, g.length) - (n - 1)) }.max.toDouble / total
+          else {
+            val covered = Array.fill(toks.length)(false)
+            grams.zipWithIndex.foreach { case (g, i) =>
+              if (counts(g) >= 2) (i until i + n).foreach(covered(_) = true) }
+            covered.zip(lens).collect { case (true, l) => l.toLong }.sum.toDouble / total
+          }
+        }
+      }
+    }
+    val texts = docs.limit(40).collect().map(_.getAs[String]("text")).toSeq
+      .map(t => t + " " + t) ++                      // force real dup grams
+      Seq("", "a", "a a a a a a a a a a a a", "x y x y x y x y x y x y",
+        "the cat sat on the mat the cat sat on the mat",
+        "é 你 é 你 é 你 é 你 é 你 é 你",
+        "one two three four five six seven eight nine ten eleven")
+    val got = texts.toDF("text")
+      .select(col("text"), QualityFilters.repFractions(col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1))
+    got.foreach { case (t, row) =>
+      val want = ref(t)
+      (0 until 9).foreach(i =>
+        assert(row.getDouble(i) == want(i),
+          s"n=${i + 2} got ${row.getDouble(i)} want ${want(i)} on '${t.take(60)}'"))
+    }
+  }
+
   test("rule stats count lines, bullets, ellipses, terminals, and dups exactly") {
     val text = "the cat sat.\n- bullet line ...\nthe cat sat.\n* another bullet!\nplain line"
     val r = spark.range(1).select(lit(text).as("text"))
@@ -854,10 +895,17 @@ class OperatorsSpec extends SparkTestBase {
       (14L, "", Set("r_words", "r_mean_len", "r_stopwords", "r_terminal")))
     val df = spark.createDataFrame(cases.map(c => (c._1, c._2)))
       .toDF("doc_id", "text")
+    // the repetition-tier columns are informational here (checkRepetition
+    // is off — short probe docs legally exceed top-gram fractions, which
+    // is exactly why Gopher pairs that tier with the word-count floor);
+    // only the 11 core rules participate in rule_pass and this audit
+    val core = Set("r_words", "r_mean_len", "r_symbols", "r_bullets",
+      "r_ellipsis", "r_alpha", "r_stopwords", "r_dup_lines", "r_terminal",
+      "r_lorem", "r_brace")
     val got = QualityFilters.ruleReport(df, "doc_id", "text", p).collect()
       .map { row =>
         val failed = row.schema.fieldNames
-          .filter(n => n.startsWith("r_") && !row.getAs[Boolean](n)).toSet
+          .filter(n => core(n) && !row.getAs[Boolean](n)).toSet
         (row.getAs[Long]("doc_id"), failed, row.getAs[Boolean]("rule_pass"))
       }.sortBy(_._1)
     cases.foreach { case (id, _, want) =>
@@ -2831,6 +2879,18 @@ class OperatorsSpec extends SparkTestBase {
     val off = run(None, pii = false)
     assert(off.values.forall(_.getString(2) != "rule_filtered"))
     assert(off(3L).getString(2) == "near_dup")     // without the gate it pairs with 0
+    // repetition tier in the GATE: a spammy doc passes the 11 core rules
+    // but trips the top-2-gram char fraction once the tier is enabled
+    val spam = Seq((9L, "s9", "the buy now buy now buy now buy now buy now ok."))
+      .toDF("doc_id", "source", "text")
+    val emb9 = Seq(9L -> { val v = Array.fill(8)(0.0f); v(7) = 1.0f; v })
+      .toDF("vec_id", "embedding")
+    def runSpam(p: operators.QualityFilters.RuleParams) =
+      operators.Pipeline.curateFull(spam, emb9, "doc_id", "text", "source",
+          semK = 1, tokenBudget = 1000L, ruleParams = Some(p))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(runSpam(rp)(9L) == "kept")
+    assert(runSpam(rp.copy(checkRepetition = true))(9L) == "rule_filtered")
     // PII flag: decisions identical; only the PII doc's released md5 moves
     val red = run(Some(rp), pii = true)
     assert(on.keys.forall(k => on(k).getString(2) == red(k).getString(2)))
