@@ -142,9 +142,48 @@ object SparkEntry
     "q75_ann_ivf_index", "q82_ann_ivf_quantized", "q102_ann_kmeans_ivf",
     "q114_ann_pq_rerank", "q118_streaming_curation")
 
+  /** Chain oracles whose CTE graphs reference intermediate results more
+    * than once: DuckDB's CTE inlining re-evaluates the WHOLE upstream
+    * chain per reference, which compounds across the two-epoch / staged
+    * pipelines (measured at sf0.01: q122 548 s -> 0.5 s, q112 45 -> 0.4,
+    * q118 ~25 min -> 5 s from the hint alone). Rewriting each CTE head to
+    * `AS MATERIALIZED` is a DuckDB evaluation hint — same rows, same
+    * types, evaluate-once — and together with the r20 inverted-index
+    * near-dup reformulation it is what lets the driver's correctness
+    * gate finish (r19 verdict #1). */
+  private val chainOracles: Set[String] = Set(
+    "q35_jaccard_pairs", "q36_minhash_lsh_pairs", "q46_curation",
+    "q60_dedup_clusters", "q97_incremental_neardup",
+    "q112_curate_full", "q115_curate_incremental", "q118_streaming_curation",
+    "q121_curate_multimodal", "q122_curate_quality",
+    "q123_curate_incremental_quality", "q126_curate_decontaminated",
+    "q127_curate_incremental_decontaminated", "q128_leakage_free_split",
+    "q131_curate_multimodal_video", "q132_curate_trimodal",
+    "q133_curate_incremental_media", "q136_quality_keep_clusters",
+    "q139_incremental_split", "q141_split_profile",
+    "q149_curate_from_html", "q150_curate_media_dup",
+    "q155_curate_incremental_media_dup", "q157_curate_lang",
+    "q158_curate_multimodal_dup", "q159_curate_incremental_multimodal_dup",
+    "q160_curate_incremental_lang", "q161_curate_web_domains",
+    "q163_curate_rules", "q164_curate_incremental_rules",
+    "q166_curate_pii", "q167_curate_web_rules")
+
+  /** `name AS (` at line start -> `name AS MATERIALIZED (`; the leading
+    * `WITH` / `WITH RECURSIVE` is preserved, and recursive members are
+    * untouched automatically (their heads carry a column list, which the
+    * pattern does not match). */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("(?m)^(WITH (?:RECURSIVE )?)?(\\w+) AS \\(",
+      "$1$2 AS MATERIALIZED (")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] = oracleSqlPlain.map {
+    case (k, v) if chainOracles(k) => k -> materializeCtes(v)
+    case kv => kv
+  }
+
+  private def oracleSqlPlain: Map[String, String] = {
     val base = sketchOracle ++ textOracle ++ similarityOracle ++
       relationalOracle ++ streamingOracle ++ driftOracle ++ pipelineOracle
     // q136 composes two existing oracle bodies as derived tables: q60's

@@ -539,6 +539,16 @@ private[graft] trait PipelineEntries extends EntryInfra {
     // tokens shingles to the single fold of ALL its tokens (ShingleSet's
     // documented semantics), replicated here as the whole-text 1-shingle
     // CASE so identical span-remnants still pair at J=1.
+    //
+    // r20: the near-dup stage is the EXACT inverted-index formulation
+    // (unnest shingles -> equi-join -> per-pair intersection count ->
+    // Jaccard from set sizes), replacing the all-pairs list_intersect
+    // cross join that made DuckDB DNF at sf0.1 (BASELINE.md r11 anchor:
+    // 1.73 s vs >180 s). Exactness is a formulation property, not an
+    // approximation: every shingle set here is non-empty (the <3-token
+    // CASE emits a whole-text singleton), so J >= t > 0 implies a shared
+    // shingle and the equi-join enumerates exactly the J > 0 pairs with
+    // identical IEEE operands (inter, |A|, |B| are the same integers).
     "q112_curate_full" ->
       """WITH norm AS (
         |  SELECT doc_id, source, text,
@@ -587,11 +597,16 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
         |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
         |        FROM ctoks),
+        |csz AS (SELECT doc_id, len(s) AS n FROM csh),
+        |cun AS (SELECT doc_id, unnest(s) AS g FROM csh),
+        |ncand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |          FROM cun a JOIN cun b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
         |npairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-        |  FROM csh a JOIN csh b ON a.doc_id < b.doc_id),
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) AS j
+        |  FROM ncand c JOIN csz sa ON sa.doc_id = c.doc_a
+        |               JOIN csz sb ON sb.doc_id = c.doc_b),
         |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM npairs WHERE j >= 0.9),
         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -716,11 +731,18 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
         |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
         |        FROM bct),
+        |hsz AS (SELECT doc_id, len(s) AS n FROM hsh),
+        |bsz AS (SELECT doc_id, len(s) AS n FROM bsh),
+        |hun AS (SELECT doc_id, unnest(s) AS g FROM hsh),
+        |bun AS (SELECT doc_id, unnest(s) AS g FROM bsh),
+        |ncand AS (SELECT a.doc_id AS ha, b.doc_id AS bb, count(*) AS inter
+        |          FROM hun a JOIN bun b ON a.g = b.g
+        |          GROUP BY 1, 2),
         |near_drop AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM hsh a JOIN bsh b
-        |    ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |  SELECT DISTINCT c.bb AS doc_id
+        |  FROM ncand c JOIN hsz ON hsz.doc_id = c.ha
+        |               JOIN bsz ON bsz.doc_id = c.bb
+        |  WHERE CAST(c.inter AS DOUBLE) / (hsz.n + bsz.n - c.inter) >= 0.9),
         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
         |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id % 2 = 0),
         |bt AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
@@ -884,11 +906,18 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
         |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
         |        FROM bct),
+        |hsz AS (SELECT doc_id, len(s) AS n FROM hsh),
+        |bsz AS (SELECT doc_id, len(s) AS n FROM bsh),
+        |hun AS (SELECT doc_id, unnest(s) AS g FROM hsh),
+        |bun AS (SELECT doc_id, unnest(s) AS g FROM bsh),
+        |ncand AS (SELECT a.doc_id AS ha, b.doc_id AS bb, count(*) AS inter
+        |          FROM hun a JOIN bun b ON a.g = b.g
+        |          GROUP BY 1, 2),
         |near_drop AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM hsh a JOIN bsh b
-        |    ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |  SELECT DISTINCT c.bb AS doc_id
+        |  FROM ncand c JOIN hsz ON hsz.doc_id = c.ha
+        |               JOIN bsz ON bsz.doc_id = c.bb
+        |  WHERE CAST(c.inter AS DOUBLE) / (hsz.n + bsz.n - c.inter) >= 0.9),
         |s3 AS (SELECT * FROM s2q WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
         |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id % 2 = 0),
         |bt AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
@@ -1130,11 +1159,18 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
         |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
         |        FROM bct),
+        |hsz AS (SELECT doc_id, len(s) AS n FROM hsh),
+        |bsz AS (SELECT doc_id, len(s) AS n FROM bsh),
+        |hun AS (SELECT doc_id, unnest(s) AS g FROM hsh),
+        |bun AS (SELECT doc_id, unnest(s) AS g FROM bsh),
+        |ncand AS (SELECT a.doc_id AS ha, b.doc_id AS bb, count(*) AS inter
+        |          FROM hun a JOIN bun b ON a.g = b.g
+        |          GROUP BY 1, 2),
         |near_drop AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM hsh a JOIN bsh b
-        |    ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |  SELECT DISTINCT c.bb AS doc_id
+        |  FROM ncand c JOIN hsz ON hsz.doc_id = c.ha
+        |               JOIN bsz ON bsz.doc_id = c.bb
+        |  WHERE CAST(c.inter AS DOUBLE) / (hsz.n + bsz.n - c.inter) >= 0.9),
         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
         |e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
         |     WHERE vec_id % 2 = 0 AND vec_id >= 75),
@@ -1265,11 +1301,16 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
         |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
         |        FROM ctoks),
+        |csz AS (SELECT doc_id, len(s) AS n FROM csh),
+        |cun AS (SELECT doc_id, unnest(s) AS g FROM csh),
+        |ncand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |          FROM cun a JOIN cun b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
         |npairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-        |  FROM csh a JOIN csh b ON a.doc_id < b.doc_id),
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) AS j
+        |  FROM ncand c JOIN csz sa ON sa.doc_id = c.doc_a
+        |               JOIN csz sb ON sb.doc_id = c.doc_b),
         |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM npairs WHERE j >= 0.9),
         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1425,11 +1466,16 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
         |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
         |        FROM ctoks),
+        |csz AS (SELECT doc_id, len(s) AS n FROM csh),
+        |cun AS (SELECT doc_id, unnest(s) AS g FROM csh),
+        |ncand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |          FROM cun a JOIN cun b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
         |npairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-        |  FROM csh a JOIN csh b ON a.doc_id < b.doc_id),
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) AS j
+        |  FROM ncand c JOIN csz sa ON sa.doc_id = c.doc_a
+        |               JOIN csz sb ON sb.doc_id = c.doc_b),
         |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM npairs WHERE j >= 0.9),
         |s3 AS (SELECT * FROM s2q WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1540,11 +1586,16 @@ private[graft] trait PipelineEntries extends EntryInfra {
         |                    ELSE list_distinct(list_transform(range(1, len(ct) - 1),
         |                      i -> array_to_string(ct[i:i+2], ' '))) END AS s
         |        FROM ctoks),
+        |csz AS (SELECT doc_id, len(s) AS n FROM csh),
+        |cun AS (SELECT doc_id, unnest(s) AS g FROM csh),
+        |ncand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |          FROM cun a JOIN cun b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
         |npairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-        |  FROM csh a JOIN csh b ON a.doc_id < b.doc_id),
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) AS j
+        |  FROM ncand c JOIN csz sa ON sa.doc_id = c.doc_a
+        |               JOIN csz sb ON sb.doc_id = c.doc_b),
         |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM npairs WHERE j >= 0.9),
         |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -624,11 +624,18 @@ private[graft] trait StreamingEntries extends EntryInfra {
         |                       ELSE list_distinct(list_transform(range(1, len(ct) - 1),
         |                         i -> array_to_string(ct[i:i+2], ' '))) END AS s
         |           FROM bct0),
+        |hsz0 AS (SELECT doc_id, len(s) AS n FROM hsh0),
+        |bsz0 AS (SELECT doc_id, len(s) AS n FROM bsh0),
+        |hun0 AS (SELECT doc_id, unnest(s) AS g FROM hsh0),
+        |bun0 AS (SELECT doc_id, unnest(s) AS g FROM bsh0),
+        |ncand0 AS (SELECT a.doc_id AS ha, b.doc_id AS bb, count(*) AS inter
+        |           FROM hun0 a JOIN bun0 b ON a.g = b.g
+        |           GROUP BY 1, 2),
         |near0 AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM hsh0 a JOIN bsh0 b
-        |    ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |  SELECT DISTINCT c.bb AS doc_id
+        |  FROM ncand0 c JOIN hsz0 ON hsz0.doc_id = c.ha
+        |                JOIN bsz0 ON bsz0.doc_id = c.bb
+        |  WHERE CAST(c.inter AS DOUBLE) / (hsz0.n + bsz0.n - c.inter) >= 0.9),
         |s3_0 AS (SELECT * FROM s2_0 WHERE doc_id NOT IN (SELECT doc_id FROM near0)),
         |ebt0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
         |           WHERE vec_id IN (SELECT doc_id FROM s3_0)),
@@ -723,11 +730,18 @@ private[graft] trait StreamingEntries extends EntryInfra {
         |                       ELSE list_distinct(list_transform(range(1, len(ct) - 1),
         |                         i -> array_to_string(ct[i:i+2], ' '))) END AS s
         |           FROM bct1),
+        |hsz1 AS (SELECT doc_id, len(s) AS n FROM hsh1),
+        |bsz1 AS (SELECT doc_id, len(s) AS n FROM bsh1),
+        |hun1 AS (SELECT doc_id, unnest(s) AS g FROM hsh1),
+        |bun1 AS (SELECT doc_id, unnest(s) AS g FROM bsh1),
+        |ncand1 AS (SELECT a.doc_id AS ha, b.doc_id AS bb, count(*) AS inter
+        |           FROM hun1 a JOIN bun1 b ON a.g = b.g
+        |           GROUP BY 1, 2),
         |near1 AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM hsh1 a JOIN bsh1 b
-        |    ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |  SELECT DISTINCT c.bb AS doc_id
+        |  FROM ncand1 c JOIN hsz1 ON hsz1.doc_id = c.ha
+        |                JOIN bsz1 ON bsz1.doc_id = c.bb
+        |  WHERE CAST(c.inter AS DOUBLE) / (hsz1.n + bsz1.n - c.inter) >= 0.9),
         |s3_1 AS (SELECT * FROM s2_1 WHERE doc_id NOT IN (SELECT doc_id FROM near1)),
         |ebt1 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
         |           WHERE vec_id IN (SELECT doc_id FROM s3_1)),

@@ -757,10 +757,16 @@ private[graft] trait TextEntries extends EntryInfra {
   private def repRuleName(n: Int): String =
     if (n <= 4) s"r_top${n}_chars" else s"r_dup${n}_chars"
   private lazy val repBlocksSql: String = repNs.map { n =>
+    // grams and positions run over `rtk` — the EMPTY-FILTERED token list
+    // (r19 advice): DuckDB's trim() strips spaces only, so tab/newline-
+    // edged page text would keep phantom '' tokens in ptk and shift gram
+    // identity/positions off the native tokenizer, which drops empties.
+    // (The current page fixture has no such edges; this pins the oracle
+    // against future fixtures rather than changing any output today.)
     val gram = s"""
-      |g$n AS (SELECT doc_id, i AS s, array_to_string(ptk[i:i+${n - 1}], ' ') AS g
-      |        FROM st, UNNEST(range(1, len(ptk) - $n + 2)) AS u$n(i)
-      |        WHERE len(ptk) >= $n),""".stripMargin
+      |g$n AS (SELECT doc_id, i AS s, array_to_string(rtk[i:i+${n - 1}], ' ') AS g
+      |        FROM st, UNNEST(range(1, len(rtk) - $n + 2)) AS u$n(i)
+      |        WHERE len(rtk) >= $n),""".stripMargin
     val agg =
       if (n <= 4) s"""
         |t$n AS (SELECT doc_id, max(c * gc) AS best FROM (
@@ -1001,11 +1007,16 @@ private[graft] trait TextEntries extends EntryInfra {
         |              list_distinct(list_transform(range(1, len(t) - 1),
         |                i -> array_to_string(t[i:i+2], ' '))) s
         |       FROM toks),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |un AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |         FROM un a JOIN un b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) AS jaccard
+        |  FROM cand c JOIN sz sa ON sa.doc_id = c.doc_a
+        |              JOIN sz sb ON sb.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
         |FROM pairs WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -1015,11 +1026,16 @@ private[graft] trait TextEntries extends EntryInfra {
         |              list_distinct(list_transform(range(1, len(t) - 1),
         |                i -> array_to_string(t[i:i+2], ' '))) s
         |       FROM toks),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |un AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |         FROM un a JOIN un b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) AS jaccard
+        |  FROM cand c JOIN sz sa ON sa.doc_id = c.doc_a
+        |              JOIN sz sb ON sb.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
         |FROM pairs WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -1078,11 +1094,16 @@ private[graft] trait TextEntries extends EntryInfra {
         |              list_distinct(list_transform(range(1, len(t) - 1),
         |                i -> array_to_string(t[i:i+2], ' '))) s
         |       FROM toks),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |un AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |         FROM un a JOIN un b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN sz sa ON sa.doc_id = c.doc_a
+        |              JOIN sz sb ON sb.doc_id = c.doc_b
+        |  WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.6),
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
         |          UNION SELECT doc_b, doc_a FROM pairs),
         |reach(v, r) AS (
@@ -1099,11 +1120,16 @@ private[graft] trait TextEntries extends EntryInfra {
         |              list_distinct(list_transform(range(1, len(t) - 1),
         |                i -> array_to_string(t[i:i+2], ' '))) s
         |       FROM toks),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |un AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |         FROM un a JOIN un b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN sz sa ON sa.doc_id = c.doc_a
+        |              JOIN sz sb ON sb.doc_id = c.doc_b
+        |  WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.6),
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
         |          UNION SELECT doc_b, doc_a FROM pairs),
         |reach(v, r) AS (
@@ -1128,11 +1154,16 @@ private[graft] trait TextEntries extends EntryInfra {
         |              list_distinct(list_transform(range(1, len(t) - 1),
         |                i -> array_to_string(t[i:i+2], ' '))) s
         |       FROM toks),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |un AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |         FROM un a JOIN un b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) AS j
+        |  FROM cand c JOIN sz sa ON sa.doc_id = c.doc_a
+        |              JOIN sz sb ON sb.doc_id = c.doc_b),
         |near_drops AS (SELECT DISTINCT doc_b FROM pairs WHERE j >= 0.9),
         |q AS (SELECT doc_id,
         |             CAST(len(t) AS DOUBLE) AS n,
@@ -1529,12 +1560,17 @@ private[graft] trait TextEntries extends EntryInfra {
         |              list_distinct(list_transform(range(1, len(t) - 1),
         |                i -> array_to_string(t[i:i+2], ' '))) s
         |       FROM toks),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |un AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS batch_doc, b.doc_id AS history_doc, count(*) AS inter
+        |         FROM un a JOIN un b ON a.g = b.g
+        |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |         GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT a.doc_id AS batch_doc, b.doc_id AS history_doc,
-        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        |  FROM sh a JOIN sh b
-        |    ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+        |  SELECT c.batch_doc, c.history_doc,
+        |         CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) AS jaccard
+        |  FROM cand c JOIN sz sa ON sa.doc_id = c.batch_doc
+        |              JOIN sz sb ON sb.doc_id = c.history_doc)
         |SELECT batch_doc, history_doc, round(jaccard, 6) AS jaccard
         |FROM pairs WHERE jaccard >= 0.6
         |ORDER BY batch_doc, history_doc""".stripMargin,
@@ -1581,11 +1617,16 @@ private[graft] trait TextEntries extends EntryInfra {
         |              list_distinct(list_transform(range(1, len(t) - 1),
         |                i -> array_to_string(t[i:i+2], ' '))) s
         |       FROM toks),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |un AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |         FROM un a JOIN un b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN sz sa ON sa.doc_id = c.doc_a
+        |              JOIN sz sb ON sb.doc_id = c.doc_b
+        |  WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.6),
         |hedges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
         |           WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
         |           UNION SELECT doc_b, doc_a FROM pairs
@@ -1775,6 +1816,7 @@ private[graft] trait TextEntries extends EntryInfra {
       """st AS (SELECT doc_id,
          |       CASE WHEN trim(page_text) = '' THEN []::VARCHAR[]
          |            ELSE string_split_regex(trim(page_text), '\s+') END AS ptk,
+         |       list_filter(ptk, t -> t <> '') AS rtk,
          |       list_filter(list_transform(string_split(page_text, chr(10)),
          |                                  l -> trim(l)),
          |                   l -> l <> '') AS lns,
@@ -1797,8 +1839,8 @@ private[graft] trait TextEntries extends EntryInfra {
          |       contains(lower(pg), 'lorem ipsum') AS has_lorem,
          |       contains(pg, '{') AS has_brace
          |       FROM st),
-         |tokpos AS (SELECT doc_id, i AS p, ptk[i] AS tok
-         |           FROM st, UNNEST(range(1, len(ptk) + 1)) AS u0(i)),""".stripMargin +
+         |tokpos AS (SELECT doc_id, i AS p, rtk[i] AS tok
+         |           FROM st, UNNEST(range(1, len(rtk) + 1)) AS u0(i)),""".stripMargin +
       repBlocksSql +
       """
          |j AS (SELECT sc.*,""".stripMargin + repFracSelectSql + """

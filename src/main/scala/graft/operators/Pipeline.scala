@@ -682,12 +682,25 @@ object Pipeline {
                         langModel: Option[TextOps.LangNbModel] = None,
                         langAllow: Seq[String] = Seq("en"),
                         ruleParams: Option[QualityFilters.RuleParams] = None,
-                        piiRedactOutput: Boolean = false): DataFrame = {
+                        piiRedactOutput: Boolean = false,
+                        historyFps: Option[DataFrame] = None): DataFrame = {
     val id = col(idCol)
 
-    // 1. exact vs history (bloom candidates + exact verify = the anti-join)
-    val s1 = IncrementalDedup.dedupAgainstHistory(batch, history, idCol, textCol,
-        historyBlob = historyBloom)
+    // 1. exact vs history (bloom candidates + exact verify = the anti-join).
+    //    `historyFps` (one column `fp`) extends the drop set with
+    //    PRE-redaction fingerprints of admitted docs whose persisted text
+    //    is PII-masked (r19 advice): a re-ingested duplicate of an admitted
+    //    PII-bearing doc must still read exact_dup even though the store's
+    //    released text no longer equals it. The relation is bounded by the
+    //    admitted-history row count (16 B digests, no text), so the join
+    //    broadcasts at typical history sizes and shuffles digests, never
+    //    documents, beyond that.
+    val s1base = IncrementalDedup.dedupAgainstHistory(batch, history, idCol,
+      textCol, historyBlob = historyBloom)
+    val s1 = historyFps.fold(s1base) { fps =>
+        s1base.join(fps.select(col("fp").as("__hist_ufp")),
+          TextOps.fingerprint(col(textCol)) === col("__hist_ufp"), "left_anti")
+      }
       .localCheckpoint(eager = true)
 
     // 1.5 (optional, r16) media-integrity gate — [[curateFull]]'s stage
@@ -953,10 +966,21 @@ object Pipeline {
         md5(outputText(col("cleaned_text"), piiRedactOutput).cast("binary")))
         .as("final_md5"))
     if (!keepCleanedText) base
-    else base.join(
-      ann.filter(col("decision") === "kept")
-        .select(id, outputText(col("cleaned_text"), piiRedactOutput)
-          .as("cleaned_text")),
-      Seq(idCol), "left")
+    else {
+      // Under redaction the released text is masked, so the kept slice
+      // also carries `unredacted_fp` — the canonical fingerprint of the
+      // PRE-redaction cleaned text — which is what a store feeds back as
+      // `historyFps` so cross-batch exact dedup stays mask-invariant
+      // (redaction is an output transform, never a dedup input).
+      val keptCols =
+        if (piiRedactOutput)
+          Seq(id, outputText(col("cleaned_text"), piiRedactOutput)
+              .as("cleaned_text"),
+            TextOps.fingerprint(col("cleaned_text")).as("unredacted_fp"))
+        else Seq(id, col("cleaned_text"))
+      base.join(
+        ann.filter(col("decision") === "kept").select(keptCols: _*),
+        Seq(idCol), "left")
+    }
   }
 }

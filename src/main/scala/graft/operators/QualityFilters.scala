@@ -408,7 +408,7 @@ case class RuleGate(child: Expression, params: QualityFilters.RuleParams)
     GraftRuntime.rulePass(input.asInstanceOf[UTF8String], params)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ruleParams", params,
-      "graft.operators.QualityFilters.RuleParams")
+      classOf[QualityFilters.RuleParams].getName)
     defineCodeGen(ctx, ev, a => s"graft.operators.GraftRuntime.rulePass($a, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

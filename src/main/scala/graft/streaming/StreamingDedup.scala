@@ -382,6 +382,19 @@ object StreamingDedup {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
       val history = seedHistory.select(col(idCol), col(textCol))
         .unionByName(admitted)
+      // Under PII redaction the store's cleaned_text is MASKED, so
+      // fingerprinting it would miss a re-ingested duplicate of an
+      // admitted PII-bearing doc (r19 advice). The store persists the
+      // pre-redaction fingerprint per kept row; feed those back so the
+      // exact-vs-history verdict is invariant under masking. (The span/
+      // near cross stages still judge against the released text — masked
+      // tokens differ, so those stages are conservative under redaction;
+      // exact dedup is the stage the invariant names, and it is exact.)
+      val historyFps =
+        if (piiRedactOutput && hasStore)
+          Some(spark.read.parquet(path).filter(col("decision") === "kept")
+            .select(col("unredacted_fp").as("fp")))
+        else None
       graft.operators.Pipeline.curateIncremental(
           history, b, embeddings, idCol, textCol,
           vecIdCol = vecIdCol, vecCol = vecCol,
@@ -392,7 +405,8 @@ object StreamingDedup {
           contamNgramK = contamNgramK, contamCosTau = contamCosTau,
           media = media, video = video, videoContainer = videoContainer,
           audio = audio, langModel = langModel, langAllow = langAllow,
-          ruleParams = ruleParams, piiRedactOutput = piiRedactOutput)
+          ruleParams = ruleParams, piiRedactOutput = piiRedactOutput,
+          historyFps = historyFps)
         .withColumn("batch_id", lit(id))
         .write.mode("append").parquet(path)
     }

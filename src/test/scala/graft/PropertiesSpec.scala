@@ -523,4 +523,30 @@ class PropertiesSpec extends SparkTestBase {
       col("v.r_terminal") && col("v.r_lorem") && col("v.r_brace")))
     assert(mism.count() == 0, mism.collect().take(5).mkString("\n"))
   }
+
+  test("RuleGate generated code compiles (no silent interpreted fallback)") {
+    // r19 advice: the gate's addReferenceObj class name must be one
+    // Janino resolves — a bad name would not fail the query, it would
+    // silently drop the hot path to interpreted eval. Generating an
+    // UnsafeProjection compiles the Java source directly: a Janino error
+    // surfaces as an exception here instead of a fallback.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val params = operators.QualityFilters.RuleParams(checkRepetition = true)
+    val gate = operators.RuleGate(
+      BoundReference(0, StringType, nullable = true), params)
+    val proj = GenerateUnsafeProjection.generate(Seq(Alias(gate, "ok")()))
+    val texts = Seq(
+      "the words be to of and that have with " + ("alpha beta " * 40),
+      "short", "{ code }", "lorem ipsum " * 30, "")
+    for (t <- texts) {
+      val row = InternalRow(UTF8String.fromString(t))
+      val compiled = proj(row).getBoolean(0)
+      val interpreted = gate.eval(row).asInstanceOf[Boolean]
+      assert(compiled == interpreted, s"codegen/interpreted split on: $t")
+    }
+  }
 }

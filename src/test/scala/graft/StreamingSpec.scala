@@ -276,14 +276,27 @@ class StreamingSpec extends SparkTestBase {
       query.processAllAvailable()
       mem.addData((15L, "the next article mentions science and history too"))
       query.processAllAvailable()
+      // r19 advice fix: a later batch re-ingesting the ORIGINAL (pre-
+      // redaction) text of an admitted PII-bearing doc must still read
+      // exact_dup — the store's text is masked, so this only works if
+      // the pre-redaction fingerprint was persisted and fed back.
+      mem.addData((17L, "the contact line is user11@example.com at 10.0.0.1 ok"))
+      query.processAllAvailable()
       val v = spark.read.parquet(store)
         .select("doc_id", "decision", "cleaned_text")
         .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
       assert(v(11L)._1 == "kept" && v(15L)._1 == "kept" &&
         v(13L)._1 == "rule_filtered", s"$v")
+      assert(v(17L)._1 == "exact_dup", s"$v")
       // released store text is scrubbed; the raw PII never lands on disk
       assert(v(11L)._2.contains("<EMAIL>") && v(11L)._2.contains("<IP>") &&
         !v(11L)._2.contains("@example.com"), v(11L)._2)
+      // the persisted pre-redaction fingerprint is a 16 B digest, never
+      // the raw text: recomputing it from the original matches, and no
+      // store column contains the unmasked address
+      val fpRow = spark.read.parquet(store)
+        .filter(col("doc_id") === 11L).select("unredacted_fp").head()
+      assert(fpRow.getString(0) != null && fpRow.getString(0).length == 32)
       // the kept slice (later batches' history) excludes the filtered doc
       val kept = spark.read.parquet(store).filter(col("decision") === "kept")
         .select("doc_id").collect().map(_.getLong(0)).toSet

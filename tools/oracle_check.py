@@ -41,6 +41,7 @@ def main(outdir, sfdir, report_path=None):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ok = bad = skipped = 0
     report = {}
+    import time
     for name, sql in sorted(oracle.items()):
         # Verify dumps oracle_sql.json in full even under
         # SPARK_GRAFT_VERIFY_ONLY; skip queries that were not dumped.
@@ -49,6 +50,7 @@ def main(outdir, sfdir, report_path=None):
             skipped += 1
             report[name] = {"status": "not_dumped"}
             continue
+        t0 = time.monotonic()
         try:
             spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
             spark_cols = [c.lower() for c in spark_rel.columns]
@@ -61,39 +63,56 @@ def main(outdir, sfdir, report_path=None):
             for c, t in zip(duck_rel.columns, duck_rel.types):
                 if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL"):
                     print(f"WARN {name}: column {c} has oracle type {t}; "
-                          f"CAST it to BIGINT/DOUBLE in the oracle SQL")
+                          f"CAST it to BIGINT/DOUBLE in the oracle SQL",
+                          flush=True)
             duck_rows = duck_rel.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: exec error: {e}")
+            print(f"FAIL {name}: exec error: {e}", flush=True)
             bad += 1
-            report[name] = {"status": "fail", "err": str(e)[:500]}
+            # driver-schema row (r19 verdict #5): all three match bits
+            # present and False so the artifact is a mechanical drop-in
+            # for the driver's CORRECTNESS_rN.json when that comes back {}
+            report[name] = {"status": "fail", "err": str(e)[:500],
+                            "rows_match": False, "schema_match": False,
+                            "hash_match": False}
             continue
-        if sorted(spark_cols) != sorted(duck_cols):
-            print(f"FAIL {name}: columns {sorted(spark_cols)} != {sorted(duck_cols)}")
+        schema_match = sorted(spark_cols) == sorted(duck_cols)
+        rows_match = len(spark_rows) == len(duck_rows)
+        if not schema_match:
+            print(f"FAIL {name}: columns {sorted(spark_cols)} != {sorted(duck_cols)}",
+                  flush=True)
             bad += 1
             report[name] = {"status": "fail", "err": "schema mismatch",
+                            "rows_match": rows_match, "schema_match": False,
+                            "hash_match": False,
                             "spark_cols": sorted(spark_cols),
                             "oracle_cols": sorted(duck_cols)}
             continue
         a = table_key(spark_rows, spark_cols)
         b = table_key(duck_rows, duck_cols)
+        dt = time.monotonic() - t0
         if a == b:
-            print(f"OK   {name} ({len(a)} rows)")
+            print(f"OK   {name} ({len(a)} rows, {dt:.1f}s)", flush=True)
             ok += 1
-            report[name] = {"status": "ok", "rows": len(a)}
+            report[name] = {"status": "ok", "rows": len(a),
+                            "rows_match": True, "schema_match": True,
+                            "hash_match": True, "oracle_sec": round(dt, 2)}
         else:
             report[name] = {"status": "fail", "err": "value mismatch",
+                            "rows_match": len(a) == len(b),
+                            "schema_match": True, "hash_match": False,
                             "spark_rows": len(a), "oracle_rows": len(b)}
-            print(f"FAIL {name}: value mismatch ({len(a)} vs {len(b)} rows)")
+            print(f"FAIL {name}: value mismatch ({len(a)} vs {len(b)} rows)",
+                  flush=True)
             for i, (x, y) in enumerate(zip(a, b)):
                 if x != y:
-                    print(f"  row {i}: spark={x}")
-                    print(f"          duck ={y}")
+                    print(f"  row {i}: spark={x}", flush=True)
+                    print(f"          duck ={y}", flush=True)
                     break
             if len(a) != len(b):
                 sa, sb = set(map(tuple, a)), set(map(tuple, b))
-                print(f"  only-spark: {list(sa - sb)[:2]}")
-                print(f"  only-duck : {list(sb - sa)[:2]}")
+                print(f"  only-spark: {list(sa - sb)[:2]}", flush=True)
+                print(f"  only-duck : {list(sb - sa)[:2]}", flush=True)
             bad += 1
     print(f"\n{ok} ok, {bad} fail" +
           (f", {skipped} not dumped (VERIFY_ONLY filter)" if skipped else ""))
