@@ -121,8 +121,30 @@ object Bench {
     }
     // warm-up sweep, untimed; a query that fails here fails
     // deterministically (bad plan, bad data) — skip its timed runs
-    // instead of re-failing `iterations` more times
-    val alive = names.filter { case (n, f) => run(n, f) >= 0 }.map(_._1).toSet
+    // instead of re-failing `iterations` more times. This sweep is ALSO
+    // the memo-persist step (r19 verdict #2): every corpus-snapshot memo
+    // (hot shingles, history blooms, pair evidence, fixture muxes) is a
+    // driver-side value built on a query's first run, so after this
+    // sweep no timed sample is ever charged for one-time mining.
+    val warmSec = scala.collection.mutable.Map.empty[String, Double]
+    val alive = names.filter { case (n, f) =>
+      val t = run(n, f); if (t >= 0) warmSec(n) = t; t >= 0
+    }.map(_._1).toSet
+    // Two-tier sweep (r19 verdict #2): at 161 queries a full sweep costs
+    // ~260 s warm (the ~30 multi-second pipeline/index compositions are
+    // ~160 s of it), so five uniform sweeps plus a cold warm-up blew the
+    // driver's 1800 s budget and r19 shipped ONE cold sweep with 38-104×
+    // first-sample outliers. Queries whose (JIT-warm) warm-up run costs
+    // >= heavySec get `heavyIters` timed samples; the sub-second tail
+    // keeps the full `iterations`. Tier assignment is measured, not a
+    // hardcoded list, so new expensive queries self-classify. Budget:
+    // heavy 2×160 + light 5×60 + cold warm-up ≈ 1100 s — three-plus
+    // completed sweep passes inside the default budget with headroom.
+    val heavySec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "2.0").toDouble
+    val heavyIters = math.min(iterations,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_ITERS", "2").toInt)
+    val heavy = alive.filter(warmSec.getOrElse(_, 0.0) >= heavySec)
+    def targetSamples(n: String): Int = if (heavy(n)) heavyIters else iterations
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
 
@@ -158,7 +180,12 @@ object Bench {
     // `value_total` keeps the grand total; `value_harness` the difference.
     def fullJson(sweepsDone: Int): String = {
       val (qs, qmin, total, opTotal, harnessTotal) = report()
-      f"""{"metric":"total_operator","value":$opTotal%.3f,"value_total":$total%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"sf":"$sfDir"}"""
+      // per-query sample counts keep the two-tier record honest: a heavy
+      // query's median is over `heavy_iters` samples by design, not a
+      // budget accident (partial_sweep still flags those)
+      val counts = names.map { case (n, _) => "\"" + n + "\":" + samples(n).size }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total_operator","value":$opTotal%.3f,"value_total":$total%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","queries":$qs,"queries_min":$qmin,"samples":$counts,"sweeps":$sweepsDone,"partial_sweep":$partialSweep,"heavy_sec":$heavySec%.1f,"heavy_iters":$heavyIters,"n_heavy":${heavy.size},"filter":$filterJson,"sf":"$sfDir"}"""
     }
     // Persist the running result after EVERY completed sweep (atomic
     // tmp+rename): the r10 crash at sweep ~5 of 6 lost 41 minutes of
@@ -181,7 +208,8 @@ object Bench {
     var stop = false
     for (sweep <- 1 to iterations if !stop) {
       var ranThisSweep = 0
-      for ((name, fn) <- names if alive(name) && !stop) {
+      for ((name, fn) <- names
+           if alive(name) && !stop && sweep <= targetSamples(name)) {
         // budget checks only from sweep 2 on: every alive query is
         // guaranteed at least one timed sample before early exit
         if (sweep > 1 && elapsedSec > budgetSec) {

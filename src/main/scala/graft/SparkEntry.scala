@@ -166,7 +166,7 @@ object SparkEntry
     "q158_curate_multimodal_dup", "q159_curate_incremental_multimodal_dup",
     "q160_curate_incremental_lang", "q161_curate_web_domains",
     "q163_curate_rules", "q164_curate_incremental_rules",
-    "q166_curate_pii", "q167_curate_web_rules")
+    "q166_curate_pii", "q167_curate_web_rules", "q168_curate_rep_rules")
 
   /** `name AS (` at line start -> `name AS MATERIALIZED (`; the leading
     * `WITH` / `WITH RECURSIVE` is preserved, and recursive members are
@@ -231,6 +231,38 @@ object SparkEntry
          |SELECT doc_id AS doc, lm_score_u, ntok,
          |       CAST(floor((cum - ntok) / 2000) AS BIGINT) AS shard
          |FROM w ORDER BY doc""".stripMargin) +
+    // q169 composes the q143 recursive-BPE replay and the q156 trained
+    // lang-ID chains (CTE namespaces disjoint: bpe m/w/enc/tok/d/bagg/
+    // bpen vs lang l-prefix), extracted from the two base texts with
+    // anchor asserts so all three stay in lockstep.
+    ("q169_tokenizer_qa" -> {
+      val q143 = base("q143_bpe_encode")
+      val q156 = base("q156_lang_classifier")
+      val bpeHead = "WITH RECURSIVE "
+      val bpeTail = "\nSELECT doc_id, n_bpe AS n_bpe_tokens,"
+      val langHead = "WITH lnorm AS ("
+      val langTail = "\nSELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri, lang AS pred_lang,"
+      require(q143.startsWith(bpeHead) && q143.contains(bpeTail) &&
+        q156.startsWith(langHead) && q156.contains(langTail),
+        "q143/q156 oracle anchors drifted - update the q169 derivation")
+      val bpeCtes = q143.substring(bpeHead.length, q143.indexOf(bpeTail))
+      val langCtes = q156.substring("WITH ".length, q156.indexOf(langTail))
+      s"""WITH RECURSIVE $bpeCtes,
+         |$langCtes,
+         |qpick AS (SELECT doc_id, lang FROM lpick WHERE rn = 1),
+         |qst AS (SELECT doc.doc_id, p.lang,
+         |               CAST(len(string_split_regex(trim(doc.text), '\\s+')) AS BIGINT) AS nw,
+         |               CAST(length(regexp_replace(trim(doc.text), '\\s+', '', 'g')) AS BIGINT) AS nc
+         |        FROM documents doc JOIN qpick p USING (doc_id)),
+         |qj AS (SELECT qst.*, b.n_bpe FROM qst JOIN bpen b USING (doc_id))
+         |SELECT lang AS pred_lang, count(*) AS n_docs,
+         |       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+         |       CAST(sum(nw) AS BIGINT) AS words,
+         |       CAST(sum(nc) AS BIGINT) AS chars,
+         |       CAST(floor(CAST(sum(nc) AS DOUBLE) / sum(n_bpe) * 1000000) AS BIGINT) AS chars_per_token_u,
+         |       CAST(floor(CAST(sum(n_bpe) AS DOUBLE) / sum(nw) * 1000000) AS BIGINT) AS fertility_u
+         |FROM qj GROUP BY lang ORDER BY pred_lang""".stripMargin
+    }) +
     ("q136_quality_keep_clusters" ->
       s"""WITH comp AS (SELECT * FROM (${base("q60_dedup_clusters")})),
          |sc AS (SELECT * FROM (${base("q119_seed_classifier")})),

@@ -256,6 +256,39 @@ private[graft] trait PipelineEntries extends EntryInfra {
         .orderBy("doc_id")
     },
 
+    // -- TOKENIZER QA (r20, verdict #6): the per-language fertility /
+    //    compression audit a multilingual pipeline runs before
+    //    committing a vocab — chars-per-BPE-token and BPE-tokens-per-
+    //    word, grouped by the TRAINED lang-ID's prediction (the q156
+    //    model) with counts from the SEED BPE vocab (the q143 model).
+    //    One scoring pass + one grouped aggregation; the per-group
+    //    ratios are a single double divide+multiply over integer sums
+    //    (µ-floored), so both engines emit identical BIGINTs. ----------
+    "q169_tokenizer_qa" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val lang = operators.TextOps.langNbFit(
+        docs.filter(col("doc_id") % 4 === 0), buckets = 1024)
+      val pred = operators.TextOps.langNbPredict(lang, docs)
+        .select(col("doc_id"), col("pred_lang"))
+      val m = operators.Bpe.SeedModel
+      docs.join(pred, Seq("doc_id"))
+        .select(col("pred_lang"),
+          operators.Bpe.tokenCount(col("text"), m).as("nb"),
+          size(operators.TextOps.tokens(col("text"))).cast("long").as("nw"),
+          length(regexp_replace(trim(col("text")), "\\s+", "")).cast("long").as("nc"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nb").as("bpe_tokens"),
+          sum("nw").as("words"),
+          sum("nc").as("chars"),
+          floor(sum("nc").cast("double") / sum("nb") * lit(1000000))
+            .as("chars_per_token_u"),
+          floor(sum("nb").cast("double") / sum("nw") * lit(1000000))
+            .as("fertility_u"))
+        .orderBy("pred_lang")
+    },
+
     // -- LANGUAGE-GATED curation (r19): q112 + the trained lang-id gate
     //    as stage 1.7 — the q156 model (fit on the labeled doc_id%4==0
     //    slice) predicts every exact-dedup survivor's language on RAW
@@ -310,6 +343,32 @@ private[graft] trait PipelineEntries extends EntryInfra {
           spark.table("embeddings"), "doc_id", "text", "source",
           ruleParams = Some(operators.QualityFilters.RuleParams(
             minStopHits = 1, minTermLines = 0)))
+        .orderBy("doc_id")
+    },
+
+    // -- REPETITION-TIER rule-gated curation (r20, verdict #4): q163's
+    //    lane with the FULL 20-rule Gopher gate — the nine §A1.1
+    //    repetition char-fraction signals enabled on top of the 11 core
+    //    rules, still ONE fused RuleGate expression per row (stage 1.8,
+    //    before every pairwise stage). q163/q167 stay tier-off, so this
+    //    pins the tier's pipeline composition independently. The corpus
+    //    text never trips the tier (natural prose), so the entry injects
+    //    closed-form repetition (the q166 PII-injection pattern): every
+    //    id%13==0 doc gets a 30× " buy now" tail — 3-char alpha words
+    //    with no lines/symbols/lorem/braces, so the tail passes all 11
+    //    core rules, while the top-2/3/4-gram char fractions trip on
+    //    SHORT docs and dilute below threshold on long ones — the tier
+    //    discriminates dose-dependently, exactly Gopher's intent.
+    "q168_curate_rep_rules" -> qd { spark =>
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents").withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" buy now" * 30)))
+          .otherwise(col("text")))
+      operators.Pipeline.curateFull(docs,
+          spark.table("embeddings"), "doc_id", "text", "source",
+          ruleParams = Some(operators.QualityFilters.RuleParams(
+            minStopHits = 1, minTermLines = 0, checkRepetition = true)))
         .orderBy("doc_id")
     },
 
@@ -1892,6 +1951,76 @@ private[graft] trait PipelineEntries extends EntryInfra {
     |        AND rdup <= 0.3::DOUBLE * rnl
     |        AND NOT rlor AND NOT rbra)),
     |s1rl AS (SELECT * FROM $src WHERE doc_id NOT IN (SELECT doc_id FROM rule_drop)),""".stripMargin
+  /** [[ruleBlock]] + the nine-signal Gopher §A1.1 repetition tier
+    * (q168, r20 verdict #4): the SAME core block with the gram/tokpos
+    * CTEs spliced between `rsc` and `rule_drop` and the nine fraction
+    * conjuncts appended — derived from ruleBlock's TEXT with anchor
+    * asserts so the two stay in lockstep. Gram identity, position
+    * coverage, char-fraction arithmetic, and thresholds replicate the
+    * q162 extended oracle (hash-exact at sf0.01 AND sf0.1), with grams
+    * over the EMPTY-FILTERED token list `rft` (the q162 discipline) and
+    * denominators the unfiltered summed token chars `rnc` (empties add
+    * zero chars, so the two lists agree). */
+  def ruleBlockRep(src: String): String = {
+    val base0 = ruleBlock(src)
+    val tkAnchor = "END AS tk,"
+    val rscEndAnchor = "        FROM rtk),"
+    val dropAnchor = "rule_drop AS (SELECT doc_id FROM rsc WHERE NOT ("
+    val endAnchor = "AND NOT rlor AND NOT rbra)),"
+    require(base0.contains(tkAnchor) && base0.contains(rscEndAnchor) &&
+      base0.contains(dropAnchor) && base0.contains(endAnchor),
+      "ruleBlock anchors drifted - update the ruleBlockRep derivation")
+    val thr = Seq(2 -> "0.20", 3 -> "0.18", 4 -> "0.16", 5 -> "0.15",
+      6 -> "0.14", 7 -> "0.13", 8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
+    val perN = thr.map(_._1).map { n =>
+      val gram = s"""
+        |rpg$n AS (SELECT doc_id, i AS s, array_to_string(rft[i:i+${n - 1}], ' ') AS g
+        |          FROM rtk, UNNEST(range(1, len(rft) - $n + 2)) AS rpu$n(i)
+        |          WHERE len(rft) >= $n),""".stripMargin
+      val agg =
+        if (n <= 4) s"""
+          |rpt$n AS (SELECT doc_id, max(c * gc) AS best FROM (
+          |            SELECT doc_id, g, count(*) AS c, length(g) - ${n - 1} AS gc
+          |            FROM rpg$n GROUP BY doc_id, g) GROUP BY doc_id),""".stripMargin
+        else s"""
+          |rpd$n AS (SELECT doc_id, g FROM rpg$n GROUP BY doc_id, g HAVING count(*) >= 2),
+          |rpc$n AS (SELECT DISTINCT rpg$n.doc_id AS doc_id, v.p AS p
+          |          FROM rpg$n JOIN rpd$n USING (doc_id, g),
+          |               UNNEST(range(rpg$n.s, rpg$n.s + $n)) AS v(p)),
+          |rpf$n AS (SELECT rpc$n.doc_id, sum(length(rtp.tok)) AS cov
+          |          FROM rpc$n JOIN rtp ON rtp.doc_id = rpc$n.doc_id AND rtp.p = rpc$n.p
+          |          GROUP BY rpc$n.doc_id),""".stripMargin
+      gram + agg
+    }.mkString
+    val fracDefs = thr.map { case (n, _) =>
+      val src0 = if (n <= 4) s"rpt$n.best" else s"rpf$n.cov"
+      s"""
+        |        CASE WHEN rnc > 0 THEN coalesce($src0, 0)::DOUBLE / rnc
+        |             ELSE 0.0 END AS rf$n,""".stripMargin
+    }.mkString.dropRight(1)
+    val fracJoins = thr.map { case (n, _) =>
+      val t = if (n <= 4) s"rpt$n" else s"rpf$n"
+      s" LEFT JOIN $t USING (doc_id)"
+    }.mkString
+    val repCtes = s"""
+      |rtp AS (SELECT doc_id, i AS p, rft[i] AS tok
+      |        FROM rtk, UNNEST(range(1, len(rft) + 1)) AS rpu0(i)),""".stripMargin +
+      perN + s"""
+      |rrj AS (SELECT rsc.*,""".stripMargin + fracDefs + s"""
+      |        FROM rsc$fracJoins),
+      |""".stripMargin
+    val repConjs = thr.map { case (n, t) =>
+      s"""
+        |        AND rf$n <= $t::DOUBLE""".stripMargin
+    }.mkString
+    base0
+      .replace(tkAnchor, tkAnchor +
+        "\n        list_filter(tk, t -> t <> '') AS rft,")
+      .replace(dropAnchor,
+        repCtes.stripPrefix("\n") + "\n" +
+        "rule_drop AS (SELECT doc_id FROM rrj WHERE NOT (")
+      .replace(endAnchor, "AND NOT rlor AND NOT rbra" + repConjs + ")),")
+  }
   // q163 = q112's oracle + the rule gate patched in between the exact
   // stage and everything downstream (the q157 pattern); q164 = the same
   // over q115's batch chain.
@@ -1914,6 +2043,39 @@ private[graft] trait PipelineEntries extends EntryInfra {
     .replace(incToksA, "UNION ALL SELECT doc_id, text FROM s1rl)")
     .replace(incAnnA, incAnnA +
       "\n              WHEN b.doc_id IN (SELECT doc_id FROM rule_drop) THEN 'rule_filtered'")
+  // q168 = q163's derivation with the FULL 20-rule gate (the repetition
+  // tier spliced into the rule block) over the repetition-INJECTED
+  // corpus (rdoc mirrors the entry's closed-form " buy now"×30 tail on
+  // id%13==0 docs, the q166 source-swap pattern); q163/q167 stay
+  // tier-off, so the tier's pipeline composition is pinned independently
+  // (r19 verdict #4) and the injection makes it discriminate.
+  val q168 = {
+    val q112 = base("q112_curate_full")
+    val withAnchor = "WITH norm AS ("
+    val fromAnchor = "  FROM documents),"
+    val s1Anchor = "s1 AS (SELECT * FROM norm WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),"
+    val toksAnchor = "FROM s1 WHERE trim(text) <> ''"
+    val caseAnchor = "WHEN d.doc_id IN (SELECT doc_id FROM exact_drop) THEN 'exact_dup'"
+    require(q112.contains(withAnchor) && q112.contains(fromAnchor) &&
+      q112.contains(s1Anchor) && q112.contains(toksAnchor) &&
+      q112.contains(caseAnchor),
+      "q112 oracle anchors drifted - update the q168 derivation")
+    q112
+      // norm's source swap FIRST (the q166 discipline): the rdoc CTE
+      // inserted below carries its own "FROM documents)," line that
+      // must stay untouched
+      .replace(fromAnchor, "  FROM rdoc),")
+      .replace(withAnchor, """WITH rdoc AS (
+        |  SELECT doc_id, source,
+        |         text ||
+        |         (CASE WHEN doc_id % 13 = 0 THEN repeat(' buy now', 30) ELSE '' END) AS text
+        |  FROM documents),
+        |norm AS (""".stripMargin)
+      .replace(s1Anchor, s1Anchor + ruleBlockRep("s1"))
+      .replace(toksAnchor, "FROM s1rl WHERE trim(text) <> ''")
+      .replace(caseAnchor, caseAnchor +
+        "\n              WHEN d.doc_id IN (SELECT doc_id FROM rule_drop) THEN 'rule_filtered'")
+  }
   // q166 = q112's oracle over the PII-injected corpus (norm re-sourced
   // to the pdoc CTE; the injection mirrors the entry expression term
   // for term) with final_md5 over the REDACTED cleaned text — the
@@ -1988,6 +2150,7 @@ private[graft] trait PipelineEntries extends EntryInfra {
     ("q160_curate_incremental_lang" -> q160) +
     ("q163_curate_rules" -> q163) +
     ("q164_curate_incremental_rules" -> q164) +
+    ("q168_curate_rep_rules" -> q168) +
     ("q166_curate_pii" -> q166) +
     ("q131_curate_multimodal_video" -> q131) +
     ("q132_curate_trimodal" -> q131.replace(gateB, gateC).replace(annB, annC)) +

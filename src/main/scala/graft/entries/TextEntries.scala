@@ -1148,8 +1148,21 @@ private[graft] trait TextEntries extends EntryInfra {
         |            ELSE 'test' END AS split
         |FROM bk ORDER BY doc_id""".stripMargin,
 
+    // r20: the exact-dup branch was missing — Pipeline.curate labels
+    // fingerprint duplicates 'exact_dup' BEFORE the near/quality stages,
+    // and the sf0.1 corpus (unlike sf0.01) contains 8 of them; the old
+    // oracle folded those into near_dup and only the unskipped 10x gate
+    // exposed it. Pair mining stays over ALL docs (the operator mines
+    // near pairs from the full corpus too — the drop sets are
+    // independent; the CASE order is what arbitrates).
     "q46_curation" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+      """WITH exact AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |        PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |        ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn > 1),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
         |sh AS (SELECT doc_id,
         |              list_distinct(list_transform(range(1, len(t) - 1),
         |                i -> array_to_string(t[i:i+2], ' '))) s
@@ -1171,7 +1184,8 @@ private[graft] trait TextEntries extends EntryInfra {
         |             CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE) AS chars
         |      FROM documents JOIN toks USING (doc_id)),
         |d AS (SELECT doc_id,
-        |             CASE WHEN doc_id IN (SELECT doc_b FROM near_drops) THEN 'near_dup'
+        |             CASE WHEN doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+        |                  WHEN doc_id IN (SELECT doc_b FROM near_drops) THEN 'near_dup'
         |                  WHEN 0.6 * least(1.0, n / 256.0) + 0.2 * (stop / n)
         |                       + 0.2 * least(1.0, (chars / n) / 8.0) < 0.2 THEN 'low_quality'
         |                  ELSE 'kept' END AS decision

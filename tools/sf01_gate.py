@@ -51,45 +51,14 @@ ESTIMATION = {
     "q76_req_int_elem", "q77_unsigned_widened", "q113_kll_ubigint",
 }
 
-# Brute-force oracle twins: the ORACLE side is quadratic by design
-# (ground truth for recall/pair checks) or a multi-stage pipeline CTE
-# chain whose span/pair stages explode at 10x; DuckDB wall time (or
-# memory: q122 OOMs) explodes while the Spark side finishes. Skipped
-# here, sf0.01-gated by the driver.
-SLOW_ORACLE = {
-    "q35_jaccard_pairs": "all-pairs exact-Jaccard ground truth",
-    "q36_minhash_lsh_pairs": "all-pairs Jaccard referee for the LSH side",
-    "q46_curation": "inline all-pairs near-dup mining in the oracle",
-    "q60_dedup_clusters": "pair-closure clustering over the all-pairs source",
-    "q128_leakage_free_split": "recursive pair-closure over the all-pairs source",
-    "q136_quality_keep_clusters": "recursive pair-closure + NB re-derivation",
-    "q139_incremental_split": "double recursive pair-closure over the all-pairs source",
-    "q141_split_profile": "recursive pair-closure inside the split derivation",
-    "q97_incremental_neardup": "cross-corpus brute-force Jaccard (179s at sf0.1, r15)",
-    "q112_curate_full": "5-stage pipeline CTE chain (>50min at sf0.1, r15)",
-    "q115_curate_incremental": "cross-corpus pipeline CTE chain",
-    "q118_streaming_curation": "replayed incremental-curation chain",
-    "q121_curate_multimodal": "q112 chain + media gate",
-    "q131_curate_multimodal_video": "q112 chain + image & video gates",
-    "q132_curate_trimodal": "q112 chain + image & video & audio gates",
-    "q133_curate_incremental_media": "q115 chain + video & audio gates",
-    "q122_curate_quality": "q112 chain + NB scoring stage (OOM at sf0.1)",
-    "q123_curate_incremental_quality": "q115 chain + NB calibration/scoring stages",
-    "q126_curate_decontaminated": "q112 chain + contamination CTEs",
-    "q127_curate_incremental_decontaminated": "q115 chain + contamination CTEs",
-    "q149_curate_from_html": "q112 chain verbatim (the HTML stage-0 twin)",
-    "q150_curate_media_dup": "q112 chain + perceptual media-dup CTEs",
-    "q155_curate_incremental_media_dup": "q115 chain + incremental perceptual-dedup CTEs",
-    "q157_curate_lang": "q112 chain + multiclass lang-NB CTEs",
-    "q158_curate_multimodal_dup": "q112 chain + three perceptual-arm CTEs",
-    "q159_curate_incremental_multimodal_dup": "q115 chain + three incremental perceptual-arm CTEs",
-    "q160_curate_incremental_lang": "q115 chain + multiclass lang-NB CTEs",
-    "q161_curate_web_domains": "q112 chain + per-domain window CTEs",
-    "q163_curate_rules": "q112 chain + rule-gate CTEs",
-    "q164_curate_incremental_rules": "q115 chain + rule-gate CTEs",
-    "q166_curate_pii": "q112 chain over the PII-injected corpus",
-    "q167_curate_web_rules": "q112 chain + per-domain + rule-gate CTEs",
-}
+# Brute-force oracle twins DuckDB cannot finish at 10x: r20 EMPTIED the
+# list — the all-pairs near-dup CTEs were reformulated as the exact
+# inverted index and every chain oracle got AS MATERIALIZED CTE heads
+# (DuckDB re-evaluated multi-referenced CTEs' whole upstream per
+# reference; q122 was 548 s at sf0.01 from that alone). All 32 former
+# skips now run and hash-compare at sf0.1. The mechanism stays: a
+# genuinely infeasible future oracle goes back here WITH a reason.
+SLOW_ORACLE: dict = {}
 
 # 480 not 240: r19 session 2 lost a full close cycle to a freak child-
 # process stall on q18 (a trivial GROUP BY that normally runs in <1 s) —
