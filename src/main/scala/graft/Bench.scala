@@ -126,15 +126,12 @@ object Bench {
     // (hot shingles, history blooms, pair evidence, fixture muxes) is a
     // driver-side value built on a query's first run, so after this
     // sweep no timed sample is ever charged for one-time mining.
-    val warmSec = scala.collection.mutable.Map.empty[String, Double]
-    val alive = names.filter { case (n, f) =>
-      val t = run(n, f); if (t >= 0) warmSec(n) = t; t >= 0
-    }.map(_._1).toSet
+    val alive = names.filter { case (n, f) => run(n, f) >= 0 }.map(_._1).toSet
     // Two-tier sweep (r19 verdict #2): at 161 queries a full sweep costs
     // ~260 s warm (the ~30 multi-second pipeline/index compositions are
     // ~160 s of it), so five uniform sweeps plus a cold warm-up blew the
     // driver's 1800 s budget and r19 shipped ONE cold sweep with 38-104×
-    // first-sample outliers. Queries whose (JIT-warm) warm-up run costs
+    // first-sample outliers. Queries whose sweep-1 sample reads
     // >= heavySec get `heavyIters` timed samples; the sub-second tail
     // keeps the full `iterations`. Tier assignment is measured, not a
     // hardcoded list, so new expensive queries self-classify. Budget:
@@ -143,7 +140,15 @@ object Bench {
     val heavySec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "2.0").toDouble
     val heavyIters = math.min(iterations,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_ITERS", "2").toInt)
-    val heavy = alive.filter(warmSec.getOrElse(_, 0.0) >= heavySec)
+    // Tier assignment is taken from each query's SWEEP-1 timed sample,
+    // not the warm-up run: the warm-up is JIT-cold (first classloading
+    // of every plan right after JVM start) and inflates sub-second
+    // queries past any fixed threshold — the first full-suite run of
+    // this harness classified 63 of 163 queries heavy off cold warm-ups
+    // vs the ~33 multi-second compositions the tier is for. Sweep 1 is
+    // warm and timed for every alive query, so it is the first honest
+    // per-query cost estimate available.
+    val heavy = scala.collection.mutable.Set.empty[String]
     def targetSamples(n: String): Int = if (heavy(n)) heavyIters else iterations
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
@@ -219,7 +224,10 @@ object Bench {
           partialSweep = ranThisSweep > 0
         } else {
           val t = run(name, fn)
-          if (t >= 0) samples(name) = samples(name) :+ t
+          if (t >= 0) {
+            samples(name) = samples(name) :+ t
+            if (sweep == 1 && t >= heavySec) heavy += name
+          }
           ranThisSweep += 1
         }
       }
