@@ -211,7 +211,24 @@ object Bench {
 
     var sweepsDone = 0
     var stop = false
+    // wall time of the most recent completed sweep — the estimate for
+    // the next one (heavy queries leave after sweep `heavyIters`, so
+    // this over-estimates later sweeps: conservative, never optimistic)
+    var lastSweepSec = 0.0
     for (sweep <- 1 to iterations if !stop) {
+      // Clean stop BETWEEN sweeps (r20): if the next sweep cannot fit
+      // the remaining budget, don't start it — a full-sweeps record
+      // with sweeps = N and partial_sweep = false is a legible artifact;
+      // a mid-sweep abort leaves uneven sample counts the cross-round
+      // comparison then has to caveat. The mid-sweep check below stays
+      // as the backstop for a sweep that blows its own estimate.
+      if (sweep > 1 && elapsedSec + lastSweepSec > budgetSec) {
+        System.err.println(
+          f"[bench] next sweep (~${lastSweepSec}%.0f s) would exceed the " +
+          f"${budgetSec}%.0f s budget at ${elapsedSec}%.0f s; stopping cleanly")
+        stop = true
+      }
+      val sweepStart = elapsedSec
       var ranThisSweep = 0
       for ((name, fn) <- names
            if alive(name) && !stop && sweep <= targetSamples(name)) {
@@ -231,7 +248,10 @@ object Bench {
           ranThisSweep += 1
         }
       }
-      if (!stop) sweepsDone = sweep
+      if (!stop) {
+        sweepsDone = sweep
+        lastSweepSec = elapsedSec - sweepStart
+      }
       persist(sweepsDone)
     }
 
