@@ -356,9 +356,11 @@ private[graft] trait PipelineEntries extends EntryInfra {
     //    closed-form repetition (the q166 PII-injection pattern): every
     //    id%13==0 doc gets a 30× " buy now" tail — 3-char alpha words
     //    with no lines/symbols/lorem/braces, so the tail passes all 11
-    //    core rules, while the top-2/3/4-gram char fractions trip on
-    //    SHORT docs and dilute below threshold on long ones — the tier
-    //    discriminates dose-dependently, exactly Gopher's intent.
+    //    core rules while tripping the top-2/3/4-gram char fractions
+    //    (dilution is dose-dependent in principle, but every corpus doc
+    //    is short enough that all 39/385 injected docs trip at
+    //    sf0.01/sf0.1 — pinned, with the downstream quota/sem cascades,
+    //    by the hash-exact oracle at both SFs).
     "q168_curate_rep_rules" -> qd { spark =>
       import org.apache.spark.sql.functions._
       val docs = spark.table("documents").withColumn("text",
