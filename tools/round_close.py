@@ -106,7 +106,15 @@ def main():
 
     if not skip_bench:
         bench_art = f"BENCH_QUERIES_{rnd}.json"
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF01)
+        # The committed floor record wants min-of-5 on EVERY query —
+        # the 2-sample heavy tier exists for the DRIVER's 1800 s budget,
+        # and min-of-2 floors on the ~33 compositions read 1.3-1.7x
+        # above min-of-5 on identical code (r20 measurement), which a
+        # cross-round floor comparison would misread as regressions.
+        # Locally we own the wall clock: full iterations, bigger budget.
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF01,
+                   SPARK_GRAFT_BENCH_HEAVY_ITERS="5",
+                   SPARK_GRAFT_BENCH_BUDGET_SEC="3600")
         env.pop("SPARK_GRAFT_BENCH_ONLY", None)  # full sweep only
         if run(["sbt", "-batch", "runMain graft.Bench"],
                env=env).returncode != 0:
