@@ -31,7 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default 240m JIT code cache flushes hot compiled methods between a
   // query's visits, so later sweeps re-run interpreted (2-4x medians)
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // ad-hoc profiling hook: GRAFT_EXTRA_JAVA_OPTS="-Dspark.eventLog.enabled=true ..."
+  // lets a measurement run turn on Spark event logs (or any -D) without
+  // touching the bench harness or the driver contract
+  sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
 
 // Pass forked-run stdout through unprefixed: the bench/verify harness
 // emits one machine-parsed JSON line, and sbt's default LoggedOutput

@@ -21,6 +21,46 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Evaluate independent stage computations CONCURRENTLY (guide §2.6:
+    * Spark's scheduler runs several jobs at once inside one application;
+    * actions are only sequential because driver code calls them
+    * sequentially). Every thunk here materializes an eager
+    * localCheckpoint of a drop relation that depends only on an
+    * already-materialized upstream leaf — the three media-integrity
+    * arms, the three perceptual-dup arms, the history/batch embedding
+    * slices — so running them from a small thread pool lets each job's
+    * tail back-fill the executors the others free, instead of paying
+    * three full job latencies end to end (measured on q132: the three
+    * decode arms were 5.3 s of an 11.9 s run, sequential by construction
+    * only). Results (the checkpointed DataFrames) are identical — only
+    * the submission order changes. Exceptions propagate unwrapped. */
+  private def parEval[T](thunks: Seq[() => T]): Seq[T] =
+    if (thunks.lengthCompare(2) < 0) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      try {
+        val futs = thunks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[T] {
+            override def call(): T = t()
+          })
+        }
+        futs.map { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
+  /** [[parEval]] over optional arms: present arms run concurrently, the
+    * option structure is preserved for the caller's union/getOrElse. */
+  private def parEvalOpt(arms: Seq[Option[() => DataFrame]]): Seq[Option[DataFrame]] = {
+    val results = parEval(arms.flatten)
+    var i = -1
+    arms.map(_.map { _ => i += 1; results(i) })
+  }
+
   /** The relation re-spread to cluster parallelism when its materialized
     * source sits below it. AQE's size-based post-shuffle coalesce is
     * tuned for IO-bound work, so at small corpus sizes a checkpointed
@@ -65,25 +105,31 @@ object Pipeline {
     def inPlay(assets: DataFrame): DataFrame =
       assets.select(col(idCol).as("doc_id"), col("content"))
         .join(survivors.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-    val imageDrops = media.map { m =>
-      val mean = col("checksum").cast("double") / (col("width") * col("height"))
-      MediaOps.decodeStatus(inPlay(m), mediaCodec, mediaGrid).toDF()
-        .filter(!col("ok") || mean < minMeanLum || mean > maxMeanLum ||
-          col("uniform"))
-        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
-    }.getOrElse(empty)
-    val videoDrops = video.map { v =>
-      val vMean = col("pix_sum").cast("double") / col("pix_cnt")
-      VideoOps.decodeStatus(inPlay(v), videoContainer, mediaCodec, videoEvery).toDF()
-        .filter(!col("ok") || col("n_decoded") === 0 ||
-          vMean < minMeanLum || vMean > maxMeanLum || col("uniform"))
-        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
-    }.getOrElse(empty)
-    val audioDrops = audio.map { a =>
-      MediaOps.audioStatus(inPlay(a), audioCodec).toDF()
-        .filter(!col("ok") || col("n_samples") === 0 || col("silent"))
-        .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
-    }.getOrElse(empty)
+    // the three modality decodes are independent full passes over their
+    // own asset relations — materialize them concurrently ([[parEval]])
+    val Seq(imageArm, videoArm, audioArm) = parEvalOpt(Seq(
+      media.map { m => () =>
+        val mean = col("checksum").cast("double") / (col("width") * col("height"))
+        MediaOps.decodeStatus(inPlay(m), mediaCodec, mediaGrid).toDF()
+          .filter(!col("ok") || mean < minMeanLum || mean > maxMeanLum ||
+            col("uniform"))
+          .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
+      },
+      video.map { v => () =>
+        val vMean = col("pix_sum").cast("double") / col("pix_cnt")
+        VideoOps.decodeStatus(inPlay(v), videoContainer, mediaCodec, videoEvery).toDF()
+          .filter(!col("ok") || col("n_decoded") === 0 ||
+            vMean < minMeanLum || vMean > maxMeanLum || col("uniform"))
+          .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
+      },
+      audio.map { a => () =>
+        MediaOps.audioStatus(inPlay(a), audioCodec).toDF()
+          .filter(!col("ok") || col("n_samples") === 0 || col("silent"))
+          .select(col("doc_id").as("__media_drop")).localCheckpoint(eager = true)
+      }))
+    val imageDrops = imageArm.getOrElse(empty)
+    val videoDrops = videoArm.getOrElse(empty)
+    val audioDrops = audioArm.getOrElse(empty)
     imageDrops.union(videoDrops).union(audioDrops).distinct()
   }
 
@@ -376,28 +422,39 @@ object Pipeline {
     def inPlayAssets(assets: DataFrame): DataFrame =
       assets.select(col(idCol).as("doc_id"), col("content"))
         .join(s1m.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-    val imageDupDrops = mediaDup.map { md =>
-      val inPlay = inPlayAssets(md)
-      val pairs = MediaOps.perceptualDupPairs(inPlay, mediaCodec, mediaDupMaxDist)
-        .localCheckpoint(eager = true)
-      val scores = MediaOps.decodeImages(inPlay, mediaCodec).toDF()
-        .select(col("doc_id"), col("checksum"))
-      DedupOps.qualityKeepClusters(inPlay.select(col("doc_id")), pairs, scores,
-          "doc_id", scoreCol = "checksum")
-        .filter(!col("kept"))
-        .select(col("doc_id").as("__mdup_drop")).localCheckpoint(eager = true)
-    }
-    val audioDupDrops = audioDup.map { ad =>
-      MediaOps.audioDupPairs(inPlayAssets(ad), audioCodec, audioDupMaxDist)
-        .select(col("doc_b").as("__mdup_drop")).distinct()
-        .localCheckpoint(eager = true)
-    }
-    val videoDupDrops = videoDup.map { vd =>
-      VideoOps.videoDupSegments(inPlayAssets(vd), videoContainer, mediaCodec,
-          videoDupMinFrames)
-        .select(col("doc_b").as("__mdup_drop")).distinct()
-        .localCheckpoint(eager = true)
-    }
+    // independent modality arms over independent asset relations — run
+    // the decode+pair jobs concurrently ([[parEval]]; the image arm's
+    // two checkpoints stay sequential inside its own thunk)
+    val Seq(imageDupDrops, audioDupDrops, videoDupDrops) = parEvalOpt(Seq(
+      mediaDup.map { md => () =>
+        val inPlay = inPlayAssets(md)
+        // ONE decode pass feeds both the band join (ahash) and the keep
+        // rule (checksum) — see [[MediaOps.perceptualChecksums]]: decode
+        // dominates this arm, and the former hashes-then-decodeImages
+        // shape paid it twice per asset
+        val hx = MediaOps.perceptualChecksums(inPlay, mediaCodec).toDF()
+          .filter(col("ok")).localCheckpoint(eager = true)
+        val pairs = DedupOps.simhashPairsFromSigs(
+            hx.select(col("doc_id").as("doc"), col("ahash").as("sig")),
+            mediaDupMaxDist)
+          .localCheckpoint(eager = true)
+        val scores = hx.select(col("doc_id"), col("checksum"))
+        DedupOps.qualityKeepClusters(inPlay.select(col("doc_id")), pairs, scores,
+            "doc_id", scoreCol = "checksum")
+          .filter(!col("kept"))
+          .select(col("doc_id").as("__mdup_drop")).localCheckpoint(eager = true)
+      },
+      audioDup.map { ad => () =>
+        MediaOps.audioDupPairs(inPlayAssets(ad), audioCodec, audioDupMaxDist)
+          .select(col("doc_b").as("__mdup_drop")).distinct()
+          .localCheckpoint(eager = true)
+      },
+      videoDup.map { vd => () =>
+        VideoOps.videoDupSegments(inPlayAssets(vd), videoContainer, mediaCodec,
+            videoDupMinFrames)
+          .select(col("doc_b").as("__mdup_drop")).distinct()
+          .localCheckpoint(eager = true)
+      }))
     val mediaDupDrops =
       Seq(imageDupDrops, audioDupDrops, videoDupDrops).flatten match {
         case Nil => docs.limit(0).select(id.as("__mdup_drop"))
@@ -737,8 +794,10 @@ object Pipeline {
     def inPlayBatchAssets(assets: DataFrame): DataFrame =
       assets.select(col(idCol).as("doc_id"), col("content"))
         .join(s1v.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-    val imageDupDrops = (mediaDupHistory, mediaDupBatch) match {
-      case (Some(hist), Some(ba)) =>
+    // arm argument validation stays on the calling thread; the arm BODIES
+    // (independent decode/hash/pair jobs) run concurrently ([[parEval]])
+    val imageDupThunk = (mediaDupHistory, mediaDupBatch) match {
+      case (Some(hist), Some(ba)) => Some(() => {
         val hb = MediaOps.perceptualHashes(inPlayBatchAssets(ba), mediaCodec).toDF()
           .filter(col("ok"))
           .select(col("doc_id").as("doc"), col("ahash").as("sig"))
@@ -751,14 +810,15 @@ object Pipeline {
           .select(col("doc_a"))
         val mates = DedupOps.simhashPairsFromSigs(hb, mediaDupMaxDist)
           .select(col("doc_b").as("doc_a"))
-        Some(cross.union(mates).distinct()
-          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true))
+        cross.union(mates).distinct()
+          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true)
+      })
       case (None, None) => None
       case _ => sys.error(
         "incremental media dedup needs BOTH mediaDupHistory and mediaDupBatch")
     }
-    val audioDupDrops = (audioDupHistory, audioDupBatch) match {
-      case (Some(hist), Some(ba)) =>
+    val audioDupThunk = (audioDupHistory, audioDupBatch) match {
+      case (Some(hist), Some(ba)) => Some(() => {
         val hb = MediaOps.audioHashes(inPlayBatchAssets(ba), audioCodec).toDF()
           .filter(col("ok"))
           .select(col("doc_id").as("doc"), col("ahash").as("sig"))
@@ -771,14 +831,15 @@ object Pipeline {
           .select(col("doc_a"))
         val mates = DedupOps.simhashPairsFromSigs(hb, audioDupMaxDist)
           .select(col("doc_b").as("doc_a"))
-        Some(cross.union(mates).distinct()
-          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true))
+        cross.union(mates).distinct()
+          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true)
+      })
       case (None, None) => None
       case _ => sys.error(
         "incremental audio dedup needs BOTH audioDupHistory and audioDupBatch")
     }
-    val videoDupDrops = (videoDupHistory, videoDupBatch) match {
-      case (Some(hist), Some(ba)) =>
+    val videoDupThunk = (videoDupHistory, videoDupBatch) match {
+      case (Some(hist), Some(ba)) => Some(() => {
         // frame-hash relations: batch hashed ONCE (feeds both the cross
         // and the mate join), history as its own relation — a snapshot-
         // persistable artifact, like the image band relation
@@ -793,12 +854,15 @@ object Pipeline {
         val mates = SpanDedup.duplicatedSpansFromGrams(bg, k = 1,
             minSpan = videoDupMinFrames, maxGramOccurrences = 1000)
           .select(col("doc_b").as("doc_a"))
-        Some(cross.union(mates).distinct()
-          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true))
+        cross.union(mates).distinct()
+          .select(col("doc_a").as("__mdup_drop")).localCheckpoint(eager = true)
+      })
       case (None, None) => None
       case _ => sys.error(
         "incremental video dedup needs BOTH videoDupHistory and videoDupBatch")
     }
+    val Seq(imageDupDrops, audioDupDrops, videoDupDrops) =
+      parEvalOpt(Seq(imageDupThunk, audioDupThunk, videoDupThunk))
     val mediaDupDrops =
       Seq(imageDupDrops, audioDupDrops, videoDupDrops).flatten match {
         case Nil => batch.limit(0).select(id.as("__mdup_drop"))
@@ -907,12 +971,14 @@ object Pipeline {
 
     // 4. cross semantic dedup: batch survivors' embeddings vs the history
     //    snapshot's (centroids fit on history — the stored-artifact side)
-    val embHist = embeddings.join(history.select(id.as("__hid")),
-        col(vecIdCol) === col("__hid"), "left_semi")
-      .localCheckpoint(eager = true)
-    val embBatch = embeddings.join(s3.select(id.as("__sid")),
-        col(vecIdCol) === col("__sid"), "left_semi")
-      .localCheckpoint(eager = true)
+    // two independent embedding slices — materialize concurrently
+    val Seq(embHist, embBatch) = parEval(Seq(
+      () => embeddings.join(history.select(id.as("__hid")),
+          col(vecIdCol) === col("__hid"), "left_semi")
+        .localCheckpoint(eager = true),
+      () => embeddings.join(s3.select(id.as("__sid")),
+          col(vecIdCol) === col("__sid"), "left_semi")
+        .localCheckpoint(eager = true)))
     // inline-fit clamp: same graceful degradation as curateFull's stage
     // 4 — a small admitted history must not crash the ingest gate. A
     // provided snapshot artifact (the production path) skips the count.
