@@ -177,37 +177,33 @@ object DedupOps {
     if (maxShingleDF <= 0) sets
     else if (knownHot.isDefined) capSetsKnown(sets, knownHot.get)
     else {
-      // Cached: the strategy probe below AND the chosen removal plan both
-      // read it, so the explode+groupBy over the full shingle mass runs
-      // once (it was the r6 cap-tax — the in-query hot aggregation
-      // re-ran after the count job had already paid for it). The cache
-      // is ≤ total-shingle-mass / cap rows of one long each — KB-to-MB.
-      val hot = sets.select(explode(col("shset")).as("shingle"))
+      // ONE aggregation job, collected straight to the driver (r21): the
+      // hot list is bounded by total-shingle-mass / cap — KB-to-MB by
+      // construction, the same documented pull as [[hotShingles]]. The
+      // former cache+count+broadcast-agg shape paid a count job AND left
+      // the aggregation embedded in the removal plan, so every capSets
+      // call without `knownHot` cost two hot-mass passes plus a pinned
+      // cache (measured: 0.88 s / 5 jobs of the q132 timed sample were
+      // this count). The collect is capped at the broadcast-strategy
+      // limit + 1 rows, so "small enough to broadcast" is decided
+      // without materializing an unbounded array on the driver.
+      val hotAgg = sets.select(explode(col("shset")).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShingleDF)
         .select("shingle")
-        .cache()
-      // Hot-set cardinality picks the removal strategy. The count is a
-      // deliberate driver-side scalar pull (same precedent as the bloom
-      // blob and range-bounds materializations): it is bounded by
-      // total-shingle-mass / cap and the aggregate that produces it also
-      // warms the caller's shingle-set cache.
-      val nHot = hot.count()
-      if (nHot == 0) { hot.unpersist(); sets } // common case: no boilerplate → no-op
-      else if (nHot <= 4L * 1000 * 1000) {
+      val limit = 4 * 1000 * 1000
+      val hotRows = hotAgg.limit(limit + 1).collect()
+      if (hotRows.isEmpty) sets // common case: no boilerplate → no-op
+      else if (hotRows.length <= limit)
         // small hot list → broadcast one collected array, map-side except
-        val hotArr = hot.agg(collect_list(col("shingle")).as("__hot"))
-        sets.crossJoin(broadcast(hotArr))
-          .withColumn("shset", array_except(col("shset"), col("__hot")))
-          .withColumn("sz", size(col("shset")))
-          .drop("__hot")
-      } else {
+        capSetsKnown(sets, hotRows.map(_.getLong(0)))
+      else {
         // boilerplate so pervasive the hot list itself outgrows a
         // broadcast: shuffle-based removal — explode, anti-join the hot
         // relation, re-assemble sets. Docs whose every shingle is hot
         // drop out entirely (both consumers discard empty sets anyway).
         sets.select(col("doc"), explode(col("shset")).as("shingle"))
-          .join(hot, Seq("shingle"), "left_anti")
+          .join(hotAgg, Seq("shingle"), "left_anti")
           .groupBy("doc").agg(collect_list(col("shingle")).as("shset"))
           .select(col("doc"), size(col("shset")).as("sz"), col("shset"))
       }

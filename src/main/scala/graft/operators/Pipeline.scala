@@ -133,6 +133,27 @@ object Pipeline {
     imageDrops.union(videoDrops).union(audioDrops).distinct()
   }
 
+  /** A one-column drop leaf re-labeled to the shared `__dropped` name so
+    * drop sets from different stages can union (r21). */
+  private def dropCol(df: DataFrame): DataFrame =
+    df.select(col(df.columns.head).as("__dropped"))
+
+  /** Survivors of `base` against a cumulative drop-id union (r21): ONE
+    * left-anti join per stage input instead of a CHAIN of k anti-joins.
+    * The chained shape paid O(k²) broadcast builds per curate run —
+    * every stage's lazy input plan re-executed every upstream stage's
+    * anti-join inside each of its own jobs (stage k's checkpoint job
+    * rebuilt k−1 broadcasts; measured across q132's 15 stage jobs the
+    * rebuild latency dominated the sub-second stages). The union of
+    * drop leaves is the same O(duplicates) id mass the individual sets
+    * were — AQE broadcasts it when small, shuffles when not (never
+    * forced, the drop-set discipline) — and at scale one anti-join
+    * against the union shuffles the corpus ONCE per stage instead of k
+    * times. */
+  private def minusDrops(base: DataFrame, id: org.apache.spark.sql.Column,
+                         drops: DataFrame): DataFrame =
+    base.join(drops, id === col("__dropped"), "left_anti")
+
   private[graft] def widenIfNarrow(df: DataFrame): DataFrame =
     widenIfNarrow(df, df)
 
@@ -378,7 +399,8 @@ object Pipeline {
     // 1. exact dedup
     val exactDrops = DedupOps.dupIds(docs, idCol, textCol)
       .select(col("__dup_id").as("__exact_drop")).localCheckpoint(eager = true)
-    val s1 = docs.join(exactDrops, id === col("__exact_drop"), "left_anti")
+    val drops1 = dropCol(exactDrops)
+    val s1 = minusDrops(docs, id, drops1)
 
     // 1.5 (optional, r16) media-integrity gate — all three modality
     //     arms ([[mediaGateDrops]]): a doc whose image fails decode /
@@ -393,7 +415,8 @@ object Pipeline {
       media, mediaCodec, mediaGrid, minMeanLum, maxMeanLum,
       video, videoContainer, videoEvery, audio, audioCodec,
       docs.limit(0).select(id.as("__media_drop")))
-    val s1m = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
+    val drops2 = drops1.union(dropCol(mediaDrops))
+    val s1m = minusDrops(docs, id, drops2)
 
     // 1.6 (optional, r17; r19: three modality arms) perceptual MEDIA
     //     near-dup — the modality twin of the text near-dup stage, run
@@ -461,7 +484,8 @@ object Pipeline {
         case one :: Nil => one
         case several => several.reduce(_ union _).distinct()
       }
-    val s1d = s1m.join(mediaDupDrops, id === col("__mdup_drop"), "left_anti")
+    val drops3 = drops2.union(dropCol(mediaDupDrops))
+    val s1d = minusDrops(docs, id, drops3)
 
     // 1.7 (optional, r19) trained LANGUAGE gate — the CCNet discipline:
     //     lang-id runs FIRST among the text-reading stages, so a
@@ -480,7 +504,8 @@ object Pipeline {
         .filter(!col("pred_lang").isin(langAllow: _*))
         .select(col(idCol).as("__lang_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__lang_drop")))
-    val s1lg = s1d.join(langDrops, id === col("__lang_drop"), "left_anti")
+    val drops4 = drops3.union(dropCol(langDrops))
+    val s1lg = minusDrops(docs, id, drops4)
 
     // 1.8 (optional, r19) Gopher/C4 heuristic RULE gate
     //     ([[QualityFilters.ruleReport]]): the cheapest text stage — a
@@ -500,7 +525,8 @@ object Pipeline {
         .filter(!QualityFilters.rulePass(col(textCol), rp))
         .select(id.as("__rule_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__rule_drop")))
-    val s1rl = s1lg.join(ruleDrops, id === col("__rule_drop"), "left_anti")
+    val drops5 = drops4.union(dropCol(ruleDrops))
+    val s1rl = minusDrops(docs, id, drops5)
 
     // 1.75 (optional, r16) benchmark decontamination: exact/media
     //     survivors sharing a k-gram shingle with the benchmark
@@ -534,7 +560,8 @@ object Pipeline {
       ng.union(sem).distinct()
         .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__contam_drop")))
-    val s1c = s1rl.join(contamDrops, id === col("__contam_drop"), "left_anti")
+    val drops6 = drops5.union(dropCol(contamDrops))
+    val s1c = minusDrops(docs, id, drops6)
 
     // 2. span removal over exact survivors (blank docs fall out here and
     //    are decided `empty` in the assembly, matching removeDuplicatedSpans'
@@ -580,14 +607,16 @@ object Pipeline {
         } else scored.filter(col("nb_score_u") < minNbScoreU).select(id)
       drops.select(id.as("__quality_drop")).localCheckpoint(eager = true)
     }.getOrElse(docs.limit(0).select(id.as("__quality_drop")))
-    val s2q = s2.join(qualityDrops, id === col("__quality_drop"), "left_anti")
+    val dropsQ = dropCol(qualityDrops)
+    val s2q = minusDrops(s2, id, dropsQ)
 
     // 3. near dedup on the cleaned text — the text duplicates must be
     //    judged on what stage 2 kept, not the raw crawl
     val nearDrops = DedupOps.jaccardPairs(s2q, idCol, "cleaned_text",
         shingleK, nearDupThreshold, maxShingleDF)
       .select(col("doc_b").as("__near_drop")).distinct().localCheckpoint(eager = true)
-    val s3 = s2q.join(nearDrops, id === col("__near_drop"), "left_anti")
+    val dropsQN = dropsQ.union(dropCol(nearDrops))
+    val s3 = minusDrops(s2, id, dropsQN)
 
     // 4. semantic dedup over the surviving docs' embeddings (centroids
     //    fit on the survivor slice — the corpus the stage actually sees)
@@ -612,7 +641,7 @@ object Pipeline {
           .filter(!col("kept")).select(col("id"))
       }).select(col("id").as("__sem_drop"))
       .localCheckpoint(eager = true)
-    val s4 = s3.join(semDrops, id === col("__sem_drop"), "left_anti")
+    val s4 = minusDrops(s2, id, dropsQN.union(dropCol(semDrops)))
 
     // 5. per-source token quota over cleaned token counts
     val s4src = s4.join(docs.select(id, col(sourceCol)), Seq(idCol))
@@ -621,32 +650,45 @@ object Pipeline {
       .filter(!col("kept")).select(id.as("__quota_drop"))
       .localCheckpoint(eager = true)
 
-    // assembly: every input doc, one decision, survivor fingerprint
+    // assembly: every input doc, one decision, survivor fingerprint.
+    // ONE drop-verdict join (r21) instead of ten: each drop leaf is
+    // tagged with its stage's PRIORITY, the union aggregates to the
+    // min priority per id (exactly the old when-chain's first-match
+    // order — a doc in several sets reads its earliest stage), and the
+    // docs scan joins that single relation plus the cleaned leaf. The
+    // former chain of ten sequential left joins built ten broadcast
+    // relations per run (and at scale would have shuffled the doc
+    // relation up to ten times); this is two. The `empty` class keeps
+    // its slot BETWEEN contaminated (5) and low_quality (6): a doc
+    // dropped at a stage ≤ 5 never reached span removal (no cleaned
+    // row), so the ≤ 5 guard must fire before the cleaned-null check,
+    // and quality/near/sem/quota docs all carry kept_tokens > 0 rows.
+    val dropTags = Seq(
+      exactDrops -> 0, mediaDrops -> 1, mediaDupDrops -> 2, langDrops -> 3,
+      ruleDrops -> 4, contamDrops -> 5, qualityDrops -> 6, nearDrops -> 7,
+      semDrops -> 8, quotaDrops -> 9)
+    val dropVerdict = dropTags.map { case (df, p) =>
+        df.select(col(df.columns.head).as("__d_id"), lit(p).as("__d_p"))
+      }.reduce(_ union _)
+      .groupBy("__d_id").agg(min("__d_p").as("__d_p"))
+    val dropName = when(col("__d_p") === 0, "exact_dup")
+      .when(col("__d_p") === 1, "bad_media")
+      .when(col("__d_p") === 2, "media_dup")
+      .when(col("__d_p") === 3, "wrong_lang")
+      .when(col("__d_p") === 4, "rule_filtered")
+      .when(col("__d_p") === 5, "contaminated")
+      .when(col("__d_p") === 6, "low_quality")
+      .when(col("__d_p") === 7, "near_dup")
+      .when(col("__d_p") === 8, "sem_dup")
+      .when(col("__d_p") === 9, "over_quota")
     docs.select(id, col(sourceCol))
-      .join(exactDrops, id === col("__exact_drop"), "left")
-      .join(mediaDrops, id === col("__media_drop"), "left")
-      .join(mediaDupDrops, id === col("__mdup_drop"), "left")
-      .join(langDrops, id === col("__lang_drop"), "left")
-      .join(ruleDrops, id === col("__rule_drop"), "left")
-      .join(contamDrops, id === col("__contam_drop"), "left")
+      .join(dropVerdict, id === col("__d_id"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
-      .join(qualityDrops, id === col("__quality_drop"), "left")
-      .join(nearDrops, id === col("__near_drop"), "left")
-      .join(semDrops, id === col("__sem_drop"), "left")
-      .join(quotaDrops, id === col("__quota_drop"), "left")
       .withColumn("decision",
-        when(col("__exact_drop").isNotNull, "exact_dup")
-          .when(col("__media_drop").isNotNull, "bad_media")
-          .when(col("__mdup_drop").isNotNull, "media_dup")
-          .when(col("__lang_drop").isNotNull, "wrong_lang")
-          .when(col("__rule_drop").isNotNull, "rule_filtered")
-          .when(col("__contam_drop").isNotNull, "contaminated")
+        when(col("__d_p") <= 5, dropName)
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
-          .when(col("__quality_drop").isNotNull, "low_quality")
-          .when(col("__near_drop").isNotNull, "near_dup")
-          .when(col("__sem_drop").isNotNull, "sem_dup")
-          .when(col("__quota_drop").isNotNull, "over_quota")
+          .when(col("__d_p").isNotNull, dropName)
           .otherwise("kept"))
       .select(id, col(sourceCol), col("decision"),
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
@@ -769,7 +811,10 @@ object Pipeline {
       media, mediaCodec, mediaGrid, minMeanLum, maxMeanLum,
       video, videoContainer, videoEvery, audio, audioCodec,
       batch.limit(0).select(id.as("__media_drop")))
-    val s1v = s1.join(mediaDrops, id === col("__media_drop"), "left_anti")
+    // cumulative drop union per stage input (r21) — the curateFull shape:
+    // one anti-join from the s1 leaf instead of a growing chain
+    val drops1 = dropCol(mediaDrops)
+    val s1v = minusDrops(s1, id, drops1)
 
     // 1.6 (optional, r17; r19: three modality arms) incremental
     //     perceptual MEDIA dedup — the ingest twin of [[curateFull]]'s
@@ -869,7 +914,8 @@ object Pipeline {
         case one :: Nil => one
         case several => several.reduce(_ union _).distinct()
       }
-    val s1pd = s1v.join(mediaDupDrops, id === col("__mdup_drop"), "left_anti")
+    val drops2 = drops1.union(dropCol(mediaDupDrops))
+    val s1pd = minusDrops(s1, id, drops2)
 
     // 1.7 (optional, r19) trained LANGUAGE gate at ingest grain —
     //     [[curateFull]]'s stage 1.7 with the per-SNAPSHOT model
@@ -883,7 +929,8 @@ object Pipeline {
         .filter(!col("pred_lang").isin(langAllow: _*))
         .select(col(idCol).as("__lang_drop")).localCheckpoint(eager = true)
     }.getOrElse(batch.limit(0).select(id.as("__lang_drop")))
-    val s1lg = s1pd.join(langDrops, id === col("__lang_drop"), "left_anti")
+    val drops3 = drops2.union(dropCol(langDrops))
+    val s1lg = minusDrops(s1, id, drops3)
 
     // 1.8 (optional, r19) Gopher/C4 heuristic RULE gate at ingest grain
     //     — [[curateFull]]'s stage 1.8 judged per batch: the rule set is
@@ -898,7 +945,8 @@ object Pipeline {
         .filter(!QualityFilters.rulePass(col(textCol), rp))
         .select(id.as("__rule_drop")).localCheckpoint(eager = true)
     }.getOrElse(batch.limit(0).select(id.as("__rule_drop")))
-    val s1rl = s1lg.join(ruleDrops, id === col("__rule_drop"), "left_anti")
+    val drops4 = drops3.union(dropCol(ruleDrops))
+    val s1rl = minusDrops(s1, id, drops4)
 
     // 1.9 (optional, r16) eval-suite decontamination — the ingest twin
     //     of [[curateFull]]'s stage 1.75, judged per batch against the
@@ -933,7 +981,8 @@ object Pipeline {
       ng.union(sem).distinct()
         .select(col("doc").as("__contam_drop")).localCheckpoint(eager = true)
     }.getOrElse(batch.limit(0).select(id.as("__contam_drop")))
-    val s1c = s1rl.join(contamDrops, id === col("__contam_drop"), "left_anti")
+    val drops5 = drops4.union(dropCol(contamDrops))
+    val s1c = minusDrops(s1, id, drops5)
 
     // 2. cross-span contamination removal vs history
     val cleaned = SpanDedup.removeCrossSpans(history, s1c, idCol, textCol,
@@ -957,7 +1006,8 @@ object Pipeline {
         .filter(col("nb_score_u") < minNbScoreU)
         .select(id.as("__quality_drop")).localCheckpoint(eager = true)
     }.getOrElse(batch.limit(0).select(id.as("__quality_drop")))
-    val s2q = s2.join(qualityDrops, id === col("__quality_drop"), "left_anti")
+    val dropsQ = dropCol(qualityDrops)
+    val s2q = minusDrops(s2, id, dropsQ)
 
     // 3. cross near-dup: history's raw text vs the batch's CLEANED text
     //    (both sides under crossMinhashPairs' shared union hot list)
@@ -967,7 +1017,7 @@ object Pipeline {
         idCol, textCol, shingleK, nearDupThreshold, maxShingleDF = maxShingleDF)
       .select(col("doc_b").as("__near_drop")).distinct()
       .localCheckpoint(eager = true)
-    val s3 = s2q.join(nearDrops, id === col("__near_drop"), "left_anti")
+    val s3 = minusDrops(s2, id, dropsQ.union(dropCol(nearDrops)))
 
     // 4. cross semantic dedup: batch survivors' embeddings vs the history
     //    snapshot's (centroids fit on history — the stored-artifact side)
@@ -1001,29 +1051,36 @@ object Pipeline {
     // itself (kept rows only) — what an ingest sink APPENDS to the
     // corpus store ([[graft.streaming.StreamingDedup.curateSink]]);
     // the q115 oracle shape carries only its md5.
+    // one drop-verdict join (r21) — the curateFull assembly shape; the
+    // admitted (s1) join keeps its separate slot because its verdict
+    // reads from NULL (not-admitted = exact_dup), and `empty` keeps its
+    // place between contaminated (5) and low_quality (6)
+    val dropTags = Seq(
+      mediaDrops -> 1, mediaDupDrops -> 2, langDrops -> 3,
+      ruleDrops -> 4, contamDrops -> 5, qualityDrops -> 6,
+      nearDrops -> 7, semDrops -> 8)
+    val dropVerdict = dropTags.map { case (df, p) =>
+        df.select(col(df.columns.head).as("__d_id"), lit(p).as("__d_p"))
+      }.reduce(_ union _)
+      .groupBy("__d_id").agg(min("__d_p").as("__d_p"))
+    val dropName = when(col("__d_p") === 1, "bad_media")
+      .when(col("__d_p") === 2, "media_dup")
+      .when(col("__d_p") === 3, "wrong_lang")
+      .when(col("__d_p") === 4, "rule_filtered")
+      .when(col("__d_p") === 5, "contaminated")
+      .when(col("__d_p") === 6, "low_quality")
+      .when(col("__d_p") === 7, "near_dup")
+      .when(col("__d_p") === 8, "sem_dup")
     val ann = batch.select(id)
       .join(s1.select(id.as("__adm")), id === col("__adm"), "left")
-      .join(mediaDrops, id === col("__media_drop"), "left")
-      .join(mediaDupDrops, id === col("__mdup_drop"), "left")
-      .join(langDrops, id === col("__lang_drop"), "left")
-      .join(ruleDrops, id === col("__rule_drop"), "left")
-      .join(contamDrops, id === col("__contam_drop"), "left")
+      .join(dropVerdict, id === col("__d_id"), "left")
       .join(cleaned.select(id, col("kept_tokens"), col("removed_tokens"),
         col("cleaned_text")), Seq(idCol), "left")
-      .join(qualityDrops, id === col("__quality_drop"), "left")
-      .join(nearDrops, id === col("__near_drop"), "left")
-      .join(semDrops, id === col("__sem_drop"), "left")
       .withColumn("decision",
         when(col("__adm").isNull, "exact_dup")
-          .when(col("__media_drop").isNotNull, "bad_media")
-          .when(col("__mdup_drop").isNotNull, "media_dup")
-          .when(col("__lang_drop").isNotNull, "wrong_lang")
-          .when(col("__rule_drop").isNotNull, "rule_filtered")
-          .when(col("__contam_drop").isNotNull, "contaminated")
+          .when(col("__d_p") <= 5, dropName)
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
-          .when(col("__quality_drop").isNotNull, "low_quality")
-          .when(col("__near_drop").isNotNull, "near_dup")
-          .when(col("__sem_drop").isNotNull, "sem_dup")
+          .when(col("__d_p").isNotNull, dropName)
           .otherwise("kept"))
     val base = ann.select(id, col("decision"),
       coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),

@@ -105,18 +105,31 @@ object QuotaSample {
           .otherwise(lit(2)))
       .select("__tq_grp", "__tq_bkt", "__tq_before", "__tq_cls")
     val tagged = base.join(cls, Seq("__tq_grp", "__tq_bkt"))
-    val settled = tagged.filter(col("__tq_cls") =!= 2)
-      .withColumn("kept", col("__tq_cls") === 1)
-    val wRow = Window.partitionBy("__tq_grp").orderBy(col("__tq_key"), col("__tq_doc"))
-    // ≤ one boundary bucket per group; its rows are the only row-level window
-    val boundary = tagged.filter(col("__tq_cls") === 2)
+    // ONE branch, one window (r21): the former settled/boundary split
+    // union'd two filters of `tagged`, and Spark plans each union arm as
+    // its own subtree — the text scan (tokenCounter over every doc), the
+    // histogram join, and any upstream lineage all ran TWICE per call
+    // (measured: 16 jobs / 2.5 s of the q132 timed sample were this one
+    // stage). The within-BUCKET running sum gives every row its verdict
+    // in one pass: settled buckets read their class directly, the (at
+    // most one per group) boundary bucket reads prefix + in-bucket cum.
+    // The window partitions by (group, bucket) — the join's own keys, so
+    // no extra exchange, and partition size is bucket-bounded (~1/4096
+    // of a group), never group- or corpus-sized. Bucket order IS key
+    // order (the bucket is the key's first 3 hex digits), so
+    // before + in-bucket cum ≡ the global per-group running sum.
+    val wRow = Window.partitionBy("__tq_grp", "__tq_bkt")
+      .orderBy(col("__tq_key"), col("__tq_doc"))
+    tagged
       .withColumn("__tq_cum", col("__tq_before") + sum("n_tokens").over(wRow))
-      .withColumn("kept", col("__tq_cum") <= budget ||
-        // the group's global first doc: only reachable in a bucket whose
-        // full-bucket prefix is 0 (every earlier bucket was empty)
-        (col("__tq_before") === 0 && row_number().over(wRow) === 1))
-    settled.select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept"))
-      .union(boundary.select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept")))
+      .withColumn("kept",
+        when(col("__tq_cls") === 1, lit(true))
+          .when(col("__tq_cls") === 0, lit(false))
+          .otherwise(col("__tq_cum") <= budget ||
+            // the group's global first doc: only reachable in a bucket
+            // whose full-bucket prefix is 0 (every earlier bucket empty)
+            (col("__tq_before") === 0 && row_number().over(wRow) === 1)))
+      .select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept"))
       .withColumnRenamed("__tq_doc", idCol).withColumnRenamed("__tq_grp", groupCol)
   }
 
@@ -147,15 +160,17 @@ object QuotaSample {
           .otherwise(lit(2)))
       .select("__tq_grp", "__tq_bkt", "__tq_before", "__tq_bud", "__tq_cls")
     val tagged = base.join(cls, Seq("__tq_grp", "__tq_bkt"))
-    val settled = tagged.filter(col("__tq_cls") =!= 2)
-      .withColumn("kept", col("__tq_cls") === 1)
-    val wRow = Window.partitionBy("__tq_grp").orderBy(col("__tq_key"), col("__tq_doc"))
-    val boundary = tagged.filter(col("__tq_cls") === 2)
+    // one branch, one bucket-bounded window — see [[tokenQuota]] (r21)
+    val wRow = Window.partitionBy("__tq_grp", "__tq_bkt")
+      .orderBy(col("__tq_key"), col("__tq_doc"))
+    tagged
       .withColumn("__tq_cum", col("__tq_before") + sum("n_tokens").over(wRow))
-      .withColumn("kept", col("__tq_cum") <= col("__tq_bud") ||
-        (col("__tq_before") === 0 && row_number().over(wRow) === 1))
-    settled.select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept"))
-      .union(boundary.select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept")))
+      .withColumn("kept",
+        when(col("__tq_cls") === 1, lit(true))
+          .when(col("__tq_cls") === 0, lit(false))
+          .otherwise(col("__tq_cum") <= col("__tq_bud") ||
+            (col("__tq_before") === 0 && row_number().over(wRow) === 1)))
+      .select(col("__tq_doc"), col("__tq_grp"), col("n_tokens"), col("kept"))
       .withColumnRenamed("__tq_doc", idCol).withColumnRenamed("__tq_grp", groupCol)
   }
 
