@@ -306,21 +306,37 @@ private[graft] trait EntryInfra {
     }
 
   /** The deterministic multimodal asset FIXTURES (image/video/audio
-    * curation tables), memoized per corpus snapshot: a production corpus
-    * READS its binary columns from storage — it never pays per-query
-    * asset SYNTHESIS — so memoizing the fixture encode keeps the bench
-    * measuring the gate's demux+decode, which is what recurs (the
-    * sharedHistoryBloom rationale). Replayed local relations are
-    * re-spread to cluster parallelism: the consumer is a decode pass,
-    * and a single-slice local scan would serialize it. Tag key: 1 =
-    * image, 2 = video (MP4), 3 = audio (WAV). */
-  protected val assetMemo: RowsMemo = scala.collection.mutable.Map.empty
+    * curation tables), materialized ONCE per corpus snapshot as par-way
+    * scratch parquet (the [[widenedIfHeavy]] lifecycle, r21): a
+    * production corpus READS its binary columns from storage — it never
+    * pays per-query asset SYNTHESIS — so the fixture encode happens once
+    * and the bench measures the gate's demux+decode, which is what
+    * recurs. Until r20 the fixture was a driver-rows memo replayed as a
+    * LocalRelation + `repartition(par)` per query: every consuming job
+    * re-serialized the full blob mass out of the driver and re-paid a
+    * binary shuffle (measured: the three q132 decode arms each carried
+    * ~0.5 s of fixture spread before any decode work; the fixture rows
+    * also pinned MBs of blobs in driver memory for the JVM lifetime).
+    * A parquet scratch read is a parallel multi-split scan with no
+    * per-query shuffle — exactly what a deployment's asset table scan
+    * is. Tag key: 1 = image, 2 = video (MP4), 3 = audio (WAV),
+    * 4 = HTML pages, 5 = WARC archives. */
   private def sharedAsset(spark: SparkSession, dir: String, tag: Int)
                          (mine: DataFrame => DataFrame): DataFrame = {
     val (absDir, mtime) = docSnapshotKey(dir)
-    memoRows(assetMemo, (absDir, tag, 0.0, mtime), spark) {
-      mine(documentsOf(spark, dir))
-    }.repartition(spark.sparkContext.defaultParallelism)
+    val par = spark.sparkContext.defaultParallelism
+    val dest = synchronized {
+      widenedDest.getOrElseUpdate((absDir, s"__asset_$tag", par, mtime), {
+        val tagDir =
+          f"${new java.io.File(dir).getName}-${absDir.hashCode & 0x7fffffff}%08x"
+        val d = new java.io.File(widenRoot,
+          s"$tagDir-p$par-m$mtime/asset_$tag").getAbsolutePath
+        mine(documentsOf(spark, dir)).repartition(par)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+    }
+    spark.read.parquet(dest)
   }
   protected def sharedCuratedMedia(spark: SparkSession, dir: String): DataFrame =
     sharedAsset(spark, dir, 1)(operators.MediaOps.curatedMediaTable)
