@@ -20,9 +20,15 @@ object AnnIndex {
     * signature. Deterministic hyperplanes → rebuildable/appendable. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             path: String, planes: Int = 8): Unit = {
+    // Cluster by the partition column before the partitioned write (the
+    // hash write-distribution mode): without it every scan task emits a
+    // file per signature it sees — tasks × 2^planes small files whose
+    // open/footer cost lands on every probe; with it each bucket is one
+    // file per holding task. The shuffle moves each vector once.
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         SimilarityOps.norm(col(vecCol)).as("nrm"),
         SimilarityOps.lshSignature(col(vecCol), planes).as("sig"))
+      .repartition(col("sig"))
       .write.mode("overwrite").partitionBy("sig").parquet(path)
   }
 
@@ -45,11 +51,14 @@ object AnnIndex {
     val q = q0.select(col("query_id"), col("qv"), col("qn"),
       explode(probeSigs).as("sig"))
     val index = spark.read.parquet(path)
+    // No dedup: each index row lives in exactly ONE sig partition and a
+    // query's probe signatures are distinct (XOR of distinct masks), so
+    // a (query, id) pair joins at most once — a dropDuplicates here cost
+    // a full exchange of the candidate set for rows unique by construction.
     val scored = index.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("cosine",
         SimilarityOps.dot(col("qv"), col("vec")) / (col("qn") * col("nrm")))
-      .dropDuplicates("query_id", "id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -69,6 +78,7 @@ object AnnIndex {
           SimilarityOps.lshSignature(col(vecCol), planes).as("sig")),
         "vec")
       .select(col("id"), col("q_bytes"), col("q_scale"), col("sig"))
+      .repartition(col("sig")) // see [[build]]: one file per bucket per task
       .write.mode("overwrite").partitionBy("sig").parquet(path)
   }
 
@@ -90,10 +100,10 @@ object AnnIndex {
       col("sig0").bitwiseXOR(lit(m))): _*)
     val q = q0.select(col("query_id"), col("qb"), explode(probeSigs).as("sig"))
     val index = spark.read.parquet(path)
+    // No dedup — see [[query]]: (query, id) pairs are unique by construction.
     val scored = index.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("cosine", Quantize.packedCosine(col("qb"), col("q_bytes")))
-      .dropDuplicates("query_id", "id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -122,6 +132,7 @@ object AnnIndex {
         SimilarityOps.norm(col(vecCol)).as("nrm"),
         ProductQuantizer.encode(col(vecCol), model).as("codes"),
         SimilarityOps.lshSignature(col(vecCol), planes).as("sig"))
+      .repartition(col("sig")) // see [[build]]: one file per bucket per task
       .write.mode("overwrite").partitionBy("sig").parquet(path)
     model
   }
@@ -151,12 +162,12 @@ object AnnIndex {
     val q = q0.select(col("query_id"), col("lut"), col("qn"),
       explode(probeSigs).as("sig"))
     val index = spark.read.parquet(path)
+    // No dedup — see [[query]]: (query, id) pairs are unique by construction.
     val approx = index.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("approx",
         ProductQuantizer.adc(col("lut"), col("codes"), model.ksub) /
           (col("qn") * col("nrm")))
-      .dropDuplicates("query_id", "id")
     val survivors = TopK.perGroup(approx, Seq("query_id"), "approx", "id", k * rerank)
       .select(col("query_id"), col("id"))
     // exact re-rank: original vectors for the survivor set only
@@ -186,6 +197,7 @@ object AnnIndex {
     corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         SimilarityOps.norm(col(vecCol)).as("nrm"),
         KMeansOps.nearestCentroid(col(vecCol), cent).as("cell"))
+      .repartition(col("cell")) // see [[build]]: one file per cell per task
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     cent
   }

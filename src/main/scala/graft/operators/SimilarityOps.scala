@@ -116,10 +116,14 @@ object SimilarityOps {
       else array(col("sig0"))
     val q = q0.select(col("query_id"), col("qv"), col("qn"),
       explode(probeSigs).as("sig"))
+    // No dedup: each corpus row carries exactly ONE signature and the
+    // probe masks are distinct, so XOR keeps the probe signatures of one
+    // query distinct — a (query, neighbor) pair can join at most once.
+    // (A dropDuplicates here cost a full exchange of the candidate set
+    // for rows that are unique by construction.)
     val scored = c.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -219,18 +223,21 @@ object SimilarityOps {
       norm(col(vecCol)).as("nrm"), lshSignature(col(vecCol), planes).as("sig"))
     // multi-probe one side with all Hamming-≤depth signatures; a pair
     // whose signatures differ in ≤ depth planes still collides.
-    // distinct() dedups pairs that collide in several probes.
     val probed =
       if (multiProbe)
         v.select(col("doc"), col("vec"), col("nrm"),
           explode(array(probeMasks(planes, probeDepth).map(m =>
             col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
       else v
+    // No distinct(): only side a is probed, so pair (a, b) collides iff
+    // sig_b ∈ {sig_a ^ m} — and the unique witness m = sig_a ^ sig_b means
+    // exactly ONE probe row of a can match b. Pairs are unique by
+    // construction; the distinct() here cost a full exchange + hash
+    // aggregate of the verified-pair set for nothing.
     probed.as("a").join(v.as("b"),
         col("a.sig") === col("b.sig") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 }
