@@ -16,19 +16,45 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Bounded write salt (r22, advisor items): `repartition(bucketCol)`
+    * alone collapses the write to at most |distinct buckets| non-empty
+    * tasks — for [[buildKMeans]]'s k cells (default 8) that serializes
+    * the whole corpus write through k tasks, and for hot LSH sign-bit
+    * buckets it adds a straggler proportional to the largest bucket.
+    * Salting with `pmod(xxhash64(id), salt)` keeps per-bucket parallelism
+    * at `salt` ways while bounding files at ≤ salt per bucket — the
+    * write-distribution trade: more salt = more parallelism on a hot
+    * bucket, more (smaller) files per bucket for every probe to open.
+    * Deterministic (id-hash, not rand()), so task retries can't
+    * duplicate rows (guide §2.5). */
+  private def saltedBy(df: DataFrame, bucket: String, salt: Int): DataFrame = {
+    require(salt >= 1, s"write salt must be >= 1, got $salt")
+    if (salt == 1) df.repartition(col(bucket))
+    else df.repartition(col(bucket), pmod(xxhash64(col("id")), lit(salt)))
+  }
+
   /** One-pass index build: signature + norm per vector, partitioned by
-    * signature. Deterministic hyperplanes → rebuildable/appendable. */
+    * signature. Deterministic hyperplanes → rebuildable/appendable.
+    *
+    * Precondition (shared by every build/query pair here): `idCol` is
+    * UNIQUE over the corpus. Each row then lives in exactly one sig
+    * partition and multi-probe joins yield each (query, neighbor) pair
+    * at most once — what lets [[query]] skip a dedup exchange. Duplicate
+    * ids would surface as duplicate (query_id, neighbor_id) rows at
+    * distinct ranks, eating top-k slots. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-            path: String, planes: Int = 8): Unit = {
+            path: String, planes: Int = 8, filesPerBucket: Int = 4): Unit = {
     // Cluster by the partition column before the partitioned write (the
     // hash write-distribution mode): without it every scan task emits a
     // file per signature it sees — tasks × 2^planes small files whose
-    // open/footer cost lands on every probe; with it each bucket is one
-    // file per holding task. The shuffle moves each vector once.
-    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // open/footer cost lands on every probe; with it each bucket is
+    // ≤ filesPerBucket files, written filesPerBucket-way parallel even
+    // when one sign-bit bucket is hot ([[saltedBy]]). The shuffle moves
+    // each vector once.
+    saltedBy(corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         SimilarityOps.norm(col(vecCol)).as("nrm"),
-        SimilarityOps.lshSignature(col(vecCol), planes).as("sig"))
-      .repartition(col("sig"))
+        SimilarityOps.lshSignature(col(vecCol), planes).as("sig")),
+        "sig", filesPerBucket)
       .write.mode("overwrite").partitionBy("sig").parquet(path)
   }
 
@@ -72,13 +98,14 @@ object AnnIndex {
     * routing is identical to the float index; only the re-rank arithmetic
     * carries the ≤ scale/2 per-element band. */
   def buildQuantized(corpus: DataFrame, idCol: String, vecCol: String,
-                     path: String, planes: Int = 8): Unit = {
-    Quantize.quantizeInt8Packed(
+                     path: String, planes: Int = 8,
+                     filesPerBucket: Int = 4): Unit = {
+    saltedBy(Quantize.quantizeInt8Packed(
         corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
           SimilarityOps.lshSignature(col(vecCol), planes).as("sig")),
         "vec")
-      .select(col("id"), col("q_bytes"), col("q_scale"), col("sig"))
-      .repartition(col("sig")) // see [[build]]: one file per bucket per task
+      .select(col("id"), col("q_bytes"), col("q_scale"), col("sig")),
+      "sig", filesPerBucket) // see [[build]]/[[saltedBy]]
       .write.mode("overwrite").partitionBy("sig").parquet(path)
   }
 
@@ -122,17 +149,18 @@ object AnnIndex {
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
               path: String, planes: Int = 8, m: Int = 16, ksub: Int = 16,
               iters: Int = 2, dim: Int = 64,
-              sampleHexPrefix: Option[String] = None): ProductQuantizer.PqModel = {
+              sampleHexPrefix: Option[String] = None,
+              filesPerBucket: Int = 4): ProductQuantizer.PqModel = {
     // one-collect sampled trainer: the m-separate-fits path costs ~6·m
     // Spark jobs of pure scheduler overhead per build (measured 12 s vs
     // ~2 s at sf0.1); at scale pass sampleHexPrefix to bound the pull
     val model = ProductQuantizer.trainOnSample(corpus, idCol, vecCol, dim, m, ksub,
       iters, sampleHexPrefix)
-    corpus.select(col(idCol).as("id"),
+    saltedBy(corpus.select(col(idCol).as("id"),
         SimilarityOps.norm(col(vecCol)).as("nrm"),
         ProductQuantizer.encode(col(vecCol), model).as("codes"),
-        SimilarityOps.lshSignature(col(vecCol), planes).as("sig"))
-      .repartition(col("sig")) // see [[build]]: one file per bucket per task
+        SimilarityOps.lshSignature(col(vecCol), planes).as("sig")),
+        "sig", filesPerBucket) // see [[build]]/[[saltedBy]]
       .write.mode("overwrite").partitionBy("sig").parquet(path)
     model
   }
@@ -192,12 +220,18 @@ object AnnIndex {
     * the centroids — the probe side needs them (k·dim doubles, the same
     * bounded driver artifact [[KMeansOps.fit]] maintains). */
   def buildKMeans(corpus: DataFrame, idCol: String, vecCol: String,
-                  path: String, k: Int = 8, iters: Int = 2): Array[Array[Double]] = {
+                  path: String, k: Int = 8, iters: Int = 2,
+                  filesPerCell: Int = 8): Array[Array[Double]] = {
     val cent = KMeansOps.fit(corpus, idCol, vecCol, k, iters)
-    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    // filesPerCell default is higher than the sig builds': `cell` has
+    // only k distinct values (default 8), so an unsalted repartition
+    // collapsed the ENTIRE corpus write to ≤ k tasks — each holding and
+    // writing a whole cell (r21 advisor, medium). The salt bounds
+    // per-task mass at cell/salt while keeping files ≤ salt per cell.
+    saltedBy(corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         SimilarityOps.norm(col(vecCol)).as("nrm"),
-        KMeansOps.nearestCentroid(col(vecCol), cent).as("cell"))
-      .repartition(col("cell")) // see [[build]]: one file per cell per task
+        KMeansOps.nearestCentroid(col(vecCol), cent).as("cell")),
+        "cell", filesPerCell)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     cent
   }

@@ -155,7 +155,8 @@ object DedupOps {
     else sets.select(explode(col("shset")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDF)
-      .select("shingle").collect().map(_.getLong(0))
+      .select("shingle") // primitive collect — no Row boxing (r22)
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
 
   /** [[capSets]] with a precomputed hot list: no per-query aggregation,
     * no driver-side count job — an empty list is a pure no-op and a
@@ -186,17 +187,21 @@ object DedupOps {
       // cache (measured: 0.88 s / 5 jobs of the q132 timed sample were
       // this count). The collect is capped at the broadcast-strategy
       // limit + 1 rows, so "small enough to broadcast" is decided
-      // without materializing an unbounded array on the driver.
+      // without materializing an unbounded array on the driver — and it
+      // collects PRIMITIVE longs (r22, verdict #5): a boxed Row is
+      // several× the payload of the raw long, so the worst-case 4M-row
+      // pull now allocates one long array instead of 4M GenericRows.
       val hotAgg = sets.select(explode(col("shset")).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShingleDF)
         .select("shingle")
       val limit = 4 * 1000 * 1000
-      val hotRows = hotAgg.limit(limit + 1).collect()
-      if (hotRows.isEmpty) sets // common case: no boilerplate → no-op
-      else if (hotRows.length <= limit)
+      val hotArr = hotAgg.limit(limit + 1)
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+      if (hotArr.isEmpty) sets // common case: no boilerplate → no-op
+      else if (hotArr.length <= limit)
         // small hot list → broadcast one collected array, map-side except
-        capSetsKnown(sets, hotRows.map(_.getLong(0)))
+        capSetsKnown(sets, hotArr)
       else {
         // boilerplate so pervasive the hot list itself outgrows a
         // broadcast: shuffle-based removal — explode, anti-join the hot

@@ -331,18 +331,24 @@ object KMeansOps {
     def prep(df: DataFrame): DataFrame =
       assign(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", centroids)
         .withColumn("nrm", SimilarityOps.norm(col("vec")))
+    // ONE semi-join against the union of both "predecessor" relations
+    // (r22): history rows always precede the batch, batch mates precede
+    // by id — flag the side instead of running two separate cluster-keyed
+    // joins. The former two-join shape shuffled the batch twice and paid
+    // a union + distinct exchange on the drop set; a left_semi result is
+    // distinct by construction, so the merged join is one shuffle of
+    // history ∪ batch and one of the batch, with identical output.
     val h = prep(history)
     val b = prep(batch)
+    val pred = h.withColumn("__pre_batch", lit(true))
+      .unionByName(b.withColumn("__pre_batch", lit(false)))
     def cosAb: Column = SimilarityOps.dot(col("a.vec"), col("b.vec")) /
       (col("a.nrm") * col("b.nrm"))
-    val droppedByHistory = b.as("b").join(h.as("a"),
-        col("a.cluster") === col("b.cluster") && cosAb >= tau, "left_semi")
+    val dropped = b.as("b").join(pred.as("a"),
+        col("a.cluster") === col("b.cluster") &&
+          (col("a.__pre_batch") || col("a.id") < col("b.id")) && cosAb >= tau,
+        "left_semi")
       .select(col("id"))
-    val droppedInBatch = b.as("b").join(b.as("a"),
-        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id") &&
-          cosAb >= tau, "left_semi")
-      .select(col("id"))
-    val dropped = droppedByHistory.union(droppedInBatch).distinct()
       .withColumn("is_dup", lit(true))
     b.join(dropped, Seq("id"), "left_outer")
       .select(col("id"), col("cluster"),

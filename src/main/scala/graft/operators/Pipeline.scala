@@ -1082,28 +1082,37 @@ object Pipeline {
           .when(col("cleaned_text").isNull || col("kept_tokens") === 0L, "empty")
           .when(col("__d_p").isNotNull, dropName)
           .otherwise("kept"))
-    val base = ann.select(id, col("decision"),
+    val baseCols = Seq(id, col("decision"),
       coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
       when(col("decision") === "kept", col("kept_tokens")).as("n_tokens"),
       when(col("decision") === "kept",
         md5(outputText(col("cleaned_text"), piiRedactOutput).cast("binary")))
         .as("final_md5"))
-    if (!keepCleanedText) base
+    if (!keepCleanedText) ann.select(baseCols: _*)
     else {
+      // The kept docs' text columns are a PROJECTION of `ann`, not a join
+      // (r22): the former base ⟕ kept-slice self-join re-executed the whole
+      // assembly subtree (batch scan + drop-verdict aggregation + three
+      // joins) once per side — per TRIGGER in the streaming curation sink.
+      // `when(decision = 'kept', …)` gives the identical columns (NULL for
+      // every non-kept row, exactly what the left join produced; batch ids
+      // are unique so the join never fanned out) in the same single pass
+      // that computes the verdict columns.
+      //
       // Under redaction the released text is masked, so the kept slice
       // also carries `unredacted_fp` — the canonical fingerprint of the
       // PRE-redaction cleaned text — which is what a store feeds back as
       // `historyFps` so cross-batch exact dedup stays mask-invariant
       // (redaction is an output transform, never a dedup input).
-      val keptCols =
+      val kept = col("decision") === "kept"
+      val extraCols =
         if (piiRedactOutput)
-          Seq(id, outputText(col("cleaned_text"), piiRedactOutput)
+          Seq(when(kept, outputText(col("cleaned_text"), piiRedactOutput))
               .as("cleaned_text"),
-            TextOps.fingerprint(col("cleaned_text")).as("unredacted_fp"))
-        else Seq(id, col("cleaned_text"))
-      base.join(
-        ann.filter(col("decision") === "kept").select(keptCols: _*),
-        Seq(idCol), "left")
+            when(kept, TextOps.fingerprint(col("cleaned_text")))
+              .as("unredacted_fp"))
+        else Seq(when(kept, col("cleaned_text")).as("cleaned_text"))
+      ann.select(baseCols ++ extraCols: _*)
     }
   }
 }

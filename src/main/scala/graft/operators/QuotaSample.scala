@@ -89,11 +89,20 @@ object QuotaSample {
     // Bpe.tokenCount(_, model) for token-TRUE budgets — selection
     // machinery is denomination-agnostic
     require(budget >= 1, s"token budget must be >= 1, got $budget")
+    // `base` feeds TWO plan branches — the (group, bucket) histogram and
+    // the row-level join probe — and Spark executes each branch's subtree
+    // independently, so without materialization the tokenize pass AND the
+    // caller's upstream joins (curateFull stage 5 hands in a chain of
+    // anti-joins) run twice per call (r22; guide §3.3 "materialising an
+    // intermediate result truncates the plan"). The checkpointed rows are
+    // (doc, group, count, key, bucket) — no text — so the leaf is narrow
+    // and both branches read it once.
     val base = df.select(col(idCol).as("__tq_doc"), col(groupCol).as("__tq_grp"),
         tokenCounter(col(textCol)).cast("long").as("n_tokens"),
         md5(col(idCol).cast("string")).as("__tq_key"))
       .filter(col("n_tokens") >= 1)
       .withColumn("__tq_bkt", conv(substring(col("__tq_key"), 1, 3), 16, 10).cast("int"))
+      .localCheckpoint(eager = true)
     val wb = Window.partitionBy("__tq_grp").orderBy("__tq_bkt")
     val cls = base.groupBy("__tq_grp", "__tq_bkt")
       .agg(sum("n_tokens").as("__tq_btok"))
@@ -143,11 +152,14 @@ object QuotaSample {
                         tokenCounter: Column => Column = TextOps.tokenCount): DataFrame = {
     val bud = budgets.select(col(groupCol).as("__tq_grp"),
       col("budget").cast("long").as("__tq_bud"))
+    // materialized once for the histogram and probe branches — see
+    // [[tokenQuota]] (r22)
     val base = df.select(col(idCol).as("__tq_doc"), col(groupCol).as("__tq_grp"),
         tokenCounter(col(textCol)).cast("long").as("n_tokens"),
         md5(col(idCol).cast("string")).as("__tq_key"))
       .filter(col("n_tokens") >= 1)
       .withColumn("__tq_bkt", conv(substring(col("__tq_key"), 1, 3), 16, 10).cast("int"))
+      .localCheckpoint(eager = true)
     val wb = Window.partitionBy("__tq_grp").orderBy("__tq_bkt")
     val cls = base.groupBy("__tq_grp", "__tq_bkt")
       .agg(sum("n_tokens").as("__tq_btok"))

@@ -337,6 +337,42 @@ object StreamingDedup {
     !row.isNullAt(0) && row.getLong(0) >= id
   }
 
+  /** In-JVM high-water mark of batch ids appended to each store path by
+    * THIS process (r22): steady-state triggers (fresh query, monotonically
+    * advancing batchIds) were documented as "never paying the anti-join",
+    * but every trigger over a non-empty store still paid the
+    * [[storeHasBatch]] footer-stats scan — one full Spark job per
+    * micro-batch of pure guard overhead. The sink owns its store (the
+    * foreachBatch single-writer contract this file already assumes — a
+    * concurrent writer would corrupt the admission history regardless of
+    * this guard), so after ONE initializing scan the mark is exact: a
+    * trigger with id above everything this JVM has seen or written cannot
+    * be a replay, and anything else falls back to the content anti-join
+    * exactly as before. A fresh JVM (post-failure restart — the replay
+    * case the guard exists for) starts with an empty map and pays the
+    * scan, same as the prior shape. */
+  private val storeHwm = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def replaySuspected(spark: org.apache.spark.sql.SparkSession,
+                              path: String, id: Long): Boolean = {
+    val key = new java.io.File(path).getAbsolutePath
+    Option(storeHwm.get(key)) match {
+      case Some(h) => id <= h
+      case None =>
+        val row = spark.read.parquet(path).agg(max(col("batch_id"))).head()
+        val h = if (row.isNullAt(0)) -1L else row.getLong(0)
+        storeHwm.put(key, h)
+        h >= id
+    }
+  }
+
+  /** Record a completed append at `id` so later triggers skip the scan. */
+  private def noteBatchWritten(path: String, id: Long): Unit = {
+    val key = new java.io.File(path).getAbsolutePath
+    storeHwm.merge(key, id, (a, b) => if (a >= b) a else b)
+    ()
+  }
+
   private def storeNonEmpty(path: String): Boolean = {
     val d = new java.io.File(path)
     d.exists() && Option(d.list()).exists(_.exists(!_.startsWith("_")))
@@ -370,7 +406,7 @@ object StreamingDedup {
     val b0 = batch.select(col(idCol), col(textCol))
     val hasStore = storeNonEmpty(path)
     val b =
-      if (hasStore && storeHasBatch(spark, path, id))
+      if (hasStore && replaySuspected(spark, path, id))
         b0.join(spark.read.parquet(path).select(col(idCol)), Seq(idCol), "left_anti")
       else b0
     if (!b.isEmpty) {
@@ -409,6 +445,7 @@ object StreamingDedup {
           historyFps = historyFps)
         .withColumn("batch_id", lit(id))
         .write.mode("append").parquet(path)
+      noteBatchWritten(path, id)
     }
     ()
   }
@@ -443,7 +480,7 @@ object StreamingDedup {
     val b0 = batch.select(col(idCol), col(vecCol))
     val hasStore = storeNonEmpty(path)
     val b =
-      if (hasStore && storeHasBatch(spark, path, id))
+      if (hasStore && replaySuspected(spark, path, id))
         b0.join(spark.read.parquet(path).select(col("id").as(idCol)),
           Seq(idCol), "left_anti")
       else b0
@@ -462,6 +499,7 @@ object StreamingDedup {
         .withColumn("batch_id", lit(id))
         .localCheckpoint(eager = true)
         .write.mode("append").parquet(path)
+      noteBatchWritten(path, id)
     }
     ()
   }
