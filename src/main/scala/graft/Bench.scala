@@ -273,7 +273,44 @@ object Bench {
     else {
       println(full)
       val (_, _, total, opTotal, harnessTotal) = report()
-      println(f"""{"metric":"total_operator","value":$opTotal%.3f,"value_total":$total%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"n_queries":${names.size},"bench_file":"$persistFile","sf":"$sfDir"}""")
+      // Per-FAMILY median subtotals (r22, r21 verdict #1/#2): the full
+      // 163-query line above exceeds the driver's ~2000-char stdout tail,
+      // so three rounds of PERF artifacts carried totals only. This line
+      // is the one the driver parses; family subtotals fit it and restore
+      // family-grain movement/scaling visibility (per-query floors live in
+      // bench_last.json and the committed BENCH_QUERIES_rN.json). Display
+      // grouping only — no measurement or methodology change.
+      def family(n: String): String =
+        if (n.contains("streaming") || n == "q74_sessionize") "streaming"
+        else if (n.contains("ann")) "ann"
+        else if (n.contains("curate")) "curate"
+        else if (n.contains("media") || n.contains("audio") || n.contains("video") ||
+          n.contains("demux") || n.contains("frame")) "media"
+        else if (n.contains("dedup") || n.contains("jaccard") || n.contains("minhash") ||
+          n.contains("simhash") || n.contains("cosine") || n.contains("span") ||
+          n.contains("cluster") || n.contains("grams") || n.contains("kmeans") ||
+          n.contains("semdedup") || n.contains("decontaminate") || n.contains("contamination") ||
+          n.contains("fingerprint")) "dedup"
+        else if (n.contains("shard") || n.contains("split") || n.contains("order") ||
+          n.contains("mixture") || n.contains("quota") || n.contains("sample") ||
+          n.contains("zorder")) "shard_mix"
+        else if (n.contains("token") || n.contains("bpe") || n.contains("pii") ||
+          n.contains("lang") || n.contains("quality") || n.contains("rules") ||
+          n.contains("classifier") || n.contains("bm25") || n.contains("tfidf") ||
+          n.contains("trigram") || n.contains("entropy") || n.contains("drift") ||
+          n.contains("repetition") || n.contains("boilerplate") || n.contains("dsir") ||
+          n.contains("rank") || n.contains("html") || n.contains("url") ||
+          n.contains("warc") || n.contains("tokenizer") || n.contains("seed") ||
+          n.contains("perplexity") || n.contains("curation")) "text"
+        else "sketch_sql"
+      val famTotals = names.collect {
+          case (n, _) if samples(n).nonEmpty => family(n) -> median(samples(n))
+        }.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+        .toSeq.sortBy(_._1)
+      val famJson = famTotals
+        .map { case (f, s) => "\"" + f + "\":" + f"$s%.2f" }
+        .mkString("{", ",", "}")
+      println(f"""{"metric":"total_operator","value":$opTotal%.3f,"value_total":$total%.3f,"value_harness":$harnessTotal%.3f,"unit":"sec","sweeps":$sweepsDone,"partial_sweep":$partialSweep,"filter":$filterJson,"n_queries":${names.size},"families":$famJson,"bench_file":"$persistFile","sf":"$sfDir"}""")
     }
     System.out.flush()
   }

@@ -37,9 +37,18 @@ object Sharding {
     require(budget > 0, s"shard token budget must be positive, got $budget")
     val toks = df.select(col(idCol).as("doc"),
       tokenCounter(col(textCol)).cast("long").as("ntok"))
-    // step 1: range partitioning makes partition-id order = global order
+    // step 1: range partitioning makes partition-id order = global order.
+    // Materialized ONCE (r22): `ranged` feeds BOTH the local-scan path and
+    // the offsets aggregation below — unmaterialized, Catalyst planned the
+    // whole upstream subtree (scan + tokenize + range exchange) twice, one
+    // copy per branch (q58's plan carried the doubled tree; q140's epoch
+    // explode was the worst case at 42 Exchanges). The checkpoint also
+    // PINS the sampled range bounds, so both branches provably read the
+    // same pid layout instead of two independently-sampled executions.
+    // (doc, ntok, pid) rows only — corpus-bounded, never text.
     val ranged = toks.repartitionByRange(col("doc"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = true)
     // step 2: local scan, parallel across partitions
     val local = ranged.withColumn("cum",
       sum("ntok").over(Window.partitionBy("pid").orderBy("doc")))
@@ -72,8 +81,11 @@ object Sharding {
         TextOps.tokenCount(col(textCol)).cast("long").as("ntok"))
       .join(scores.select(col(idCol).as("doc"),
         col(scoreCol).cast("long").as("__cu_s")), Seq("doc"))
+    // materialized once — the tokenShards rationale (both branches, pinned
+    // range bounds)
     val ranged = toks.repartitionByRange(col("__cu_s"), col("doc"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = true)
     val local = ranged.withColumn("cum",
       sum("ntok").over(Window.partitionBy("pid").orderBy(col("__cu_s"), col("doc"))))
     val offsets = local.groupBy("pid").agg(sum("ntok").as("ptotal"))
@@ -175,8 +187,12 @@ object Sharding {
       .withColumn("__to_key",
         md5(concat(col("doc").cast("string"), lit(":"),
           col("copy_idx").cast("string")).cast("binary")))
+    // materialized once — the tokenShards rationale; here the shared
+    // subtree is the whole epoch-mixture explode, the q140 plan's
+    // doubled half (42 Exchanges → half the tree planned once)
     val ranged = copies.repartitionByRange(col("__to_key"), col("doc"), col("copy_idx"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = true)
     val local = ranged.withColumn("cum",
       sum("ntok").over(Window.partitionBy("pid")
         .orderBy(col("__to_key"), col("doc"), col("copy_idx"))))

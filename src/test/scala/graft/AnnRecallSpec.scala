@@ -76,4 +76,46 @@ class AnnRecallSpec extends SparkTestBase {
     assert(r((8, 1)) >= 0.6, s"planes=8 depth=1: $r")
     assert(r((8, 2)) >= 0.85, s"planes=8 depth=2: $r")
   }
+
+  /** r21 dropped the dropDuplicates on multi-probe candidate sets on a
+    * uniqueness-by-construction argument (one signature per corpus row +
+    * distinct XOR probe masks ⇒ each (query, neighbor) pair joins at most
+    * once). This test PINS that invariant (r21 advice): with k large
+    * enough that the rank cut is inert, the output IS the candidate set —
+    * any duplicate candidate would surface as a repeated pair at distinct
+    * ranks. Covers the in-memory path and the materialized-index path at
+    * several probe depths; a future probeMasks or index-layout change
+    * that reintroduces duplicates fails here, not in silent rank
+    * inflation. */
+  test("multi-probe candidate sets carry no duplicate (query, neighbor) pair") {
+    val emb = fixture(0.25f)
+    val q = emb.filter(col("vec_id") < 10)
+    for (d <- Seq(1, 2, 3)) {
+      val out = SimilarityOps.lshTopK(q, emb, "vec_id", "embedding",
+          k = Int.MaxValue, planes = 6, probeDepth = d)
+        .select("query_id", "neighbor_id").localCheckpoint(true)
+      val n = out.count()
+      val nDistinct = out.distinct().count()
+      assert(n == nDistinct, s"lshTopK depth=$d: $n rows, $nDistinct distinct")
+      assert(n > 0, s"lshTopK depth=$d produced no candidates")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_dupinv").toString
+    try {
+      operators.AnnIndex.build(emb, "vec_id", "embedding", dir, planes = 6)
+      for (d <- Seq(1, 2)) {
+        val out = operators.AnnIndex.query(spark, dir, q, "vec_id", "embedding",
+            k = Int.MaxValue, planes = 6, probeDepth = d)
+          .select("query_id", "neighbor_id").localCheckpoint(true)
+        val n = out.count()
+        val nDistinct = out.distinct().count()
+        assert(n == nDistinct, s"index depth=$d: $n rows, $nDistinct distinct")
+        assert(n > 0, s"index depth=$d produced no candidates")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
