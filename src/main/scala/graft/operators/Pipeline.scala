@@ -540,14 +540,21 @@ object Pipeline {
     //     benchmark-bounded map-side work (the [[Decontaminate.report]]
     //     contract). None → empty drop set, prior shape byte-identical.
     val contamDrops = benchmark.map { b =>
+      // r22: ONE materialized leaf feeds the stage's two grains — `s1rl`
+      // is a lazy anti-join chain over the docs scan, and the former
+      // shape executed that whole chain twice (once inside the n-gram
+      // scan's job, once inside the semantic semi-join's). Text mass is
+      // survivor-bounded — the same order the `cleaned` checkpoint below
+      // already materializes.
+      val inPlay = s1rl.select(id, col(textCol)).localCheckpoint(eager = true)
       val ng = Decontaminate.contaminatedIds(
-          s1rl.select(id, col(textCol)), b.select(col(idCol), col(textCol)),
+          inPlay, b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))
       val bEmb = benchmarkEmb.getOrElse(sys.error(
         "benchmark decontamination needs benchmarkEmb for the semantic grain"))
       val sem = embeddings
-        .join(s1rl.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .join(inPlay.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
         .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
           SimilarityOps.norm(col(vecCol)).as("__cnrm"))
         .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
@@ -956,19 +963,22 @@ object Pipeline {
     //     whose text must not enter the corpus store at any grain.
     //     None → empty drop set, prior shape byte-identical.
     val contamDrops = benchmark.map { b =>
-      // widenIfNarrow: the k-gram shingle pass (hash per window) over
-      // the s1 checkpoint is a hashing-scale scan — the helper's case.
-      // Probe s1 (the materialized leaf), NOT s1rl: s1rl is an
-      // anti-join plan, and probing it would execute those joins twice.
+      // r22: ONE materialized leaf feeds the stage's two grains (the
+      // curateFull stage's rationale — the former shape executed the
+      // s1rl anti-join chain once per grain). widenIfNarrow: the k-gram
+      // shingle pass (hash per window) is a hashing-scale scan — the
+      // helper's case; the leaf's own partition count is now the honest
+      // probe (it IS materialized).
+      val inPlay = s1rl.select(id, col(textCol)).localCheckpoint(eager = true)
       val ng = Decontaminate.contaminatedIds(
-          widenIfNarrow(s1rl.select(id, col(textCol)), s1),
+          widenIfNarrow(inPlay),
           b.select(col(idCol), col(textCol)),
           idCol, textCol, contamNgramK)
         .select(col("doc"))
       val bEmb = benchmarkEmb.getOrElse(sys.error(
         "benchmark decontamination needs benchmarkEmb for the semantic grain"))
       val sem = embeddings
-        .join(s1rl.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
+        .join(inPlay.select(id.as("__cid")), col(vecIdCol) === col("__cid"), "left_semi")
         .select(col(vecIdCol).as("doc"), col(vecCol).as("__cvec"),
           SimilarityOps.norm(col(vecCol)).as("__cnrm"))
         .crossJoin(bEmb.select(col(vecCol).as("__bvec"),
