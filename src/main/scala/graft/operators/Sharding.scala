@@ -46,9 +46,14 @@ object Sharding {
     // PINS the sampled range bounds, so both branches provably read the
     // same pid layout instead of two independently-sampled executions.
     // (doc, ntok, pid) rows only — corpus-bounded, never text.
+    // pid is projected AFTER the checkpoint (which preserves the
+    // partition layout, so the values are identical): both branches then
+    // carry the spark_partition_id provenance in their own plans — the
+    // offsets aggregate is P-row bounded and the scale-killer sweep can
+    // see why.
     val ranged = toks.repartitionByRange(col("doc"))
-      .withColumn("pid", spark_partition_id())
       .localCheckpoint(eager = true)
+      .withColumn("pid", spark_partition_id())
     // step 2: local scan, parallel across partitions
     val local = ranged.withColumn("cum",
       sum("ntok").over(Window.partitionBy("pid").orderBy("doc")))
@@ -84,8 +89,8 @@ object Sharding {
     // materialized once — the tokenShards rationale (both branches, pinned
     // range bounds)
     val ranged = toks.repartitionByRange(col("__cu_s"), col("doc"))
-      .withColumn("pid", spark_partition_id())
       .localCheckpoint(eager = true)
+      .withColumn("pid", spark_partition_id())
     val local = ranged.withColumn("cum",
       sum("ntok").over(Window.partitionBy("pid").orderBy(col("__cu_s"), col("doc"))))
     val offsets = local.groupBy("pid").agg(sum("ntok").as("ptotal"))
@@ -191,8 +196,8 @@ object Sharding {
     // subtree is the whole epoch-mixture explode, the q140 plan's
     // doubled half (42 Exchanges → half the tree planned once)
     val ranged = copies.repartitionByRange(col("__to_key"), col("doc"), col("copy_idx"))
-      .withColumn("pid", spark_partition_id())
       .localCheckpoint(eager = true)
+      .withColumn("pid", spark_partition_id())
     val local = ranged.withColumn("cum",
       sum("ntok").over(Window.partitionBy("pid")
         .orderBy(col("__to_key"), col("doc"), col("copy_idx"))))
